@@ -1,0 +1,161 @@
+"""Posting-list codecs: delta + big-endian base-128 varint, and naive
+4-byte big-endian ints.
+
+Byte-format parity with the reference
+(`index/positional/DeltaVarLenCompressor.java:14-92`,
+`index/positional/NaiveCompressor.java:14-28`; golden byte vectors in
+`test/.../Team3CompressorTest.java:22-56`):
+
+  * delta-encode (first value absolute, ascending input assumed for the
+    delta variant), then each value as big-endian base-128 varint:
+    7-bit groups most-significant first, continuation bit 0x80 set on
+    every byte except the last; value 0 -> single 0x00.
+  * naive: 4-byte big-endian two's-complement ints.
+
+Everything here is vectorized numpy over whole arrays — `encode_many` /
+`decode_many` batch-encode ragged lists via offsets so a shard's entire
+postings column is one numpy pass, not a per-term Python loop.
+Doc ids are int64-capable (the 10^12-file design point) — varints may
+be up to 10 bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_THRESHOLDS = [np.uint64(1) << np.uint64(7 * k) for k in range(1, 10)]
+
+
+def _varint_nbytes(v: np.ndarray) -> np.ndarray:
+    """Bytes needed per value (>=1)."""
+    v = v.astype(np.uint64, copy=False)
+    nb = np.ones(len(v), dtype=np.int64)
+    for t in _THRESHOLDS:
+        nb += (v >= t).astype(np.int64)
+    return nb
+
+
+def varint_encode(values: np.ndarray | list[int], *, delta: bool = True) -> bytes:
+    """Encode ints to delta(optional)+varint bytes. Empty -> b''."""
+    v = np.asarray(values, dtype=np.int64)
+    if v.size == 0:
+        return b""
+    if delta:
+        d = np.empty_like(v)
+        d[0] = v[0]
+        np.subtract(v[1:], v[:-1], out=d[1:])
+        v = d
+    if v.min() < 0:
+        raise ValueError("varint requires non-negative (ascending input for delta mode)")
+    u = v.astype(np.uint64)
+    nb = _varint_nbytes(u)
+    total = int(nb.sum())
+    starts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    vidx = np.repeat(np.arange(len(u)), nb)
+    within = np.arange(total) - np.repeat(starts, nb)
+    shifts = ((nb[vidx] - 1 - within) * 7).astype(np.uint64)
+    out = ((u[vidx] >> shifts) & np.uint64(0x7F)).astype(np.uint8)
+    out[within < nb[vidx] - 1] |= 0x80
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes | memoryview | np.ndarray, *, delta: bool = True) -> np.ndarray:
+    """Decode varint bytes back to int64 values."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    # shift of each byte = 7 * (end_of_its_group - index)
+    group_of = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
+    shifts = (7 * (ends[group_of] - np.arange(b.size))).astype(np.uint64)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << shifts
+    vals = np.add.reduceat(contrib, starts).astype(np.int64)
+    if delta:
+        vals = np.cumsum(vals)
+    return vals
+
+
+def varint_decode_slice(buf, start: int, length: int, *, delta: bool = True) -> np.ndarray:
+    """Decode a (start, length) byte slice holding whole varint values —
+    the reference's partial-decode API (`DeltaVarLenCompressor.java:61-92`)."""
+    return varint_decode(memoryview(buf)[start : start + length], delta=delta)
+
+
+def naive_encode(values: np.ndarray | list[int]) -> bytes:
+    """4-byte big-endian ints (reference NaiveCompressor)."""
+    return np.asarray(values, dtype=np.int32).astype(">i4").tobytes()
+
+
+def naive_decode(buf) -> np.ndarray:
+    return np.frombuffer(buf, dtype=">i4").astype(np.int64)
+
+
+# -- ragged batch encode/decode (whole shard column in one pass) -------
+
+
+def encode_many(flat: np.ndarray, offsets: np.ndarray, *, delta: bool = True) -> tuple[bytes, np.ndarray]:
+    """Encode many lists given as (flat values, offsets[n+1]).
+
+    With delta=True each list is delta-encoded independently (its first
+    value stays absolute). Returns (concatenated bytes, byte_offsets[n+1])
+    so list i's encoding is bytes[byte_offsets[i]:byte_offsets[i+1]].
+    One vectorized pass over the entire flat array.
+    """
+    flat = np.asarray(flat, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    if flat.size == 0:
+        return b"", np.zeros(n + 1, dtype=np.int64)
+    v = flat
+    if delta:
+        d = np.empty_like(v)
+        d[0] = v[0]
+        np.subtract(v[1:], v[:-1], out=d[1:])
+        starts = offsets[:-1]
+        nonempty = starts[starts < offsets[1:]]
+        d[nonempty] = v[nonempty]  # list heads stay absolute
+        v = d
+    if v.min() < 0:
+        raise ValueError("varint requires non-negative values per list")
+    u = v.astype(np.uint64)
+    nb = _varint_nbytes(u)
+    cum_nb = np.concatenate(([0], np.cumsum(nb)))
+    byte_off = cum_nb[offsets]
+    total = int(nb.sum())
+    vstarts = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    vidx = np.repeat(np.arange(len(u)), nb)
+    within = np.arange(total) - np.repeat(vstarts, nb)
+    shifts = ((nb[vidx] - 1 - within) * 7).astype(np.uint64)
+    out = ((u[vidx] >> shifts) & np.uint64(0x7F)).astype(np.uint8)
+    out[within < nb[vidx] - 1] |= 0x80
+    return out.tobytes(), byte_off
+
+
+def decode_many(buf, byte_offsets: np.ndarray, *, delta: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of encode_many: returns (flat values, value offsets)."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    byte_offsets = np.asarray(byte_offsets, dtype=np.int64)
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64), np.zeros(len(byte_offsets), dtype=np.int64)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    starts = np.concatenate(([0], ends[:-1] + 1))
+    group_of = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
+    shifts = (7 * (ends[group_of] - np.arange(b.size))).astype(np.uint64)
+    contrib = (b & np.uint8(0x7F)).astype(np.uint64) << shifts
+    deltas = np.add.reduceat(contrib, starts).astype(np.int64)
+    # values-per-list from byte offsets: count terminators in each span
+    last_cum = np.concatenate(([0], np.cumsum(is_last)))
+    val_off = last_cum[byte_offsets]
+    if not delta:
+        return deltas, val_off
+    # cumsum globally, then re-absolutize each list by subtracting the
+    # running total just before its head (heads were stored absolute).
+    cum = np.cumsum(deltas)
+    heads = val_off[:-1]
+    lengths = np.diff(val_off)
+    corr_per_list = np.where(heads > 0, cum[np.maximum(heads - 1, 0)], 0)
+    vals = cum - np.repeat(corr_per_list, lengths)
+    return vals, val_off

@@ -1,0 +1,179 @@
+"""Tokenizers: punctuation, naive, code-aware, and DP word-break.
+
+Per-string reference implementations with behavioral parity to the
+reference engine's analysis chain (`analysis/PunctuationTokenizer.java`,
+`analysis/WordBreakTokenizer.java`, `analysis/NaiveAnalyzer.java`); the
+vectorized Arrow batch kernels in `stages/ingest.py` are built from the
+same regex constants and are tested equal to these.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from .stopwords import STOP_WORDS
+
+# The reference splits on "[,.;?! ^\f\n\r\t\v]" (a Java regex —
+# `analysis/PunctuationTokenizer.java:21`). Note the literal '^' inside
+# the class, and that Java 8's \v is the *vertical whitespace class*
+# [\n\x0B\f\r\x85  ], not just vertical tab. The expanded,
+# engine-portable character class (also valid RE2 for pyarrow/DuckDB):
+PUNCT_CLASS = ",.;?! ^\\f\\n\\r\\t\\x0b\\x85\\u2028\\u2029"
+PUNCT_SPLIT_RE = re.compile(f"[{PUNCT_CLASS}]+")
+# RE2 spelling for pyarrow.compute / DuckDB regexp_split_to_array:
+PUNCT_SPLIT_RE2 = "[,.;?! ^\\f\\n\\r\\t\\x0B\\x85\\x{2028}\\x{2029}]+"
+# DuckDB needs the same class; RE2 syntax is identical there.
+PUNCT_SPLIT_SQL = PUNCT_SPLIT_RE2.replace("\\x{2028}", "\\x{2028}").replace("'", "''")
+
+
+def punctuation_tokenize(text: str | None, *, stop_words: frozenset[str] = STOP_WORDS) -> list[str]:
+    """trim -> lowercase -> split on punctuation/whitespace -> drop
+    empties and stopwords (no stemming)."""
+    if not text:
+        return []
+    toks = PUNCT_SPLIT_RE.split(text.strip().lower())
+    return [t for t in toks if t and t not in stop_words]
+
+
+def naive_tokenize(text: str | None) -> list[str]:
+    """Lowercase + whitespace split (the reference's debug NaiveAnalyzer,
+    `analysis/NaiveAnalyzer.java:10-16`). No stopword filtering."""
+    if not text:
+        return []
+    return text.lower().split()
+
+
+# -- code-aware tokenizer (north-rule extension) -----------------------
+#
+# Splits source code on non-identifier characters, then splits
+# identifiers on snake_case and camelCase boundaries (acronym-aware:
+# "HTMLParser" -> html, parser). Implemented with two RE2-compatible
+# substitutions (no lookahead) so the DuckDB oracle can reproduce it:
+#   1. ([a-z0-9])([A-Z])      -> \1 \2     fooBar   -> foo Bar
+#   2. ([A-Z]+)([A-Z][a-z])   -> \1 \2     XMLHttp  -> XML Http
+# then lowercase and split on [^a-z0-9]+, dropping stopwords and
+# single-character tokens.
+CAMEL_1 = re.compile(r"([a-z0-9])([A-Z])")
+CAMEL_2 = re.compile(r"([A-Z]+)([A-Z][a-z])")
+NON_IDENT_RE = re.compile(r"[^a-z0-9]+")
+CAMEL_1_RE2 = "([a-z0-9])([A-Z])"
+CAMEL_2_RE2 = "([A-Z]+)([A-Z][a-z])"
+NON_IDENT_RE2 = "[^a-z0-9]+"
+
+
+def code_tokenize(text: str | None, *, stop_words: frozenset[str] = STOP_WORDS) -> list[str]:
+    if not text:
+        return []
+    text = CAMEL_1.sub(r"\1 \2", text)
+    text = CAMEL_2.sub(r"\1 \2", text)
+    toks = NON_IDENT_RE.split(text.lower())
+    return [t for t in toks if len(t) > 1 and t not in stop_words]
+
+
+# -- DP word-break tokenizer -------------------------------------------
+
+
+class UnbreakableTextError(ValueError):
+    """Raised when the input cannot be segmented with the dictionary
+    (reference: RuntimeException "Can't break this word",
+    `analysis/WordBreakTokenizer.java:...tokenize`)."""
+
+
+def load_frequency_dict(lines: list[str]) -> dict[str, float]:
+    """Parse `word freq` lines into a probability map.
+
+    Parity with `WordBreakTokenizer.initDict` (`WordBreakTokenizer.java`):
+    lines are trimmed and split on a single space; lines that don't
+    split into exactly two fields (the BOM line, multi-number Japanese
+    lines) are skipped; duplicate words keep the last frequency but
+    every valid line's frequency still contributes to the total.
+    """
+    freqs: dict[str, float] = {}
+    total = 0.0
+    for line in lines:
+        parts = line.strip().split(" ")
+        if len(parts) != 2:
+            continue
+        try:
+            f = float(parts[1])
+        except ValueError:
+            continue
+        freqs[parts[0]] = f
+        total += f
+    if total > 0:
+        for w in freqs:
+            freqs[w] /= total
+    return freqs
+
+
+class WordBreakTokenizer:
+    """DP word-break: segment un-spaced text into the dictionary-word
+    sequence maximizing the product of unigram probabilities; stopwords
+    filtered AFTER the break; unbreakable input raises.
+
+    Interval DP with the reference's tie-breaking (a whole-substring
+    dictionary word is preferred over any equal-probability split; among
+    splits, the leftmost split point wins ties) but O(n^2) memory via
+    split-point backtracking instead of materialized token lists.
+
+    `max_len` caps the O(n^3) DP; longer input raises ValueError (the
+    word-break path is for short un-spaced strings, never the flagship
+    code-corpus path).
+    """
+
+    def __init__(self, dict_lines: list[str], *, max_len: int = 512) -> None:
+        self.probs = load_frequency_dict(dict_lines)
+        self.logp = {w: math.log(p) for w, p in self.probs.items() if p > 0}
+        self.max_len = max_len
+
+    @classmethod
+    def from_file(cls, path: str, **kw) -> "WordBreakTokenizer":
+        with open(path, encoding="utf-8") as f:
+            return cls(f.read().splitlines(), **kw)
+
+    def tokenize(self, text: str | None, *, stop_words: frozenset[str] = STOP_WORDS) -> list[str]:
+        if not text:
+            return []
+        text = text.strip().lower()
+        n = len(text)
+        if n == 0:
+            return []
+        if n > self.max_len:
+            raise ValueError(f"word-break input longer than max_len={self.max_len}")
+        logp = self.logp
+        NEG = float("-inf")
+        # best[start][end] = (logprob, split) ; split == -1 -> whole word
+        best = [[(NEG, -2)] * n for _ in range(n)]
+        for window in range(1, n + 1):
+            for start in range(0, n - window + 1):
+                end = start + window - 1
+                sub = text[start : end + 1]
+                lp = logp.get(sub, NEG)
+                cell = (lp, -1) if lp != NEG else (NEG, -2)
+                row_s = best[start]
+                for mid in range(start, end):
+                    l_lp = row_s[mid][0]
+                    if l_lp == NEG:
+                        continue
+                    r_lp = best[mid + 1][end][0]
+                    if r_lp == NEG:
+                        continue
+                    cand = l_lp + r_lp
+                    if cand > cell[0]:
+                        cell = (cand, mid)
+                best[start][end] = cell
+        if best[0][n - 1][0] == NEG:
+            raise UnbreakableTextError("Can't break this word")
+        out: list[str] = []
+
+        def emit(s: int, e: int) -> None:
+            lp, split = best[s][e]
+            if split == -1:
+                out.append(text[s : e + 1])
+            else:
+                emit(s, split)
+                emit(split + 1, e)
+
+        emit(0, n - 1)
+        return [t for t in out if t not in stop_words]
