@@ -28,11 +28,18 @@ PUNCT_SPLIT_SQL = PUNCT_SPLIT_RE2.replace("\\x{2028}", "\\x{2028}").replace("'",
 
 
 def punctuation_tokenize(text: str | None, *, stop_words: frozenset[str] = STOP_WORDS) -> list[str]:
-    """trim -> lowercase -> split on punctuation/whitespace -> drop
-    empties and stopwords (no stemming)."""
+    """lowercase -> split on punctuation/whitespace -> drop empties and
+    stopwords (no stemming).
+
+    The reference also trims first (`PunctuationTokenizer.java:46`), but
+    every character Java's trim removes that could affect tokens is in
+    the split class, so skipping the trim is token-equivalent — and it
+    keeps this function identical to the vectorized Arrow kernel in
+    `stages/ingest.py`.
+    """
     if not text:
         return []
-    toks = PUNCT_SPLIT_RE.split(text.strip().lower())
+    toks = PUNCT_SPLIT_RE.split(text.lower())
     return [t for t in toks if t and t not in stop_words]
 
 

@@ -1,0 +1,474 @@
+"""IndexSearcher: stateful query serving over mmap'd shards.
+
+The Ray-idiomatic replacement for the reference's per-query
+re-opening of segment channels (`InvertedIndexManager.java:894-920`,
+SURVEY §2 ST3): construct ONCE (per process / per Ray actor), shards
+are memory-mapped Arrow IPC tables opened lazily and cached, term
+dictionaries are binary-searched numpy arrays. Use directly on a
+driver, or as an actor pool via
+`queries_ds.map_batches(SearcherBatch, fn_constructor_kwargs=...,
+concurrency=N)`.
+
+Query surface (parity with `InvertedIndexManager`):
+  search_keyword   first analyzed token's postings   (IIM:879-926)
+  search_and       all analyzed tokens ANDed; a keyword that analyzes
+                   to nothing empties the result     (IIM:934-1024)
+  search_or        union over keywords' tokens       (IIM:1032-1094)
+  search_phrase    positional adjacency cascade      (IIM:1106-1276)
+  search_tfidf     tf·idf with idf = N/df (NO log), score =
+                   dot/sqrt(sum tfidf_doc^2 over query terms)
+                   (IIM:1292-1449); ties broken by doc_id
+  search_bm25      BM25 (k1=1.2, b=0.75) top-k — the north-rule
+                   primary scoring; MaxScore/block-max pruning with an
+                   exhaustive fallback (`prune=False`), both
+                   rank-identical (tested)
+  delete_documents keyword tombstones filtered at query time
+                   (IIM:1548-1551, 861-869); dropped at compaction
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.analyzers import make_analyzer
+from ..pipelines.build import load_meta
+from ..stages.ingest import term_bucket
+from ..stages.shards import decode_posting_row, open_shard
+from ..functions.codecs import varint_decode
+
+K1 = 1.2
+B = 0.75
+
+TOMBSTONE_FILE = "tombstones.json"
+
+
+def load_tombstones(index_dir: str) -> set[str]:
+    p = os.path.join(index_dir, TOMBSTONE_FILE)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return set(json.load(f))
+
+
+def save_tombstones(index_dir: str, terms: set[str]) -> None:
+    p = os.path.join(index_dir, TOMBSTONE_FILE)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(terms), f)
+    os.replace(tmp, p)
+
+
+class IndexSearcher:
+    def __init__(self, index_dir: str) -> None:
+        self.index_dir = index_dir
+        self.meta = load_meta(index_dir)
+        self.analyzer = make_analyzer(self.meta["analyzer"])
+        self.num_buckets = int(self.meta["num_buckets"])
+        self.salt = int(self.meta.get("salt", 1))
+        self.positional = bool(self.meta.get("positional", False))
+        self.n_docs = int(self.meta["n_docs"])
+        self.avgdl = float(self.meta["avgdl"]) or 1.0
+        self.tombstones = load_tombstones(index_dir)
+        self._shards: dict[int, pa.Table | None] = {}
+        self._terms: dict[int, np.ndarray] = {}
+        self._postings_cache: dict[str, tuple | None] = {}
+
+    # -- shard access ---------------------------------------------------
+
+    def _shard(self, shard_id: int) -> pa.Table | None:
+        if shard_id not in self._shards:
+            self._shards[shard_id] = open_shard(self.index_dir, shard_id)
+        return self._shards[shard_id]
+
+    def _term_array(self, shard_id: int) -> np.ndarray | None:
+        arr = self._terms.get(shard_id)
+        if arr is None:
+            t = self._shard(shard_id)
+            if t is None:
+                return None
+            arr = np.asarray(t["term"].to_pylist(), dtype=object)
+            self._terms[shard_id] = arr
+        return arr
+
+    def _term_rows(self, term: str) -> list[tuple[pa.Table, int]]:
+        """(shard_table, row) for every salted sub-shard holding term."""
+        bucket = term_bucket(term, self.num_buckets)
+        out = []
+        for s in range(self.salt):
+            sid = bucket * self.salt + s
+            arr = self._term_array(sid)
+            if arr is None or len(arr) == 0:
+                continue
+            i = np.searchsorted(arr, term)
+            if i < len(arr) and arr[i] == term:
+                out.append((self._shard(sid), int(i)))
+        return out
+
+    def postings(self, term: str, *, positions: bool = False):
+        """(doc_ids, tfs, doc_lens[, positions]) merged across salted
+        sub-shards, ascending by doc_id; None if absent/tombstoned."""
+        if term in self.tombstones:
+            return None
+        key = term if not positions else term + "\x00pos"
+        if key in self._postings_cache:
+            return self._postings_cache[key]
+        rows = self._term_rows(term)
+        if not rows:
+            res = None
+        else:
+            parts = [decode_posting_row(t, r, positional=positions and self.positional) for t, r in rows]
+            if len(parts) == 1:
+                p = parts[0]
+            else:
+                docs = np.concatenate([x["doc_ids"] for x in parts])
+                order = np.argsort(docs, kind="stable")
+                p = {
+                    "doc_ids": docs[order],
+                    "tfs": np.concatenate([x["tfs"] for x in parts])[order],
+                    "doc_lens": np.concatenate([x["doc_lens"] for x in parts])[order],
+                }
+                if positions and self.positional:
+                    allpos = [pl for x in parts for pl in x["positions"]]
+                    p["positions"] = [allpos[i] for i in order]
+            res = (p["doc_ids"], p["tfs"], p["doc_lens"], p.get("positions"))
+        if len(self._postings_cache) < 100_000:
+            self._postings_cache[key] = res
+        return res
+
+    def df(self, term: str) -> int:
+        p = self.postings(term)
+        return 0 if p is None else len(p[0])
+
+    def _block_meta(self, term: str):
+        """Block metadata (last_doc, max_tf, min_dl) for a term, or
+        None when the term lives in multiple salted sub-shards (whose
+        merged posting order no longer aligns with per-sub-shard block
+        boundaries — the caller falls back to exact weights then)."""
+        rows = self._term_rows(term)
+        if len(rows) != 1:
+            return None
+        t, r = rows[0]
+        return (
+            np.asarray(t["blk_last_doc"][r].as_py(), dtype=np.int64),
+            np.asarray(t["blk_max_tf"][r].as_py(), dtype=np.int64),
+            np.asarray(t["blk_min_dl"][r].as_py(), dtype=np.int64),
+        )
+
+    # -- analysis helpers ----------------------------------------------
+
+    def _analyze_keywords(self, keywords: list[str]) -> list[list[str]]:
+        return [self.analyzer.analyze(k) for k in keywords]
+
+    # -- boolean search -------------------------------------------------
+
+    def search_keyword(self, keyword: str) -> np.ndarray:
+        toks = self.analyzer.analyze(keyword)
+        if not toks or toks[0] == "":
+            return np.empty(0, dtype=np.int64)
+        p = self.postings(toks[0])
+        return p[0] if p else np.empty(0, dtype=np.int64)
+
+    def search_and(self, keywords: list[str]) -> np.ndarray:
+        per_kw = self._analyze_keywords(keywords)
+        if any(not toks for toks in per_kw):
+            return np.empty(0, dtype=np.int64)
+        terms: list[str] = [t for toks in per_kw for t in toks]
+        lists = []
+        for t in dict.fromkeys(terms):
+            p = self.postings(t)
+            if p is None:
+                return np.empty(0, dtype=np.int64)
+            lists.append(p[0])
+        lists.sort(key=len)  # shortest-first (reference K2)
+        cur = lists[0]
+        for nxt in lists[1:]:
+            if len(cur) == 0:
+                break
+            cur = cur[np.isin(cur, nxt, assume_unique=True)]
+        return cur
+
+    def search_or(self, keywords: list[str]) -> np.ndarray:
+        per_kw = self._analyze_keywords(keywords)
+        lists = []
+        for toks in per_kw:
+            for t in toks:
+                p = self.postings(t)
+                if p is not None:
+                    lists.append(p[0])
+        if not lists:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(lists))
+
+    def search_phrase(self, phrase: list[str]) -> np.ndarray:
+        if not self.positional:
+            raise NotImplementedError("phrase search requires a positional index")
+        per_kw = self._analyze_keywords(phrase)
+        if any(not toks for toks in per_kw):
+            return np.empty(0, dtype=np.int64)
+        seq = [t for toks in per_kw for t in toks]
+        posts = []
+        for t in seq:
+            p = self.postings(t, positions=True)
+            if p is None:
+                return np.empty(0, dtype=np.int64)
+            posts.append(p)
+        # AND-intersect candidates first
+        cand = posts[0][0]
+        for p in posts[1:]:
+            cand = cand[np.isin(cand, p[0], assume_unique=True)]
+            if len(cand) == 0:
+                return cand
+        # adjacency cascade per candidate doc (reference IIM:1196-1260)
+        out = []
+        idx = [dict(zip(p[0].tolist(), range(len(p[0])))) for p in posts]
+        for doc in cand.tolist():
+            ok_pos = np.asarray(posts[0][3][idx[0][doc]]) + 1
+            for t_i in range(1, len(posts)):
+                nxt_pos = np.asarray(posts[t_i][3][idx[t_i][doc]])
+                ok_pos = np.intersect1d(ok_pos, nxt_pos, assume_unique=True) + 1
+                if len(ok_pos) == 0:
+                    break
+            else:
+                out.append(doc)
+        return np.asarray(out, dtype=np.int64)
+
+    # -- ranked search --------------------------------------------------
+
+    def _bm25_term_weight(self, tf, dl, idf, qw):
+        return qw * idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+
+    def _bm25_idf(self, dfv: int) -> float:
+        return math.log(1.0 + (self.n_docs - dfv + 0.5) / (dfv + 0.5))
+
+    def search_bm25(self, query: str | list[str], k: int | None = 10, *, prune: bool = True):
+        """BM25 top-k: returns (doc_ids, scores), score desc, ties by
+        doc_id asc. `prune=True` uses MaxScore + block-max skipping —
+        rank-identical to the exhaustive path."""
+        keywords = [query] if isinstance(query, str) else query
+        toks = [t for ks in self._analyze_keywords(keywords) for t in ks]
+        qtf = Counter(toks)
+        terms = []
+        for t, qw in qtf.items():
+            p = self.postings(t)
+            if p is None:
+                continue
+            idf = self._bm25_idf(len(p[0]))
+            terms.append((t, qw, idf, p))
+        if not terms:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        if not prune or k is None:
+            return self._bm25_exhaustive(terms, k)
+        return self._bm25_maxscore(terms, k)
+
+    def _bm25_exhaustive(self, terms, k):
+        docs = np.concatenate([p[0] for _, _, _, p in terms])
+        contribs = np.concatenate(
+            [
+                self._bm25_term_weight(p[1].astype(np.float64), p[2].astype(np.float64), idf, qw)
+                for _, qw, idf, p in terms
+            ]
+        )
+        uniq, inv = np.unique(docs, return_inverse=True)
+        scores = np.bincount(inv, weights=contribs)
+        return self._topk(uniq, scores, k)
+
+    def _bm25_maxscore(self, terms, k: int):
+        """Term-at-a-time MaxScore with block-max skipping.
+
+        Process terms in descending max-contribution (upper-bound)
+        order. While processing term i, a doc NOT yet in the
+        accumulator can reach at most rem_ub[i] = sum of upper bounds
+        of terms i..end; once the accumulator holds >= k docs and
+        rem_ub[i] < theta (current kth partial score, a lower bound of
+        the kth final score), new docs are provably out of the top-k
+        (strictly — so doc_id tie-breaks are unaffected) and the term
+        only updates existing candidates, skipping posting blocks whose
+        doc range contains no candidate (block-max skip pointers).
+        Every term still updates all candidates, so returned scores are
+        exact and rank-identical to the exhaustive path (tested).
+        """
+        with_ub = []
+        for t, qw, idf, p in terms:
+            bm = self._block_meta(t)  # None when salted sub-shards merged
+            if bm is not None:
+                ub = float(
+                    self._bm25_term_weight(
+                        bm[1].astype(np.float64), bm[2].astype(np.float64), idf, qw
+                    ).max()
+                )
+                w_full = None
+            else:
+                w_full = self._bm25_term_weight(
+                    p[1].astype(np.float64), p[2].astype(np.float64), idf, qw
+                )
+                ub = float(w_full.max())
+            with_ub.append((t, qw, idf, p, bm, w_full, ub))
+        with_ub.sort(key=lambda x: -x[6])
+        rem_ub = np.r_[[x[6] for x in with_ub], 0.0][::-1].cumsum()[::-1]
+
+        acc_docs = np.empty(0, dtype=np.int64)
+        acc_scores = np.empty(0)
+        theta = -np.inf
+        for i, (t, qw, idf, p, bm, w_full, ub) in enumerate(with_ub):
+            docs = p[0]
+            tfs = p[1].astype(np.float64)
+            dls = p[2].astype(np.float64)
+            admit_new = not (len(acc_docs) >= k and rem_ub[i] < theta)
+            if admit_new:
+                w = w_full if w_full is not None else self._bm25_term_weight(tfs, dls, idf, qw)
+                m_docs = np.concatenate([acc_docs, docs])
+                m_scores = np.concatenate([acc_scores, w])
+                uniq, inv = np.unique(m_docs, return_inverse=True)
+                acc_scores = np.bincount(inv, weights=m_scores)
+                acc_docs = uniq
+            elif len(acc_docs):
+                if bm is not None:
+                    # block-max skip: only touch blocks overlapping a candidate
+                    blk_last = bm[0]
+                    blk_first = np.r_[np.int64(-1), blk_last[:-1]] + 1
+                    lo = np.searchsorted(acc_docs, blk_first, side="left")
+                    hi = np.searchsorted(acc_docs, blk_last, side="right")
+                    live = np.flatnonzero(hi > lo)
+                    if len(live) == 0:
+                        continue
+                    from ..stages.shards import BLOCK_SIZE
+
+                    keep_idx = np.concatenate(
+                        [
+                            np.arange(b * BLOCK_SIZE, min((b + 1) * BLOCK_SIZE, len(docs)))
+                            for b in live.tolist()
+                        ]
+                    )
+                else:
+                    keep_idx = np.arange(len(docs))
+                mask = np.isin(docs[keep_idx], acc_docs, assume_unique=True)
+                if not mask.any():
+                    continue
+                sel = keep_idx[mask]
+                w = (
+                    w_full[sel]
+                    if w_full is not None
+                    else self._bm25_term_weight(tfs[sel], dls[sel], idf, qw)
+                )
+                pos = np.searchsorted(acc_docs, docs[sel])
+                np.add.at(acc_scores, pos, w)
+            if len(acc_docs) >= k:
+                theta = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
+        return self._topk(acc_docs, acc_scores, k)
+
+    @staticmethod
+    def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int | None):
+        order = np.lexsort((doc_ids, -scores))
+        if k is not None:
+            order = order[:k]
+        return doc_ids[order], scores[order]
+
+    def search_tfidf(self, keywords: list[str], top_k: int | None = 10):
+        """Reference tf·idf ranking (IIM:1292-1449): idf = N/df with NO
+        log; query vector accumulates per duplicate analyzed token;
+        score = dot(doc,query) / sqrt(sum over query terms of
+        tfidf_doc^2). Returns (doc_ids, scores) desc, ties by doc_id."""
+        analyzed = [t for ks in self._analyze_keywords(keywords) for t in ks]
+        if not analyzed:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        qvec: dict[str, float] = {}
+        for t in analyzed:
+            dfv = self.df(t)
+            if dfv == 0:
+                continue  # reference: N/0 -> Inf but never accumulated
+            qvec[t] = qvec.get(t, 0.0) + self.n_docs / dfv
+        if not qvec:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        docs_all, dots, lens = [], [], []
+        for t, qw in qvec.items():
+            p = self.postings(t)
+            idf = self.n_docs / len(p[0])
+            tfidf = p[1].astype(np.float64) * idf
+            docs_all.append(p[0])
+            dots.append(tfidf * qw)
+            lens.append(tfidf * tfidf)
+        docs = np.concatenate(docs_all)
+        uniq, inv = np.unique(docs, return_inverse=True)
+        dot = np.bincount(inv, weights=np.concatenate(dots))
+        ln = np.bincount(inv, weights=np.concatenate(lens))
+        scores = dot / np.sqrt(ln)
+        return self._topk(uniq, scores, top_k)
+
+    # -- deletion -------------------------------------------------------
+
+    def delete_documents(self, keyword: str) -> None:
+        """Tombstone the analyzed tokens of `keyword` (query-time filter;
+        physical drop happens at compaction — stages/merge.py)."""
+        for t in self.analyzer.analyze(keyword):
+            self.tombstones.add(t)
+        save_tombstones(self.index_dir, self.tombstones)
+
+    # -- doc store ------------------------------------------------------
+
+    def get_documents(self, doc_ids) -> pa.Table:
+        """Point/range lookups against the docstore Parquet (reference
+        MapDB lookups, `storage/MapdbDocStore.java:27-84`)."""
+        import pyarrow.dataset as pads
+
+        dset = pads.dataset(os.path.join(self.index_dir, "docstore"), format="parquet")
+        ids = pa.array(np.asarray(list(doc_ids), dtype=np.int64))
+        return dset.to_table(filter=pads.field("doc_id").isin(ids))
+
+
+class SearcherBatch:
+    """Actor-pool adapter: a batch of query rows -> result rows.
+
+    queries_ds.map_batches(SearcherBatch,
+        fn_constructor_kwargs={"index_dir": ...}, concurrency=N,
+        batch_format="pyarrow")
+
+    Input columns:  query_id:int64, kind:string (keyword|and|or|phrase|
+                    bm25|tfidf), terms:list<string>, top_k:int64(null ok)
+    Output columns: query_id:int64, rank:int32, doc_id:int64,
+                    score:float64 (0.0 for boolean kinds)
+    """
+
+    def __init__(self, index_dir: str) -> None:
+        self.searcher = IndexSearcher(index_dir)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        s = self.searcher
+        qids, ranks, docs, scores = [], [], [], []
+        for row in batch.to_pylist():
+            kind = row["kind"]
+            terms = row["terms"] or []
+            k = row.get("top_k")
+            if kind == "keyword":
+                ids, sc = s.search_keyword(terms[0] if terms else ""), None
+            elif kind == "and":
+                ids, sc = s.search_and(terms), None
+            elif kind == "or":
+                ids, sc = s.search_or(terms), None
+            elif kind == "phrase":
+                ids, sc = s.search_phrase(terms), None
+            elif kind == "bm25":
+                ids, sc = s.search_bm25(terms, k if k is not None else 10)
+            elif kind == "tfidf":
+                ids, sc = s.search_tfidf(terms, k)
+            else:
+                raise ValueError(f"unknown query kind {kind!r}")
+            if sc is None:
+                sc = np.zeros(len(ids))
+            qids.extend([row["query_id"]] * len(ids))
+            ranks.extend(range(len(ids)))
+            docs.extend(ids.tolist())
+            scores.extend(np.asarray(sc, dtype=np.float64).tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int32()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores, type=pa.float64()),
+            }
+        )

@@ -1,0 +1,240 @@
+"""End-to-end index build + query tests: whole-index golden
+materialization (SURVEY §5 style 2), brute-force-oracle parity (style
+4), rank-identity for BM25/tf-idf, salted sub-shards, tombstones."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mini_search_engine_ray.functions.analyzers import ComposableAnalyzer
+from mini_search_engine_ray.pipelines.build import build_index, load_meta
+from mini_search_engine_ray.pipelines.oracle import BruteForceOracle
+from mini_search_engine_ray.sources.corpus import synth_corpus, write_corpus_parquet
+from mini_search_engine_ray.stages.shards import read_shard_as_dicts
+from mini_search_engine_ray.state.searcher import IndexSearcher
+
+TINY_DOCS = [
+    "import edu.uci.ics.cs221.analysis.Analyzer;",
+    "import edu.uci.ics.cs221.analysis.ComposableAnalyzer;",
+    "import edu.uci.ics.cs221.analysis.PorterStemmer;",
+    "import edu.uci.ics.cs221.index.inverted.InvertedIndexManager;",
+    "import edu.uci.ics.cs221.storage.Document;",
+    "a kitten and a bunny played with information retrieval systems",
+]
+
+
+def _tiny_ds():
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(TINY_DOCS), dtype=np.int64)),
+            "content": pa.array(TINY_DOCS, type=pa.large_string()),
+        }
+    )
+    return rd.from_arrow(t)
+
+
+@pytest.fixture(scope="module")
+def tiny_index(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tiny_idx"))
+    ds = _tiny_ds()
+    meta = build_index(
+        ds, d, analyzer="composable", num_buckets=4, positional=True,
+        n_docs=len(TINY_DOCS), fingerprint="tiny", write_docstore=False,
+    )
+    return d, meta
+
+
+@pytest.fixture(scope="module")
+def small_index(ray_session, tmp_path_factory):
+    """200-doc synthetic corpus, built through the full pipeline."""
+    d = str(tmp_path_factory.mktemp("small"))
+    corpus = synth_corpus(200, seed=42)
+    pq_path = f"{d}/corpus.parquet"
+    write_corpus_parquet(corpus, pq_path, rows_per_group=64)
+    import ray.data as rd
+
+    idx = f"{d}/index"
+    build_index(
+        rd.read_parquet(pq_path), idx, analyzer="composable", num_buckets=8,
+        positional=True, n_docs=200, fingerprint="small",
+    )
+    docs = {i: corpus["content"][i].as_py() for i in range(200)}
+    return idx, docs
+
+
+class TestGoldenMaterialization:
+    def test_postings_match_analyzer(self, tiny_index):
+        d, meta = tiny_index
+        postings, tfs, positions = read_shard_as_dicts(d, positional=True)
+        an = ComposableAnalyzer()
+        exp_postings: dict[str, list[int]] = {}
+        for i, text in enumerate(TINY_DOCS):
+            toks = an.analyze(text)
+            for p, t in enumerate(toks):
+                exp_postings.setdefault(t, [])
+                if i not in exp_postings[t]:
+                    exp_postings[t].append(i)
+                assert positions[(t, i)].count(p) == 1 or p in positions[(t, i)]
+        assert postings == exp_postings
+        # tf golden checks
+        assert tfs[("import", 0)] == 1
+        assert tfs[("cs221", 0)] == 1
+        # positions are over the analyzed (stopword-stripped, stemmed) stream
+        toks5 = an.analyze(TINY_DOCS[5])
+        assert positions[("kitten", 5)] == [toks5.index("kitten")]
+
+    def test_meta(self, tiny_index):
+        d, meta = tiny_index
+        assert meta["n_docs"] == 6
+        assert meta["total_tokens"] == sum(
+            len(ComposableAnalyzer().analyze(t)) for t in TINY_DOCS
+        )
+        assert load_meta(d)["avgdl"] == pytest.approx(meta["total_tokens"] / 6)
+
+
+class TestQueriesVsOracle:
+    KEYWORDS = ["index", "information", "kitten", "import", "nonexistentzzz", "the"]
+    AND_QUERIES = [["import", "analysis"], ["kitten", "bunny"], ["import", "kitten"],
+                   ["information", "retrieval"], ["the", "import"]]
+    OR_QUERIES = [["kitten", "storage"], ["analyzer", "document"], ["zzz", "qqq"]]
+    PHRASES = [["information", "retrieval"], ["kitten", "bunny"],
+               ["a", "kitten"], ["retrieval", "information"]]
+
+    @pytest.fixture(scope="class")
+    def pair(self, tiny_index):
+        d, _ = tiny_index
+        s = IndexSearcher(d)
+        o = BruteForceOracle(dict(enumerate(TINY_DOCS)), "composable")
+        return s, o
+
+    def test_keyword(self, pair):
+        s, o = pair
+        for kw in self.KEYWORDS:
+            assert s.search_keyword(kw).tolist() == o.search_keyword(kw), kw
+
+    def test_and(self, pair):
+        s, o = pair
+        for q in self.AND_QUERIES:
+            assert s.search_and(q).tolist() == o.search_and(q), q
+
+    def test_or(self, pair):
+        s, o = pair
+        for q in self.OR_QUERIES:
+            assert s.search_or(q).tolist() == o.search_or(q), q
+
+    def test_phrase(self, pair):
+        s, o = pair
+        for q in self.PHRASES:
+            assert s.search_phrase(q).tolist() == o.search_phrase(q), q
+
+
+class TestRankedSmall:
+    QUERIES = [
+        ["information", "retrieval"],
+        ["parse", "request", "handler"],
+        ["index", "token", "merge"],
+        ["needle"],
+        ["kitten", "garden"],
+        ["university", "california", "irvine"],
+        ["the"],  # stopword-only -> empty
+    ]
+
+    @pytest.fixture(scope="class")
+    def pair(self, small_index):
+        idx, docs = small_index
+        return IndexSearcher(idx), BruteForceOracle(docs, "composable")
+
+    @pytest.mark.parametrize("k", [5, 10, 50])
+    def test_bm25_rank_identity(self, pair, k):
+        s, o = pair
+        for q in self.QUERIES:
+            ids_e, sc_e = s.search_bm25(q, k, prune=False)
+            ids_o, sc_o = o.search_bm25(q, k)
+            assert ids_e.tolist() == ids_o.tolist(), q
+            np.testing.assert_allclose(sc_e, sc_o, rtol=1e-9)
+
+    @pytest.mark.parametrize("k", [1, 3, 10, 40])
+    def test_bm25_maxscore_equals_exhaustive(self, pair, k):
+        s, _ = pair
+        for q in self.QUERIES:
+            ids_p, sc_p = s.search_bm25(q, k, prune=True)
+            ids_e, sc_e = s.search_bm25(q, k, prune=False)
+            assert ids_p.tolist() == ids_e.tolist(), q
+            np.testing.assert_allclose(sc_p, sc_e, rtol=1e-12)
+
+    def test_tfidf_rank_identity(self, pair):
+        s, o = pair
+        for q in self.QUERIES:
+            ids_e, sc_e = s.search_tfidf(q, 10)
+            ids_o, sc_o = o.search_tfidf(q, 10)
+            assert ids_e.tolist() == ids_o.tolist(), q
+            np.testing.assert_allclose(sc_e, sc_o, rtol=1e-9)
+
+    def test_tfidf_topk_none_returns_all(self, pair):
+        s, o = pair
+        ids_e, _ = s.search_tfidf(["information"], None)
+        ids_o, _ = o.search_tfidf(["information"], None)
+        assert ids_e.tolist() == ids_o.tolist()
+
+    def test_boolean_on_small(self, pair):
+        s, o = pair
+        for q in (["needle"], ["elizabeth"], ["qwertyuiop"]):
+            assert s.search_keyword(q[0]).tolist() == o.search_keyword(q[0])
+        assert s.search_and(["qwertyuiop", "elizabeth"]).tolist() == o.search_and(
+            ["qwertyuiop", "elizabeth"]
+        )
+
+
+class TestSalted:
+    def test_salted_build_same_postings(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        corpus = synth_corpus(60, seed=7)
+        t = corpus.select(["doc_id", "content"])
+        d1, d2 = str(tmp_path / "s1"), str(tmp_path / "s3")
+        build_index(rd.from_arrow(t), d1, num_buckets=4, salt=1, n_docs=60,
+                    write_docstore=False, fingerprint="a")
+        build_index(rd.from_arrow(t), d2, num_buckets=4, salt=3, n_docs=60,
+                    write_docstore=False, fingerprint="b")
+        p1, tf1, _ = read_shard_as_dicts(d1)
+        p2, tf2, _ = read_shard_as_dicts(d2)
+        assert p1 == p2 and tf1 == tf2
+
+    def test_salted_queries(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        corpus = synth_corpus(60, seed=7)
+        docs = {i: corpus["content"][i].as_py() for i in range(60)}
+        d = str(tmp_path / "salted")
+        build_index(rd.from_arrow(corpus.select(["doc_id", "content"])), d,
+                    num_buckets=4, salt=3, n_docs=60, write_docstore=False)
+        s = IndexSearcher(d)
+        o = BruteForceOracle(docs, "composable")
+        ids_e, sc_e = s.search_bm25(["index", "merge"], 10)
+        ids_o, sc_o = o.search_bm25(["index", "merge"], 10)
+        assert ids_e.tolist() == ids_o.tolist()
+        np.testing.assert_allclose(sc_e, sc_o, rtol=1e-9)
+
+
+class TestTombstones:
+    def test_delete_filters_queries(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        d = str(tmp_path / "del")
+        ds = _tiny_ds()
+        build_index(ds, d, num_buckets=4, positional=True, n_docs=6,
+                    write_docstore=False)
+        s = IndexSearcher(d)
+        assert len(s.search_keyword("import")) == 5
+        s.delete_documents("import")
+        assert len(s.search_keyword("import")) == 0
+        assert s.search_and(["import", "analysis"]).tolist() == []
+        # fresh searcher sees persisted tombstones
+        s2 = IndexSearcher(d)
+        assert len(s2.search_keyword("import")) == 0
+        # other terms unaffected
+        assert len(s2.search_keyword("kitten")) == 1
