@@ -1,0 +1,87 @@
+"""PageRank golden tests (FIXTURES.md F5) + fusion semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mini_search_engine_ray.pipelines.pagerank import (
+    fuse_scores,
+    pagerank_dataset,
+    pagerank_numpy,
+)
+
+
+def _seeded_graph(n=50, seed=9):
+    rng = np.random.default_rng(seed)
+    src, dst = [], []
+    for u in range(n - 2):  # node n-1: no out-edges (dangling)
+        for v in rng.choice(n, size=rng.integers(1, 6), replace=False):
+            if v != u:
+                src.append(u)
+                dst.append(int(v))
+    # hubs: everyone points at node 0 and 1
+    for u in range(2, n, 3):
+        src.append(u)
+        dst.append(0)
+    return np.asarray(src), np.asarray(dst), n
+
+
+def _reference_loop(src, dst, n, iters=100, d=0.85):
+    """Straight-line scalar transcription of the reference recurrence —
+    the independent golden oracle."""
+    out_adj = {}
+    in_adj = {}
+    for s, t in zip(src.tolist(), dst.tolist()):
+        out_adj.setdefault(s, []).append(t)
+        in_adj.setdefault(t, []).append(s)
+    prev = {i: 1.0 for i in range(n)}
+    for _ in range(iters):
+        cur = {}
+        for v in range(n):
+            total = 0.0
+            for u in in_adj.get(v, []):
+                total += prev[u] / len(out_adj[u])
+            cur[v] = (1 - d) + d * total
+        prev = cur
+    return np.asarray([prev[i] for i in range(n)])
+
+
+def test_numpy_matches_reference_loop():
+    src, dst, n = _seeded_graph()
+    got = pagerank_numpy(src, dst, n)
+    exp = _reference_loop(src, dst, n)
+    np.testing.assert_allclose(got, exp, rtol=1e-10)
+
+
+def test_unnormalized_properties():
+    src, dst, n = _seeded_graph()
+    sc = pagerank_numpy(src, dst, n)
+    # node with no in-edges converges to exactly (1-d)
+    no_in = set(range(n)) - set(dst.tolist())
+    for v in no_in:
+        assert sc[v] == pytest.approx(0.15)
+    assert sc[0] == sc.max()  # the hub
+
+
+def test_dataset_matches_numpy(ray_session):
+    import ray.data as rd
+
+    src, dst, n = _seeded_graph(30, seed=3)
+    edges = rd.from_items([{"src": int(s), "dst": int(t)} for s, t in zip(src, dst)])
+    t = pagerank_dataset(edges, n, iterations=10)
+    got = np.empty(n)
+    got[t["node"].to_numpy()] = t["score"].to_numpy()
+    exp = pagerank_numpy(src, dst, n, iterations=10)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_fusion_weight_zero_degrades_to_base():
+    doc_ids = np.asarray([3, 1, 4, 2])
+    base = np.asarray([0.9, 0.8, 0.7, 0.6])
+    pr = np.linspace(10, 14, 5)
+    ids0, sc0 = fuse_scores(doc_ids, base, pr, weight=0.0, top_k=None)
+    assert ids0.tolist() == [3, 1, 4, 2]
+    np.testing.assert_allclose(sc0, base)
+    ids1, _ = fuse_scores(doc_ids, base, pr, weight=100.0, top_k=2)
+    assert ids1.tolist() == [4, 3]  # pagerank dominates
