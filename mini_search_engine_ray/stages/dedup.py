@@ -1,0 +1,239 @@
+"""Deduplication stages: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-data-pipeline operators (north-rule extensions; the reference
+has no near-dup machinery — SURVEY §2.7). All hashing is deterministic
+(fixed seeds), so results are reproducible across runs and parallelism
+levels.
+
+Scale shapes:
+  exact         add hash col (map_batches) -> groupby(hash) keep-first.
+                One narrow shuffle of (hash, id).
+  minhash LSH   per-batch vectorized signatures -> explode to
+                (band, band_hash, doc_id) -> groupby bands -> candidate
+                pairs -> verify. Shuffle carries only band rows.
+  simhash       per-batch 64-bit fingerprints; near-dup = small Hamming
+                distance within LSH buckets over bit-bands.
+  n-gram Jaccard exact verification kernel (and a bounded all-pairs
+                variant for oracle-checkable small scopes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from itertools import combinations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hashes(values: pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash per token (blake2b, memoized on the
+    token dictionary so each unique string is hashed once)."""
+    denc = values.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    vocab = denc.dictionary.to_pylist()
+    out = np.empty(len(vocab), dtype=np.uint64)
+    cache = _TOKEN_HASH_CACHE
+    for i, v in enumerate(vocab):
+        h = cache.get(v)
+        if h is None:
+            h = int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big")
+            if len(cache) < 2_000_000:
+                cache[v] = h
+        out[i] = h
+    return out[codes]
+
+
+def _shingle_hashes(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial combination of k consecutive token hashes (mod 2^64)."""
+    n = len(token_hashes)
+    if n < k:
+        return token_hashes.copy() if n else token_hashes
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _MIX + token_hashes[j : n - k + 1 + j]
+    return acc
+
+
+def _perm_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _doc_shingles(t: pa.Table, text_col: str, k: int):
+    """-> (per-doc shingle-hash arrays aligned to rows)."""
+    from .textstats import _split_tokens
+
+    content = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    parents, values = _split_tokens(content)
+    th = _token_hashes(values) if len(values) else np.empty(0, dtype=np.uint64)
+    out = []
+    n = t.num_rows
+    starts = np.searchsorted(parents, np.arange(n + 1))
+    for i in range(n):
+        out.append(_shingle_hashes(th[starts[i] : starts[i + 1]], k))
+    return out
+
+
+MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def minhash_batch(
+    t: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    seed: int = 1234,
+) -> pa.Table:
+    """Per-doc MinHash signatures: sig[p] = min over shingles s of
+    (a_p * s + b_p mod 2^64); empty docs get all-MAX sentinels."""
+    a, b = _perm_params(num_perm, seed)
+    shingles = _doc_shingles(t, text_col, shingle_k)
+    n = t.num_rows
+    sig = np.full((n, num_perm), MAX_U64, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, sh in enumerate(shingles):
+            if len(sh):
+                # (P, S) broadcast; P*S smallish per doc
+                sig[i] = (a[:, None] * sh[None, :] + b[:, None]).min(axis=1)
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "sig": pa.FixedSizeListArray.from_arrays(pa.array(sig.reshape(-1)), num_perm),
+        }
+    )
+
+
+def lsh_band_batch(t: pa.Table, *, id_col: str = "doc_id", bands: int = 16, rows: int = 4) -> pa.Table:
+    """Explode signatures into (band, band_hash, doc_id) rows."""
+    sig_col = t["sig"].combine_chunks() if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
+    num_perm = sig_col.type.list_size
+    assert bands * rows == num_perm, "bands*rows must equal num_perm"
+    sig = sig_col.values.to_numpy(zero_copy_only=False).reshape(-1, num_perm).astype(np.uint64)
+    n = len(sig)
+    with np.errstate(over="ignore"):
+        band_hash = np.zeros((n, bands), dtype=np.uint64)
+        for r in range(rows):
+            band_hash = band_hash * _MIX + sig[:, np.arange(bands) * rows + r]
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(band_hash.reshape(-1).astype(np.int64)),  # reinterpret for groupby
+            id_col: pa.array(np.repeat(ids, bands)),
+        }
+    )
+
+
+def _pairs_in_group(g, id_col: str = "doc_id"):
+    import pandas as pd
+
+    ids = sorted(set(int(x) for x in g[id_col]))
+    if len(ids) < 2:
+        return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
+    a, b = zip(*combinations(ids, 2))
+    return pd.DataFrame({"a": list(a), "b": list(b)})
+
+
+def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
+                            num_perm=64, shingle_k=3, bands=16, rows=4, seed=1234):
+    """Dataset pipeline: docs -> signatures -> LSH bands -> candidate
+    pairs (a < b, unique). Returns (pairs_ds, signatures_ds)."""
+    sigs = ds.map_batches(
+        lambda t: minhash_batch(t, text_col=text_col, id_col=id_col,
+                                num_perm=num_perm, shingle_k=shingle_k, seed=seed),
+        batch_format="pyarrow",
+    )
+    bands_ds = sigs.map_batches(
+        lambda t: lsh_band_batch(t, id_col=id_col, bands=bands, rows=rows),
+        batch_format="pyarrow",
+    )
+    pairs = (
+        bands_ds.groupby(["band", "band_hash"])
+        .map_groups(lambda g: _pairs_in_group(g, id_col), batch_format="pandas")
+    )
+    if pairs.count() == 0:
+        return pairs, sigs
+    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas"), sigs
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    return float((sig_a == sig_b).mean())
+
+
+def exact_jaccard_tokens(text_a: str, text_b: str, k: int = 3) -> float:
+    """Exact k-token-shingle Jaccard (verification kernel)."""
+    t = pa.table({"t": pa.array([text_a, text_b], type=pa.large_string())})
+    sh = _doc_shingles(t, "t", k)
+    sa, sb = set(sh[0].tolist()), set(sh[1].tolist())
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def simhash_batch(
+    t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """64-bit SimHash over token hashes weighted by tf."""
+    from .textstats import _split_tokens
+
+    content = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    parents, values = _split_tokens(content)
+    n = t.num_rows
+    out = np.zeros(n, dtype=np.uint64)
+    if len(values):
+        th = _token_hashes(values)
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+        signed = bits * 2 - 1  # (T, 64) in {-1, +1}
+        acc = np.zeros((n, 64), dtype=np.int64)
+        np.add.at(acc, parents, signed)
+        fp_bits = (acc > 0).astype(np.uint64)
+        out = (fp_bits << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1, dtype=np.uint64)
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "simhash": pa.array(out.astype(np.int64)),  # reinterpret to int64 for parquet/duckdb
+        }
+    )
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.uint64)) ^ (b.astype(np.uint64))
+    return np.bitwise_count(x.view(np.uint64)) if hasattr(np, "bitwise_count") else np.unpackbits(
+        x.view(np.uint8).reshape(len(x), 8), axis=1
+    ).sum(axis=1)
+
+
+def dedup_exact(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: md5(text) -> keep the min doc_id per hash. Returns
+    a Dataset (content_hash, keep_id, n_dups). One narrow shuffle."""
+    def add_hash(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        h = [hashlib.md5((x or "").encode()).hexdigest() for x in texts]
+        return pa.table({"content_hash": pa.array(h), id_col: t[id_col]})
+
+    def keep_first(g):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "content_hash": [g["content_hash"].iloc[0]],
+                "keep_id": [int(g[id_col].min())],
+                "n_dups": [int(len(g))],
+            }
+        )
+
+    return (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(keep_first, batch_format="pandas")
+    )

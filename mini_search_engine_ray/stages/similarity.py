@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k — the query matrix is broadcast once
+(`ray.put`), every batch does one numpy matmul against it and emits its
+LOCAL top-k per query; a tiny final groupby-per-query merge yields the
+global top-k. Scale path: LSH bucketing by random-hyperplane sign bits
+(broadcast projection matrix) -> groupby bucket -> in-bucket exact
+cosine; recall traded via number of hyperplanes / probes.
+
+Deterministic: fixed seeds; ties broken by vec_id ascending.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _emb_matrix(t: pa.Table, emb_col: str) -> np.ndarray:
+    col = t[emb_col].combine_chunks() if isinstance(t[emb_col], pa.ChunkedArray) else t[emb_col]
+    if isinstance(col, pa.FixedSizeListArray):
+        dim = col.type.list_size
+        return col.values.to_numpy(zero_copy_only=False).reshape(-1, dim)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    off = col.offsets.to_numpy(zero_copy_only=False)
+    dim = int(off[1] - off[0])
+    return flat.reshape(-1, dim)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def cosine_topk_batch(
+    t: pa.Table,
+    query_ref,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> pa.Table:
+    """Batch-local top-k per query against the broadcast query matrix."""
+    import ray
+
+    q = query_ref if isinstance(query_ref, np.ndarray) else ray.get(query_ref)
+    m = _normalize(_emb_matrix(t, emb_col).astype(np.float64))
+    qn = _normalize(q.astype(np.float64))
+    sims = m @ qn.T  # (B, Q)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    out_q, out_id, out_s = [], [], []
+    kk = min(k, len(ids))
+    for qi in range(qn.shape[0]):
+        s = sims[:, qi]
+        idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
+        order = idx[np.lexsort((ids[idx], -s[idx]))]
+        out_q.append(np.full(len(order), qi, dtype=np.int64))
+        out_id.append(ids[order])
+        out_s.append(s[order])
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        }
+    )
+
+
+def ann_cosine_topk(ds, queries: np.ndarray, *, emb_col="embedding", id_col="vec_id", k=10):
+    """Global cosine top-k per query: broadcast queries, per-batch
+    partial top-k, per-query merge. Returns Dataset (query_id, rank,
+    vec_id, score)."""
+    import ray
+
+    qref = ray.put(np.ascontiguousarray(queries))
+    partial = ds.map_batches(
+        lambda t: cosine_topk_batch(t, qref, emb_col=emb_col, id_col=id_col, k=k),
+        batch_format="pyarrow",
+    )
+
+    def merge_topk(g):
+        import pandas as pd
+
+        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(len(g), dtype=np.int32)
+        return g[["query_id", "rank", id_col, "score"]]
+
+    return partial.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def lsh_bucket_batch(
+    t: pa.Table, proj_ref, *, emb_col: str = "embedding", id_col: str = "vec_id"
+) -> pa.Table:
+    """Random-hyperplane LSH bucket id per vector (sign-bit code)."""
+    import ray
+
+    proj = proj_ref if isinstance(proj_ref, np.ndarray) else ray.get(proj_ref)
+    m = _emb_matrix(t, emb_col).astype(np.float64)
+    bits = (m @ proj.T) > 0  # (B, H)
+    code = np.zeros(len(m), dtype=np.int64)
+    for h in range(bits.shape[1]):
+        code = code * 2 + bits[:, h]
+    return pa.table({id_col: t[id_col], "bucket": pa.array(code), "embedding_keep": t[emb_col]})
+
+
+def embedding_dup_pairs(
+    ds,
+    *,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_hyperplanes: int = 8,
+    dim: int | None = None,
+    seed: int = 77,
+):
+    """Embedding-cosine near-dup pairs via LSH buckets + in-bucket exact
+    cosine. Returns Dataset (a, b, score) with a < b, score >= threshold.
+    Vectors whose codes differ in any hyperplane land in different
+    buckets (single-probe; raise num_hyperplanes for precision, add
+    probes/repeats for recall)."""
+    import ray
+
+    if dim is None:
+        first = ds.take(1)[0][emb_col]
+        dim = len(first)
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((num_hyperplanes, dim))
+    pref = ray.put(proj)
+    bucketed = ds.map_batches(
+        lambda t: lsh_bucket_batch(t, pref, emb_col=emb_col, id_col=id_col),
+        batch_format="pyarrow",
+    )
+
+    def in_bucket_pairs(g):
+        import pandas as pd
+
+        ids = g[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        m = _normalize(np.stack(g["embedding_keep"].to_numpy()).astype(np.float64))
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        mask = sims[iu, ju] >= threshold
+        a, b = ids[iu[mask]], ids[ju[mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a": lo, "b": hi, "score": sims[iu[mask], ju[mask]]})
+
+    return bucketed.groupby("bucket").map_groups(in_bucket_pairs, batch_format="pandas")

@@ -1,0 +1,148 @@
+"""Text analysis stages: token counting, quality scoring, language ID,
+document fingerprinting (rolling-hash winnowing).
+
+Large-scale training-data-pipeline operators layered on the same
+analysis chain as the index (SURVEY §2 A1/A8 + north-rule extensions).
+All are vectorized `map_batches` kernels over Arrow batches; the
+heuristics are deliberately simple and DETERMINISTIC so the DuckDB
+oracle in `pipelines/driver_queries.py` can replicate them exactly.
+
+Definitions (mirrored in oracle SQL — keep in sync):
+  n_tokens        nonempty tokens after punctuation split (stopwords
+                  INCLUDED)
+  n_terms         after stopword removal
+  stop_ratio      round((n_tokens - n_terms) / max(n_tokens,1), 4)
+  mean_token_len  round(mean(len(token)) over nonempty tokens, 4)
+  uniq_ratio      round(distinct terms / max(n_terms,1), 4)
+  langid          argmax of marker-word hit counts over fixed marker
+                  sets, ties/zero -> 'unknown' (priority order below)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.stopwords import STOP_WORDS
+from ..functions.tokenizers import PUNCT_SPLIT_RE2
+
+_STOP_PA = pa.array(sorted(STOP_WORDS))
+
+# marker sets are disjoint across languages; priority order breaks ties
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of", "to", "in", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "fr": ["le", "les", "une", "est", "pas", "vous", "je"],
+    "es": ["el", "los", "una", "es", "por", "para", "como"],
+}
+LANG_PRIORITY = ["en", "de", "fr", "es"]
+
+
+def _split_tokens(content: pa.Array):
+    """lower + punctuation split -> (parents, values) with empties kept
+    out; stopwords retained."""
+    toks = pc.split_pattern_regex(pc.utf8_lower(content), pattern=PUNCT_SPLIT_RE2)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    values = toks.flatten()
+    mask = pc.not_equal(values, "")
+    keep = mask.to_numpy(zero_copy_only=False)
+    return parents[keep], values.filter(mask)
+
+
+def token_stats_batch(t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Per-doc token counts + quality metrics."""
+    content = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    n = t.num_rows
+    parents, values = _split_tokens(content)
+    n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+    is_stop = pc.is_in(values, value_set=_STOP_PA).to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(parents[is_stop], minlength=n).astype(np.int64)
+    n_terms = n_tokens - n_stop
+    tok_len = pc.utf8_length(values).to_numpy(zero_copy_only=False).astype(np.float64)
+    len_sum = np.bincount(parents, weights=tok_len, minlength=n)
+    # distinct terms per doc: unique (parent, term_code) pairs
+    nonstop_par = parents[~is_stop]
+    codes = values.filter(pc.invert(pc.is_in(values, value_set=_STOP_PA))).dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    if len(nonstop_par):
+        pairs = np.unique(nonstop_par.astype(np.int64) * (codes.max() + 1) + codes)
+        uniq_parent = pairs // (codes.max() + 1)
+        n_uniq = np.bincount(uniq_parent, minlength=n).astype(np.int64)
+    else:
+        n_uniq = np.zeros(n, dtype=np.int64)
+    denom_tok = np.maximum(n_tokens, 1).astype(np.float64)
+    denom_term = np.maximum(n_terms, 1).astype(np.float64)
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "n_tokens": pa.array(n_tokens),
+            "n_terms": pa.array(n_terms),
+            "stop_ratio": pa.array(np.round(n_stop / denom_tok, 4)),
+            "mean_token_len": pa.array(np.round(len_sum / denom_tok, 4)),
+            "uniq_ratio": pa.array(np.round(n_uniq / denom_term, 4)),
+        }
+    )
+
+
+def langid_batch(t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Marker-based language ID: count marker hits per language, argmax
+    with LANG_PRIORITY tie order; all-zero -> 'unknown'."""
+    content = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    n = t.num_rows
+    parents, values = _split_tokens(content)
+    counts = np.zeros((len(LANG_PRIORITY), n), dtype=np.int64)
+    for li, lang in enumerate(LANG_PRIORITY):
+        hit = pc.is_in(values, value_set=pa.array(LANG_MARKERS[lang])).to_numpy(zero_copy_only=False)
+        counts[li] = np.bincount(parents[hit], minlength=n)
+    best = counts.argmax(axis=0)  # first max wins -> priority order
+    any_hit = counts.max(axis=0) > 0
+    pred = np.where(any_hit, np.asarray(LANG_PRIORITY, dtype=object)[best], "unknown")
+    return pa.table(
+        {
+            id_col: t[id_col],
+            "pred_lang": pa.array(pred.tolist(), type=pa.string()),
+            "marker_hits": pa.array(counts.max(axis=0)),
+        }
+    )
+
+
+def fingerprint_batch(
+    t: pa.Table,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+) -> pa.Table:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    rolling hash over k-token shingles, per-window minimum, deduped —
+    a compact signature for near-dup detection and provenance."""
+    from .dedup import _token_hashes, _shingle_hashes
+
+    content = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    n = t.num_rows
+    parents, values = _split_tokens(content)
+    out_ids, out_fps = [], []
+    th = _token_hashes(values)
+    for i in range(n):
+        h = _shingle_hashes(th[parents == i], k)
+        if len(h) == 0:
+            out_ids.append(i)
+            out_fps.append([])
+            continue
+        if len(h) <= window:
+            mins = h.min(keepdims=True)
+        else:
+            sw = np.lib.stride_tricks.sliding_window_view(h, window)
+            mins = np.unique(sw.min(axis=1))
+        out_ids.append(i)
+        # reinterpret uint64 -> int64 so the values fit Arrow int64
+        out_fps.append(np.unique(mins).astype(np.uint64).view(np.int64).tolist())
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            id_col: pa.array(ids[out_ids], type=pa.int64()),
+            "fingerprints": pa.array(out_fps, type=pa.list_(pa.int64())),
+            "n_fingerprints": pa.array([len(f) for f in out_fps], type=pa.int64()),
+        }
+    )

@@ -1,0 +1,200 @@
+"""Tests for the training-data-pipeline extras: dedup family, ANN
+similarity, text stats / langid / fingerprints, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mini_search_engine_ray.stages.dedup import (
+    dedup_exact,
+    estimate_jaccard,
+    exact_jaccard_tokens,
+    hamming64,
+    minhash_batch,
+    minhash_candidate_pairs,
+    simhash_batch,
+)
+from mini_search_engine_ray.stages.multimodal import (
+    MediaFeatureExtract,
+    extract_media_features,
+    synth_media_table,
+)
+from mini_search_engine_ray.stages.similarity import (
+    ann_cosine_topk,
+    embedding_dup_pairs,
+)
+from mini_search_engine_ray.stages.textstats import (
+    fingerprint_batch,
+    langid_batch,
+    token_stats_batch,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog while the cat watches from a tall tree nearby"
+NEAR = BASE.replace("lazy", "sleepy")  # one token changed -> high jaccard
+FAR = "completely different content about ray data pipelines and arrow record batches"
+
+
+def _doc_table(texts):
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts, type=pa.large_string()),
+        }
+    )
+
+
+class TestMinHash:
+    def test_signature_estimates_jaccard(self):
+        t = _doc_table([BASE, NEAR, FAR])
+        sig = minhash_batch(t, num_perm=128)
+        s = sig["sig"].combine_chunks().values.to_numpy(zero_copy_only=False).reshape(3, 128).astype(np.uint64)
+        exact_near = exact_jaccard_tokens(BASE, NEAR)
+        est_near = estimate_jaccard(s[0], s[1])
+        assert abs(est_near - exact_near) < 0.15
+        assert estimate_jaccard(s[0], s[2]) < 0.2
+        # identical docs -> identical signatures
+        t2 = _doc_table([BASE, BASE])
+        sig2 = minhash_batch(t2, num_perm=128)
+        s2 = sig2["sig"].combine_chunks().values.to_numpy(zero_copy_only=False).reshape(2, 128)
+        assert np.array_equal(s2[0], s2[1])
+
+    def test_deterministic_across_calls(self):
+        t = _doc_table([BASE, FAR])
+        a = minhash_batch(t)["sig"].to_pylist()
+        b = minhash_batch(t)["sig"].to_pylist()
+        assert a == b
+
+    def test_lsh_finds_planted_near_dups(self, ray_session):
+        import ray.data as rd
+
+        texts = [FAR + f" filler{i} " + " ".join(f"tok{i}_{j}" for j in range(20)) for i in range(30)]
+        texts += [BASE, NEAR]  # planted near-dup pair = ids (30, 31)
+        pairs_ds, _ = minhash_candidate_pairs(
+            rd.from_arrow(_doc_table(texts)), num_perm=64, bands=16, rows=4
+        )
+        pairs = {(r["a"], r["b"]) for r in pairs_ds.take_all()}
+        assert (30, 31) in pairs
+        # verification kernel agrees
+        assert exact_jaccard_tokens(texts[30], texts[31]) > 0.6
+
+
+class TestSimHash:
+    def test_near_dup_small_hamming(self):
+        t = _doc_table([BASE, NEAR, FAR])
+        fp = simhash_batch(t)["simhash"].to_numpy()
+        d_near = hamming64(fp[:1], fp[1:2])[0]
+        d_far = hamming64(fp[:1], fp[2:3])[0]
+        assert d_near < d_far
+        assert d_near <= 16
+        assert hamming64(fp[:1], fp[:1])[0] == 0
+
+
+class TestExactDedup:
+    def test_keeps_min_id(self, ray_session):
+        import ray.data as rd
+
+        t = _doc_table([BASE, FAR, BASE, NEAR, BASE])
+        out = dedup_exact(rd.from_arrow(t)).take_all()
+        by_hash = {r["content_hash"]: r for r in out}
+        assert len(by_hash) == 3
+        trip = [r for r in out if r["n_dups"] == 3]
+        assert len(trip) == 1 and trip[0]["keep_id"] == 0
+
+
+class TestANN:
+    def test_topk_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(0)
+        emb = rng.standard_normal((200, 16)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                "embedding": pa.array([list(map(float, r)) for r in emb],
+                                      type=pa.list_(pa.float32())),
+            }
+        )
+        queries = emb[:3].astype(np.float64)
+        out = ann_cosine_topk(rd.from_arrow(t), queries, k=5).take_all()
+        mn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = mn @ qn.T
+        for qi in range(3):
+            exp = np.lexsort((np.arange(200), -sims[:, qi]))[:5]
+            got = sorted((r for r in out if r["query_id"] == qi), key=lambda r: r["rank"])
+            assert [r["vec_id"] for r in got] == exp.tolist()
+            # self should be rank 0 with score ~1
+            assert got[0]["vec_id"] == qi and got[0]["score"] == pytest.approx(1.0)
+
+    def test_embedding_dup_pairs(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(1)
+        emb = rng.standard_normal((50, 8))
+        emb[41] = emb[40] + rng.standard_normal(8) * 0.01  # planted near-dup
+        t = pa.table(
+            {
+                "vec_id": pa.array(np.arange(50, dtype=np.int64)),
+                "embedding": pa.array([list(map(float, r)) for r in emb],
+                                      type=pa.list_(pa.float32())),
+            }
+        )
+        pairs = embedding_dup_pairs(rd.from_arrow(t), threshold=0.99).take_all()
+        assert any(r["a"] == 40 and r["b"] == 41 for r in pairs)
+
+
+class TestTextStats:
+    def test_token_stats(self):
+        t = _doc_table(["The cat, and the dog!", "", "cat dog bird cat"])
+        out = token_stats_batch(t).to_pylist()
+        r0 = out[0]
+        # tokens: the cat and the dog -> 5; stopwords: the and the -> 3
+        assert r0["n_tokens"] == 5 and r0["n_terms"] == 2
+        assert r0["stop_ratio"] == pytest.approx(0.6)
+        assert out[1]["n_tokens"] == 0 and out[1]["stop_ratio"] == 0.0
+        r2 = out[2]
+        assert r2["n_terms"] == 4 and r2["uniq_ratio"] == pytest.approx(0.75)
+
+    def test_langid(self):
+        t = _doc_table(
+            ["the cat is on the mat", "der hund und die katze ist", "xyz abc", ""]
+        )
+        out = langid_batch(t).to_pylist()
+        assert out[0]["pred_lang"] == "en"
+        assert out[1]["pred_lang"] == "de"
+        assert out[2]["pred_lang"] == "unknown"
+        assert out[3]["pred_lang"] == "unknown"
+
+    def test_fingerprints_detect_overlap(self):
+        t = _doc_table([BASE, NEAR, FAR])
+        out = fingerprint_batch(t).to_pylist()
+        f0, f1, f2 = (set(r["fingerprints"]) for r in out)
+        assert len(f0 & f1) > 0
+        assert not (f0 & f2)
+        # deterministic
+        out2 = fingerprint_batch(t).to_pylist()
+        assert out == out2
+
+
+class TestMultimodal:
+    def test_feature_extract_pipeline(self, ray_session):
+        import ray.data as rd
+
+        media = synth_media_table(20)
+        out = extract_media_features(rd.from_arrow(media), batch_size=8).take_all()
+        assert len(out) == 20
+        assert all(len(r["feature"]) == 16 for r in out)
+        # deterministic features from payload bytes
+        fe = MediaFeatureExtract()
+        again = fe(media.slice(0, 5)).to_pylist()
+        for i in range(5):
+            np.testing.assert_allclose(out[i]["feature"], again[i]["feature"])
+
+    def test_strict_raises_without_decoder(self):
+        fe = MediaFeatureExtract(strict=True)
+        if fe._has_decoder:
+            pytest.skip("decoder present")
+        with pytest.raises(NotImplementedError):
+            fe(synth_media_table(2))
