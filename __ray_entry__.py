@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+`entry()` runs the flagship pipeline (index build + BM25 query serving
+via a searcher actor pool) on /root/testdata/sf0.001. `queries()` /
+`oracle_sql()` expose the operator registry from
+`mini_search_engine_ray.pipelines.driver_queries` — one entry per
+implemented pipeline/operator from SURVEY.md §2 (+ the training-data
+extras), with DuckDB oracle SQL wherever the computation is
+SQL-expressible (non-SQL ops get rows-only checks).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,47 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the BM25 index over sf0.001 documents, then
+    answer a mixed query batch through a searcher actor pool."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.pipelines.driver_queries import get_index
+    from mini_search_engine_ray.state.searcher import SearcherBatch
+
+    index_dir = get_index(SF_SMOKE)
+
+    query_rows = [
+        {"query_id": 0, "kind": "bm25", "terms": ["spark", "window", "merge"], "top_k": 10},
+        {"query_id": 1, "kind": "bm25", "terms": ["table", "row"], "top_k": 10},
+        {"query_id": 2, "kind": "and", "terms": ["window", "merge"], "top_k": None},
+        {"query_id": 3, "kind": "or", "terms": ["spark", "vector"], "top_k": None},
+        {"query_id": 4, "kind": "phrase", "terms": ["key", "agg"], "top_k": None},
+        {"query_id": 5, "kind": "tfidf", "terms": ["table", "row", "scan"], "top_k": 10},
+        {"query_id": 6, "kind": "keyword", "terms": ["spark"], "top_k": None},
+    ]
+    queries = rd.from_items(query_rows)
+    results = queries.map_batches(
+        SearcherBatch,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=4,
+        concurrency=2,
+    )
+    return results.to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mini_search_engine_ray.pipelines.driver_queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mini_search_engine_ray.pipelines.driver_queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

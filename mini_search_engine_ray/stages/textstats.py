@@ -11,7 +11,7 @@ Definitions (mirrored in oracle SQL — keep in sync):
   n_tokens        nonempty tokens after punctuation split (stopwords
                   INCLUDED)
   n_terms         after stopword removal
-  stop_ratio      round((n_tokens - n_terms) / max(n_tokens,1), 4)
+  stop_ratio      round-half-up((n_tokens - n_terms)/max(n_tokens,1), 4)
   mean_token_len  round(mean(len(token)) over nonempty tokens, 4)
   uniq_ratio      round(distinct terms / max(n_terms,1), 4)
   langid          argmax of marker-word hit counts over fixed marker
@@ -28,6 +28,13 @@ from ..functions.stopwords import STOP_WORDS
 from ..functions.tokenizers import PUNCT_SPLIT_RE2
 
 _STOP_PA = pa.array(sorted(STOP_WORDS))
+
+
+def round4(x: np.ndarray) -> np.ndarray:
+    """Round half-up to 4 decimals — the one rounding rule shared with
+    the DuckDB oracle SQL (numpy round is banker's, DuckDB round is
+    half-away; floor(x*1e4+0.5)/1e4 is identical in both engines)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e4 + 0.5) / 1e4
 
 # marker sets are disjoint across languages; priority order breaks ties
 LANG_MARKERS: dict[str, list[str]] = {
@@ -77,9 +84,9 @@ def token_stats_batch(t: pa.Table, *, text_col: str = "text", id_col: str = "doc
             id_col: t[id_col],
             "n_tokens": pa.array(n_tokens),
             "n_terms": pa.array(n_terms),
-            "stop_ratio": pa.array(np.round(n_stop / denom_tok, 4)),
-            "mean_token_len": pa.array(np.round(len_sum / denom_tok, 4)),
-            "uniq_ratio": pa.array(np.round(n_uniq / denom_term, 4)),
+            "stop_ratio": pa.array(round4(n_stop / denom_tok)),
+            "mean_token_len": pa.array(round4(len_sum / denom_tok)),
+            "uniq_ratio": pa.array(round4(n_uniq / denom_term)),
         }
     )
 

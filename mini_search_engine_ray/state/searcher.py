@@ -176,7 +176,7 @@ class IndexSearcher:
 
     def search_and(self, keywords: list[str]) -> np.ndarray:
         per_kw = self._analyze_keywords(keywords)
-        if any(not toks for toks in per_kw):
+        if not per_kw or any(not toks for toks in per_kw):
             return np.empty(0, dtype=np.int64)
         terms: list[str] = [t for toks in per_kw for t in toks]
         lists = []
@@ -209,7 +209,7 @@ class IndexSearcher:
         if not self.positional:
             raise NotImplementedError("phrase search requires a positional index")
         per_kw = self._analyze_keywords(phrase)
-        if any(not toks for toks in per_kw):
+        if not per_kw or any(not toks for toks in per_kw):
             return np.empty(0, dtype=np.int64)
         seq = [t for toks in per_kw for t in toks]
         posts = []
