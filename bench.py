@@ -1,0 +1,299 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...}
+
+Workloads:
+  synth_index_build  flagship: build the full inverted index (docstore +
+                     tokenize actor pool + salted term-bucket shuffle +
+                     shard write) over a deterministic synthetic
+                     source-code corpus (~SYNTH_DOCS docs)
+  docs_index_build   same pipeline over the driver documents table
+  query_p95          200 mixed BM25/boolean queries on the synth index;
+                     reports p95 single-query latency (+ batch QPS via
+                     the searcher actor pool)
+  dedup_minhash      MinHash+LSH candidate pairs over documents
+  ann_cosine         cosine top-k over embeddings
+  pagerank           100-iteration PageRank over a synthetic graph
+
+--scaling: runs `bench.py --only synth_index_build` in TWO fresh
+subprocesses (RAY_GRAFT_CPUS=8 and =32) on the same input and reports
+docs/s at both plus scaling efficiency (the BASELINE.md criterion —
+no real multi-node cluster exists in this sandbox).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "60000"))
+SYNTH_SEED = 42
+CACHE = os.environ.get("MSR_BENCH_CACHE", "/tmp/msr_bench_cache")
+
+
+def _synth_corpus_path() -> str:
+    """Generate (once) the deterministic synthetic source-code corpus."""
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"corpus-{SYNTH_DOCS}-{SYNTH_SEED}.parquet")
+    if not os.path.exists(path):
+        from mini_search_engine_ray.sources.corpus import synth_corpus, write_corpus_parquet
+
+        t = synth_corpus(SYNTH_DOCS, seed=SYNTH_SEED)
+        write_corpus_parquet(t, path + ".tmp", rows_per_group=2048)
+        os.replace(path + ".tmp", path)
+    return path
+
+
+def _build(corpus_path: str, index_dir: str, *, n_docs: int, salt: int) -> dict:
+    import ray.data as rd
+
+    from mini_search_engine_ray.pipelines.build import build_index
+    from mini_search_engine_ray.sources.corpus import corpus_fingerprint
+
+    return build_index(
+        # prune at the read: the index pipeline only needs (doc_id,
+        # content); the docstore built from this run keeps those + sha256
+        rd.read_parquet(corpus_path, columns=["doc_id", "content"]),
+        index_dir,
+        analyzer="composable",
+        num_buckets=16,
+        salt=2,
+        positional=False,
+        n_docs=n_docs,
+        fingerprint=corpus_fingerprint([corpus_path]),
+        tokenize_concurrency=max(2, NUM_CPUS // 4),
+        tokenize_batch_size=4096,
+        write_docstore=True,
+    )
+
+
+def _warmup() -> None:
+    """Untimed warmup: a tiny end-to-end build that forces Ray worker
+    processes to spawn and import the package, so the timed runs
+    measure steady-state pipeline throughput, not process startup
+    (fresh `ray.init` per bench invocation would otherwise charge
+    ~10-15 s of worker spawn to the first workload)."""
+    import shutil
+
+    from mini_search_engine_ray.sources.corpus import synth_corpus, write_corpus_parquet
+
+    wpath = os.path.join(CACHE, "warmup-2000.parquet")
+    if not os.path.exists(wpath):
+        write_corpus_parquet(synth_corpus(2000, seed=1), wpath + ".tmp", rows_per_group=512)
+        os.replace(wpath + ".tmp", wpath)
+    wdir = os.path.join(CACHE, f"idx-warmup-{NUM_CPUS}")
+    shutil.rmtree(wdir, ignore_errors=True)
+    _build(wpath, wdir, n_docs=2000, salt=2)
+    shutil.rmtree(wdir, ignore_errors=True)
+
+
+def bench_synth_index_build(out: dict) -> str:
+    import shutil
+
+    path = _synth_corpus_path()
+    _warmup()
+    index_dir = os.path.join(CACHE, f"idx-synth-{SYNTH_DOCS}-{NUM_CPUS}")
+    best = None
+    for _ in range(2):  # best-of-2: absorb residual worker-spawn noise
+        shutil.rmtree(index_dir, ignore_errors=True)
+        t0 = time.time()
+        meta = _build(path, index_dir, n_docs=SYNTH_DOCS, salt=2)
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    out["queries"]["synth_index_build"] = round(best, 3)
+    out["synth_docs_per_s"] = round(SYNTH_DOCS / best, 1)
+    out["synth_postings"] = meta["n_postings"]
+    return index_dir
+
+
+def bench_docs_index_build(out: dict) -> None:
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(SF_DIR, "documents.parquet")
+    n = pq.read_metadata(src).num_rows
+    index_dir = os.path.join(CACHE, f"idx-docs-{NUM_CPUS}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    import ray.data as rd
+
+    from mini_search_engine_ray.pipelines.build import build_index
+    from mini_search_engine_ray.sources.corpus import adapt_documents_table, corpus_fingerprint
+
+    t0 = time.time()
+    build_index(
+        adapt_documents_table(SF_DIR),
+        index_dir,
+        analyzer="punctuation",
+        num_buckets=16,
+        positional=True,
+        n_docs=n,
+        fingerprint=corpus_fingerprint([src]),
+        tokenize_concurrency=max(2, NUM_CPUS // 2),
+        write_docstore=False,
+    )
+    out["queries"]["docs_index_build"] = round(time.time() - t0, 3)
+
+
+def bench_query_p95(out: dict, index_dir: str) -> None:
+    import numpy as np
+
+    from mini_search_engine_ray.state.searcher import IndexSearcher
+
+    s = IndexSearcher(index_dir)
+    vocab = ["index", "token", "merge", "parse", "request", "handler",
+             "stream", "batch", "cluster", "segment", "information",
+             "retrieval", "kitten", "needle", "response", "buffer"]
+    rng = np.random.default_rng(7)
+    queries = [list(rng.choice(vocab, size=rng.integers(1, 4), replace=False)) for _ in range(200)]
+    s.search_bm25(vocab[:2], 10)  # warm mmaps
+    lat = []
+    t0 = time.time()
+    for q in queries:
+        tq = time.time()
+        s.search_bm25(q, 10)
+        lat.append(time.time() - tq)
+    total = time.time() - t0
+    out["queries"]["query_200x"] = round(total, 3)
+    out["query_p95_ms"] = round(float(np.percentile(lat, 95)) * 1000, 2)
+    out["query_qps"] = round(len(queries) / total, 1)
+
+
+def bench_dedup_minhash(out: dict) -> None:
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.dedup import minhash_candidate_pairs
+
+    ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    t0 = time.time()
+    pairs, _ = minhash_candidate_pairs(ds)
+    n = pairs.count() if hasattr(pairs, "count") else len(pairs)
+    out["queries"]["dedup_minhash"] = round(time.time() - t0, 3)
+    out["dedup_candidate_pairs"] = int(n)
+
+
+def bench_ann(out: dict) -> None:
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.similarity import ann_cosine_topk
+
+    emb_path = os.path.join(SF_DIR, "embeddings.parquet")
+    qt = pq.read_table(emb_path).sort_by("vec_id").slice(0, 16)
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    t0 = time.time()
+    n = ann_cosine_topk(rd.read_parquet(emb_path), qm, k=10).count()
+    out["queries"]["ann_cosine"] = round(time.time() - t0, 3)
+
+
+def bench_pagerank(out: dict) -> None:
+    import numpy as np
+
+    from mini_search_engine_ray.pipelines.pagerank import pagerank_numpy
+
+    n = 200_000
+    rng = np.random.default_rng(3)
+    m = 2_000_000
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    t0 = time.time()
+    pagerank_numpy(src, dst, n, iterations=100)
+    out["queries"]["pagerank_100it"] = round(time.time() - t0, 3)
+
+
+def run_all(only: str | None = None) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    out: dict = {
+        "metric": "msr_bench_total",
+        "unit": "sec",
+        "queries": {},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "synth_docs": SYNTH_DOCS,
+    }
+    index_dir = None
+    if only in (None, "synth_index_build", "query_p95"):
+        index_dir = bench_synth_index_build(out)
+    if only in (None, "docs_index_build"):
+        bench_docs_index_build(out)
+    if only in (None, "query_p95") and index_dir:
+        bench_query_p95(out, index_dir)
+    if only in (None, "dedup_minhash"):
+        bench_dedup_minhash(out)
+    if only in (None, "ann_cosine"):
+        bench_ann(out)
+    if only in (None, "pagerank"):
+        bench_pagerank(out)
+    out["value"] = round(sum(out["queries"].values()), 3)
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    # the scaling criterion needs enough work to amortize the fixed
+    # pipeline latency (~2 s barrier/startup even warm): default 400k
+    # docs (~270 MB) instead of the quick-bench 60k
+    scaling_docs = os.environ.get("BENCH_SCALING_DOCS", "800000")
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SYNTH_DOCS=scaling_docs)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--only", "synth_index_build"],
+            env=env, capture_output=True, text=True, check=True,
+        )
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    global SYNTH_DOCS
+    old = SYNTH_DOCS
+    SYNTH_DOCS = int(scaling_docs)
+    p = _synth_corpus_path()  # generate once, untimed
+    SYNTH_DOCS = old
+    with open(p, "rb") as f:  # warm the OS page cache so both runs see it
+        while f.read(1 << 24):
+            pass
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo = r_lo["queries"]["synth_index_build"]
+    t_hi = r_hi["queries"]["synth_index_build"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_s_lo": r_lo["synth_docs_per_s"],
+        "docs_per_s_hi": r_hi["synth_docs_per_s"],
+        "synth_docs": int(scaling_docs),
+        "queries": {"synth_index_build_lo": t_lo, "synth_index_build_hi": t_hi},
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        only = None
+        if "--only" in sys.argv:
+            only = sys.argv[sys.argv.index("--only") + 1]
+        print(json.dumps(run_all(only)))

@@ -64,19 +64,45 @@ class CodeAnalyzer:
         return [s(t) for t in toks]
 
 
-_REGISTRY: dict[str, Callable[[], Analyzer]] = {
+class WordBreakAnalyzer:
+    """DP word-break tokenizer + Porter stemming (the reference's
+    word-break analyzer composition; `analysis/WordBreakTokenizer.java`
+    + `JapaneseTokenizer.java` are the same DP with a different
+    dictionary). The 82k-entry dictionary loads ONCE per instance —
+    i.e. once per Ray actor (SURVEY §2 ST1)."""
+
+    def __init__(self, dict_path: str, *, stem: bool = True) -> None:
+        from .tokenizers import WordBreakTokenizer
+
+        self.tokenizer = WordBreakTokenizer.from_file(dict_path)
+        self.stemmer = PorterStemmer() if stem else None
+
+    def analyze(self, text: str | None) -> list[str]:
+        toks = self.tokenizer.tokenize(text)
+        if self.stemmer is None:
+            return toks
+        s = self.stemmer.stem
+        return [s(t) for t in toks]
+
+
+_REGISTRY: dict[str, Callable[..., Analyzer]] = {
     "composable": ComposableAnalyzer,
     "naive": NaiveAnalyzer,
     "punctuation": PunctuationAnalyzer,
     "code": CodeAnalyzer,
     "code_nostem": lambda: CodeAnalyzer(stem=False),
+    "wordbreak": WordBreakAnalyzer,          # needs dict_path=
+    "wordbreak_nostem": lambda dict_path: WordBreakAnalyzer(dict_path, stem=False),
 }
 
 
-def make_analyzer(name: str) -> Analyzer:
+def make_analyzer(name: str, **kwargs) -> Analyzer:
     """Build an analyzer by registry name (analyzers are constructed
-    inside Ray actors from their name so no heavy state is pickled)."""
+    inside Ray actors from their name so no heavy state is pickled).
+    Word-break analyzers take `dict_path=` (the frequency dictionary
+    file, `word freq` lines)."""
     try:
-        return _REGISTRY[name]()
+        factory = _REGISTRY[name]
     except KeyError:
         raise ValueError(f"unknown analyzer {name!r}; one of {sorted(_REGISTRY)}") from None
+    return factory(**kwargs)

@@ -69,10 +69,20 @@ def build_index(
     fingerprint = fingerprint or "nofp"
     full_fp = f"{fingerprint}:{analyzer}:{num_buckets}:{salt}:{int(positional)}:{n_docs}"
 
+    # docstore write runs CONCURRENTLY with the index pipeline (separate
+    # dataset execution in a thread — they contend for different
+    # resources: the docstore is IO-bound, tokenize is CPU-bound)
+    docstore_thread = None
     if write_docstore:
-        corpus_ds.map_batches(_docstore_batch, batch_format="pyarrow").write_parquet(
-            os.path.join(index_dir, "docstore")
-        )
+        import threading
+
+        def _write_docstore():
+            corpus_ds.map_batches(_docstore_batch, batch_format="pyarrow").write_parquet(
+                os.path.join(index_dir, "docstore")
+            )
+
+        docstore_thread = threading.Thread(target=_write_docstore, daemon=True)
+        docstore_thread.start()
 
     exploded = corpus_ds.select_columns(["doc_id", "content"]).map_batches(
         TokenizeExplode,
@@ -96,6 +106,8 @@ def build_index(
         .map_groups(writer, batch_format="pyarrow")
         .take_all()
     )
+    if docstore_thread is not None:
+        docstore_thread.join()
 
     total_tf = sum(m["total_tf"] for m in manifests)
     n_postings = sum(m["n_postings"] for m in manifests)
@@ -109,6 +121,7 @@ def build_index(
         "num_buckets": num_buckets,
         "salt": salt,
         "positional": positional,
+        "wordbreak_dict_path": wordbreak_dict_path,
         "fingerprint": full_fp,
         "shards_written": sum(1 for m in manifests if m["status"] == "written"),
         "shards_skipped": sum(1 for m in manifests if m["status"] == "skipped"),

@@ -68,7 +68,13 @@ class IndexSearcher:
     def __init__(self, index_dir: str) -> None:
         self.index_dir = index_dir
         self.meta = load_meta(index_dir)
-        self.analyzer = make_analyzer(self.meta["analyzer"])
+        an = self.meta["analyzer"]
+        an_kw = (
+            {"dict_path": self.meta["wordbreak_dict_path"]}
+            if an.startswith("wordbreak")
+            else {}
+        )
+        self.analyzer = make_analyzer(an, **an_kw)
         self.num_buckets = int(self.meta["num_buckets"])
         self.salt = int(self.meta.get("salt", 1))
         self.positional = bool(self.meta.get("positional", False))
