@@ -69,7 +69,7 @@ def _build(corpus_path: str, index_dir: str, *, n_docs: int, salt: int) -> dict:
         positional=False,
         n_docs=n_docs,
         fingerprint=corpus_fingerprint([corpus_path]),
-        tokenize_concurrency=max(2, NUM_CPUS // 4),
+        tokenize_concurrency=max(2, NUM_CPUS // 2),
         tokenize_batch_size=4096,
         write_docstore=True,
     )

