@@ -270,7 +270,16 @@ def run_scaling() -> dict:
         while f.read(1 << 24):
             pass
     lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
+    # interleave the two levels and keep the best of each: this sandbox's
+    # virtualized CPUs show 30-50% run-to-run variance under sustained
+    # load, so adjacent interleaved runs + min-of-N is the fairest
+    # comparable measurement
+    r_hi, r_lo = run(hi), run(lo)
+    r_hi2, r_lo2 = run(hi), run(lo)
+    if r_hi2["queries"]["synth_index_build"] < r_hi["queries"]["synth_index_build"]:
+        r_hi = r_hi2
+    if r_lo2["queries"]["synth_index_build"] < r_lo["queries"]["synth_index_build"]:
+        r_lo = r_lo2
     t_lo = r_lo["queries"]["synth_index_build"]
     t_hi = r_hi["queries"]["synth_index_build"]
     eff = (t_lo / t_hi) / (hi / lo)

@@ -280,6 +280,62 @@ def q_ann_cosine_topk(sf_dir: str):
     return out.drop_columns(["rank"]).map_batches(fix, batch_format="pyarrow")
 
 
+def q_term_positions(sf_dir: str):
+    """(doc_id, pos) of the keyword's occurrences in the analyzed
+    (stopword-stripped) token stream — value-checks the POSITIONAL
+    index payloads (A9/J3 machinery) against SQL."""
+    s = _searcher(sf_dir)
+    p = s.postings(KW, positions=True)
+    if p is None:
+        return pa.table({"doc_id": pa.array([], pa.int64()), "pos": pa.array([], pa.int64())})
+    docs, _, _, poslists = p
+    out_doc, out_pos = [], []
+    for d, pl in zip(docs.tolist(), poslists):
+        out_doc.extend([d] * len(pl))
+        out_pos.extend(int(x) for x in pl)
+    return pa.table(
+        {"doc_id": pa.array(out_doc, pa.int64()), "pos": pa.array(out_pos, pa.int64())}
+    )
+
+
+def q_code_term_stats(sf_dir: str):
+    """(term, df, total_tf) under the code-aware tokenizer (camelCase /
+    snake_case / acronym splitting, no stemming) — SQL-replicable."""
+    import ray.data as rd
+
+    from ..stages.ingest import TokenizeExplode
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        t2 = pa.table({"doc_id": t["doc_id"], "content": t["text"]})
+        te = TokenizeExplode("code_nostem", num_buckets=1, pack=False)
+        return te(t2).select(["term", "doc_id", "tf"])
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    # (doc_id, term) rows are distinct by construction, so df = row
+    # count per term and total_tf = sum(tf) per term — one aggregate.
+    from ray.data.aggregate import Count, Sum
+
+    out = exploded.groupby("term").aggregate(
+        Count(alias_name="df"), Sum("tf", alias_name="total_tf")
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "term": t["term"],
+                "df": pc.cast(t["df"], pa.int64()),
+                "total_tf": pc.cast(t["total_tf"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 # -- rows-only (non-SQL-expressible) -----------------------------------
 
 
@@ -438,6 +494,8 @@ QUERIES = {
     "search_and": q_search_and,
     "search_or": q_search_or,
     "search_phrase": q_search_phrase,
+    "term_positions": q_term_positions,
+    "code_term_stats": q_code_term_stats,
     "bm25_topk": q_bm25_topk,
     "bm25_all": q_bm25_all,
     "tfidf_topk": q_tfidf_topk,
@@ -573,6 +631,28 @@ WHERE len(terms) >= 2
   AND len(list_filter(range(1, len(terms)),
           i -> terms[i] = '{PHRASE[0]}' AND terms[i+1] = '{PHRASE[1]}')) > 0
 ORDER BY doc_id
+""",
+    "term_positions": f"""
+WITH {_BASE_CTE}
+SELECT doc_id, unnest(list_filter(range(1, len(terms) + 1),
+                                  i -> terms[i] = '{KW}')) - 1 AS pos
+FROM base
+""",
+    "code_term_stats": f"""
+WITH ctok AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(
+             lower(regexp_replace(regexp_replace(text,
+                     '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+                   '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g')),
+             '[^a-z0-9]+'),
+           x -> length(x) > 1 AND x NOT IN {_STOP_IN}) AS terms
+  FROM documents
+)
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS total_tf
+FROM (SELECT doc_id, unnest(terms) AS term FROM ctok)
+GROUP BY term
 """,
     "bm25_topk": _bm25_sql(BM25_TERMS, TOPK),
     "bm25_all": _bm25_sql(BM25_TERMS, None),

@@ -70,12 +70,14 @@ class TokenizeExplode:
         num_buckets: int = 16,
         salt: int = 1,
         positional: bool = False,
+        pack: bool = True,
         wordbreak_dict_path: str | None = None,
     ) -> None:
         self.analyzer_name = analyzer
         self.num_buckets = num_buckets
         self.salt = max(1, salt)
         self.positional = positional
+        self.pack = pack
         self._stemmer = PorterStemmer()
         self._bucket_cache: dict[str, int] = {}
         self._vector_path = analyzer in ("composable", "punctuation", "code", "code_nostem", "naive")
@@ -136,8 +138,22 @@ class TokenizeExplode:
             parents, values = self._tokens_python(content)
 
         if len(parents) == 0:
+            if self.pack:
+                cols = {
+                    "shard": pa.array([], type=pa.int32()),
+                    "vocab": pa.array([], type=pa.list_(pa.string())),
+                    "codes": pa.array([], type=pa.list_(pa.int32())),
+                    "doc_ids": pa.array([], type=pa.list_(pa.int64())),
+                    "tfs": pa.array([], type=pa.list_(pa.int32())),
+                    "dls": pa.array([], type=pa.list_(pa.int32())),
+                }
+                if self.positional:
+                    cols["pos"] = pa.array([], type=pa.list_(pa.int32()))
+                return pa.table(cols)
             cols = {
-                "term": pa.array([], type=pa.string()),
+                "term": pa.DictionaryArray.from_arrays(
+                    pa.array([], type=pa.int32()), pa.array([], type=pa.string())
+                ),
                 "shard": pa.array([], type=pa.int32()),
                 "doc_id": pa.array([], type=pa.int64()),
                 "tf": pa.array([], type=pa.int32()),
@@ -183,9 +199,16 @@ class TokenizeExplode:
         r_doc = doc_ids[r_par]
         shard = (buckets[r_term] * self.salt + (r_doc % self.salt)).astype(np.int32)
 
-        # dictionary-encoded term column: the shuffle ships each unique
-        # term once per block instead of one string per posting row
-        # (2-3x fewer shuffle bytes on natural-language vocabularies)
+        r_dl = doc_len_by_row[r_par]
+
+        if self.pack:
+            return self._packed_table(
+                shard, r_term, r_doc, tf, r_dl, uniq_terms, g_pos, starts, n_tok
+            )
+
+        # exploded format: one row per (term, doc) posting; term column
+        # dictionary-encoded so the shuffle ships each unique term once
+        # per block instead of one string per posting row
         term_col = pa.DictionaryArray.from_arrays(
             pa.array(r_term, type=pa.int32()), pa.array(uniq_terms.tolist(), type=pa.string())
         )
@@ -194,13 +217,65 @@ class TokenizeExplode:
             "shard": pa.array(shard),
             "doc_id": pa.array(r_doc),
             "tf": pa.array(tf),
-            "doc_len": pa.array(doc_len_by_row[r_par]),
+            "doc_len": pa.array(r_dl),
         }
         if self.positional:
             offsets = np.r_[starts, n_tok].astype(np.int32)
             cols["positions"] = pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()), pa.array(g_pos, type=pa.int32())
             )
+        return pa.table(cols)
+
+    def _packed_table(self, shard, r_term, r_doc, tf, r_dl, uniq_terms, g_pos, starts, n_tok) -> pa.Table:
+        """Pack posting rows into ONE row per (batch, shard) with list
+        columns — the pre-aggregated exchange format. The downstream
+        groupby("shard") then sorts thousands of chunky fragment rows
+        instead of tens of millions of posting rows (the sort-shuffle
+        was the scaling bottleneck; see stages/shards._unpack_packed
+        for the inverse)."""
+        order2 = np.argsort(shard, kind="stable")
+        s_shard = shard[order2]
+        n_post = len(s_shard)
+        frag_starts = np.flatnonzero(np.r_[True, s_shard[1:] != s_shard[:-1]])
+        frag_off = np.r_[frag_starts, n_post].astype(np.int32)
+        p_term = r_term[order2]
+        p_doc = r_doc[order2]
+        p_tf = tf[order2]
+        p_dl = r_dl[order2]
+
+        vocab_chunks, code_chunks, vocab_lens = [], [], []
+        for f in range(len(frag_starts)):
+            sl = slice(frag_off[f], frag_off[f + 1])
+            vc, local = np.unique(p_term[sl], return_inverse=True)
+            vocab_chunks.append(uniq_terms[vc])
+            code_chunks.append(local.astype(np.int32))
+            vocab_lens.append(len(vc))
+        vocab_vals = np.concatenate(vocab_chunks) if vocab_chunks else np.empty(0, dtype=object)
+        vocab_off = np.r_[0, np.cumsum(vocab_lens)].astype(np.int32)
+        code_vals = np.concatenate(code_chunks) if code_chunks else np.empty(0, np.int32)
+
+        def lst(vals: pa.Array, off: np.ndarray) -> pa.ListArray:
+            return pa.ListArray.from_arrays(pa.array(off, type=pa.int32()), vals)
+
+        cols = {
+            "shard": pa.array(s_shard[frag_starts], type=pa.int32()),
+            "vocab": lst(pa.array(vocab_vals.tolist(), type=pa.string()), vocab_off),
+            "codes": lst(pa.array(code_vals, type=pa.int32()), frag_off),
+            "doc_ids": lst(pa.array(p_doc, type=pa.int64()), frag_off),
+            "tfs": lst(pa.array(p_tf, type=pa.int32()), frag_off),
+            "dls": lst(pa.array(p_dl, type=pa.int32()), frag_off),
+        }
+        if self.positional:
+            # gather each posting's positions (tf of them) in order2 order
+            pos_off = np.r_[starts, n_tok].astype(np.int64)
+            g_lens = tf[order2].astype(np.int64)
+            new_off = np.r_[0, np.cumsum(g_lens)]
+            idx = np.repeat(pos_off[:-1][order2], g_lens) + (
+                np.arange(new_off[-1]) - np.repeat(new_off[:-1], g_lens)
+            )
+            p_posflat = g_pos[idx]
+            pos_frag_off = new_off[frag_off].astype(np.int32)
+            cols["pos"] = lst(pa.array(p_posflat, type=pa.int32()), pos_frag_off)
         return pa.table(cols)
 
     def _vector_path_already_stemmed(self) -> bool:

@@ -52,23 +52,79 @@ def _bin_array(buf: bytes, offsets: np.ndarray) -> pa.Array:
     )
 
 
+def _list_parts(col) -> tuple[np.ndarray, pa.Array]:
+    """(offsets starting at 0, aligned values) of a list column —
+    normalizes away any slice offset so offsets index values directly."""
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = col.values
+    if len(off) and (off[0] != 0 or len(vals) != off[-1]):
+        vals = vals.slice(off[0], off[-1] - off[0])
+        off = off - off[0]
+    return off, vals
+
+
+def _unpack_exploded(group: pa.Table, positional: bool) -> dict:
+    """One row per (term, doc) posting (stages/ingest.py pack=False)."""
+    term_dict = group["term"].combine_chunks() if isinstance(group["term"], pa.ChunkedArray) else group["term"]
+    denc = term_dict if pa.types.is_dictionary(term_dict.type) else term_dict.dictionary_encode()
+    codes = denc.indices.to_numpy(zero_copy_only=False)
+    vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+    out = {
+        "vocab": vocab,
+        "tcodes": codes,
+        "doc_id": group["doc_id"].to_numpy(zero_copy_only=False),
+        "tf": group["tf"].to_numpy(zero_copy_only=False).astype(np.int64),
+        "dl": group["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64),
+    }
+    if positional:
+        off, vals = _list_parts(group["positions"])
+        out["pos_flat"] = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+        out["pos_off"] = off
+    return out
+
+
+def _unpack_packed(group: pa.Table, positional: bool) -> dict:
+    """Packed fragments: one row per (tokenize-batch, shard) with list
+    columns (stages/ingest.py pack=True). Positions split by tf (a
+    posting has exactly tf positions)."""
+    voff, vvals = _list_parts(group["vocab"])
+    all_vocab = np.asarray(vvals.to_pylist(), dtype=object)
+    coff, cvals = _list_parts(group["codes"])
+    codes = cvals.to_numpy(zero_copy_only=False).astype(np.int64)
+    frag_len = np.diff(coff)
+    frag_of = np.repeat(np.arange(len(frag_len)), frag_len)
+    tcodes_global = voff[:-1][frag_of] + codes  # index into all_vocab
+    _, dvals = _list_parts(group["doc_ids"])
+    _, tvals = _list_parts(group["tfs"])
+    _, lvals = _list_parts(group["dls"])
+    tf = tvals.to_numpy(zero_copy_only=False).astype(np.int64)
+    out = {
+        "vocab": all_vocab,
+        "tcodes": tcodes_global,
+        "doc_id": dvals.to_numpy(zero_copy_only=False),
+        "tf": tf,
+        "dl": lvals.to_numpy(zero_copy_only=False).astype(np.int64),
+    }
+    if positional:
+        _, pvals = _list_parts(group["pos"])
+        out["pos_flat"] = pvals.to_numpy(zero_copy_only=False).astype(np.int64)
+        out["pos_off"] = np.r_[0, np.cumsum(tf)]
+    return out
+
+
 def build_shard_table(group: pa.Table, *, positional: bool) -> tuple[pa.Table, dict]:
-    """Turn exploded posting rows for ONE shard into the shard table.
+    """Turn one shard's posting rows (exploded or packed format) into
+    the shard table.
 
     Fully vectorized: one lexsort + run detection + batch varint encode
     over the whole shard; no per-term Python loop.
     Returns (shard_table, metrics).
     """
-    term_dict = group["term"].combine_chunks() if isinstance(group["term"], pa.ChunkedArray) else group["term"]
-    denc = term_dict if pa.types.is_dictionary(term_dict.type) else term_dict.dictionary_encode()
-    codes = denc.indices.to_numpy(zero_copy_only=False)
-    vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
-    vocab_sorted, remap = np.unique(vocab, return_inverse=True)
-    tcodes = remap[codes]
-
-    doc_id = group["doc_id"].to_numpy(zero_copy_only=False)
-    tf = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dl = group["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+    u = (_unpack_packed if "vocab" in group.column_names else _unpack_exploded)(group, positional)
+    vocab_sorted, remap = np.unique(u["vocab"], return_inverse=True)
+    tcodes = remap[u["tcodes"]]
+    doc_id, tf, dl = u["doc_id"], u["tf"], u["dl"]
 
     order = np.lexsort((doc_id, tcodes))
     tcodes = tcodes[order]
@@ -111,9 +167,8 @@ def build_shard_table(group: pa.Table, *, positional: bool) -> tuple[pa.Table, d
     }
 
     if positional:
-        pos_col = group["positions"].combine_chunks() if isinstance(group["positions"], pa.ChunkedArray) else group["positions"]
-        flat_pos = pos_col.values.to_numpy(zero_copy_only=False).astype(np.int64)
-        row_off = pos_col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_pos = u["pos_flat"]
+        row_off = u["pos_off"]
         # reorder the ragged position lists to the (term, doc) sort order
         lens = np.diff(row_off)[order]
         new_off = np.r_[0, np.cumsum(lens)]
