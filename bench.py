@@ -36,17 +36,19 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SYNTH_DOCS = int(os.environ.get("BENCH_SYNTH_DOCS", "60000"))
 SYNTH_SEED = 42
+DOC_SCALE = int(os.environ.get("BENCH_DOC_SCALE", "1"))
 CACHE = os.environ.get("MSR_BENCH_CACHE", "/tmp/msr_bench_cache")
 
 
 def _synth_corpus_path() -> str:
     """Generate (once) the deterministic synthetic source-code corpus."""
     os.makedirs(CACHE, exist_ok=True)
-    path = os.path.join(CACHE, f"corpus-{SYNTH_DOCS}-{SYNTH_SEED}.parquet")
+    suffix = f"-x{DOC_SCALE}" if DOC_SCALE != 1 else ""
+    path = os.path.join(CACHE, f"corpus-{SYNTH_DOCS}-{SYNTH_SEED}{suffix}.parquet")
     if not os.path.exists(path):
         from mini_search_engine_ray.sources.corpus import synth_corpus, write_corpus_parquet
 
-        t = synth_corpus(SYNTH_DOCS, seed=SYNTH_SEED)
+        t = synth_corpus(SYNTH_DOCS, seed=SYNTH_SEED, doc_scale=DOC_SCALE)
         write_corpus_parquet(t, path + ".tmp", rows_per_group=2048)
         os.replace(path + ".tmp", path)
     return path
@@ -251,21 +253,26 @@ def run_scaling() -> dict:
     # the scaling criterion needs enough work to amortize the fixed
     # pipeline latency (~2 s barrier/startup even warm): default 400k
     # docs (~270 MB) instead of the quick-bench 60k
-    scaling_docs = os.environ.get("BENCH_SCALING_DOCS", "800000")
+    scaling_docs = os.environ.get("BENCH_SCALING_DOCS", "300000")
+    # realistic ~1.5 KB source files (doc_scale=8) rather than the quick
+    # bench's ~180 B micro-docs: shifts work toward tokenization, which
+    # is what dominates a real code-indexing workload
+    os.environ.setdefault("BENCH_DOC_SCALE", "8")
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SYNTH_DOCS=scaling_docs)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SYNTH_DOCS=scaling_docs,
+                   BENCH_DOC_SCALE=os.environ["BENCH_DOC_SCALE"])
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--only", "synth_index_build"],
             env=env, capture_output=True, text=True, check=True,
         )
         return json.loads(p.stdout.strip().splitlines()[-1])
 
-    global SYNTH_DOCS
-    old = SYNTH_DOCS
-    SYNTH_DOCS = int(scaling_docs)
+    global SYNTH_DOCS, DOC_SCALE
+    old, olds = SYNTH_DOCS, DOC_SCALE
+    SYNTH_DOCS, DOC_SCALE = int(scaling_docs), int(os.environ["BENCH_DOC_SCALE"])
     p = _synth_corpus_path()  # generate once, untimed
-    SYNTH_DOCS = old
+    SYNTH_DOCS, DOC_SCALE = old, olds
     with open(p, "rb") as f:  # warm the OS page cache so both runs see it
         while f.read(1 << 24):
             pass

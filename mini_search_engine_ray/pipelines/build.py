@@ -35,7 +35,7 @@ import os
 import pyarrow as pa
 
 from ..sources.corpus import sha256_column
-from ..stages.ingest import TokenizeExplode
+from ..stages.ingest import TokenizeExplode, tokenize_explode_task
 from ..stages.shards import write_shard
 
 META_FILE = "meta.json"
@@ -61,8 +61,26 @@ def build_index(
     tokenize_batch_size: int = 1024,
     write_docstore: bool = True,
     wordbreak_dict_path: str | None = None,
+    exchange: str = "parquet",
+    keep_exchange: bool = False,
 ) -> dict:
-    """Build an inverted index under `index_dir`; returns the meta dict."""
+    """Build an inverted index under `index_dir`; returns the meta dict.
+
+    exchange="parquet" (default): a two-phase hash exchange — tokenize
+    actors write packed fragments hive-partitioned by shard
+    (`write_parquet(partition_cols=["shard"])`), then one stateless
+    task per shard reads only its partition and builds the segment.
+    This is a map-side-partition / reduce-side-read shuffle: no global
+    sort, and the partitioned fragment directory doubles as a durable
+    checkpoint (phase A is skipped on resume when its commit marker
+    matches the build fingerprint).
+
+    exchange="groupby": single-pipeline `groupby("shard").map_groups`
+    (Ray's sort-based shuffle) — simpler, in-memory, preferable for
+    small corpora; measurably slower at scale because the sort moves
+    every fragment's list-column payload through sample/partition
+    steps.
+    """
     os.makedirs(index_dir, exist_ok=True)
     if n_docs is None:
         n_docs = corpus_ds.count()
@@ -84,28 +102,47 @@ def build_index(
         docstore_thread = threading.Thread(target=_write_docstore, daemon=True)
         docstore_thread.start()
 
-    exploded = corpus_ds.select_columns(["doc_id", "content"]).map_batches(
-        TokenizeExplode,
-        fn_constructor_kwargs=dict(
-            analyzer=analyzer,
-            num_buckets=num_buckets,
-            salt=salt,
-            positional=positional,
-            wordbreak_dict_path=wordbreak_dict_path,
-        ),
-        batch_format="pyarrow",
-        batch_size=tokenize_batch_size,
-        concurrency=tokenize_concurrency,
+    te_kwargs = dict(
+        analyzer=analyzer,
+        num_buckets=num_buckets,
+        salt=salt,
+        positional=positional,
+        wordbreak_dict_path=wordbreak_dict_path,
     )
+    projected = corpus_ds.select_columns(["doc_id", "content"])
+    if analyzer.startswith("wordbreak"):
+        # heavy per-actor state (frequency dictionary): actor pool
+        exploded = projected.map_batches(
+            TokenizeExplode,
+            fn_constructor_kwargs=te_kwargs,
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+            concurrency=tokenize_concurrency,
+        )
+    else:
+        # light state: stateless tasks with a per-worker cached kernel
+        # (see stages/ingest.tokenize_explode_task) — no actor-spawn
+        # churn, elastic task scaling
+        exploded = projected.map_batches(
+            functools.partial(tokenize_explode_task, **te_kwargs),
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+        )
 
-    writer = functools.partial(
-        write_shard, index_dir=index_dir, positional=positional, fingerprint=full_fp
-    )
-    manifests = (
-        exploded.groupby("shard")
-        .map_groups(writer, batch_format="pyarrow")
-        .take_all()
-    )
+    if exchange == "parquet":
+        manifests = _parquet_exchange(
+            exploded, index_dir, positional=positional, fingerprint=full_fp,
+            keep_exchange=keep_exchange,
+        )
+    else:
+        writer = functools.partial(
+            write_shard, index_dir=index_dir, positional=positional, fingerprint=full_fp
+        )
+        manifests = (
+            exploded.groupby("shard")
+            .map_groups(writer, batch_format="pyarrow")
+            .take_all()
+        )
     if docstore_thread is not None:
         docstore_thread.join()
 
@@ -131,6 +168,65 @@ def build_index(
         json.dump(meta, f, indent=1)
     os.replace(tmp, os.path.join(index_dir, META_FILE))
     return meta
+
+
+def _parquet_exchange(
+    exploded, index_dir: str, *, positional: bool, fingerprint: str, keep_exchange: bool
+) -> list[dict]:
+    """Phase A: write packed fragments partitioned by shard (skipped on
+    resume when committed with the same fingerprint). Phase B: one
+    stateless task per shard reads its partition and writes the segment
+    (idempotent via the shard manifests)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    ex_dir = os.path.join(index_dir, "exchange")
+    marker = os.path.join(ex_dir, "_COMMITTED.json")
+    committed = False
+    if os.path.exists(marker):
+        try:
+            with open(marker) as f:
+                committed = json.load(f).get("fingerprint") == fingerprint
+        except Exception:
+            committed = False
+    if not committed:
+        shutil.rmtree(ex_dir, ignore_errors=True)
+        exploded.write_parquet(ex_dir, partition_cols=["shard"])
+        os.makedirs(ex_dir, exist_ok=True)
+        with open(marker + ".tmp", "w") as f:
+            json.dump({"fingerprint": fingerprint}, f)
+        os.replace(marker + ".tmp", marker)
+
+    shard_ids = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(ex_dir)
+        if d.startswith("shard=") and os.path.isdir(os.path.join(ex_dir, d))
+    )
+
+    def build_one(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        out = []
+        for sid in batch["sid"].to_pylist():
+            t = pq.read_table(os.path.join(ex_dir, f"shard={sid}"))
+            t = t.append_column("shard", pa.array([sid] * t.num_rows, type=pa.int32()))
+            out.append(
+                write_shard(t, index_dir=index_dir, positional=positional, fingerprint=fingerprint)
+            )
+        return pa.concat_tables(out)
+
+    manifests = (
+        rd.from_items([{"sid": s} for s in shard_ids], override_num_blocks=len(shard_ids))
+        .map_batches(build_one, batch_size=1, batch_format="pyarrow")
+        .take_all()
+        if shard_ids
+        else []
+    )
+    if not keep_exchange:
+        shutil.rmtree(ex_dir, ignore_errors=True)
+    return manifests
 
 
 def load_meta(index_dir: str) -> dict:

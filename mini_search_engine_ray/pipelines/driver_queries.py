@@ -186,7 +186,7 @@ def q_term_stats(sf_dir: str):
              "total_tf": pa.array([], pa.int64())}
         )
 
-    return rd.from_items([{"sid": s} for s in sids]).map_batches(
+    return rd.from_items([{"sid": s} for s in sids], override_num_blocks=max(1, len(sids))).map_batches(
         read, batch_size=1, batch_format="pyarrow"
     )
 

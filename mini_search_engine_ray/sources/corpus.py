@@ -63,8 +63,11 @@ _IDENT_STEMS = [
 _IDENT_SUFFIX = ["Manager", "Factory", "Builder", "Context", "Helper", "Service", "Impl", "Util"]
 
 
-def _make_content(rng: random.Random, lang: str, i: int) -> str:
-    """Deterministic code-like + prose content for doc i."""
+def _make_content(rng: random.Random, lang: str, i: int, doc_scale: int = 1) -> str:
+    """Deterministic code-like + prose content for doc i. `doc_scale`
+    multiplies the line count (1 -> ~180 B micro-docs for fast tests;
+    8 -> ~1.5 KB, the realistic source-file size used by the scaling
+    bench)."""
     # fixed edge cases at small indices (FIXTURES.md F1)
     if i == 3:
         return ""                              # empty doc
@@ -79,7 +82,7 @@ def _make_content(rng: random.Random, lang: str, i: int) -> str:
     if i == 19:
         return "needle " * 50                  # tf stress (repeated token)
     lines = []
-    n_lines = rng.randint(3, 14)
+    n_lines = rng.randint(3 * doc_scale, 14 * doc_scale)
     kws = _KEYWORDS.get(lang, [])
     for _ in range(n_lines):
         kind = rng.random()
@@ -97,7 +100,7 @@ def _make_content(rng: random.Random, lang: str, i: int) -> str:
     return "\n".join(lines)
 
 
-def synth_corpus(n_docs: int, seed: int = 42) -> pa.Table:
+def synth_corpus(n_docs: int, seed: int = 42, *, doc_scale: int = 1) -> pa.Table:
     """Deterministic synthetic source-code corpus with doc_id column."""
     rng = random.Random(seed)
     repos, paths, commits, langs, contents = [], [], [], [], []
@@ -109,7 +112,7 @@ def synth_corpus(n_docs: int, seed: int = 42) -> pa.Table:
         paths.append(f"src/{rng.choice(_IDENT_STEMS)}/{rng.choice(_IDENT_STEMS)}{i}.{ext}")
         commits.append("".join(rng.choice(string.hexdigits.lower()) for _ in range(40)))
         langs.append(lang)
-        contents.append(_make_content(rng, lang, i))
+        contents.append(_make_content(rng, lang, i, doc_scale))
     return pa.table(
         {
             "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
@@ -192,7 +195,9 @@ def read_corpus_with_doc_ids(paths: str | list[str], *, columns: list[str] | Non
             out.append(t.add_column(0, "doc_id", ids))
         return pa.concat_tables(out)
 
-    return rd.from_items(tasks).map_batches(read_one, batch_size=1, batch_format="pyarrow")
+    return rd.from_items(tasks, override_num_blocks=max(1, len(tasks))).map_batches(
+        read_one, batch_size=1, batch_format="pyarrow"
+    )
 
 
 def adapt_documents_table(sf_dir: str):

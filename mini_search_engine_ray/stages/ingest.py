@@ -60,6 +60,26 @@ def term_bucket(term: str, num_buckets: int) -> int:
     return int.from_bytes(hashlib.blake2b(term.encode(), digest_size=8).digest(), "big") % num_buckets
 
 
+_TE_CACHE: dict[tuple, "TokenizeExplode"] = {}
+
+
+def tokenize_explode_task(batch: pa.Table, **kw) -> pa.Table:
+    """Stateless-task variant of TokenizeExplode for light-state
+    analyzers: the kernel instance (stemmer memo cache, compiled
+    regexes) is cached in a module global, so Ray's REUSED worker
+    processes keep it warm across tasks and across builds — actor-pool
+    amortization without actor-spawn churn, and task counts scale
+    elastically with available CPUs. Heavy-state analyzers (word-break
+    dictionaries) should keep the actor-pool path."""
+    key = tuple(sorted(kw.items()))
+    te = _TE_CACHE.get(key)
+    if te is None:
+        te = TokenizeExplode(**kw)
+        if len(_TE_CACHE) < 32:
+            _TE_CACHE[key] = te
+    return te(batch)
+
+
 class TokenizeExplode:
     """Callable-class stage for `map_batches` actor pools."""
 

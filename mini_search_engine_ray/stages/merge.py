@@ -160,7 +160,7 @@ def merge_indexes(
         )
 
     manifests = (
-        rd.from_items([{"bucket": b} for b in buckets])
+        rd.from_items([{"bucket": b} for b in buckets], override_num_blocks=max(1, len(buckets)))
         .map_batches(do_bucket, batch_size=1, batch_format="pyarrow")
         .take_all()
     )

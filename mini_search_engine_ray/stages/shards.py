@@ -65,13 +65,14 @@ def _list_parts(col) -> tuple[np.ndarray, pa.Array]:
 
 
 def _unpack_exploded(group: pa.Table, positional: bool) -> dict:
-    """One row per (term, doc) posting (stages/ingest.py pack=False)."""
+    """One row per (term, doc) posting (stages/ingest.py pack=False).
+    `vocab` stays a pyarrow string array (may contain duplicates);
+    build_shard_table dedupes/sorts it arrow-natively."""
     term_dict = group["term"].combine_chunks() if isinstance(group["term"], pa.ChunkedArray) else group["term"]
     denc = term_dict if pa.types.is_dictionary(term_dict.type) else term_dict.dictionary_encode()
-    codes = denc.indices.to_numpy(zero_copy_only=False)
-    vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+    codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     out = {
-        "vocab": vocab,
+        "vocab": denc.dictionary,
         "tcodes": codes,
         "doc_id": group["doc_id"].to_numpy(zero_copy_only=False),
         "tf": group["tf"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -89,18 +90,17 @@ def _unpack_packed(group: pa.Table, positional: bool) -> dict:
     columns (stages/ingest.py pack=True). Positions split by tf (a
     posting has exactly tf positions)."""
     voff, vvals = _list_parts(group["vocab"])
-    all_vocab = np.asarray(vvals.to_pylist(), dtype=object)
     coff, cvals = _list_parts(group["codes"])
     codes = cvals.to_numpy(zero_copy_only=False).astype(np.int64)
     frag_len = np.diff(coff)
     frag_of = np.repeat(np.arange(len(frag_len)), frag_len)
-    tcodes_global = voff[:-1][frag_of] + codes  # index into all_vocab
+    tcodes_global = voff[:-1][frag_of] + codes  # index into concatenated vocab
     _, dvals = _list_parts(group["doc_ids"])
     _, tvals = _list_parts(group["tfs"])
     _, lvals = _list_parts(group["dls"])
     tf = tvals.to_numpy(zero_copy_only=False).astype(np.int64)
     out = {
-        "vocab": all_vocab,
+        "vocab": vvals,
         "tcodes": tcodes_global,
         "doc_id": dvals.to_numpy(zero_copy_only=False),
         "tf": tf,
@@ -121,9 +121,24 @@ def build_shard_table(group: pa.Table, *, positional: bool) -> tuple[pa.Table, d
     over the whole shard; no per-term Python loop.
     Returns (shard_table, metrics).
     """
+    import pyarrow.compute as pc
+
     u = (_unpack_packed if "vocab" in group.column_names else _unpack_exploded)(group, positional)
-    vocab_sorted, remap = np.unique(u["vocab"], return_inverse=True)
-    tcodes = remap[u["tcodes"]]
+    # dedupe + sort the vocabulary WITHOUT materializing Python strings
+    # (object-array np.unique churns allocator/GC badly under wide task
+    # concurrency): dictionary_encode dedupes in C, sort_indices orders
+    # the unique strings bytewise (== codepoint order for UTF-8).
+    raw_vocab = u["vocab"]
+    if isinstance(raw_vocab, pa.ChunkedArray):
+        raw_vocab = raw_vocab.combine_chunks()
+    vdenc = raw_vocab.dictionary_encode()
+    uniq = vdenc.dictionary  # unique terms, first-appearance order
+    dedup_map = vdenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    sort_idx = pc.array_sort_indices(uniq).to_numpy(zero_copy_only=False).astype(np.int64)
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[sort_idx] = np.arange(len(uniq))
+    vocab_sorted = uniq.take(pa.array(sort_idx))  # pa.StringArray, sorted
+    tcodes = rank[dedup_map[u["tcodes"]]]
     doc_id, tf, dl = u["doc_id"], u["tf"], u["dl"]
 
     order = np.lexsort((doc_id, tcodes))
@@ -135,7 +150,7 @@ def build_shard_table(group: pa.Table, *, positional: bool) -> tuple[pa.Table, d
 
     t_starts = np.flatnonzero(np.r_[True, tcodes[1:] != tcodes[:-1]])
     t_offsets = np.r_[t_starts, n].astype(np.int64)
-    terms = vocab_sorted[tcodes[t_starts]]
+    terms = vocab_sorted.take(pa.array(tcodes[t_starts]))  # pa.StringArray
     df = np.diff(t_offsets)
     # guard: duplicate (term, doc) pairs must not exist (explode emits
     # one row per distinct pair per batch; across batches a doc lives in
@@ -158,7 +173,7 @@ def build_shard_table(group: pa.Table, *, positional: bool) -> tuple[pa.Table, d
     blk_offsets = np.r_[0, np.cumsum(blocks_per_term)].astype(np.int32)
 
     cols: dict[str, pa.Array] = {
-        "term": pa.array(terms.tolist(), type=pa.string()),
+        "term": terms,
         "df": pa.array(df, type=pa.int64()),
         "total_tf": pa.array(total_tf, type=pa.int64()),
         "docs": _bin_array(docs_buf, docs_off),
@@ -198,8 +213,8 @@ def build_shard_table(group: pa.Table, *, positional: bool) -> tuple[pa.Table, d
         "n_terms": int(len(terms)),
         "n_postings": int(n),
         "total_tf": int(tf.sum()),
-        "min_term": str(terms[0]) if len(terms) else "",
-        "max_term": str(terms[-1]) if len(terms) else "",
+        "min_term": terms[0].as_py() if len(terms) else "",
+        "max_term": terms[-1].as_py() if len(terms) else "",
     }
     return pa.table(cols), metrics
 
