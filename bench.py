@@ -249,6 +249,38 @@ def run_all(only: str | None = None) -> dict:
     return out
 
 
+def _host_cpu_calibration(lo: int, hi: int, trials: int = 3) -> dict:
+    """Measure how much CPU this sandbox actually delivers from lo to
+    hi concurrent processes (pure cache-resident sha256 work — the
+    upper bound any engine can reach here). The sandbox's virtualized
+    CPUs have shown sustained-load ceilings well below nominal core
+    count; reporting the ceiling alongside the engine's scaling makes
+    the efficiency number interpretable."""
+    work = (
+        "import hashlib,time;t0=time.time();b=b'x'*1048576;h=hashlib.sha256()\n"
+        "for _ in range(1200): h.update(b)\n"
+        "print(time.time()-t0)"
+    )
+
+    def agg_throughput(n: int) -> float:
+        best = 0.0
+        for _ in range(trials):
+            ps = [
+                subprocess.Popen([sys.executable, "-c", work], stdout=subprocess.PIPE)
+                for _ in range(n)
+            ]
+            avg = sum(float(p.communicate()[0]) for p in ps) / n
+            best = max(best, n / avg)
+        return best
+
+    thr_lo, thr_hi = agg_throughput(lo), agg_throughput(hi)
+    return {
+        "host_thr_lo": round(thr_lo, 2),
+        "host_thr_hi": round(thr_hi, 2),
+        "host_max_speedup": round(thr_hi / thr_lo, 3),
+    }
+
+
 def run_scaling() -> dict:
     # the scaling criterion needs enough work to amortize the fixed
     # pipeline latency (~2 s barrier/startup even warm): default 400k
@@ -289,7 +321,9 @@ def run_scaling() -> dict:
         r_lo = r_lo2
     t_lo = r_lo["queries"]["synth_index_build"]
     t_hi = r_hi["queries"]["synth_index_build"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    speedup = t_lo / t_hi
+    eff = speedup / (hi / lo)
+    cal = _host_cpu_calibration(lo, hi)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
@@ -300,6 +334,9 @@ def run_scaling() -> dict:
         "sec_hi": t_hi,
         "docs_per_s_lo": r_lo["synth_docs_per_s"],
         "docs_per_s_hi": r_hi["synth_docs_per_s"],
+        "engine_speedup": round(speedup, 3),
+        "efficiency_vs_host_ceiling": round(speedup / cal["host_max_speedup"], 3),
+        **cal,
         "synth_docs": int(scaling_docs),
         "queries": {"synth_index_build_lo": t_lo, "synth_index_build_hi": t_hi},
     }

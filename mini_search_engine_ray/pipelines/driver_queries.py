@@ -308,9 +308,13 @@ def q_code_term_stats(sf_dir: str):
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t2 = pa.table({"doc_id": t["doc_id"], "content": t["text"]})
         te = TokenizeExplode("code_nostem", num_buckets=1, pack=False)
-        return te(t2).select(["term", "doc_id", "tf"])
+        out = te(t2).select(["term", "doc_id", "tf"])
+        # groupby can't key on a dictionary column — cast to plain string
+        return out.set_column(0, "term", pc.cast(out["term"], pa.string()))
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
