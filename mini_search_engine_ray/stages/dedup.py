@@ -69,17 +69,56 @@ def _perm_params(num_perm: int, seed: int = 1234) -> tuple[np.ndarray, np.ndarra
 
 def _doc_shingles(t: pa.Table, text_col: str, k: int):
     """-> (per-doc shingle-hash arrays aligned to rows)."""
+    flat, off = _doc_shingles_flat(t, text_col, k)
+    return [flat[off[i] : off[i + 1]] for i in range(len(off) - 1)]
+
+
+def _doc_shingles_flat(t: pa.Table, text_col: str, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized shingle hashes for a whole batch: returns
+    (flat shingle hashes, per-doc offsets[n+1]). One polynomial-mix pass
+    over the full token-hash array; per-doc boundaries handled by
+    masking out shingles that would span documents."""
     from .textstats import _split_tokens
 
     content = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
     parents, values = _split_tokens(content)
-    th = _token_hashes(values) if len(values) else np.empty(0, dtype=np.uint64)
-    out = []
     n = t.num_rows
+    if len(values) == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n + 1, dtype=np.int64)
+    th = _token_hashes(values)
     starts = np.searchsorted(parents, np.arange(n + 1))
-    for i in range(n):
-        out.append(_shingle_hashes(th[starts[i] : starts[i + 1]], k))
-    return out
+    tok_len = np.diff(starts)
+    m = len(th)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(max(m - k + 1, 0), dtype=np.uint64)
+        for j in range(k):
+            acc = acc * _MIX + th[j : m - k + 1 + j]
+    # a shingle starting at position p is valid iff it stays inside p's doc
+    owner = parents[: len(acc)]
+    valid = owner == parents[np.minimum(np.arange(len(acc)) + k - 1, m - 1)]
+    # docs shorter than k keep their single raw-token "shingles"
+    # (parity with _shingle_hashes on short docs)
+    short = tok_len < k
+    n_sh = np.where(short, tok_len, np.maximum(tok_len - k + 1, 0))
+    off = np.r_[0, np.cumsum(n_sh)].astype(np.int64)
+    flat = np.empty(off[-1], dtype=np.uint64)
+    vacc = acc[valid]
+    vowner = owner[valid]
+    # long docs: contiguous valid shingles per doc, in order
+    long_docs = np.flatnonzero(~short)
+    if len(vacc):
+        pos = np.searchsorted(vowner, long_docs)
+        cnt = np.searchsorted(vowner, long_docs, side="right") - pos
+        idx = np.repeat(pos, cnt) + (
+            np.arange(cnt.sum()) - np.repeat(np.r_[0, np.cumsum(cnt)[:-1]], cnt)
+        )
+        dst = np.repeat(off[long_docs], cnt) + (
+            np.arange(cnt.sum()) - np.repeat(np.r_[0, np.cumsum(cnt)[:-1]], cnt)
+        )
+        flat[dst] = vacc[idx]
+    for i in np.flatnonzero(short):
+        flat[off[i] : off[i + 1]] = th[starts[i] : starts[i + 1]]
+    return flat, off
 
 
 MAX_U64 = np.uint64(0xFFFFFFFFFFFFFFFF)
@@ -97,14 +136,16 @@ def minhash_batch(
     """Per-doc MinHash signatures: sig[p] = min over shingles s of
     (a_p * s + b_p mod 2^64); empty docs get all-MAX sentinels."""
     a, b = _perm_params(num_perm, seed)
-    shingles = _doc_shingles(t, text_col, shingle_k)
+    flat, off = _doc_shingles_flat(t, text_col, shingle_k)
     n = t.num_rows
     sig = np.full((n, num_perm), MAX_U64, dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        for i, sh in enumerate(shingles):
-            if len(sh):
-                # (P, S) broadcast; P*S smallish per doc
-                sig[i] = (a[:, None] * sh[None, :] + b[:, None]).min(axis=1)
+    nonempty = np.flatnonzero(np.diff(off) > 0)
+    if len(flat):
+        seg_starts = off[nonempty]
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):  # one reduceat pass per permutation
+                y = a[p] * flat + b[p]
+                sig[nonempty, p] = np.minimum.reduceat(y, seg_starts)
     return pa.table(
         {
             id_col: t[id_col],
