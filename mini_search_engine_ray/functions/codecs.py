@@ -92,6 +92,40 @@ def naive_decode(buf) -> np.ndarray:
     return np.frombuffer(buf, dtype=">i4").astype(np.int64)
 
 
+class Compressor:
+    """Plugin surface mirroring the reference's `Compressor` interface
+    (`index/positional/Compressor.java:5-28`): encode(list[int]) ->
+    bytes, decode(bytes[, start, length]) -> list[int]."""
+
+    def __init__(self, *, delta: bool = True) -> None:
+        self.delta = delta
+
+    def encode(self, integers) -> bytes:
+        return varint_encode(integers, delta=self.delta)
+
+    def decode(self, buf, start: int = 0, length: int | None = None):
+        if length is None:
+            length = len(buf) - start
+        return varint_decode_slice(buf, start, length, delta=self.delta).tolist()
+
+
+class DeltaVarLenCompressor(Compressor):
+    """Delta + big-endian base-128 varint (byte-identical to the
+    reference's `DeltaVarLenCompressor`)."""
+
+
+class NaiveCompressor(Compressor):
+    """4-byte big-endian ints, no compression."""
+
+    def encode(self, integers) -> bytes:
+        return naive_encode(integers)
+
+    def decode(self, buf, start: int = 0, length: int | None = None):
+        if length is None:
+            length = len(buf) - start
+        return naive_decode(memoryview(buf)[start : start + length]).tolist()
+
+
 # -- ragged batch encode/decode (whole shard column in one pass) -------
 
 

@@ -97,3 +97,21 @@ def test_compression_beats_naive():
     compressed = len(varint_encode(doc_ids))
     naive = len(naive_encode(doc_ids % (2**31)))
     assert compressed < naive * 2 / 3
+
+
+def test_compressor_plugin_surface():
+    """Reference `Compressor` interface parity (encode/decode with
+    (start, length) slicing, `index/positional/Compressor.java:5-28`)."""
+    from mini_search_engine_ray.functions.codecs import (
+        DeltaVarLenCompressor,
+        NaiveCompressor,
+    )
+
+    c = DeltaVarLenCompressor()
+    enc = c.encode([1, 2, 3, 4, 5, 6])
+    assert enc.hex() == "010101010101"
+    assert c.decode(enc) == [1, 2, 3, 4, 5, 6]
+    assert c.decode(b"\xff" + enc, 1, len(enc)) == [1, 2, 3, 4, 5, 6]
+    n = NaiveCompressor()
+    assert n.decode(n.encode([7, 8])) == [7, 8]
+    assert n.decode(n.encode([7, 8]), 4, 4) == [8]
