@@ -296,8 +296,11 @@ def run_scaling() -> dict:
                    BENCH_DOC_SCALE=os.environ["BENCH_DOC_SCALE"])
         p = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--only", "synth_index_build"],
-            env=env, capture_output=True, text=True, check=True,
+            env=env, capture_output=True, text=True,
         )
+        if p.returncode != 0:
+            sys.stderr.write(p.stderr[-4000:])
+            raise RuntimeError(f"scaling subprocess (cpus={ncpu}) failed")
         return json.loads(p.stdout.strip().splitlines()[-1])
 
     global SYNTH_DOCS, DOC_SCALE

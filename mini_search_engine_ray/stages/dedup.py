@@ -175,14 +175,32 @@ def lsh_band_batch(t: pa.Table, *, id_col: str = "doc_id", bands: int = 16, rows
     )
 
 
-def _pairs_in_group(g, id_col: str = "doc_id"):
+def _pairs_in_band(g, id_col: str = "doc_id", max_bucket: int = 200):
+    """All candidate pairs within one LSH band: vectorized run detection
+    over band_hash; Python only touches the (few) colliding buckets.
+    Buckets larger than `max_bucket` are truncated (quadratic blowup
+    guard — a bucket that big means near-identical boilerplate; the
+    kept prefix still links its members transitively)."""
     import pandas as pd
 
-    ids = sorted(set(int(x) for x in g[id_col]))
-    if len(ids) < 2:
-        return pd.DataFrame({"a": [], "b": []}).astype({"a": "int64", "b": "int64"})
-    a, b = zip(*combinations(ids, 2))
-    return pd.DataFrame({"a": list(a), "b": list(b)})
+    g = g.sort_values(["band_hash", id_col])
+    h = g["band_hash"].to_numpy()
+    ids = g[id_col].to_numpy()
+    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+    ends = np.r_[starts[1:], len(h)]
+    out_a, out_b = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        members = np.unique(ids[s:e])[:max_bucket]
+        if len(members) < 2:
+            continue
+        iu, ju = np.triu_indices(len(members), k=1)
+        out_a.append(members[iu])
+        out_b.append(members[ju])
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
 
 
 def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
@@ -198,13 +216,19 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
         lambda t: lsh_band_batch(t, id_col=id_col, bands=bands, rows=rows),
         batch_format="pyarrow",
     )
-    pairs = (
-        bands_ds.groupby(["band", "band_hash"])
-        .map_groups(lambda g: _pairs_in_group(g, id_col), batch_format="pandas")
+    # group by band ONLY (16 chunky groups, vectorized inner pair
+    # generation) — grouping by (band, band_hash) creates one tiny
+    # Python-level group per hash bucket, which is quadratically slower
+    pairs = bands_ds.groupby("band").map_groups(
+        lambda g: _pairs_in_band(g, id_col), batch_format="pandas"
     )
+
+    def dedup_pairs(g):
+        return g.drop_duplicates(["a", "b"])
+
     if pairs.count() == 0:
         return pairs, sigs
-    return pairs.groupby(["a", "b"]).map_groups(lambda g: g.head(1), batch_format="pandas"), sigs
+    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas"), sigs
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
