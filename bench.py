@@ -74,6 +74,10 @@ def _build(corpus_path: str, index_dir: str, *, n_docs: int, salt: int) -> dict:
         tokenize_concurrency=max(2, NUM_CPUS // 2),
         tokenize_batch_size=4096,
         write_docstore=True,
+        # cap concurrent heavy tasks at wide cpu counts: this host's
+        # memory bandwidth saturates well below 32 concurrent
+        # sort/encode tasks (see BASELINE.md calibration)
+        task_num_cpus=2 if NUM_CPUS >= 16 else 1,
     )
 
 

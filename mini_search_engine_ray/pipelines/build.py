@@ -63,6 +63,7 @@ def build_index(
     wordbreak_dict_path: str | None = None,
     exchange: str = "parquet",
     keep_exchange: bool = False,
+    task_num_cpus: int = 1,
 ) -> dict:
     """Build an inverted index under `index_dir`; returns the meta dict.
 
@@ -127,12 +128,13 @@ def build_index(
             functools.partial(tokenize_explode_task, **te_kwargs),
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
+            num_cpus=task_num_cpus,
         )
 
     if exchange == "parquet":
         manifests = _parquet_exchange(
             exploded, index_dir, positional=positional, fingerprint=full_fp,
-            keep_exchange=keep_exchange,
+            keep_exchange=keep_exchange, task_num_cpus=task_num_cpus,
         )
     else:
         writer = functools.partial(
@@ -171,7 +173,8 @@ def build_index(
 
 
 def _parquet_exchange(
-    exploded, index_dir: str, *, positional: bool, fingerprint: str, keep_exchange: bool
+    exploded, index_dir: str, *, positional: bool, fingerprint: str,
+    keep_exchange: bool, task_num_cpus: int = 1,
 ) -> list[dict]:
     """Phase A: write packed fragments partitioned by shard (skipped on
     resume when committed with the same fingerprint). Phase B: one
@@ -219,7 +222,7 @@ def _parquet_exchange(
 
     manifests = (
         rd.from_items([{"sid": s} for s in shard_ids], override_num_blocks=len(shard_ids))
-        .map_batches(build_one, batch_size=1, batch_format="pyarrow")
+        .map_batches(build_one, batch_size=1, batch_format="pyarrow", num_cpus=task_num_cpus)
         .take_all()
         if shard_ids
         else []
