@@ -222,6 +222,9 @@ def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
     pairs = bands_ds.groupby("band").map_groups(
         lambda g: _pairs_in_band(g, id_col), batch_format="pandas"
     )
+    # candidate pairs are small (bounded by collisions); materialize so
+    # the emptiness check and the dedupe don't re-run the pipeline
+    pairs = pairs.materialize()
 
     def dedup_pairs(g):
         return g.drop_duplicates(["a", "b"])
