@@ -343,6 +343,35 @@ def q_code_term_stats(sf_dir: str):
 # -- rows-only (non-SQL-expressible) -----------------------------------
 
 
+def q_compression_ratio(sf_dir: str):
+    """Bytes of delta+varint-compressed doc_id postings vs the 4-byte
+    naive encoding, summed over the built index — the analogue of the
+    reference's page-I/O-counter compression gate
+    (`Team6IndexCompressionTest.java:24-42`; the reference asserts
+    compressed page counts strictly below naive)."""
+    from ..stages.shards import list_shards, open_shard
+
+    index_dir = get_index(sf_dir)
+    compressed = naive = postings = 0
+    for sid in list_shards(index_dir):
+        t = open_shard(index_dir, sid)
+        if t is None:
+            continue
+        col = t["docs"].combine_chunks() if isinstance(t["docs"], pa.ChunkedArray) else t["docs"]
+        compressed += sum(len(col[i].as_py()) for i in range(len(col)))
+        n = int(np.sum(t["df"].to_numpy(zero_copy_only=False)))
+        naive += 4 * n
+        postings += n
+    return pa.table(
+        {
+            "compressed_bytes": pa.array([compressed], pa.int64()),
+            "naive_bytes": pa.array([naive], pa.int64()),
+            "n_postings": pa.array([postings], pa.int64()),
+            "beats_naive": pa.array([compressed < naive]),
+        }
+    )
+
+
 def q_minhash_signatures(sf_dir: str):
     from ..stages.dedup import minhash_batch
 
@@ -507,6 +536,7 @@ QUERIES = {
     "sha256_docs": q_sha256_docs,
     "token_count_total": q_token_count_total,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "compression_ratio": q_compression_ratio,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
     "fingerprints": q_fingerprints,

@@ -272,6 +272,19 @@ class IndexSearcher:
             return self._bm25_exhaustive(terms, k)
         return self._bm25_maxscore(terms, k)
 
+    # below this corpus size a dense per-doc accumulator (bincount, no
+    # sort) beats unique-sort merging; larger corpora use the sparse path
+    DENSE_ACCUM_MAX_DOCS = 10_000_000
+
+    def _accumulate(self, docs: np.ndarray, contribs: np.ndarray):
+        """Sum contributions per doc -> (unique_docs, scores)."""
+        if 0 < self.n_docs <= self.DENSE_ACCUM_MAX_DOCS and docs.size:
+            dense = np.bincount(docs, weights=contribs, minlength=self.n_docs)
+            uniq = np.flatnonzero(dense)
+            return uniq, dense[uniq]
+        uniq, inv = np.unique(docs, return_inverse=True)
+        return uniq, np.bincount(inv, weights=contribs)
+
     def _bm25_exhaustive(self, terms, k):
         docs = np.concatenate([p[0] for _, _, _, p in terms])
         contribs = np.concatenate(
@@ -280,8 +293,7 @@ class IndexSearcher:
                 for _, qw, idf, p in terms
             ]
         )
-        uniq, inv = np.unique(docs, return_inverse=True)
-        scores = np.bincount(inv, weights=contribs)
+        uniq, scores = self._accumulate(docs, contribs)
         return self._topk(uniq, scores, k)
 
     def _bm25_maxscore(self, terms, k: int):
@@ -400,9 +412,8 @@ class IndexSearcher:
             dots.append(tfidf * qw)
             lens.append(tfidf * tfidf)
         docs = np.concatenate(docs_all)
-        uniq, inv = np.unique(docs, return_inverse=True)
-        dot = np.bincount(inv, weights=np.concatenate(dots))
-        ln = np.bincount(inv, weights=np.concatenate(lens))
+        uniq, dot = self._accumulate(docs, np.concatenate(dots))
+        _, ln = self._accumulate(docs, np.concatenate(lens))
         scores = dot / np.sqrt(ln)
         return self._topk(uniq, scores, top_k)
 
