@@ -29,7 +29,7 @@ import pyarrow as pa
 from ..functions.stopwords import STOP_WORDS
 from ..functions.tokenizers import PUNCT_SPLIT_RE2
 
-FORMAT_VERSION = "v1"
+FORMAT_VERSION = "v2"  # bump to invalidate /tmp index caches on format change
 
 # ---------------------------------------------------------------------
 # SQL fragments
