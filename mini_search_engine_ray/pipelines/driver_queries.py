@@ -343,6 +343,32 @@ def q_code_term_stats(sf_dir: str):
 # -- rows-only (non-SQL-expressible) -----------------------------------
 
 
+def q_ann_ivf_topk(sf_dir: str):
+    """IVF approximate cosine top-k (rows-only: the approximation isn't
+    SQL-expressible; recall vs brute force is pytest-verified)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..stages.similarity import ivf_cosine_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, filters=[("vec_id", "<", ANN_QUERY_IDS)]).sort_by("vec_id")
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    out = ivf_cosine_topk(rd.read_parquet(emb_path), qm, k=ANN_K, n_centroids=8, nprobe=3)
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "vec_id": t["vec_id"],
+                "score": pa.array(_r4(t["score"].to_numpy(zero_copy_only=False))),
+            }
+        )
+
+    return out.drop_columns(["rank"]).map_batches(fix, batch_format="pyarrow")
+
+
 def q_compression_ratio(sf_dir: str):
     """Bytes of delta+varint-compressed doc_id postings vs the 4-byte
     naive encoding, summed over the built index — the analogue of the
@@ -536,6 +562,7 @@ QUERIES = {
     "sha256_docs": q_sha256_docs,
     "token_count_total": q_token_count_total,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "compression_ratio": q_compression_ratio,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,

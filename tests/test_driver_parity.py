@@ -98,6 +98,7 @@ def test_query_matches_oracle(registry, con, name):
 ROWS_ONLY_KEYS = [
     "minhash_signatures", "simhash", "fingerprints", "pagerank",
     "embedding_dup_pairs", "minhash_near_pairs", "compression_ratio",
+    "ann_ivf_topk",
 ]
 
 
