@@ -65,6 +65,7 @@ KW = "spark"
 AND_TERMS = ["window", "merge"]
 OR_TERMS = ["spark", "vector"]
 PHRASE = ["key", "agg"]
+PHRASE3 = ["table", "part", "hash"]
 BM25_TERMS = ["spark", "window", "merge"]
 TFIDF_TERMS = ["table", "row", "scan"]
 TOPK = 10
@@ -278,6 +279,15 @@ def q_ann_cosine_topk(sf_dir: str):
         )
 
     return out.drop_columns(["rank"]).map_batches(fix, batch_format="pyarrow")
+
+
+def q_search_phrase3(sf_dir: str):
+    return _ids_table(_searcher(sf_dir).search_phrase(PHRASE3))
+
+
+def q_tfidf_all(sf_dir: str):
+    ids, sc = _searcher(sf_dir).search_tfidf(TFIDF_TERMS, None)
+    return _scored_table(ids, sc)
 
 
 def q_term_positions(sf_dir: str):
@@ -553,6 +563,8 @@ QUERIES = {
     "search_and": q_search_and,
     "search_or": q_search_or,
     "search_phrase": q_search_phrase,
+    "search_phrase3": q_search_phrase3,
+    "tfidf_all": q_tfidf_all,
     "term_positions": q_term_positions,
     "code_term_stats": q_code_term_stats,
     "bm25_topk": q_bm25_topk,
@@ -629,8 +641,9 @@ FROM scores ORDER BY score DESC, doc_id {lim}
 """
 
 
-def _tfidf_sql(terms: list[str], limit: int) -> str:
+def _tfidf_sql(terms: list[str], limit: int | None) -> str:
     qlist = ",".join(f"'{t}'" for t in terms)
+    lim = f"LIMIT {limit}" if limit is not None else ""
     return f"""
 WITH {_BASE_CTE},
 meta AS (SELECT count(*)::DOUBLE AS n FROM base),
@@ -647,7 +660,7 @@ scores AS (
   SELECT doc_id, sum(dot_part) / sqrt(sum(len_part)) AS score
   FROM parts GROUP BY doc_id)
 SELECT doc_id, {_R4.format(expr="score")} AS score
-FROM scores ORDER BY score DESC, doc_id LIMIT {limit}
+FROM scores ORDER BY score DESC, doc_id {lim}
 """
 
 
@@ -693,6 +706,16 @@ WHERE len(terms) >= 2
           i -> terms[i] = '{PHRASE[0]}' AND terms[i+1] = '{PHRASE[1]}')) > 0
 ORDER BY doc_id
 """,
+    "search_phrase3": f"""
+WITH {_BASE_CTE}
+SELECT doc_id FROM base
+WHERE len(terms) >= 3
+  AND len(list_filter(range(1, len(terms) - 1),
+          i -> terms[i] = '{PHRASE3[0]}' AND terms[i+1] = '{PHRASE3[1]}'
+               AND terms[i+2] = '{PHRASE3[2]}')) > 0
+ORDER BY doc_id
+""",
+    "tfidf_all": _tfidf_sql(TFIDF_TERMS, None),
     "term_positions": f"""
 WITH {_BASE_CTE}
 SELECT doc_id, unnest(list_filter(range(1, len(terms) + 1),

@@ -167,11 +167,15 @@ def merge_indexes(
     manifests = [m for m in manifests if m["status"] != "empty"]
 
     n_docs = sum(m["n_docs"] for m in metas)
-    total_tf = sum(m["total_tf"] for m in manifests)
+    # avgdl is a CORPUS statistic (the stored per-posting doc_lens are
+    # the original analyzed lengths), so carry the sources' token totals
+    # rather than recounting surviving postings — otherwise dropping a
+    # tombstoned term would silently shift every BM25 score.
+    total_tokens = sum(m["total_tokens"] for m in metas)
     meta = {
         "n_docs": n_docs,
-        "total_tokens": int(total_tf),
-        "avgdl": (total_tf / n_docs) if n_docs else 0.0,
+        "total_tokens": int(total_tokens),
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
         "n_postings": int(sum(m["n_postings"] for m in manifests)),
         "n_shards": len(manifests),
         "analyzer": m0["analyzer"],

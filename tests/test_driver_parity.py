@@ -77,7 +77,8 @@ def test_every_oracle_query_has_impl(registry):
 
 ORACLE_KEYS = [
     "token_stats", "langid", "term_stats", "search_keyword", "search_and",
-    "search_or", "search_phrase", "term_positions", "code_term_stats",
+    "search_or", "search_phrase", "search_phrase3", "tfidf_all",
+    "term_positions", "code_term_stats",
     "bm25_topk", "bm25_all", "tfidf_topk",
     "dedup_exact", "sha256_docs", "token_count_total", "ann_cosine_topk",
     "codec_golden", "stemmer_golden", "wordbreak_golden",
