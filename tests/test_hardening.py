@@ -105,3 +105,26 @@ def test_huge_tf_and_long_doc(ray_session, tmp_path):
     assert p[1][0] == 5000  # tf survives varint round-trip
     assert len(p[3][0]) == 5000
     assert s.search_phrase(["needle", "haystack"]).tolist() == [0]
+
+
+def test_docstore_point_lookup(ray_session, tmp_path):
+    """J4: doc_id -> Document materialization via range-pruned docstore
+    reads (reference MapDB point lookups)."""
+    import ray.data as rd
+
+    corpus = synth_corpus(40, seed=9)
+    idx = str(tmp_path / "ds_idx")
+    build_index(rd.from_arrow(corpus), idx, num_buckets=2, n_docs=40,
+                fingerprint="ds", write_docstore=True)
+    s = IndexSearcher(idx)
+    hits = s.search_keyword("index")
+    docs = s.get_documents(hits[:5])
+    assert docs.num_rows == min(5, len(hits))
+    got = dict(zip(docs["doc_id"].to_pylist(), docs["content"].to_pylist()))
+    for i in hits[:5].tolist():
+        assert got[i] == corpus["content"][i].as_py()
+    # sha256 invariance (north-rule D4) holds in the docstore
+    import hashlib
+    for i, c in got.items():
+        row = docs.filter(__import__("pyarrow").compute.equal(docs["doc_id"], i))
+        assert row["sha256"][0].as_py() == hashlib.sha256(c.encode()).hexdigest()
