@@ -21,10 +21,10 @@ from .stopwords import STOP_WORDS
 # engine-portable character class (also valid RE2 for pyarrow/DuckDB):
 PUNCT_CLASS = ",.;?! ^\\f\\n\\r\\t\\x0b\\x85\\u2028\\u2029"
 PUNCT_SPLIT_RE = re.compile(f"[{PUNCT_CLASS}]+")
-# RE2 spelling for pyarrow.compute / DuckDB regexp_split_to_array:
+# RE2 spelling for pyarrow.compute / DuckDB regexp_split_to_array
+# (DuckDB uses RE2 too — pipelines/driver_queries.py embeds this
+# constant directly in the oracle SQL):
 PUNCT_SPLIT_RE2 = "[,.;?! ^\\f\\n\\r\\t\\x0B\\x85\\x{2028}\\x{2029}]+"
-# DuckDB needs the same class; RE2 syntax is identical there.
-PUNCT_SPLIT_SQL = PUNCT_SPLIT_RE2.replace("\\x{2028}", "\\x{2028}").replace("'", "''")
 
 
 def punctuation_tokenize(text: str | None, *, stop_words: frozenset[str] = STOP_WORDS) -> list[str]:

@@ -133,19 +133,36 @@ def write_corpus_parquet(table: pa.Table, path: str, *, rows_per_group: int = 51
 
 
 def corpus_fingerprint(paths: list[str]) -> str:
-    """Cheap deterministic fingerprint of a corpus: file names + row
-    counts + sizes from Parquet metadata (no data read). Used for
-    checkpoint lineage (SURVEY.md §4 'Checkpoint / resume')."""
+    """Cheap deterministic fingerprint of a corpus (no data read): file
+    name + byte size + mtime + row count + per-column chunk statistics
+    from the Parquet footer. Used for checkpoint lineage and index-cache
+    keys (SURVEY.md §4 'Checkpoint / resume') — a regenerated file with
+    the same row count must not silently reuse a stale cached index, so
+    the footer's data-page offsets/statistics (which depend on actual
+    contents) are folded in alongside size + mtime."""
     import os
 
     import pyarrow.parquet as pq
 
     h = hashlib.sha256()
     for p in sorted(paths):
+        st = os.stat(p)
         md = pq.read_metadata(p)
         h.update(os.path.basename(p).encode())
+        h.update(str(st.st_size).encode())
+        h.update(str(st.st_mtime_ns).encode())
         h.update(str(md.num_rows).encode())
         h.update(str(md.serialized_size).encode())
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                c = g.column(ci)
+                h.update(str(c.data_page_offset).encode())
+                h.update(str(c.total_compressed_size).encode())
+                stats = c.statistics
+                if stats is not None and stats.has_min_max:
+                    h.update(repr(stats.min)[:64].encode())
+                    h.update(repr(stats.max)[:64].encode())
     return h.hexdigest()[:16]
 
 

@@ -204,22 +204,37 @@ def _pairs_in_band(g, id_col: str = "doc_id", max_bucket: int = 200):
 
 
 def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
-                            num_perm=64, shingle_k=3, bands=16, rows=4, seed=1234):
+                            num_perm=64, shingle_k=3, bands=16, rows=4, seed=1234,
+                            partitions_per_band=64):
     """Dataset pipeline: docs -> signatures -> LSH bands -> candidate
-    pairs (a < b, unique). Returns (pairs_ds, signatures_ds)."""
+    pairs (a < b, unique). Returns (pairs_ds, signatures_ds).
+
+    Shuffle key: `grp = band * P + (band_hash mod P)` with
+    P = `partitions_per_band` — every hash bucket lands WHOLE in one
+    group (so results are independent of P), but a band's rows spread
+    over P groups. Grouping by band alone puts all N docs' rows for a
+    band into ONE task (unbounded memory, parallelism ceiling = bands);
+    grouping by raw (band, band_hash) creates ~N tiny Python-level
+    groups (quadratically slower). P ≈ 4× cluster cores keeps groups
+    bounded (~N/P rows) with elastic parallelism; the vectorized
+    `_pairs_in_band` run-detection still handles many buckets per task.
+    """
     sigs = ds.map_batches(
         lambda t: minhash_batch(t, text_col=text_col, id_col=id_col,
                                 num_perm=num_perm, shingle_k=shingle_k, seed=seed),
         batch_format="pyarrow",
     )
-    bands_ds = sigs.map_batches(
-        lambda t: lsh_band_batch(t, id_col=id_col, bands=bands, rows=rows),
-        batch_format="pyarrow",
-    )
-    # group by band ONLY (16 chunky groups, vectorized inner pair
-    # generation) — grouping by (band, band_hash) creates one tiny
-    # Python-level group per hash bucket, which is quadratically slower
-    pairs = bands_ds.groupby("band").map_groups(
+    P = int(partitions_per_band)
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        out = lsh_band_batch(t, id_col=id_col, bands=bands, rows=rows)
+        band = out["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = out["band_hash"].to_numpy(zero_copy_only=False)
+        grp = band * P + (bh % P)  # numpy % is non-negative for P > 0
+        return out.append_column("grp", pa.array(grp))
+
+    bands_ds = sigs.map_batches(band_rows, batch_format="pyarrow")
+    pairs = bands_ds.groupby("grp").map_groups(
         lambda g: _pairs_in_band(g, id_col), batch_format="pandas"
     )
     # candidate pairs are small (bounded by collisions); materialize so

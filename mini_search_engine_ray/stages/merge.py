@@ -81,8 +81,11 @@ def _exploded_table(d: dict, shard_id: int, *, positional: bool) -> pa.Table:
         "doc_len": pa.array(d["doc_len"].astype(np.int32)),
     }
     if positional and "positions_flat" in d:
-        cols["positions"] = pa.ListArray.from_arrays(
-            pa.array(d["positions_offsets"].astype(np.int32), type=pa.int32()),
+        # int64 (large_list) offsets: a merged bucket aggregates ALL
+        # sources' postings, so total positions can pass 2^31 at the
+        # 100 TB design point — int32 offsets would silently wrap.
+        cols["positions"] = pa.LargeListArray.from_arrays(
+            pa.array(d["positions_offsets"].astype(np.int64), type=pa.int64()),
             pa.array(d["positions_flat"].astype(np.int32), type=pa.int32()),
         )
     return pa.table(cols)

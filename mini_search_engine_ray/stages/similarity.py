@@ -33,6 +33,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_ids_scores(ids: np.ndarray, s: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, id asc) — argpartition picks
+    an arbitrary subset among ties at the k boundary, so expand the
+    selection to every row tied with the kth score before the lexsort
+    (documented tie rule: ties broken by id ascending)."""
+    kk = min(k, len(ids))
+    if kk < len(ids):
+        part = np.argpartition(-s, kk - 1)
+        kth = s[part[kk - 1]]
+        idx = np.flatnonzero(s >= kth)
+    else:
+        idx = np.arange(len(ids))
+    return idx[np.lexsort((ids[idx], -s[idx]))][:kk]
+
+
 def cosine_topk_batch(
     t: pa.Table,
     query_ref,
@@ -50,11 +65,9 @@ def cosine_topk_batch(
     sims = m @ qn.T  # (B, Q)
     ids = t[id_col].to_numpy(zero_copy_only=False)
     out_q, out_id, out_s = [], [], []
-    kk = min(k, len(ids))
     for qi in range(qn.shape[0]):
         s = sims[:, qi]
-        idx = np.argpartition(-s, kk - 1)[:kk] if kk < len(ids) else np.arange(len(ids))
-        order = idx[np.lexsort((ids[idx], -s[idx]))]
+        order = _topk_ids_scores(ids, s, k)
         out_q.append(np.full(len(order), qi, dtype=np.int64))
         out_id.append(ids[order])
         out_s.append(s[order])
@@ -153,9 +166,7 @@ def ivf_cosine_topk(
                 continue
             sims = m[mask] @ q[qi]
             sel_ids = ids[mask]
-            kk = min(k, len(sel_ids))
-            idx = np.argpartition(-sims, kk - 1)[:kk] if kk < len(sel_ids) else np.arange(len(sel_ids))
-            order = idx[np.lexsort((sel_ids[idx], -sims[idx]))]
+            order = _topk_ids_scores(sel_ids, sims, k)
             out_q.append(np.full(len(order), qi, dtype=np.int64))
             out_id.append(sel_ids[order])
             out_s.append(sims[order])
@@ -206,12 +217,18 @@ def embedding_dup_pairs(
     num_hyperplanes: int = 8,
     dim: int | None = None,
     seed: int = 77,
+    max_bucket: int = 200,
 ):
     """Embedding-cosine near-dup pairs via LSH buckets + in-bucket exact
     cosine. Returns Dataset (a, b, score) with a < b, score >= threshold.
     Vectors whose codes differ in any hyperplane land in different
     buckets (single-probe; raise num_hyperplanes for precision, add
-    probes/repeats for recall)."""
+    probes/repeats for recall). A bucket larger than `max_bucket` is
+    truncated to its `max_bucket` smallest ids before the in-bucket
+    all-pairs matmul — the same quadratic-blowup guard as
+    `dedup._pairs_in_band`; a degenerate hot bucket (boilerplate /
+    near-zero embeddings) would otherwise cost O(bucket²) memory and
+    one-task wall time. Truncated buckets are logged."""
     import ray
 
     if dim is None:
@@ -228,10 +245,21 @@ def embedding_dup_pairs(
     def in_bucket_pairs(g):
         import pandas as pd
 
+        empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+                              "score": pd.Series(dtype="float64")})
         ids = g[id_col].to_numpy()
         if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                                 "score": pd.Series(dtype="float64")})
+            return empty
+        if len(ids) > max_bucket:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "embedding_dup_pairs: bucket %s truncated %d -> %d vectors",
+                g["bucket"].iloc[0], len(ids), max_bucket,
+            )
+            keep = np.argsort(ids, kind="stable")[:max_bucket]
+            g = g.iloc[keep]
+            ids = g[id_col].to_numpy()
         m = _normalize(np.stack(g["embedding_keep"].to_numpy()).astype(np.float64))
         sims = m @ m.T
         iu, ju = np.triu_indices(len(ids), k=1)

@@ -123,33 +123,56 @@ def fingerprint_batch(
 ) -> pa.Table:
     """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
     rolling hash over k-token shingles, per-window minimum, deduped —
-    a compact signature for near-dup detection and provenance."""
-    from .dedup import _token_hashes, _shingle_hashes
+    a compact signature for near-dup detection and provenance.
 
-    content = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    Fully vectorized over the batch: ONE flat shingle-hash array with
+    per-doc offsets (`_doc_shingles_flat`), one sliding-window-min pass
+    with doc-boundary masking, one lexsort dedupe — O(tokens) per
+    batch, no per-doc rescans.
+    """
+    from .dedup import _doc_shingles_flat
+
     n = t.num_rows
-    parents, values = _split_tokens(content)
-    out_ids, out_fps = [], []
-    th = _token_hashes(values)
-    for i in range(n):
-        h = _shingle_hashes(th[parents == i], k)
-        if len(h) == 0:
-            out_ids.append(i)
-            out_fps.append([])
-            continue
-        if len(h) <= window:
-            mins = h.min(keepdims=True)
-        else:
-            sw = np.lib.stride_tricks.sliding_window_view(h, window)
-            mins = np.unique(sw.min(axis=1))
-        out_ids.append(i)
-        # reinterpret uint64 -> int64 so the values fit Arrow int64
-        out_fps.append(np.unique(mins).astype(np.uint64).view(np.int64).tolist())
-    ids = t[id_col].to_numpy(zero_copy_only=False)
+    flat, off = _doc_shingles_flat(t, text_col, k)
+    lens = np.diff(off)
+    m = len(flat)
+    vals_parts: list[np.ndarray] = []
+    own_parts: list[np.ndarray] = []
+    if m >= window:
+        # windows fully inside one doc (docs with >= window shingles)
+        owners = np.repeat(np.arange(n, dtype=np.int64), lens)
+        sw_min = np.lib.stride_tricks.sliding_window_view(flat, window).min(axis=1)
+        p = np.arange(len(sw_min))
+        valid = owners[p] == owners[p + window - 1]
+        vals_parts.append(sw_min[valid])
+        own_parts.append(owners[p[valid]])
+    # docs with 1..window-1 shingles keep their single global min
+    nonempty = np.flatnonzero(lens > 0)
+    if len(nonempty):
+        doc_min = np.minimum.reduceat(flat, off[nonempty])
+        short = lens[nonempty] < window
+        vals_parts.append(doc_min[short])
+        own_parts.append(nonempty[short])
+    if vals_parts:
+        vals = np.concatenate(vals_parts)
+        own = np.concatenate(own_parts)
+        order = np.lexsort((vals, own))
+        vals, own = vals[order], own[order]
+        keep = np.r_[True, (own[1:] != own[:-1]) | (vals[1:] != vals[:-1])]
+        vals, own = vals[keep], own[keep]
+    else:
+        vals = np.empty(0, dtype=np.uint64)
+        own = np.empty(0, dtype=np.int64)
+    counts = np.bincount(own, minlength=n).astype(np.int64)
+    list_off = np.r_[0, np.cumsum(counts)]
     return pa.table(
         {
-            id_col: pa.array(ids[out_ids], type=pa.int64()),
-            "fingerprints": pa.array(out_fps, type=pa.list_(pa.int64())),
-            "n_fingerprints": pa.array([len(f) for f in out_fps], type=pa.int64()),
+            id_col: t[id_col],
+            "fingerprints": pa.ListArray.from_arrays(
+                pa.array(list_off, type=pa.int64()).cast(pa.int32()),
+                # reinterpret uint64 -> int64 so the values fit Arrow int64
+                pa.array(vals.view(np.int64), type=pa.int64()),
+            ),
+            "n_fingerprints": pa.array(counts),
         }
     )

@@ -272,14 +272,21 @@ class IndexSearcher:
             return self._bm25_exhaustive(terms, k)
         return self._bm25_maxscore(terms, k)
 
-    # below this corpus size a dense per-doc accumulator (bincount, no
-    # sort) beats unique-sort merging; larger corpora use the sparse path
+    # below this accumulator size a dense per-doc array (bincount, no
+    # sort) beats unique-sort merging; larger spans use the sparse path
     DENSE_ACCUM_MAX_DOCS = 10_000_000
 
     def _accumulate(self, docs: np.ndarray, contribs: np.ndarray):
-        """Sum contributions per doc -> (unique_docs, scores)."""
-        if 0 < self.n_docs <= self.DENSE_ACCUM_MAX_DOCS and docs.size:
-            dense = np.bincount(docs, weights=contribs, minlength=self.n_docs)
+        """Sum contributions per doc -> (unique_docs, scores).
+
+        The dense path allocates max(doc_id)+1 slots, so it is gated on
+        the actual id span, not n_docs: merged/incremental indexes only
+        guarantee DISJOINT (not contiguous) doc_id spaces, and a small
+        index with sparse 10^12-range ids must not trigger a dense
+        allocation (codecs are int64-capable by design).
+        """
+        if docs.size and int(docs.max()) < self.DENSE_ACCUM_MAX_DOCS:
+            dense = np.bincount(docs, weights=contribs, minlength=int(docs.max()) + 1)
             uniq = np.flatnonzero(dense)
             return uniq, dense[uniq]
         uniq, inv = np.unique(docs, return_inverse=True)

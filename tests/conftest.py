@@ -2,7 +2,15 @@
 
 from __future__ import annotations
 
+import sys
+
 import pytest
+
+# Concurrent pytest runs (driver + judge + builder) can race on pytest's
+# assertion-rewrite .pyc cache under tests/__pycache__, surfacing as
+# spurious collection-time ImportErrors. Rewriting in memory is cheap;
+# never write bytecode from the test session.
+sys.dont_write_bytecode = True
 
 
 @pytest.fixture(scope="session")
