@@ -39,13 +39,16 @@ _SQL_CLASS = "[,.;?! ^\\f\\n\\r\\t\\x0B\\x85\\x{2028}\\x{2029}]+"
 assert _SQL_CLASS == PUNCT_SPLIT_RE2
 _STOP_IN = "(" + ",".join(f"'{w}'" for w in sorted(STOP_WORDS)) + ")"
 
-_BASE_CTE = f"""
+_TOK_CTE = f"""
 tok AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '{_SQL_CLASS}'),
                      x -> x <> '') AS toks
   FROM documents
-),
+)
+"""
+
+_BASE_CTE = f"""{_TOK_CTE},
 base AS (
   SELECT doc_id, toks,
          list_filter(toks, x -> x NOT IN {_STOP_IN}) AS terms
@@ -54,6 +57,69 @@ base AS (
 """
 
 _R4 = "floor({expr} * 10000 + 0.5) / 10000"
+
+# ---------------------------------------------------------------------
+# 64-bit sketch arithmetic in SQL (MinHash / SimHash / winnowing
+# oracles). The engine's token hash is the LOW 64 bits of md5
+# (== DuckDB md5_number_lower), all mixing is mod-2^64 — UHUGEINT
+# intermediates replicate numpy uint64 wraparound exactly (verified
+# bit-for-bit in tests/test_driver_parity.py).
+# ---------------------------------------------------------------------
+
+_M64 = "18446744073709551616::UHUGEINT"   # 2^64
+_MIX64 = "11400714819323198485::UHUGEINT"  # 0x9E3779B97F4A7C15
+_MAXU64 = "18446744073709551615::UHUGEINT"
+
+# token-hash rows: one row per (doc, position), stopwords INCLUDED
+# (sketches run over the raw token stream, like stages/textstats
+# _split_tokens)
+_TOKHASH_CTE = """
+tokpos AS (
+  SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+  FROM tok
+),
+th AS (
+  SELECT doc_id, pos, md5_number_lower(tok) AS h,
+         count(*) OVER (PARTITION BY doc_id) AS ntok
+  FROM tokpos
+)
+"""
+
+
+def _u64_to_i64(expr: str) -> str:
+    """Reinterpret a UHUGEINT (< 2^64) as signed int64 (numpy .view)."""
+    return (
+        f"CASE WHEN ({expr}) >= 9223372036854775808::UHUGEINT "
+        f"THEN (({expr})::HUGEINT - 18446744073709551616::HUGEINT)::BIGINT "
+        f"ELSE ({expr})::BIGINT END"
+    )
+
+
+def _shingle_cte(k: int) -> str:
+    """Shingle hashes per (doc, start-pos): polynomial mix of k
+    consecutive token hashes mod 2^64 (dedup._shingle_hashes); docs
+    shorter than k keep their raw token hashes as 'shingles'."""
+    expr = "h::UHUGEINT"
+    for j in range(1, k):
+        expr = f"((({expr}) * {_MIX64}) % {_M64} + (lead(h, {j}) OVER w)::UHUGEINT) % {_M64}"
+    return f"""
+sh0 AS (
+  SELECT doc_id, pos, ntok, h, {expr} AS s
+  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shingles AS (
+  SELECT doc_id, pos, CASE WHEN ntok < {k} THEN h::UHUGEINT ELSE s END AS s
+  FROM sh0 WHERE ntok < {k} OR pos <= ntok - {k} + 1
+)
+"""
+
+
+def _poly_list(items: list[str]) -> str:
+    """acc = (acc * MIX + item) mod 2^64 over a list of UHUGEINT exprs."""
+    expr = items[0]
+    for it in items[1:]:
+        expr = f"((({expr}) * {_MIX64}) % {_M64} + {it}) % {_M64}"
+    return expr
 
 
 def _r4(x: np.ndarray) -> np.ndarray:
@@ -354,8 +420,12 @@ def q_code_term_stats(sf_dir: str):
 
 
 def q_ann_ivf_topk(sf_dir: str):
-    """IVF approximate cosine top-k (rows-only: the approximation isn't
-    SQL-expressible; recall vs brute force is pytest-verified)."""
+    """IVF cosine top-k run at FULL probe (nprobe == n_centroids): the
+    IVF partition/probe machinery is exercised end-to-end and its
+    lossless-at-full-probe invariant is checked against the brute-force
+    SQL oracle (exact top-k). The approximate path (nprobe <
+    n_centroids) isn't SQL-expressible; its recall bound is
+    pytest-verified (tests/test_extras.py)."""
     import pyarrow.parquet as pq
 
     import ray.data as rd
@@ -365,7 +435,7 @@ def q_ann_ivf_topk(sf_dir: str):
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qt = pq.read_table(emb_path, filters=[("vec_id", "<", ANN_QUERY_IDS)]).sort_by("vec_id")
     qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
-    out = ivf_cosine_topk(rd.read_parquet(emb_path), qm, k=ANN_K, n_centroids=8, nprobe=3)
+    out = ivf_cosine_topk(rd.read_parquet(emb_path), qm, k=ANN_K, n_centroids=8, nprobe=8)
 
     def fix(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -385,6 +455,8 @@ def q_compression_ratio(sf_dir: str):
     reference's page-I/O-counter compression gate
     (`Team6IndexCompressionTest.java:24-42`; the reference asserts
     compressed page counts strictly below naive)."""
+    import pyarrow.compute as pc
+
     from ..stages.shards import list_shards, open_shard
 
     index_dir = get_index(sf_dir)
@@ -393,8 +465,8 @@ def q_compression_ratio(sf_dir: str):
         t = open_shard(index_dir, sid)
         if t is None:
             continue
-        col = t["docs"].combine_chunks() if isinstance(t["docs"], pa.ChunkedArray) else t["docs"]
-        compressed += sum(len(col[i].as_py()) for i in range(len(col)))
+        # vectorized byte count (no per-term Python loop over the vocab)
+        compressed += int(pc.sum(pc.binary_length(t["docs"])).as_py() or 0)
         n = int(np.sum(t["df"].to_numpy(zero_copy_only=False)))
         naive += 4 * n
         postings += n
@@ -409,18 +481,28 @@ def q_compression_ratio(sf_dir: str):
 
 
 def q_minhash_signatures(sf_dir: str):
+    """Exploded (doc_id, p, sig) MinHash signatures — every one of the
+    64 permutation minima is value-checked against the pure-SQL MinHash
+    oracle (token md5 -> shingle polynomial mix -> per-permutation
+    min, all mod 2^64)."""
     from ..stages.dedup import minhash_batch
 
-    def sig_hash(t: pa.Table) -> pa.Table:
+    def explode(t: pa.Table) -> pa.Table:
         out = minhash_batch(t)
         sig = out["sig"].combine_chunks()
         n = len(sig)
         w = sig.type.list_size
-        raw = sig.values.to_numpy(zero_copy_only=False).reshape(n, w)
-        hashes = [hashlib.blake2b(r.tobytes(), digest_size=8).hexdigest() for r in raw]
-        return pa.table({"doc_id": out["doc_id"], "sig_hash": pa.array(hashes)})
+        raw = sig.values.to_numpy(zero_copy_only=False).reshape(n, w).astype(np.uint64)
+        ids = out["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, w)),
+                "p": pa.array(np.tile(np.arange(w, dtype=np.int64), n)),
+                "sig": pa.array(raw.reshape(-1).view(np.int64)),
+            }
+        )
 
-    return _docs_ds(sf_dir).map_batches(sig_hash, batch_format="pyarrow")
+    return _docs_ds(sf_dir).map_batches(explode, batch_format="pyarrow")
 
 
 def q_simhash(sf_dir: str):
@@ -430,11 +512,28 @@ def q_simhash(sf_dir: str):
 
 
 def q_fingerprints(sf_dir: str):
+    """(doc_id, n_fingerprints, fp_xor): winnowing fingerprint count
+    plus the XOR-fold of the (distinct) fingerprint values — a compact
+    value check of the whole fingerprint SET against the SQL oracle."""
     from ..stages.textstats import fingerprint_batch
 
     def counts(t: pa.Table) -> pa.Table:
         out = fingerprint_batch(t)
-        return out.select(["doc_id", "n_fingerprints"])
+        col = out["fingerprints"].combine_chunks()
+        off = col.offsets.to_numpy(zero_copy_only=False)
+        vals = col.values.to_numpy(zero_copy_only=False)
+        lens = np.diff(off)
+        fx = np.zeros(len(out), dtype=np.int64)
+        ne = np.flatnonzero(lens > 0)
+        if len(ne):
+            fx[ne] = np.bitwise_xor.reduceat(vals, off[ne])
+        return pa.table(
+            {
+                "doc_id": out["doc_id"],
+                "n_fingerprints": out["n_fingerprints"],
+                "fp_xor": pa.array(fx),
+            }
+        )
 
     return _docs_ds(sf_dir).map_batches(counts, batch_format="pyarrow")
 
@@ -446,13 +545,23 @@ def q_minhash_near_pairs(sf_dir: str):
     return pairs
 
 
+EMB_DUP_THRESHOLD = 0.4  # the synthetic embeddings hold no real near-
+EMB_DUP_HYPERPLANES = 4  # dups (max cosine ~0.5), so the driver query
+#                          runs the same pipeline at a low threshold /
+#                          4 hyperplanes to produce a NON-TRIVIAL pair
+#                          set the SQL oracle can value-check; real
+#                          dedup uses the defaults (0.95 / 8).
+
+
 def q_embedding_dup_pairs(sf_dir: str):
     import ray.data as rd
 
     from ..stages.similarity import embedding_dup_pairs
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    out = embedding_dup_pairs(ds, threshold=0.9)
+    out = embedding_dup_pairs(
+        ds, threshold=EMB_DUP_THRESHOLD, num_hyperplanes=EMB_DUP_HYPERPLANES
+    )
 
     def fix(df):
         df = df.copy()
@@ -586,6 +695,216 @@ QUERIES = {
     "stemmer_golden": q_stemmer_golden,
     "wordbreak_golden": q_wordbreak_golden,
 }
+
+
+# ---------------------------------------------------------------------
+# sketch / graph oracle SQL builders
+# ---------------------------------------------------------------------
+
+
+def _perm_values_sql(num_perm: int = 64, seed: int = 1234) -> str:
+    """The SAME (a_p, b_p) permutation constants the engine draws
+    (dedup._perm_params) inlined as SQL literals."""
+    from ..stages.dedup import _perm_params
+
+    a, b = _perm_params(num_perm, seed)
+    return ",".join(
+        f"({p}, {int(a[p])}::UHUGEINT, {int(b[p])}::UHUGEINT)" for p in range(num_perm)
+    )
+
+
+def _minhash_sig_ctes(num_perm: int = 64, shingle_k: int = 3) -> str:
+    """CTE chain ending in sig(doc_id, p, sig_u): per-permutation MinHash
+    minima as UHUGEINT, all-MAX sentinel for docs without shingles
+    (parity with dedup.minhash_batch)."""
+    return f"""{_TOK_CTE},
+{_TOKHASH_CTE.strip()},
+{_shingle_cte(shingle_k).strip()},
+perms(p, a, bb) AS (SELECT * FROM (VALUES {_perm_values_sql(num_perm)})),
+minh AS (
+  SELECT s.doc_id, perms.p,
+         min(((perms.a * s.s) % {_M64} + perms.bb) % {_M64}) AS sig
+  FROM shingles s CROSS JOIN perms GROUP BY s.doc_id, perms.p
+),
+sig AS (
+  SELECT d.doc_id, perms.p, coalesce(minh.sig, {_MAXU64}) AS sig_u
+  FROM (SELECT doc_id FROM documents) d CROSS JOIN perms
+  LEFT JOIN minh ON minh.doc_id = d.doc_id AND minh.p = perms.p
+)"""
+
+
+def _minhash_signatures_sql() -> str:
+    return f"""
+WITH {_minhash_sig_ctes()}
+SELECT doc_id, p, {_u64_to_i64("sig_u")} AS sig FROM sig
+"""
+
+
+def _minhash_near_pairs_sql(bands: int = 16, rows: int = 4, max_bucket: int = 200) -> str:
+    poly = _poly_list([f"sigs[{r + 1}]" for r in range(rows)])
+    return f"""
+WITH {_minhash_sig_ctes()},
+bs AS (
+  SELECT doc_id, p // {rows} AS band, list(sig_u ORDER BY p) AS sigs
+  FROM sig GROUP BY doc_id, p // {rows}
+),
+bh AS (SELECT doc_id, band, {poly} AS bhash FROM bs),
+mem AS (
+  SELECT band, bhash, doc_id,
+         row_number() OVER (PARTITION BY band, bhash ORDER BY doc_id) AS rn
+  FROM (SELECT DISTINCT band, bhash, doc_id FROM bh)
+)
+SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+FROM mem x JOIN mem y
+  ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+WHERE x.rn <= {max_bucket} AND y.rn <= {max_bucket}
+"""
+
+
+def _simhash_sql() -> str:
+    # HUGEINT throughout: per-bit popcount sums fit comfortably, and the
+    # assembled 64-bit fingerprint (< 2^64) reinterprets to int64
+    return f"""
+WITH {_TOK_CTE},
+{_TOKHASH_CTE.strip()},
+bits AS (
+  SELECT doc_id, t.b,
+         CASE WHEN (h >> t.b::INTEGER) & 1 = 1 THEN 1 ELSE -1 END AS sgn
+  FROM th CROSS JOIN range(64) t(b)
+),
+acc AS (SELECT doc_id, b, sum(sgn) AS ssum FROM bits GROUP BY doc_id, b),
+fp AS (
+  SELECT doc_id,
+         sum(CASE WHEN ssum > 0 THEN (1::HUGEINT << b::INTEGER) ELSE 0::HUGEINT END) AS f
+  FROM acc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CASE WHEN coalesce(fp.f, 0::HUGEINT) >= 9223372036854775808::HUGEINT
+            THEN (coalesce(fp.f, 0::HUGEINT) - 18446744073709551616::HUGEINT)::BIGINT
+            ELSE coalesce(fp.f, 0::HUGEINT)::BIGINT END AS simhash
+FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+"""
+
+
+def _fingerprints_sql(k: int = 5, window: int = 4) -> str:
+    return f"""
+WITH {_TOK_CTE},
+{_TOKHASH_CTE.strip()},
+{_shingle_cte(k).strip()},
+w AS (
+  SELECT doc_id, pos,
+         min(s) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS nsh
+  FROM shingles
+),
+f AS (
+  SELECT doc_id, count(DISTINCT wmin)::BIGINT AS nf,
+         bit_xor(DISTINCT {_u64_to_i64("wmin")}) AS fx
+  FROM w WHERE pos <= greatest(nsh - {window - 1}, 1) GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(f.nf, 0)::BIGINT AS n_fingerprints,
+       coalesce(f.fx, 0)::BIGINT AS fp_xor
+FROM documents d LEFT JOIN f ON f.doc_id = d.doc_id
+"""
+
+
+def _embedding_dup_pairs_sql(
+    threshold: float, num_hyperplanes: int, dim: int = 64, seed: int = 77,
+    max_bucket: int = 200,
+) -> str:
+    """The engine's random projection matrix inlined as literals; bucket
+    code = sign bits in hyperplane order (MSB first), pairs within a
+    bucket (<= max_bucket smallest ids) with cosine >= threshold."""
+    proj = np.random.default_rng(seed).standard_normal((num_hyperplanes, dim))
+    bits = " + ".join(
+        f"CASE WHEN list_dot_product(e, [{', '.join(repr(float(x)) for x in proj[h])}]) > 0 "
+        f"THEN {1 << (num_hyperplanes - 1 - h)} ELSE 0 END"
+        for h in range(num_hyperplanes)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e, ({bits}) AS bucket FROM v),
+mem AS (
+  SELECT vec_id, e, bucket,
+         row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+  FROM b
+),
+s AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, list_cosine_similarity(x.e, y.e) AS sim
+  FROM mem x JOIN mem y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+  WHERE x.rn <= {max_bucket} AND y.rn <= {max_bucket}
+)
+SELECT a, b, {_R4.format(expr="sim")} AS score FROM s WHERE sim >= {threshold}
+"""
+
+
+def _varint_nbytes_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} < {1 << (7 * k)} THEN {k}" for k in range(1, 10)
+    )
+    return f"CASE {cases} ELSE 10 END"
+
+
+def _compression_ratio_sql() -> str:
+    """Replicates the shard docs-column byte count exactly: per term,
+    posting doc_ids ascending, delta-encoded (first absolute), big-
+    endian base-128 varint byte lengths (functions/codecs.py)."""
+    return f"""
+WITH {_BASE_CTE},
+p AS (
+  SELECT doc_id, term
+  FROM (SELECT doc_id, unnest(terms) AS term FROM base) GROUP BY doc_id, term
+),
+d AS (
+  SELECT term,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id), 0) AS dv
+  FROM p
+),
+vb AS (SELECT {_varint_nbytes_sql("dv")} AS nb FROM d)
+SELECT sum(nb)::BIGINT AS compressed_bytes,
+       (4 * count(*))::BIGINT AS naive_bytes,
+       count(*)::BIGINT AS n_postings,
+       sum(nb) < 4 * count(*) AS beats_naive
+FROM vb
+"""
+
+
+def _pagerank_sql(iterations: int = 100, damping: float = 0.85) -> str:
+    """Fully-unrolled 100-iteration PageRank over the same synthetic
+    doc-id link graph as q_pagerank — an INDEPENDENT arithmetic path
+    (DuckDB joins/aggregation vs numpy scatter-add)."""
+    base = 1.0 - damping
+    its = []
+    prev = "s0"
+    for i in range(1, iterations + 1):
+        cur = f"s{i}"
+        its.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT n.node, {base} + {damping} * coalesce(c.s, 0) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.score / deg.outdeg) AS s
+    FROM edges e JOIN {prev} ON {prev}.node = e.src
+                 JOIN deg ON deg.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)"""
+        )
+        prev = cur
+    return f"""
+WITH m AS (SELECT count(*)::BIGINT AS n FROM documents),
+nodes AS MATERIALIZED (SELECT unnest(range((SELECT n FROM m)))::BIGINT AS node),
+e0 AS (
+  SELECT node AS src, (7 * node + 3) % (SELECT n FROM m) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (13 * node + 5) % (SELECT n FROM m) FROM nodes
+),
+edges AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS node, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+s0 AS (SELECT node, 1.0::DOUBLE AS score FROM nodes),
+{",".join(its)}
+SELECT node, {_R4.format(expr="score")} AS score FROM {prev} ORDER BY node
+"""
 
 
 def _marker_count(lang_markers: list[str]) -> str:
@@ -755,6 +1074,30 @@ SELECT (SELECT sum(len(toks)) FROM base)::BIGINT AS total_tokens,
         FROM (SELECT unnest(terms) AS term FROM base))::BIGINT AS distinct_terms
 """,
     "ann_cosine_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < {ANN_QUERY_IDS}),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM s)
+SELECT query_id, vec_id, {_R4.format(expr="sim")} AS score
+FROM r WHERE rn <= {ANN_K}
+""",
+    "minhash_signatures": _minhash_signatures_sql(),
+    "minhash_near_pairs": _minhash_near_pairs_sql(),
+    "simhash": _simhash_sql(),
+    "fingerprints": _fingerprints_sql(),
+    "embedding_dup_pairs": _embedding_dup_pairs_sql(
+        EMB_DUP_THRESHOLD, EMB_DUP_HYPERPLANES
+    ),
+    "compression_ratio": _compression_ratio_sql(),
+    "pagerank": _pagerank_sql(),
+    # IVF at full probe is provably lossless => the exact brute-force
+    # top-k SQL is its oracle (same queries/k as ann_cosine_topk)
+    "ann_ivf_topk": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
            FROM embeddings WHERE vec_id < {ANN_QUERY_IDS}),
 s AS (SELECT q.query_id, e.vec_id,

@@ -31,8 +31,14 @@ _TOKEN_HASH_CACHE: dict[str, int] = {}
 
 
 def _token_hashes(values: pa.Array) -> np.ndarray:
-    """Deterministic 64-bit hash per token (blake2b, memoized on the
-    token dictionary so each unique string is hashed once)."""
+    """Deterministic 64-bit hash per token, memoized on the token
+    dictionary so each unique string is hashed once.
+
+    The hash is the LOW 64 bits of md5 (last 8 digest bytes,
+    little-endian) — chosen because it equals DuckDB's
+    `md5_number_lower(tok)`, which lets the driver oracle replicate
+    every sketch built on top (MinHash, SimHash, winnowing) in pure
+    SQL."""
     denc = values.dictionary_encode()
     codes = denc.indices.to_numpy(zero_copy_only=False)
     vocab = denc.dictionary.to_pylist()
@@ -41,7 +47,7 @@ def _token_hashes(values: pa.Array) -> np.ndarray:
     for i, v in enumerate(vocab):
         h = cache.get(v)
         if h is None:
-            h = int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "big")
+            h = int.from_bytes(hashlib.md5(v.encode()).digest()[8:], "little")
             if len(cache) < 2_000_000:
                 cache[v] = h
         out[i] = h

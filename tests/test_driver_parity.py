@@ -82,6 +82,11 @@ ORACLE_KEYS = [
     "bm25_topk", "bm25_all", "tfidf_topk",
     "dedup_exact", "sha256_docs", "token_count_total", "ann_cosine_topk",
     "codec_golden", "stemmer_golden", "wordbreak_golden",
+    # round 2: former rows-only entries, now with full SQL oracles
+    # (md5-based 64-bit sketch arithmetic / unrolled PageRank / varint
+    # byte-length replication / IVF-at-full-probe == exact)
+    "minhash_signatures", "simhash", "fingerprints", "minhash_near_pairs",
+    "embedding_dup_pairs", "compression_ratio", "pagerank", "ann_ivf_topk",
 ]
 
 
@@ -96,17 +101,14 @@ def test_query_matches_oracle(registry, con, name):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=False, rtol=1e-6, atol=1e-6)
 
 
-ROWS_ONLY_KEYS = [
-    "minhash_signatures", "simhash", "fingerprints", "pagerank",
-    "embedding_dup_pairs", "minhash_near_pairs", "compression_ratio",
-    "ann_ivf_topk",
-]
+def test_no_rows_only_queries_left(registry):
+    """Every queries() entry carries an oracle_sql() entry — the driver
+    records zero `no_oracle` rows."""
+    q, o = registry
+    assert set(q) == set(o)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
-def test_rows_only_queries_run(registry, name):
+def test_row_counts_per_doc(registry):
     q, _ = registry
-    df = _to_pandas(q[name](SF))
-    assert df is not None
-    if name in ("minhash_signatures", "simhash", "fingerprints", "pagerank"):
-        assert len(df) == 500  # one row per doc/node at sf0.001
+    assert len(_to_pandas(q["simhash"](SF))) == 500
+    assert len(_to_pandas(q["minhash_signatures"](SF))) == 500 * 64
