@@ -69,12 +69,18 @@ class WordBreakAnalyzer:
     word-break analyzer composition; `analysis/WordBreakTokenizer.java`
     + `JapaneseTokenizer.java` are the same DP with a different
     dictionary). The 82k-entry dictionary loads ONCE per instance —
-    i.e. once per Ray actor (SURVEY §2 ST1)."""
+    i.e. once per Ray actor (SURVEY §2 ST1). With no `dict_path` the
+    shipped public dictionary is used (`resources/
+    cs221_frequency_dictionary_en.txt`, reference parity out of the
+    box); `lang="jp"` selects the Japanese dictionary."""
 
-    def __init__(self, dict_path: str, *, stem: bool = True) -> None:
+    def __init__(self, dict_path: str | None = None, *, stem: bool = True, lang: str = "en") -> None:
         from .tokenizers import WordBreakTokenizer
 
-        self.tokenizer = WordBreakTokenizer.from_file(dict_path)
+        if dict_path is not None:
+            self.tokenizer = WordBreakTokenizer.from_file(dict_path)
+        else:
+            self.tokenizer = WordBreakTokenizer.default(lang)
         self.stemmer = PorterStemmer() if stem else None
 
     def analyze(self, text: str | None) -> list[str]:
@@ -91,8 +97,11 @@ _REGISTRY: dict[str, Callable[..., Analyzer]] = {
     "punctuation": PunctuationAnalyzer,
     "code": CodeAnalyzer,
     "code_nostem": lambda: CodeAnalyzer(stem=False),
-    "wordbreak": WordBreakAnalyzer,          # needs dict_path=
-    "wordbreak_nostem": lambda dict_path: WordBreakAnalyzer(dict_path, stem=False),
+    "wordbreak": WordBreakAnalyzer,          # dict_path= optional (ships en dict)
+    "wordbreak_nostem": lambda dict_path=None: WordBreakAnalyzer(dict_path, stem=False),
+    # reference JapaneseTokenizer == WordBreakTokenizer + jp dictionary,
+    # used bare (no stemming) in its tests
+    "japanese": lambda dict_path=None: WordBreakAnalyzer(dict_path, stem=False, lang="jp"),
 }
 
 

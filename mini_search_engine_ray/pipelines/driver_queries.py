@@ -660,6 +660,37 @@ def q_wordbreak_golden(sf_dir: str):
     )
 
 
+# reference WordBreakTokenizerTest / JapaneseTokenizerTest vectors run
+# against the SHIPPED public dictionaries (resources/
+# cs221_frequency_dictionary_{en,jp}.txt) — golden VALUES oracle
+_WB_DICT_GOLDEN = [
+    ("en", "catdog", "cat dog"),
+    ("en", "catdogcatdog", "cat dog cat dog"),
+    ("en", "你好我是一个人", "你好 我 是 一个 人"),
+    ("en", "さようなら友達", "さようなら 友達"),
+    ("en", "CATDOG", "cat dog"),
+    ("en", "mecatdog", "cat dog"),
+    ("en", "something", "something"),
+    ("jp", "ジンボはリンゴを食べる", "ジン ボ は リンゴ を 食べる"),
+    ("jp", "あなたを愛しています", "あなた を 愛し て い ます"),
+]
+
+
+def q_wordbreak_dict_golden(sf_dir: str):
+    from ..functions.tokenizers import WordBreakTokenizer
+
+    toks = {lang: WordBreakTokenizer.default(lang) for lang in ("en", "jp")}
+    return pa.table(
+        {
+            "lang": pa.array([l for l, _, _ in _WB_DICT_GOLDEN]),
+            "input": pa.array([i for _, i, _ in _WB_DICT_GOLDEN]),
+            "tokens": pa.array(
+                [" ".join(toks[l].tokenize(i)) for l, i, _ in _WB_DICT_GOLDEN]
+            ),
+        }
+    )
+
+
 # ---------------------------------------------------------------------
 # registry + oracle SQL
 # ---------------------------------------------------------------------
@@ -694,6 +725,7 @@ QUERIES = {
     "codec_golden": q_codec_golden,
     "stemmer_golden": q_stemmer_golden,
     "wordbreak_golden": q_wordbreak_golden,
+    "wordbreak_dict_golden": q_wordbreak_dict_golden,
 }
 
 
@@ -1125,4 +1157,7 @@ SELECT * FROM (VALUES
     "wordbreak_golden": "SELECT * FROM (VALUES "
     + ", ".join(f"('{i}', '{o}')" for i, o in _WB_GOLDEN)
     + ") AS t(input, tokens)",
+    "wordbreak_dict_golden": "SELECT * FROM (VALUES "
+    + ", ".join(f"('{l}', '{i}', '{o}')" for l, i, o in _WB_DICT_GOLDEN)
+    + ") AS t(lang, input, tokens)",
 }
