@@ -62,32 +62,51 @@ def pagerank_dataset(
 ):
     """Distributed PageRank over an edges Dataset (src:int64, dst:int64).
 
-    Per iteration: broadcast the score vector (narrow: 8 bytes/node) via
-    ray.put, map_batches computes per-edge contributions, groupby(dst)
-    sums. Returns a Dataset (node:int64, score:float64).
+    Per iteration: the score vector (8 bytes/node) is broadcast as ONE
+    object-store ref; `map_batches` computes per-edge contributions;
+    `groupby(dst)` sums them; the new score vector is assembled FROM THE
+    AGGREGATE'S BLOCK REFS inside a Ray task (`_assemble_scores`) whose
+    result becomes the next broadcast ref. The driver only moves
+    ObjectRefs — O(1) driver transfer per iteration, no take_all().
+    Returns a Dataset-ready Arrow table (node:int64, score:float64).
 
-    Note: the score vector is broadcast, the EDGES stay distributed —
-    at web scale edges >> nodes; if nodes also outgrow memory this loop
-    becomes scores-join-edges, same shape, one more shuffle per iter.
+    Scale shape: EDGES stay distributed and arbitrarily large; the dense
+    score vector must fit one worker's heap (8 GB at 10^9 nodes). For
+    node counts beyond that this loop becomes scores-join-edges
+    (`Dataset.join`), same structure with one more shuffle per
+    iteration.
     """
     import ray
-    import ray.data as rd
     from ray.data.aggregate import Sum
 
-    # out-degree (one shuffle, reused every iteration)
-    outdeg_rows = edges_ds.groupby("src").count().take_all()
-    outdeg = np.zeros(num_nodes, dtype=np.float64)
-    for r in outdeg_rows:
-        outdeg[r["src"]] = r["count()"]
-    inv_out = np.zeros(num_nodes)
-    nz = outdeg > 0
-    inv_out[nz] = 1.0 / outdeg[nz]
-    inv_ref = ray.put(inv_out)
+    @ray.remote
+    def _assemble_inv_out(num_nodes: int, *blocks) -> np.ndarray:
+        inv = np.zeros(num_nodes)
+        for b in blocks:
+            if b.num_rows == 0 or "src" not in b.column_names:
+                continue  # empty aggregate blocks carry no schema
+            src = b["src"].to_numpy(zero_copy_only=False)
+            cnt = b["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+            inv[src] = 1.0 / cnt
+        return inv
 
-    scores = np.ones(num_nodes, dtype=np.float64)
+    @ray.remote
+    def _assemble_scores(num_nodes: int, damping: float, *blocks) -> np.ndarray:
+        new = np.full(num_nodes, 1.0 - damping)
+        for b in blocks:
+            if b.num_rows == 0 or "dst" not in b.column_names:
+                continue  # empty aggregate blocks carry no schema
+            dst = b["dst"].to_numpy(zero_copy_only=False)
+            s = b["c_sum"].to_numpy(zero_copy_only=False)
+            new[dst] = (1.0 - damping) + damping * s
+        return new
+
+    outdeg_blocks = edges_ds.groupby("src").count().to_arrow_refs()
+    inv_ref = _assemble_inv_out.remote(num_nodes, *outdeg_blocks)
+
+    score_ref = ray.put(np.ones(num_nodes, dtype=np.float64))
     edges_ds = edges_ds.materialize()
     for _ in range(iterations):
-        score_ref = ray.put(scores)
 
         def contrib(t: pa.Table, _s=score_ref, _i=inv_ref) -> pa.Table:
             import ray as _ray
@@ -98,16 +117,14 @@ def pagerank_dataset(
             c = s[src] * io[src]
             return pa.table({"dst": t["dst"], "c": pa.array(c)})
 
-        sums = (
+        sum_blocks = (
             edges_ds.map_batches(contrib, batch_format="pyarrow")
             .groupby("dst")
             .aggregate(Sum("c", alias_name="c_sum"))
-            .take_all()
+            .to_arrow_refs()
         )
-        new = np.full(num_nodes, 1.0 - damping)
-        for r in sums:
-            new[r["dst"]] = (1.0 - damping) + damping * r["c_sum"]
-        scores = new
+        score_ref = _assemble_scores.remote(num_nodes, damping, *sum_blocks)
+    scores = ray.get(score_ref)
     return pa.table(
         {"node": pa.array(np.arange(num_nodes, dtype=np.int64)), "score": pa.array(scores)}
     )

@@ -252,10 +252,19 @@ class IndexSearcher:
     def _bm25_idf(self, dfv: int) -> float:
         return math.log(1.0 + (self.n_docs - dfv + 0.5) / (dfv + 0.5))
 
-    def search_bm25(self, query: str | list[str], k: int | None = 10, *, prune: bool = True):
+    def search_bm25(
+        self,
+        query: str | list[str],
+        k: int | None = 10,
+        *,
+        prune: bool = True,
+        method: str = "maxscore",
+    ):
         """BM25 top-k: returns (doc_ids, scores), score desc, ties by
-        doc_id asc. `prune=True` uses MaxScore + block-max skipping —
-        rank-identical to the exhaustive path."""
+        doc_id asc. `prune=True` prunes with `method`:
+        "maxscore" (term-at-a-time MaxScore + block-max skipping) or
+        "wand" (document-at-a-time block-max WAND, Ding & Suel 2011) —
+        both rank-identical to the exhaustive path (tested)."""
         keywords = [query] if isinstance(query, str) else query
         toks = [t for ks in self._analyze_keywords(keywords) for t in ks]
         qtf = Counter(toks)
@@ -270,6 +279,8 @@ class IndexSearcher:
             return np.empty(0, dtype=np.int64), np.empty(0)
         if not prune or k is None:
             return self._bm25_exhaustive(terms, k)
+        if method == "wand":
+            return self._bm25_wand(terms, k)
         return self._bm25_maxscore(terms, k)
 
     # below this accumulator size a dense per-doc array (bincount, no
@@ -386,6 +397,119 @@ class IndexSearcher:
             if len(acc_docs) >= k:
                 theta = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
         return self._topk(acc_docs, acc_scores, k)
+
+    def _bm25_wand(self, terms, k: int):
+        """Document-at-a-time block-max WAND (north-star traversal;
+        Broder et al. 2003 pivoting + Ding & Suel 2011 block-max
+        refinement over the shard block metadata).
+
+        Invariants making it rank-identical to the exhaustive path:
+        * pivot selection accumulates ≥ theta (ties still evaluated, so
+          doc_id tie-breaks are exact);
+        * skipped docs have upper bound strictly below theta, hence
+          strictly below the kth score;
+        * every evaluated doc gets its EXACT full score.
+        """
+        import heapq
+
+        state = []
+        for t, qw, idf, p in terms:
+            docs = p[0]
+            tfs = p[1].astype(np.float64)
+            dls = p[2].astype(np.float64)
+            bm = self._block_meta(t)
+            if bm is not None:
+                blk_last = bm[0]
+                blk_ub = self._bm25_term_weight(
+                    bm[1].astype(np.float64), bm[2].astype(np.float64), idf, qw
+                )
+            else:  # salted sub-shards merged: one whole-list block
+                blk_last = docs[-1:].copy()
+                blk_ub = np.asarray(
+                    [self._bm25_term_weight(tfs, dls, idf, qw).max()]
+                )
+            state.append(
+                {
+                    "docs": docs, "tfs": tfs, "dls": dls, "qw": qw, "idf": idf,
+                    "cur": 0, "n": len(docs),
+                    "blk_last": blk_last, "blk_ub": blk_ub,
+                    "ub": float(blk_ub.max()),
+                }
+            )
+
+        heap: list[tuple[float, int]] = []  # (score, -doc_id); root = evictee
+        theta = -np.inf
+        alive = [s for s in state if s["n"] > 0]
+        while alive:
+            alive.sort(key=lambda s: s["docs"][s["cur"]])
+            # pivot: first term index where the ub prefix-sum reaches theta
+            acc = 0.0
+            pivot_i = -1
+            for i, s in enumerate(alive):
+                acc += s["ub"]
+                if len(heap) < k or acc >= theta:
+                    pivot_i = i
+                    break
+            if pivot_i == -1:
+                break  # sum of all remaining ubs < theta
+            pdoc = int(alive[pivot_i]["docs"][alive[pivot_i]["cur"]])
+            # all terms whose current doc <= pdoc (includes == ties past pivot)
+            j = pivot_i
+            while j + 1 < len(alive) and alive[j + 1]["docs"][alive[j + 1]["cur"]] <= pdoc:
+                j += 1
+            contrib = alive[: j + 1]
+            if int(alive[0]["docs"][alive[0]["cur"]]) == pdoc:
+                # block-max refinement: per-term CURRENT block upper bound
+                bub = 0.0
+                bis = []
+                for s in contrib:
+                    bi = min(
+                        int(np.searchsorted(s["blk_last"], pdoc, side="left")),
+                        len(s["blk_last"]) - 1,
+                    )
+                    bis.append(bi)
+                    bub += float(s["blk_ub"][bi])
+                if len(heap) >= k and bub < theta:
+                    # whole block combination can't reach theta: jump past
+                    # the nearest block boundary (or the next term's doc)
+                    d2 = min(int(s["blk_last"][bi]) for s, bi in zip(contrib, bis)) + 1
+                    if j + 1 < len(alive):
+                        d2 = min(d2, int(alive[j + 1]["docs"][alive[j + 1]["cur"]]))
+                    for s in contrib:
+                        s["cur"] += int(
+                            np.searchsorted(s["docs"][s["cur"] :], d2, side="left")
+                        )
+                else:
+                    # full evaluation: exact score over aligned terms
+                    score = 0.0
+                    for s in contrib:
+                        c = s["cur"]
+                        if int(s["docs"][c]) == pdoc:
+                            score += float(
+                                self._bm25_term_weight(
+                                    s["tfs"][c], s["dls"][c], s["idf"], s["qw"]
+                                )
+                            )
+                            s["cur"] = c + 1
+                    item = (score, -pdoc)
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+                    if len(heap) >= k:
+                        theta = heap[0][0]
+            else:
+                # advance the largest-ub term before the pivot to >= pdoc
+                lag = [s for s in contrib if int(s["docs"][s["cur"]]) < pdoc]
+                s = max(lag, key=lambda x: x["ub"])
+                s["cur"] += int(np.searchsorted(s["docs"][s["cur"] :], pdoc, side="left"))
+            alive = [s for s in alive if s["cur"] < s["n"]]
+
+        if not heap:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        docs = np.asarray([-d for _, d in heap], dtype=np.int64)
+        scores = np.asarray([sc for sc, _ in heap])
+        return self._topk(docs, scores, k)
 
     @staticmethod
     def _topk(doc_ids: np.ndarray, scores: np.ndarray, k: int | None):

@@ -166,6 +166,33 @@ class TestRankedSmall:
             assert ids_p.tolist() == ids_e.tolist(), q
             np.testing.assert_allclose(sc_p, sc_e, rtol=1e-12)
 
+    @pytest.mark.parametrize("k", [1, 3, 10, 40])
+    def test_bm25_wand_equals_exhaustive(self, pair, k):
+        """DAAT block-max WAND is rank- AND score-identical to the
+        exhaustive path (north-star traversal)."""
+        s, _ = pair
+        for q in self.QUERIES:
+            ids_w, sc_w = s.search_bm25(q, k, prune=True, method="wand")
+            ids_e, sc_e = s.search_bm25(q, k, prune=False)
+            assert ids_w.tolist() == ids_e.tolist(), q
+            np.testing.assert_allclose(sc_w, sc_e, rtol=1e-12)
+
+    def test_bm25_wand_random_queries(self, pair):
+        """Fuzz: random multi-term queries, all three traversals agree."""
+        s, _ = pair
+        rng = np.random.default_rng(11)
+        vocab = ["index", "token", "merge", "parse", "request", "handler",
+                 "stream", "batch", "information", "retrieval", "kitten",
+                 "needle", "garden", "university", "writer", "reader"]
+        for _ in range(40):
+            q = list(rng.choice(vocab, size=int(rng.integers(1, 5)), replace=False))
+            k = int(rng.integers(1, 30))
+            ids_w, sc_w = s.search_bm25(q, k, prune=True, method="wand")
+            ids_m, sc_m = s.search_bm25(q, k, prune=True)
+            ids_e, sc_e = s.search_bm25(q, k, prune=False)
+            assert ids_w.tolist() == ids_e.tolist() == ids_m.tolist(), (q, k)
+            np.testing.assert_allclose(sc_w, sc_e, rtol=1e-12)
+
     def test_tfidf_rank_identity(self, pair):
         s, o = pair
         for q in self.QUERIES:
@@ -218,6 +245,10 @@ class TestSalted:
         ids_o, sc_o = o.search_bm25(["index", "merge"], 10)
         assert ids_e.tolist() == ids_o.tolist()
         np.testing.assert_allclose(sc_e, sc_o, rtol=1e-9)
+        # WAND's no-block-meta fallback path (salted sub-shards)
+        ids_w, sc_w = s.search_bm25(["index", "merge"], 10, method="wand")
+        assert ids_w.tolist() == ids_o.tolist()
+        np.testing.assert_allclose(sc_w, sc_o, rtol=1e-9)
 
 
 class TestTombstones:
