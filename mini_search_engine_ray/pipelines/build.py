@@ -47,6 +47,26 @@ def _docstore_batch(t: pa.Table) -> pa.Table:
     return out.append_column("sha256", sha256_column(t, "content"))
 
 
+def _write_docstore_part(t: pa.Table, docstore_dir: str) -> None:
+    """Side-output one docstore partition from a tokenize batch
+    (single-pass mode). Batches partition the corpus into disjoint
+    doc_id ranges, so the range-named file is unique per batch and a
+    retried task rewrites it idempotently (tmp + atomic rename)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if t.num_rows == 0:
+        return
+    out = _docstore_batch(t)
+    lo = int(pc.min(t["doc_id"]).as_py())
+    hi = int(pc.max(t["doc_id"]).as_py())
+    os.makedirs(docstore_dir, exist_ok=True)
+    path = os.path.join(docstore_dir, f"part-{lo:012d}-{hi:012d}.parquet")
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(out, tmp)
+    os.replace(tmp, path)
+
+
 def build_index(
     corpus_ds,
     index_dir: str,
@@ -60,6 +80,7 @@ def build_index(
     tokenize_concurrency: int | tuple[int, int] = 2,
     tokenize_batch_size: int = 1024,
     write_docstore: bool = True,
+    docstore_mode: str = "single_pass",
     wordbreak_dict_path: str | None = None,
     exchange: str = "parquet",
     keep_exchange: bool = False,
@@ -81,6 +102,16 @@ def build_index(
     small corpora; measurably slower at scale because the sort moves
     every fragment's list-column payload through sample/partition
     steps.
+
+    docstore_mode="single_pass" (default): tokenize tasks side-output
+    their batch's docstore partition before exploding — the corpus is
+    read ONCE (at 100 TB a second scan doubles ingest bytes). Partition
+    files are doc_id-range-named, idempotent under task retry, and
+    wiped with the exchange dir on a non-resumed run (batch boundaries
+    may differ between runs). "overlap" runs the docstore write as a
+    separate concurrent dataset execution (second corpus scan that
+    overlaps the CPU-bound tokenize; fine when the corpus is cached /
+    small). The word-break actor path always uses "overlap".
     """
     os.makedirs(index_dir, exist_ok=True)
     if n_docs is None:
@@ -88,16 +119,28 @@ def build_index(
     fingerprint = fingerprint or "nofp"
     full_fp = f"{fingerprint}:{analyzer}:{num_buckets}:{salt}:{int(positional)}:{n_docs}"
 
-    # docstore write runs CONCURRENTLY with the index pipeline (separate
-    # dataset execution in a thread — they contend for different
-    # resources: the docstore is IO-bound, tokenize is CPU-bound)
+    # fast resume: a COMPLETED build with the same fingerprint is a
+    # no-op (meta + every shard manifest match, shard files present) —
+    # re-submitting a finished job must not re-read the corpus
+    done = _completed_build_meta(index_dir, full_fp, need_docstore=write_docstore)
+    if done is not None:
+        return done
+
+    docstore_dir = os.path.join(index_dir, "docstore")
+    is_wordbreak = analyzer.startswith("wordbreak")
+    single_pass_docstore = (
+        write_docstore and docstore_mode == "single_pass" and not is_wordbreak
+    )
+
+    # overlap mode: docstore written CONCURRENTLY with the index pipeline
+    # (separate dataset execution in a thread — IO-bound vs CPU-bound)
     docstore_thread = None
-    if write_docstore:
+    if write_docstore and not single_pass_docstore:
         import threading
 
         def _write_docstore():
             corpus_ds.map_batches(_docstore_batch, batch_format="pyarrow").write_parquet(
-                os.path.join(index_dir, "docstore")
+                docstore_dir
             )
 
         docstore_thread = threading.Thread(target=_write_docstore, daemon=True)
@@ -110,10 +153,9 @@ def build_index(
         positional=positional,
         wordbreak_dict_path=wordbreak_dict_path,
     )
-    projected = corpus_ds.select_columns(["doc_id", "content"])
-    if analyzer.startswith("wordbreak"):
+    if is_wordbreak:
         # heavy per-actor state (frequency dictionary): actor pool
-        exploded = projected.map_batches(
+        exploded = corpus_ds.select_columns(["doc_id", "content"]).map_batches(
             TokenizeExplode,
             fn_constructor_kwargs=te_kwargs,
             batch_format="pyarrow",
@@ -124,8 +166,17 @@ def build_index(
         # light state: stateless tasks with a per-worker cached kernel
         # (see stages/ingest.tokenize_explode_task) — no actor-spawn
         # churn, elastic task scaling
+        if single_pass_docstore:
+            def tokenize_fn(batch: pa.Table, **kw) -> pa.Table:
+                _write_docstore_part(batch, docstore_dir)
+                return tokenize_explode_task(batch.select(["doc_id", "content"]), **kw)
+
+            projected = corpus_ds  # docstore needs the full row
+        else:
+            tokenize_fn = tokenize_explode_task
+            projected = corpus_ds.select_columns(["doc_id", "content"])
         exploded = projected.map_batches(
-            functools.partial(tokenize_explode_task, **te_kwargs),
+            functools.partial(tokenize_fn, **te_kwargs),
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
             num_cpus=task_num_cpus,
@@ -135,8 +186,14 @@ def build_index(
         manifests = _parquet_exchange(
             exploded, index_dir, positional=positional, fingerprint=full_fp,
             keep_exchange=keep_exchange, task_num_cpus=task_num_cpus,
+            also_wipe=[docstore_dir] if single_pass_docstore else [],
         )
     else:
+        if single_pass_docstore:
+            # batch boundaries may differ run to run: clear stale parts
+            import shutil
+
+            shutil.rmtree(docstore_dir, ignore_errors=True)
         writer = functools.partial(
             write_shard, index_dir=index_dir, positional=positional, fingerprint=full_fp
         )
@@ -172,14 +229,48 @@ def build_index(
     return meta
 
 
+def _completed_build_meta(index_dir: str, full_fp: str, *, need_docstore: bool) -> dict | None:
+    """Meta of an already-completed identical build, else None. Checks
+    meta.json fingerprint plus every shard's manifest fingerprint and
+    file presence (cheap: JSON reads, no data)."""
+    from ..stages import shards as shards_mod
+
+    try:
+        meta = load_meta(index_dir)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return None
+    if meta.get("fingerprint") != full_fp:
+        return None
+    if need_docstore and not os.path.isdir(os.path.join(index_dir, "docstore")):
+        return None
+    sids = shards_mod.list_shards(index_dir)
+    if len(sids) != meta.get("n_shards"):
+        return None
+    for sid in sids:
+        fpath, mpath = shards_mod.shard_paths(index_dir, sid)
+        try:
+            with open(mpath) as f:
+                if json.load(f).get("fingerprint") != full_fp:
+                    return None
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+        if not os.path.exists(fpath):
+            return None
+    return {**meta, "shards_written": 0, "shards_skipped": meta["n_shards"]}
+
+
 def _parquet_exchange(
     exploded, index_dir: str, *, positional: bool, fingerprint: str,
     keep_exchange: bool, task_num_cpus: int = 1,
+    also_wipe: list[str] = (),
 ) -> list[dict]:
     """Phase A: write packed fragments partitioned by shard (skipped on
     resume when committed with the same fingerprint). Phase B: one
     stateless task per shard reads its partition and writes the segment
-    (idempotent via the shard manifests)."""
+    (idempotent via the shard manifests). `also_wipe` dirs (the
+    single-pass docstore, whose partition boundaries follow phase A's
+    batching) are cleared together with a non-resumed exchange and are
+    covered by the same commit marker."""
     import shutil
 
     import pyarrow as pa
@@ -196,6 +287,8 @@ def _parquet_exchange(
             committed = False
     if not committed:
         shutil.rmtree(ex_dir, ignore_errors=True)
+        for d in also_wipe:
+            shutil.rmtree(d, ignore_errors=True)
         exploded.write_parquet(ex_dir, partition_cols=["shard"])
         os.makedirs(ex_dir, exist_ok=True)
         with open(marker + ".tmp", "w") as f:

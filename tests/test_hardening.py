@@ -128,3 +128,34 @@ def test_docstore_point_lookup(ray_session, tmp_path):
     for i, c in got.items():
         row = docs.filter(__import__("pyarrow").compute.equal(docs["doc_id"], i))
         assert row["sha256"][0].as_py() == hashlib.sha256(c.encode()).hexdigest()
+
+
+def test_docstore_single_pass_equals_overlap(ray_session, tmp_path):
+    """docstore_mode='single_pass' (corpus read once, tokenize tasks
+    side-output partitions) produces the same docstore rows as the
+    two-scan 'overlap' mode, and a resumed build reuses it."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    corpus = synth_corpus(60, seed=13)
+    d1, d2 = str(tmp_path / "sp"), str(tmp_path / "ov")
+    build_index(rd.from_arrow(corpus), d1, num_buckets=2, n_docs=60,
+                fingerprint="x", write_docstore=True, docstore_mode="single_pass")
+    build_index(rd.from_arrow(corpus), d2, num_buckets=2, n_docs=60,
+                fingerprint="x", write_docstore=True, docstore_mode="overlap")
+
+    def load(d):
+        t = pads.dataset(f"{d}/docstore", format="parquet").to_table()
+        return t.sort_by("doc_id").select(["doc_id", "content", "sha256"])
+
+    assert load(d1).equals(load(d2))
+    # resume: committed exchange marker -> docstore partitions survive
+    import os
+    before = sorted(os.listdir(f"{d1}/docstore"))
+    mtimes = {f: os.path.getmtime(f"{d1}/docstore/{f}") for f in before}
+    meta = build_index(rd.from_arrow(corpus), d1, num_buckets=2, n_docs=60,
+                       fingerprint="x", write_docstore=True,
+                       docstore_mode="single_pass")
+    assert meta["shards_skipped"] == meta["n_shards"]
+    assert sorted(os.listdir(f"{d1}/docstore")) == before
+    assert all(os.path.getmtime(f"{d1}/docstore/{f}") == mtimes[f] for f in before)
