@@ -5,8 +5,10 @@ via a searcher actor pool) on /root/testdata/sf0.001. `queries()` /
 `oracle_sql()` expose the operator registry from
 `mini_search_engine_ray.pipelines.driver_queries` — one entry per
 implemented pipeline/operator from SURVEY.md §2 (+ the training-data
-extras), with DuckDB oracle SQL wherever the computation is
-SQL-expressible (non-SQL ops get rows-only checks).
+extras). As of round 2 EVERY query carries a DuckDB oracle (sketches
+via md5_number_lower + mod-2^64 UHUGEINT arithmetic, PageRank via an
+unrolled 100-iteration SQL, compression via varint byte-length
+replication, IVF ANN at full probe vs exact brute force).
 
 Ray is initialised by the driver BEFORE this module is imported; nothing
 here calls ray.init()/ray.shutdown().

@@ -108,7 +108,8 @@ def bench_synth_index_build(out: dict) -> str:
     _warmup()
     index_dir = os.path.join(CACHE, f"idx-synth-{SYNTH_DOCS}-{NUM_CPUS}")
     best = None
-    for _ in range(2):  # best-of-2: absorb residual worker-spawn noise
+    reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))  # best-of-N
+    for _ in range(reps):
         shutil.rmtree(index_dir, ignore_errors=True)
         t0 = time.time()
         meta = _build(path, index_dir, n_docs=SYNTH_DOCS, salt=2)
@@ -188,6 +189,58 @@ def bench_dedup_minhash(out: dict) -> None:
     out["dedup_candidate_pairs"] = int(n)
 
 
+def bench_dedup_minhash_100k(out: dict) -> None:
+    """MinHash+LSH candidate pairs at 100k docs — evidence that the
+    (band, band_hash mod P) re-keyed pair stage runs with parallelism
+    well beyond the former 16-band ceiling and bounded per-task groups.
+    The corpus embeds duplicate clusters so the pair stage has real
+    work."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.dedup import minhash_candidate_pairs
+
+    n_docs = int(os.environ.get("BENCH_DEDUP_DOCS", "100000"))
+    path = os.path.join(CACHE, f"dedup-corpus-{n_docs}.parquet")
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(17)
+        vocab = np.array([f"w{i:04d}" for i in range(4000)])
+        texts = []
+        base_cluster = None
+        for i in range(n_docs):
+            if i % 50 == 0:  # every 50th doc starts a duplicate cluster
+                base_cluster = " ".join(rng.choice(vocab, size=60))
+                texts.append(base_cluster)
+            elif i % 50 == 1:  # near-dup of the cluster head
+                texts.append(base_cluster + " extraword")
+            else:
+                texts.append(" ".join(rng.choice(vocab, size=60)))
+        t = pa.table({"doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+                      "text": pa.array(texts, type=pa.large_string())})
+        pq.write_table(t, path + ".tmp", row_group_size=4096)
+        os.replace(path + ".tmp", path)
+
+    ds = rd.read_parquet(path)
+    t0 = time.time()
+    pairs, _ = minhash_candidate_pairs(ds)
+    n = pairs.count()
+    out["queries"]["dedup_minhash_100k"] = round(time.time() - t0, 3)
+    out["dedup_100k_pairs"] = int(n)
+    # parallelism evidence: tasks in the pair-generation (groupby) stage
+    try:
+        stats = pairs.stats()
+        import re
+
+        m = re.findall(r"(\d+) tasks executed", stats)
+        if m:
+            out["dedup_100k_pair_stage_tasks"] = max(int(x) for x in m)
+    except Exception:
+        pass
+
+
 def bench_ann(out: dict) -> None:
     import numpy as np
     import pyarrow.parquet as pq
@@ -244,6 +297,8 @@ def run_all(only: str | None = None) -> dict:
         bench_query_p95(out, index_dir)
     if only in (None, "dedup_minhash"):
         bench_dedup_minhash(out)
+    if only in (None, "dedup_minhash_100k"):
+        bench_dedup_minhash_100k(out)
     if only in (None, "ann_cosine"):
         bench_ann(out)
     if only in (None, "pagerank"):
@@ -324,25 +379,28 @@ def run_scaling() -> dict:
         while f.read(1 << 24):
             pass
 
+    # ALL levels interleaved round-robin, min per level over the whole
+    # campaign: this sandbox's virtualized CPUs show 30-50% run-to-run
+    # variance under sustained load (BASELINE.md calibration), and a
+    # throttled window hitting one level of one pair would otherwise
+    # masquerade as an engine-scaling deficit. The same-level runs are
+    # identical jobs, so min-of-all is the fairest comparable number.
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
+    os.environ["BENCH_BUILD_REPS"] = "1"  # outer loop supplies the reps
+    levels = [2, 8, 32]
+    times: dict[int, list[float]] = {n: [] for n in levels}
+    for _ in range(reps):
+        for n in (8, 2, 32):
+            times[n].append(run(n)["queries"]["synth_index_build"])
+    best = {n: min(v) for n, v in times.items()}
+
     def pair(lo: int, hi: int) -> dict:
-        # interleave the two levels and keep the best of each: this
-        # sandbox's virtualized CPUs show 30-50% run-to-run variance
-        # under sustained load, so adjacent interleaved runs + min-of-N
-        # is the fairest comparable measurement
-        r_hi, r_lo = run(hi), run(lo)
-        r_hi2, r_lo2 = run(hi), run(lo)
-        if r_hi2["queries"]["synth_index_build"] < r_hi["queries"]["synth_index_build"]:
-            r_hi = r_hi2
-        if r_lo2["queries"]["synth_index_build"] < r_lo["queries"]["synth_index_build"]:
-            r_lo = r_lo2
-        t_lo = r_lo["queries"]["synth_index_build"]
-        t_hi = r_hi["queries"]["synth_index_build"]
-        speedup = t_lo / t_hi
+        speedup = best[lo] / best[hi]
         cal = _host_cpu_calibration(lo, hi)
         return {
-            "cpus_lo": lo, "cpus_hi": hi, "sec_lo": t_lo, "sec_hi": t_hi,
-            "docs_per_s_lo": r_lo["synth_docs_per_s"],
-            "docs_per_s_hi": r_hi["synth_docs_per_s"],
+            "cpus_lo": lo, "cpus_hi": hi, "sec_lo": best[lo], "sec_hi": best[hi],
+            "docs_per_s_lo": round(int(scaling_docs) / best[lo], 1),
+            "docs_per_s_hi": round(int(scaling_docs) / best[hi], 1),
             "engine_speedup": round(speedup, 3),
             "efficiency": round(speedup / (hi / lo), 3),
             "efficiency_vs_host_ceiling": round(speedup / cal["host_max_speedup"], 3),
@@ -360,11 +418,12 @@ def run_scaling() -> dict:
         "unit": "ratio",
         "sub_knee_2v8": sub_knee,
         "wide_8v32": wide,
+        "all_times_sec": {str(n): [round(t, 3) for t in v] for n, v in times.items()},
         "synth_docs": int(scaling_docs),
         "queries": {
-            "synth_index_build_2cpu": sub_knee["sec_lo"],
-            "synth_index_build_8cpu": sub_knee["sec_hi"],
-            "synth_index_build_32cpu": wide["sec_hi"],
+            "synth_index_build_2cpu": best[2],
+            "synth_index_build_8cpu": best[8],
+            "synth_index_build_32cpu": best[32],
         },
     }
 

@@ -571,6 +571,24 @@ def q_embedding_dup_pairs(sf_dir: str):
     return out.map_batches(fix, batch_format="pandas")
 
 
+def q_dedup_near_jaccard(sf_dir: str):
+    """LSH candidate pairs VERIFIED by exact k-shingle Jaccard — the
+    full near-dup pipeline (signatures -> bands -> candidates ->
+    verification kernel), value-checked end-to-end against SQL."""
+    from ..stages.dedup import minhash_candidate_pairs, verify_pairs_jaccard
+
+    docs = _docs_ds(sf_dir)
+    pairs, _ = minhash_candidate_pairs(docs.select_columns(["doc_id", "text"]))
+    out = verify_pairs_jaccard(docs, pairs)
+    return pa.table(
+        {
+            "a": out["a"],
+            "b": out["b"],
+            "jaccard": pa.array(_r4(out["jaccard"].to_numpy(zero_copy_only=False))),
+        }
+    )
+
+
 def q_pagerank(sf_dir: str):
     """PageRank over a deterministic synthetic link graph derived from
     doc ids (each doc links to (7i+3) mod N and (13i+5) mod N)."""
@@ -720,6 +738,7 @@ QUERIES = {
     "simhash": q_simhash,
     "fingerprints": q_fingerprints,
     "minhash_near_pairs": q_minhash_near_pairs,
+    "dedup_near_jaccard": q_dedup_near_jaccard,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
     "codec_golden": q_codec_golden,
@@ -790,6 +809,48 @@ SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
 FROM mem x JOIN mem y
   ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
 WHERE x.rn <= {max_bucket} AND y.rn <= {max_bucket}
+"""
+
+
+def _dedup_near_jaccard_sql(bands: int = 16, rows: int = 4, max_bucket: int = 200) -> str:
+    """Candidate pairs (same CTEs as minhash_near_pairs) + exact
+    distinct-shingle Jaccard via a shingle-equality self-join."""
+    poly = _poly_list([f"sigs[{r + 1}]" for r in range(rows)])
+    jac = ("CASE WHEN coalesce(za.n, 0) = 0 AND coalesce(zb.n, 0) = 0 THEN 1.0 "
+           "ELSE coalesce(i.i, 0)::DOUBLE / "
+           "(coalesce(za.n, 0) + coalesce(zb.n, 0) - coalesce(i.i, 0)) END")
+    return f"""
+WITH {_minhash_sig_ctes()},
+bs AS (
+  SELECT doc_id, p // {rows} AS band, list(sig_u ORDER BY p) AS sigs
+  FROM sig GROUP BY doc_id, p // {rows}
+),
+bh AS (SELECT doc_id, band, {poly} AS bhash FROM bs),
+mem AS (
+  SELECT band, bhash, doc_id,
+         row_number() OVER (PARTITION BY band, bhash ORDER BY doc_id) AS rn
+  FROM (SELECT DISTINCT band, bhash, doc_id FROM bh)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM mem x JOIN mem y
+    ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+  WHERE x.rn <= {max_bucket} AND y.rn <= {max_bucket}
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM shingles),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*)::BIGINT AS i
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.a
+  JOIN dsh y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+)
+SELECT c.a, c.b, {_R4.format(expr=jac)} AS jaccard
+FROM cand c
+LEFT JOIN sz za ON za.doc_id = c.a
+LEFT JOIN sz zb ON zb.doc_id = c.b
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
 """
 
 
@@ -1120,6 +1181,7 @@ FROM r WHERE rn <= {ANN_K}
 """,
     "minhash_signatures": _minhash_signatures_sql(),
     "minhash_near_pairs": _minhash_near_pairs_sql(),
+    "dedup_near_jaccard": _dedup_near_jaccard_sql(),
     "simhash": _simhash_sql(),
     "fingerprints": _fingerprints_sql(),
     "embedding_dup_pairs": _embedding_dup_pairs_sql(

@@ -259,6 +259,63 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((sig_a == sig_b).mean())
 
 
+def verify_pairs_jaccard(
+    ds, pairs, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+):
+    """EXACT k-shingle Jaccard for candidate pairs (the verification
+    stage after LSH): one distributed pass computes each involved doc's
+    DISTINCT shingle-hash set (map_batches, docs filtered to the
+    candidate set); the per-pair intersection runs on the driver over
+    the collected sets — bounded by the candidate count, which LSH
+    keeps small by construction. (At a scale where even candidates
+    outgrow the driver, re-key this as a shingle-equality join.)
+
+    `pairs`: Dataset or DataFrame with columns a, b. Returns a
+    pa.Table (a, b, jaccard) in pairs order. Empty-vs-empty sets
+    define jaccard = 1.0 (parity with `exact_jaccard_tokens`).
+    """
+    import pandas as pd
+
+    if hasattr(pairs, "to_pandas"):
+        pairs = pairs.to_pandas()
+    if len(pairs) == 0:
+        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    involved = np.unique(np.r_[pairs["a"].to_numpy(), pairs["b"].to_numpy()])
+    inv_set = pa.array(involved)
+
+    def shingle_sets(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.is_in(t[id_col], value_set=inv_set)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sh": pa.array([], pa.list_(pa.int64()))})
+        flat, off = _doc_shingles_flat(t, text_col, k)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_sh = [np.unique(flat[off[i]:off[i + 1]]).view(np.int64) for i in range(t.num_rows)]
+        return pa.table({
+            id_col: pa.array(ids),
+            "sh": pa.array([x.tolist() for x in out_sh], type=pa.list_(pa.int64())),
+        })
+
+    rows = ds.map_batches(shingle_sets, batch_format="pyarrow").take_all()
+    sets = {int(r[id_col]): np.asarray(r["sh"], dtype=np.int64) for r in rows}
+    out = []
+    for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
+        sa = sets.get(int(a), np.empty(0, np.int64))
+        sb = sets.get(int(b), np.empty(0, np.int64))
+        if len(sa) == 0 and len(sb) == 0:
+            out.append(1.0)
+            continue
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        out.append(inter / (len(sa) + len(sb) - inter))
+    return pa.table({"a": pa.array(pairs["a"].to_numpy(), pa.int64()),
+                     "b": pa.array(pairs["b"].to_numpy(), pa.int64()),
+                     "jaccard": pa.array(np.asarray(out, dtype=np.float64))})
+
+
 def exact_jaccard_tokens(text_a: str, text_b: str, k: int = 3) -> float:
     """Exact k-token-shingle Jaccard (verification kernel)."""
     t = pa.table({"t": pa.array([text_a, text_b], type=pa.large_string())})

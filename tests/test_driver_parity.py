@@ -88,6 +88,7 @@ ORACLE_KEYS = [
     # byte-length replication / IVF-at-full-probe == exact)
     "minhash_signatures", "simhash", "fingerprints", "minhash_near_pairs",
     "embedding_dup_pairs", "compression_ratio", "pagerank", "ann_ivf_topk",
+    "dedup_near_jaccard",
 ]
 
 

@@ -63,3 +63,32 @@ def test_documents_adapter_schema(ray_session):
     rows = ds.take(3)
     assert set(rows[0]) == {"doc_id", "repo", "path", "commit", "lang", "content"}
     assert rows[0]["path"].startswith("doc/")
+
+
+class TestLineSources:
+    def test_read_file_as_string_parity(self, tmp_path):
+        """FileUtils.readFileAsString parity: joined content without
+        trailing newline; callback per line in order."""
+        from mini_search_engine_ray.sources.lines import read_file_as_string
+
+        p = tmp_path / "f.txt"
+        p.write_text("alpha\nbeta\r\ngamma\n")
+        seen = []
+        content = read_file_as_string(str(p), seen.append)
+        assert content == "alpha\nbeta\ngamma"
+        assert seen == ["alpha", "beta", "gamma"]
+        # no callback
+        assert read_file_as_string(str(p)) == "alpha\nbeta\ngamma"
+
+    def test_read_lines_dataset(self, ray_session, tmp_path):
+        from mini_search_engine_ray.sources.lines import read_lines
+
+        a, b = tmp_path / "a.tsv", tmp_path / "b.tsv"
+        a.write_text("1\tx\n2\ty\n")
+        b.write_text("3\tz\n")
+        rows = sorted(
+            read_lines([str(a), str(b)]).take_all(),
+            key=lambda r: (r["file"], r["line_no"]),
+        )
+        assert [r["line"] for r in rows] == ["1\tx", "2\ty", "3\tz"]
+        assert [r["line_no"] for r in rows] == [0, 1, 0]
