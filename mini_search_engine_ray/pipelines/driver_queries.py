@@ -232,6 +232,12 @@ def q_langid(sf_dir: str):
     return _docs_ds(sf_dir).map_batches(langid_batch, batch_format="pyarrow")
 
 
+def q_bpe_token_count(sf_dir: str):
+    from ..stages.textstats import bpe_token_count_batch
+
+    return _docs_ds(sf_dir).map_batches(bpe_token_count_batch, batch_format="pyarrow")
+
+
 def q_term_stats(sf_dir: str):
     """(term, df, total_tf) read back from the BUILT index shards —
     checks posting-list construction itself against SQL."""
@@ -716,6 +722,7 @@ def q_wordbreak_dict_golden(sf_dir: str):
 QUERIES = {
     "token_stats": q_token_stats,
     "langid": q_langid,
+    "bpe_token_count": q_bpe_token_count,
     "term_stats": q_term_stats,
     "search_keyword": q_search_keyword,
     "search_and": q_search_and,
@@ -1088,6 +1095,16 @@ SELECT doc_id,
 FROM base
 """,
     "langid": _langid_sql(),
+    "bpe_token_count": """
+SELECT doc_id,
+  len(regexp_extract_all(lower(text), '[a-z]+'))::BIGINT AS n_word_pieces,
+  len(regexp_extract_all(lower(text), '[0-9]+'))::BIGINT AS n_number_pieces,
+  len(regexp_extract_all(lower(text), '[^a-z0-9\\s]+'))::BIGINT AS n_punct_pieces,
+  (len(regexp_extract_all(lower(text), '[a-z]+'))
+   + len(regexp_extract_all(lower(text), '[0-9]+'))
+   + len(regexp_extract_all(lower(text), '[^a-z0-9\\s]+')))::BIGINT AS n_pieces
+FROM documents
+""",
     "term_stats": f"""
 WITH {_BASE_CTE}
 SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS total_tf

@@ -113,6 +113,34 @@ def langid_batch(t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+# BPE-ish pre-tokenizer piece classes (GPT-2-style pre-tokenization,
+# RE2-safe: no lookahead, so pyarrow and DuckDB count identically)
+BPE_PIECE_PATTERNS: dict[str, str] = {
+    "word": "[a-z]+",
+    "number": "[0-9]+",
+    "punct": "[^a-z0-9\\s]+",
+}
+
+
+def bpe_token_count_batch(
+    t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """Per-doc counts of BPE-style pre-tokenizer pieces over lowercased
+    text (letter runs / digit runs / punctuation runs) — the cheap
+    token-budget estimator a training-data pipeline runs corpus-wide.
+    One vectorized `count_substring_regex` pass per piece class."""
+    content = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    low = pc.utf8_lower(content)
+    cols: dict[str, pa.Array] = {id_col: t[id_col]}
+    total = np.zeros(t.num_rows, dtype=np.int64)
+    for name, pat in BPE_PIECE_PATTERNS.items():
+        c = pc.count_substring_regex(low, pattern=pat).to_numpy(zero_copy_only=False).astype(np.int64)
+        cols[f"n_{name}_pieces"] = pa.array(c)
+        total += c
+    cols["n_pieces"] = pa.array(total)
+    return pa.table(cols)
+
+
 def fingerprint_batch(
     t: pa.Table,
     *,

@@ -76,7 +76,8 @@ def test_every_oracle_query_has_impl(registry):
 
 
 ORACLE_KEYS = [
-    "token_stats", "langid", "term_stats", "search_keyword", "search_and",
+    "token_stats", "langid", "bpe_token_count",
+    "term_stats", "search_keyword", "search_and",
     "search_or", "search_phrase", "search_phrase3", "tfidf_all",
     "term_positions", "code_term_stats",
     "bm25_topk", "bm25_all", "tfidf_topk",
