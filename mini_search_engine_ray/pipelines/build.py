@@ -182,11 +182,13 @@ def build_index(
             num_cpus=task_num_cpus,
         )
 
+    timings: dict[str, float] = {}
     if exchange == "parquet":
         manifests = _parquet_exchange(
             exploded, index_dir, positional=positional, fingerprint=full_fp,
             keep_exchange=keep_exchange, task_num_cpus=task_num_cpus,
             also_wipe=[docstore_dir] if single_pass_docstore else [],
+            timings=timings,
         )
     else:
         if single_pass_docstore:
@@ -221,6 +223,7 @@ def build_index(
         "fingerprint": full_fp,
         "shards_written": sum(1 for m in manifests if m["status"] == "written"),
         "shards_skipped": sum(1 for m in manifests if m["status"] == "skipped"),
+        **{f"{k}_sec": round(v, 3) for k, v in timings.items()},
     }
     tmp = os.path.join(index_dir, META_FILE + ".tmp")
     with open(tmp, "w") as f:
@@ -263,6 +266,7 @@ def _parquet_exchange(
     exploded, index_dir: str, *, positional: bool, fingerprint: str,
     keep_exchange: bool, task_num_cpus: int = 1,
     also_wipe: list[str] = (),
+    timings: dict | None = None,
 ) -> list[dict]:
     """Phase A: write packed fragments partitioned by shard (skipped on
     resume when committed with the same fingerprint). Phase B: one
@@ -285,6 +289,9 @@ def _parquet_exchange(
                 committed = json.load(f).get("fingerprint") == fingerprint
         except Exception:
             committed = False
+    import time as _time
+
+    t0 = _time.time()
     if not committed:
         shutil.rmtree(ex_dir, ignore_errors=True)
         for d in also_wipe:
@@ -294,6 +301,9 @@ def _parquet_exchange(
         with open(marker + ".tmp", "w") as f:
             json.dump({"fingerprint": fingerprint}, f)
         os.replace(marker + ".tmp", marker)
+    if timings is not None:
+        timings["phase_a_tokenize_exchange"] = _time.time() - t0
+    t1 = _time.time()
 
     shard_ids = sorted(
         int(d.split("=", 1)[1])
@@ -320,6 +330,8 @@ def _parquet_exchange(
         if shard_ids
         else []
     )
+    if timings is not None:
+        timings["phase_b_shard_build"] = _time.time() - t1
     if not keep_exchange:
         shutil.rmtree(ex_dir, ignore_errors=True)
     return manifests
