@@ -229,14 +229,23 @@ def bench_dedup_minhash_100k(out: dict) -> None:
     n = pairs.count()
     out["queries"]["dedup_minhash_100k"] = round(time.time() - t0, 3)
     out["dedup_100k_pairs"] = int(n)
-    # parallelism evidence: tasks in the pair-generation (groupby) stage
+    # parallelism evidence: task count of the pair-generation map_groups
+    # (the FIRST MapBatches operator after the FIRST Sort in the
+    # lineage = groupby("grp").map_groups(_pairs_in_band))
     try:
-        stats = pairs.stats()
         import re
 
-        m = re.findall(r"(\d+) tasks executed", stats)
-        if m:
-            out["dedup_100k_pair_stage_tasks"] = max(int(x) for x in m)
+        stats = pairs.stats()
+        seen_sort = False
+        for line in stats.splitlines():
+            if re.match(r"Operator \d+ Sort", line):
+                seen_sort = True
+                continue
+            if seen_sort:
+                m = re.match(r"Operator \d+ MapBatches.*?: (\d+) tasks executed", line)
+                if m:
+                    out["dedup_100k_pair_stage_tasks"] = int(m.group(1))
+                    break
     except Exception:
         pass
 

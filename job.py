@@ -74,7 +74,11 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     t0 = time.time()
-    ds = read_corpus_with_doc_ids(paths, columns=["content"])
+    # docstore keeps the full row (repo/path/commit/lang/content);
+    # prune to content only when the docstore is off
+    ds = read_corpus_with_doc_ids(
+        paths, columns=["content"] if args.no_docstore else None
+    )
     meta = build_index(
         ds,
         args.index_dir,

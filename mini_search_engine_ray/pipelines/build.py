@@ -127,21 +127,42 @@ def build_index(
         return done
 
     docstore_dir = os.path.join(index_dir, "docstore")
-    is_wordbreak = analyzer.startswith("wordbreak")
+    # heavy-dictionary analyzers (word-break DP / japanese) need the
+    # actor-pool path and take dict_path
+    is_heavy_dict = analyzer.startswith("wordbreak") or analyzer == "japanese"
     single_pass_docstore = (
-        write_docstore and docstore_mode == "single_pass" and not is_wordbreak
+        write_docstore and docstore_mode == "single_pass" and not is_heavy_dict
     )
+    # the phase-A commit marker must also encode the docstore config:
+    # phase A produces the single-pass docstore as a side output, so a
+    # committed exchange from a run with different docstore settings
+    # must NOT be reused (shard manifests keep full_fp — shard bytes
+    # don't depend on docstore settings)
+    docstore_tag = "none" if not write_docstore else (
+        "single_pass" if single_pass_docstore else "overlap"
+    )
+    marker_fp = f"{full_fp}:docstore={docstore_tag}"
 
     # overlap mode: docstore written CONCURRENTLY with the index pipeline
     # (separate dataset execution in a thread — IO-bound vs CPU-bound)
     docstore_thread = None
+    docstore_error: list[BaseException] = []
     if write_docstore and not single_pass_docstore:
+        import shutil
         import threading
 
+        # stale partitions (from a prior run's different batching or a
+        # crashed single-pass attempt) must not survive: write_parquet
+        # appends uuid-named files, it does not replace
+        shutil.rmtree(docstore_dir, ignore_errors=True)
+
         def _write_docstore():
-            corpus_ds.map_batches(_docstore_batch, batch_format="pyarrow").write_parquet(
-                docstore_dir
-            )
+            try:
+                corpus_ds.map_batches(_docstore_batch, batch_format="pyarrow").write_parquet(
+                    docstore_dir
+                )
+            except BaseException as e:  # surfaced after join
+                docstore_error.append(e)
 
         docstore_thread = threading.Thread(target=_write_docstore, daemon=True)
         docstore_thread.start()
@@ -153,7 +174,7 @@ def build_index(
         positional=positional,
         wordbreak_dict_path=wordbreak_dict_path,
     )
-    if is_wordbreak:
+    if is_heavy_dict:
         # heavy per-actor state (frequency dictionary): actor pool
         exploded = corpus_ds.select_columns(["doc_id", "content"]).map_batches(
             TokenizeExplode,
@@ -186,6 +207,7 @@ def build_index(
     if exchange == "parquet":
         manifests = _parquet_exchange(
             exploded, index_dir, positional=positional, fingerprint=full_fp,
+            marker_fingerprint=marker_fp,
             keep_exchange=keep_exchange, task_num_cpus=task_num_cpus,
             also_wipe=[docstore_dir] if single_pass_docstore else [],
             timings=timings,
@@ -206,6 +228,8 @@ def build_index(
         )
     if docstore_thread is not None:
         docstore_thread.join()
+        if docstore_error:
+            raise RuntimeError("docstore write failed") from docstore_error[0]
 
     total_tf = sum(m["total_tf"] for m in manifests)
     n_postings = sum(m["n_postings"] for m in manifests)
@@ -264,6 +288,7 @@ def _completed_build_meta(index_dir: str, full_fp: str, *, need_docstore: bool) 
 
 def _parquet_exchange(
     exploded, index_dir: str, *, positional: bool, fingerprint: str,
+    marker_fingerprint: str | None = None,
     keep_exchange: bool, task_num_cpus: int = 1,
     also_wipe: list[str] = (),
     timings: dict | None = None,
@@ -282,11 +307,12 @@ def _parquet_exchange(
 
     ex_dir = os.path.join(index_dir, "exchange")
     marker = os.path.join(ex_dir, "_COMMITTED.json")
+    mfp = marker_fingerprint or fingerprint
     committed = False
     if os.path.exists(marker):
         try:
             with open(marker) as f:
-                committed = json.load(f).get("fingerprint") == fingerprint
+                committed = json.load(f).get("fingerprint") == mfp
         except Exception:
             committed = False
     import time as _time
@@ -299,7 +325,7 @@ def _parquet_exchange(
         exploded.write_parquet(ex_dir, partition_cols=["shard"])
         os.makedirs(ex_dir, exist_ok=True)
         with open(marker + ".tmp", "w") as f:
-            json.dump({"fingerprint": fingerprint}, f)
+            json.dump({"fingerprint": mfp}, f)
         os.replace(marker + ".tmp", marker)
     if timings is not None:
         timings["phase_a_tokenize_exchange"] = _time.time() - t0

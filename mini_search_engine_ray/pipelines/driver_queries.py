@@ -798,7 +798,8 @@ SELECT doc_id, p, {_u64_to_i64("sig_u")} AS sig FROM sig
 """
 
 
-def _minhash_near_pairs_sql(bands: int = 16, rows: int = 4, max_bucket: int = 200) -> str:
+def _minhash_near_pairs_sql(rows: int = 4, max_bucket: int = 200) -> str:
+    # band count is implied by num_perm // rows (band id = p // rows)
     poly = _poly_list([f"sigs[{r + 1}]" for r in range(rows)])
     return f"""
 WITH {_minhash_sig_ctes()},
@@ -819,7 +820,8 @@ WHERE x.rn <= {max_bucket} AND y.rn <= {max_bucket}
 """
 
 
-def _dedup_near_jaccard_sql(bands: int = 16, rows: int = 4, max_bucket: int = 200) -> str:
+def _dedup_near_jaccard_sql(rows: int = 4, max_bucket: int = 200) -> str:
+    # band count is implied by num_perm // rows (band id = p // rows)
     """Candidate pairs (same CTEs as minhash_near_pairs) + exact
     distinct-shingle Jaccard via a shingle-equality self-join."""
     poly = _poly_list([f"sigs[{r + 1}]" for r in range(rows)])

@@ -102,7 +102,11 @@ class TokenizeExplode:
         self._bucket_cache: dict[str, int] = {}
         self._vector_path = analyzer in ("composable", "punctuation", "code", "code_nostem", "naive")
         if not self._vector_path:
-            kw = {"dict_path": wordbreak_dict_path} if analyzer.startswith("wordbreak") else {}
+            kw = (
+                {"dict_path": wordbreak_dict_path}
+                if analyzer.startswith("wordbreak") or analyzer == "japanese"
+                else {}
+            )
             self._analyzer = make_analyzer(analyzer, **kw)
         self._stem_tokens = analyzer in ("composable", "code")
 

@@ -303,6 +303,25 @@ class IndexSearcher:
         uniq, inv = np.unique(docs, return_inverse=True)
         return uniq, np.bincount(inv, weights=contribs)
 
+    def _exact_rescore(self, terms, docs_sorted: np.ndarray) -> np.ndarray:
+        """EXACT BM25 scores for a sorted candidate doc set, accumulated
+        per doc in ORIGINAL term order — bitwise-identical to the
+        exhaustive path's bincount accumulation (float addition is not
+        associative: summing a doc's contributions in any other order
+        can differ by 1 ulp and flip the doc_id tie-break between docs
+        whose true scores are exactly equal)."""
+        scores = np.zeros(len(docs_sorted))
+        for _, qw, idf, p in terms:
+            pos = np.searchsorted(docs_sorted, p[0])
+            ok = pos < len(docs_sorted)
+            ok[ok] = docs_sorted[pos[ok]] == p[0][ok]
+            if ok.any():
+                w = self._bm25_term_weight(
+                    p[1][ok].astype(np.float64), p[2][ok].astype(np.float64), idf, qw
+                )
+                np.add.at(scores, pos[ok], w)
+        return scores
+
     def _bm25_exhaustive(self, terms, k):
         docs = np.concatenate([p[0] for _, _, _, p in terms])
         contribs = np.concatenate(
@@ -396,7 +415,11 @@ class IndexSearcher:
                 np.add.at(acc_scores, pos, w)
             if len(acc_docs) >= k:
                 theta = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
-        return self._topk(acc_docs, acc_scores, k)
+        # the accumulator summed per-doc contributions in UB-sorted term
+        # order; rescore the (complete) candidate set in original term
+        # order so scores — and hence exact-tie ordering — are bitwise
+        # identical to the exhaustive path
+        return self._topk(acc_docs, self._exact_rescore(terms, acc_docs), k)
 
     def _bm25_wand(self, terms, k: int):
         """Document-at-a-time block-max WAND (north-star traversal;
@@ -413,7 +436,7 @@ class IndexSearcher:
         import heapq
 
         state = []
-        for t, qw, idf, p in terms:
+        for ti, (t, qw, idf, p) in enumerate(terms):
             docs = p[0]
             tfs = p[1].astype(np.float64)
             dls = p[2].astype(np.float64)
@@ -430,6 +453,7 @@ class IndexSearcher:
                 )
             state.append(
                 {
+                    "ti": ti,  # original term order (exact-score summation)
                     "docs": docs, "tfs": tfs, "dls": dls, "qw": qw, "idf": idf,
                     "cur": 0, "n": len(docs),
                     "blk_last": blk_last, "blk_ub": blk_ub,
@@ -480,9 +504,12 @@ class IndexSearcher:
                             np.searchsorted(s["docs"][s["cur"] :], d2, side="left")
                         )
                 else:
-                    # full evaluation: exact score over aligned terms
+                    # full evaluation: exact score over aligned terms —
+                    # summed in ORIGINAL term order (sorted by ti), the
+                    # same per-doc addition order as the exhaustive
+                    # bincount, so exact ties order identically
                     score = 0.0
-                    for s in contrib:
+                    for s in sorted(contrib, key=lambda x: x["ti"]):
                         c = s["cur"]
                         if int(s["docs"][c]) == pdoc:
                             score += float(
