@@ -133,15 +133,14 @@ def build_index(
     single_pass_docstore = (
         write_docstore and docstore_mode == "single_pass" and not is_heavy_dict
     )
-    # the phase-A commit marker must also encode the docstore config:
-    # phase A produces the single-pass docstore as a side output, so a
-    # committed exchange from a run with different docstore settings
-    # must NOT be reused (shard manifests keep full_fp — shard bytes
-    # don't depend on docstore settings)
-    docstore_tag = "none" if not write_docstore else (
-        "single_pass" if single_pass_docstore else "overlap"
-    )
-    marker_fp = f"{full_fp}:docstore={docstore_tag}"
+    # the phase-A commit marker must also encode whether phase A
+    # produced the docstore as a side output: a committed single-pass
+    # exchange can't serve a run that needs no docstore side-output and
+    # vice versa. none-vs-overlap need NOT be distinguished — the
+    # overlap docstore comes from a separate corpus scan, so phase A's
+    # bytes are identical either way (shard manifests keep full_fp —
+    # shard bytes never depend on docstore settings).
+    marker_fp = f"{full_fp}:docstore={'single_pass' if single_pass_docstore else 'external'}"
 
     # overlap mode: docstore written CONCURRENTLY with the index pipeline
     # (separate dataset execution in a thread — IO-bound vs CPU-bound)

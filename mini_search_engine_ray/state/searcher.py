@@ -71,7 +71,7 @@ class IndexSearcher:
         an = self.meta["analyzer"]
         an_kw = (
             {"dict_path": self.meta["wordbreak_dict_path"]}
-            if an.startswith("wordbreak")
+            if an.startswith("wordbreak") or an == "japanese"
             else {}
         )
         self.analyzer = make_analyzer(an, **an_kw)
@@ -287,6 +287,18 @@ class IndexSearcher:
     # sort) beats unique-sort merging; larger spans use the sparse path
     DENSE_ACCUM_MAX_DOCS = 10_000_000
 
+    @staticmethod
+    def _theta_slack(theta: float) -> float:
+        """Pruning threshold with relative slack: float sums are
+        order-dependent, so a theta (or an upper bound) computed in a
+        different addition order can be a few ulps off the exact-order
+        value. Comparing against theta*(1 - 1e-9) makes every skip
+        decision strictly conservative — a doc whose exact score ties
+        the kth can never be pruned by rounding — at a negligible
+        pruning-power cost. Final scores come from exact-order
+        summation, so results stay bitwise-identical to exhaustive."""
+        return theta - 1e-9 * abs(theta) if np.isfinite(theta) else theta
+
     def _accumulate(self, docs: np.ndarray, contribs: np.ndarray):
         """Sum contributions per doc -> (unique_docs, scores).
 
@@ -312,14 +324,18 @@ class IndexSearcher:
         whose true scores are exactly equal)."""
         scores = np.zeros(len(docs_sorted))
         for _, qw, idf, p in terms:
-            pos = np.searchsorted(docs_sorted, p[0])
-            ok = pos < len(docs_sorted)
-            ok[ok] = docs_sorted[pos[ok]] == p[0][ok]
+            # probe CANDIDATES into the posting list (O(|cand| log df)),
+            # not postings into candidates — a high-df term would
+            # otherwise cost O(df log |cand|) and erode the pruning win
+            idx = np.searchsorted(p[0], docs_sorted)
+            ok = idx < len(p[0])
+            ok[ok] = p[0][idx[ok]] == docs_sorted[ok]
             if ok.any():
+                sel = idx[ok]
                 w = self._bm25_term_weight(
-                    p[1][ok].astype(np.float64), p[2][ok].astype(np.float64), idf, qw
+                    p[1][sel].astype(np.float64), p[2][sel].astype(np.float64), idf, qw
                 )
-                np.add.at(scores, pos[ok], w)
+                np.add.at(scores, np.flatnonzero(ok), w)
         return scores
 
     def _bm25_exhaustive(self, terms, k):
@@ -374,7 +390,7 @@ class IndexSearcher:
             docs = p[0]
             tfs = p[1].astype(np.float64)
             dls = p[2].astype(np.float64)
-            admit_new = not (len(acc_docs) >= k and rem_ub[i] < theta)
+            admit_new = not (len(acc_docs) >= k and rem_ub[i] < self._theta_slack(theta))
             if admit_new:
                 w = w_full if w_full is not None else self._bm25_term_weight(tfs, dls, idf, qw)
                 m_docs = np.concatenate([acc_docs, docs])
@@ -469,9 +485,10 @@ class IndexSearcher:
             # pivot: first term index where the ub prefix-sum reaches theta
             acc = 0.0
             pivot_i = -1
+            t_eff = self._theta_slack(theta)
             for i, s in enumerate(alive):
                 acc += s["ub"]
-                if len(heap) < k or acc >= theta:
+                if len(heap) < k or acc >= t_eff:
                     pivot_i = i
                     break
             if pivot_i == -1:
@@ -493,7 +510,7 @@ class IndexSearcher:
                     )
                     bis.append(bi)
                     bub += float(s["blk_ub"][bi])
-                if len(heap) >= k and bub < theta:
+                if len(heap) >= k and bub < self._theta_slack(theta):
                     # whole block combination can't reach theta: jump past
                     # the nearest block boundary (or the next term's doc)
                     d2 = min(int(s["blk_last"][bi]) for s, bi in zip(contrib, bis)) + 1
