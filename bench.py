@@ -173,6 +173,15 @@ def bench_query_p95(out: dict, index_dir: str) -> None:
     out["queries"]["query_200x"] = round(total, 3)
     out["query_p95_ms"] = round(float(np.percentile(lat, 95)) * 1000, 2)
     out["query_qps"] = round(len(queries) / total, 1)
+    # same batch through the DAAT block-max WAND traversal
+    lat_w = []
+    t0 = time.time()
+    for q in queries:
+        tq = time.time()
+        s.search_bm25(q, 10, method="wand")
+        lat_w.append(time.time() - tq)
+    out["queries"]["query_200x_wand"] = round(time.time() - t0, 3)
+    out["query_wand_p95_ms"] = round(float(np.percentile(lat_w, 95)) * 1000, 2)
 
 
 def bench_dedup_minhash(out: dict) -> None:
@@ -394,12 +403,15 @@ def run_scaling() -> dict:
     # throttled window hitting one level of one pair would otherwise
     # masquerade as an engine-scaling deficit. The same-level runs are
     # identical jobs, so min-of-all is the fairest comparable number.
+    # The 8-cpu level is both the cheapest and (observed) the most
+    # throttle-volatile — it anchors BOTH pairs — so each cycle runs it
+    # twice.
     reps = int(os.environ.get("BENCH_SCALING_REPS", "3"))
     os.environ["BENCH_BUILD_REPS"] = "1"  # outer loop supplies the reps
     levels = [2, 8, 32]
     times: dict[int, list[float]] = {n: [] for n in levels}
     for _ in range(reps):
-        for n in (8, 2, 32):
+        for n in (8, 2, 8, 32):
             times[n].append(run(n)["queries"]["synth_index_build"])
     best = {n: min(v) for n, v in times.items()}
 

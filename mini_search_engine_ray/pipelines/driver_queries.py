@@ -647,6 +647,28 @@ _STEM_GOLDEN = {
 }
 
 
+_PFOR_GOLDEN = [
+    ("six_ones", [1, 2, 3, 4, 5, 6], True),
+    ("zero", [0], True),
+    ("empty", [], True),
+    ("outlier_patch", [1, 1, 1, 1000000], False),
+    ("powers", [128, 384, 896, 1920, 3968], True),
+]
+
+
+def q_pfordelta_golden(sf_dir: str):
+    """PForDelta block-codec golden vectors (oracle literals are
+    hand-derived byte-for-byte in tests/test_pfordelta.py)."""
+    from ..functions.codecs import pfordelta_decode, pfordelta_encode
+
+    rows = []
+    for name, ints, delta in _PFOR_GOLDEN:
+        enc = pfordelta_encode(ints, delta=delta)
+        ok = pfordelta_decode(enc, delta=delta).tolist() == ints
+        rows.append({"case_id": name, "encoded_hex": enc.hex(), "roundtrip_ok": ok})
+    return pa.Table.from_pylist(rows)
+
+
 def q_stemmer_golden(sf_dir: str):
     from ..functions.porter import porter_stem
 
@@ -749,6 +771,7 @@ QUERIES = {
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
     "codec_golden": q_codec_golden,
+    "pfordelta_golden": q_pfordelta_golden,
     "stemmer_golden": q_stemmer_golden,
     "wordbreak_golden": q_wordbreak_golden,
     "wordbreak_dict_golden": q_wordbreak_dict_golden,
@@ -1230,6 +1253,15 @@ SELECT * FROM (VALUES
   ('max_int', '87ffffff7f', true),
   ('empty', '', true),
   ('zero', '00', true)
+) AS t(case_id, encoded_hex, roundtrip_ok)
+""",
+    "pfordelta_golden": """
+SELECT * FROM (VALUES
+  ('six_ones', '0601003f', true),
+  ('zero', '01010000', true),
+  ('empty', '', true),
+  ('outlier_patch', '04010107039ec220', true),
+  ('powers', '050c008000100002400008', true)
 ) AS t(case_id, encoded_hex, roundtrip_ok)
 """,
     "stemmer_golden": "SELECT * FROM (VALUES "

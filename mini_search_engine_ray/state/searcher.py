@@ -521,25 +521,46 @@ class IndexSearcher:
                             np.searchsorted(s["docs"][s["cur"] :], d2, side="left")
                         )
                 else:
-                    # full evaluation: exact score over aligned terms —
-                    # summed in ORIGINAL term order (sorted by ti), the
-                    # same per-doc addition order as the exhaustive
-                    # bincount, so exact ties order identically
-                    score = 0.0
-                    for s in sorted(contrib, key=lambda x: x["ti"]):
-                        c = s["cur"]
-                        if int(s["docs"][c]) == pdoc:
-                            score += float(
-                                self._bm25_term_weight(
-                                    s["tfs"][c], s["dls"][c], s["idf"], s["qw"]
-                                )
-                            )
-                            s["cur"] = c + 1
-                    item = (score, -pdoc)
-                    if len(heap) < k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
+                    # BLOCK-at-a-time full evaluation (vectorized): score
+                    # every doc in [pdoc, W), where W ends at the nearest
+                    # contrib-term block boundary and before the next
+                    # non-contrib term's cursor (terms beyond the window
+                    # hold no postings < W, so scores are complete).
+                    # Doc-at-a-time scalar evaluation was ~17x slower
+                    # (Python loop per posting); this keeps Python cost
+                    # at O(blocks), numpy does the scoring. Contributions
+                    # are added in ORIGINAL term order (ti) — the same
+                    # per-doc addition order as the exhaustive bincount,
+                    # so exact ties order identically (bitwise).
+                    W = min(int(s["blk_last"][bi]) for s, bi in zip(contrib, bis)) + 1
+                    if j + 1 < len(alive):
+                        W = min(W, int(alive[j + 1]["docs"][alive[j + 1]["cur"]]))
+                    uppers = []
+                    doc_parts = []
+                    for s in contrib:
+                        upper = s["cur"] + int(
+                            np.searchsorted(s["docs"][s["cur"] :], W, side="left")
+                        )
+                        uppers.append(upper)
+                        doc_parts.append(s["docs"][s["cur"] : upper])
+                    union = np.unique(np.concatenate(doc_parts))
+                    scores_v = np.zeros(len(union))
+                    for s, upper in sorted(
+                        zip(contrib, uppers), key=lambda x: x[0]["ti"]
+                    ):
+                        sl = slice(s["cur"], upper)
+                        pos = np.searchsorted(union, s["docs"][sl])
+                        w = self._bm25_term_weight(
+                            s["tfs"][sl], s["dls"][sl], s["idf"], s["qw"]
+                        )
+                        np.add.at(scores_v, pos, w)
+                        s["cur"] = upper
+                    for d, sc in zip(union.tolist(), scores_v.tolist()):
+                        item = (sc, -d)
+                        if len(heap) < k:
+                            heapq.heappush(heap, item)
+                        elif item > heap[0]:
+                            heapq.heapreplace(heap, item)
                     if len(heap) >= k:
                         theta = heap[0][0]
             else:

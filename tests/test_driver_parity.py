@@ -82,7 +82,7 @@ ORACLE_KEYS = [
     "term_positions", "code_term_stats",
     "bm25_topk", "bm25_all", "tfidf_topk",
     "dedup_exact", "sha256_docs", "token_count_total", "ann_cosine_topk",
-    "codec_golden", "stemmer_golden", "wordbreak_golden",
+    "codec_golden", "pfordelta_golden", "stemmer_golden", "wordbreak_golden",
     "wordbreak_dict_golden",
     # round 2: former rows-only entries, now with full SQL oracles
     # (md5-based 64-bit sketch arithmetic / unrolled PageRank / varint
