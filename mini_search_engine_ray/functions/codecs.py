@@ -244,6 +244,47 @@ class PForDeltaCompressor(Compressor):
         return pfordelta_decode(memoryview(buf)[start : start + length], delta=self.delta).tolist()
 
 
+def pfor_encode_many(flat: np.ndarray, offsets: np.ndarray, *, delta: bool = True) -> tuple[bytes, np.ndarray]:
+    """Ragged-batch PForDelta: encode each list independently (per-list
+    delta, first value absolute). Returns (bytes, byte_offsets[n+1]) —
+    same contract as `encode_many`. Per-list Python loop (the default
+    varint path stays the one-pass vectorized encoder; this codec is an
+    opt-in density trade)."""
+    flat = np.asarray(flat, dtype=np.int64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n = len(offsets) - 1
+    chunks: list[bytes] = []
+    byte_off = np.zeros(n + 1, dtype=np.int64)
+    for i in range(n):
+        enc = pfordelta_encode(flat[offsets[i] : offsets[i + 1]], delta=delta)
+        chunks.append(enc)
+        byte_off[i + 1] = byte_off[i] + len(enc)
+    return b"".join(chunks), byte_off
+
+
+def pfor_decode_many(buf, byte_offsets: np.ndarray, *, delta: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of pfor_encode_many: (flat values, value offsets)."""
+    mv = memoryview(buf)
+    byte_offsets = np.asarray(byte_offsets, dtype=np.int64)
+    n = len(byte_offsets) - 1
+    parts = []
+    val_off = np.zeros(n + 1, dtype=np.int64)
+    for i in range(n):
+        v = pfordelta_decode(mv[byte_offsets[i] : byte_offsets[i + 1]], delta=delta)
+        parts.append(v)
+        val_off[i + 1] = val_off[i] + len(v)
+    flat = np.concatenate(parts) if parts else np.empty(0, dtype=np.int64)
+    return flat, val_off
+
+
+# codec registry for the shard layer (shards record their codec in the
+# Arrow schema metadata; readers dispatch through this table)
+MANY_CODECS = {
+    "varint": None,       # filled below (functions defined later)
+    "pfordelta": (pfor_encode_many, pfor_decode_many),
+}
+
+
 # -- ragged batch encode/decode (whole shard column in one pass) -------
 
 
@@ -311,3 +352,15 @@ def decode_many(buf, byte_offsets: np.ndarray, *, delta: bool = True) -> tuple[n
     corr_per_list = np.where(heads > 0, cum[np.maximum(heads - 1, 0)], 0)
     vals = cum - np.repeat(corr_per_list, lengths)
     return vals, val_off
+
+
+MANY_CODECS["varint"] = (encode_many, decode_many)
+
+
+def single_decoder(codec: str):
+    """Single-buffer decoder for a registered codec name."""
+    if codec == "varint":
+        return varint_decode
+    if codec == "pfordelta":
+        return pfordelta_decode
+    raise ValueError(f"unknown posting codec {codec!r}")

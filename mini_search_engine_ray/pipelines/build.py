@@ -81,6 +81,7 @@ def build_index(
     tokenize_batch_size: int = 1024,
     write_docstore: bool = True,
     docstore_mode: str = "single_pass",
+    codec: str = "varint",
     wordbreak_dict_path: str | None = None,
     exchange: str = "parquet",
     keep_exchange: bool = False,
@@ -118,6 +119,8 @@ def build_index(
         n_docs = corpus_ds.count()
     fingerprint = fingerprint or "nofp"
     full_fp = f"{fingerprint}:{analyzer}:{num_buckets}:{salt}:{int(positional)}:{n_docs}"
+    if codec != "varint":  # keep round-1 fingerprints valid for the default
+        full_fp += f":codec={codec}"
 
     # fast resume: a COMPLETED build with the same fingerprint is a
     # no-op (meta + every shard manifest match, shard files present) —
@@ -206,7 +209,7 @@ def build_index(
     if exchange == "parquet":
         manifests = _parquet_exchange(
             exploded, index_dir, positional=positional, fingerprint=full_fp,
-            marker_fingerprint=marker_fp,
+            marker_fingerprint=marker_fp, codec=codec,
             keep_exchange=keep_exchange, task_num_cpus=task_num_cpus,
             also_wipe=[docstore_dir] if single_pass_docstore else [],
             timings=timings,
@@ -218,7 +221,8 @@ def build_index(
 
             shutil.rmtree(docstore_dir, ignore_errors=True)
         writer = functools.partial(
-            write_shard, index_dir=index_dir, positional=positional, fingerprint=full_fp
+            write_shard, index_dir=index_dir, positional=positional,
+            fingerprint=full_fp, codec=codec,
         )
         manifests = (
             exploded.groupby("shard")
@@ -242,6 +246,7 @@ def build_index(
         "num_buckets": num_buckets,
         "salt": salt,
         "positional": positional,
+        "codec": codec,
         "wordbreak_dict_path": wordbreak_dict_path,
         "fingerprint": full_fp,
         "shards_written": sum(1 for m in manifests if m["status"] == "written"),
@@ -287,7 +292,7 @@ def _completed_build_meta(index_dir: str, full_fp: str, *, need_docstore: bool) 
 
 def _parquet_exchange(
     exploded, index_dir: str, *, positional: bool, fingerprint: str,
-    marker_fingerprint: str | None = None,
+    marker_fingerprint: str | None = None, codec: str = "varint",
     keep_exchange: bool, task_num_cpus: int = 1,
     also_wipe: list[str] = (),
     timings: dict | None = None,
@@ -344,7 +349,8 @@ def _parquet_exchange(
             t = pq.read_table(os.path.join(ex_dir, f"shard={sid}"))
             t = t.append_column("shard", pa.array([sid] * t.num_rows, type=pa.int32()))
             out.append(
-                write_shard(t, index_dir=index_dir, positional=positional, fingerprint=fingerprint)
+                write_shard(t, index_dir=index_dir, positional=positional,
+                            fingerprint=fingerprint, codec=codec)
             )
         return pa.concat_tables(out)
 

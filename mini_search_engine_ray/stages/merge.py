@@ -27,7 +27,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from ..functions.codecs import decode_many
+from ..functions.codecs import MANY_CODECS, decode_many
 from ..pipelines.build import META_FILE, load_meta
 from ..stages import shards as shards_mod
 from ..state.searcher import load_tombstones, save_tombstones
@@ -49,10 +49,13 @@ def decode_shard_table(t: pa.Table, *, positional: bool) -> dict:
     [, positions_flat, positions_offsets]."""
     df = t["df"].to_numpy(zero_copy_only=False)
     terms = np.asarray(t["term"].to_pylist(), dtype=object)
+    from .shards import shard_codec
+
+    dec_many = MANY_CODECS[shard_codec(t)][1]
 
     def _col(name: str, *, delta: bool):
         data, off = _bin_column_parts(t, name)
-        return decode_many(memoryview(data)[off[0] : off[-1]], off - off[0], delta=delta)[0]
+        return dec_many(memoryview(data)[off[0] : off[-1]], off - off[0], delta=delta)[0]
 
     out = {
         "term": np.repeat(terms, df),
@@ -64,7 +67,7 @@ def decode_shard_table(t: pa.Table, *, positional: bool) -> dict:
         pos_data, pos_off = _bin_column_parts(t, "pos")
         per_doc_bytes = _col("pos_lens", delta=False)
         byte_off = np.r_[0, np.cumsum(per_doc_bytes)]
-        flat, val_off = decode_many(
+        flat, val_off = dec_many(
             memoryview(pos_data)[pos_off[0] : pos_off[-1]], byte_off, delta=True
         )
         out["positions_flat"] = flat
@@ -100,6 +103,7 @@ def merge_bucket(
     positional: bool,
     fingerprint: str,
     drop_terms: frozenset[str] = frozenset(),
+    codec: str = "varint",
 ) -> pa.Table | None:
     """Merge one bucket from all sources into dest (salt=1)."""
     parts = []
@@ -120,7 +124,8 @@ def merge_bucket(
         return None
     group = pa.concat_tables(parts)
     return shards_mod.write_shard(
-        group, index_dir=dest, positional=positional, fingerprint=fingerprint
+        group, index_dir=dest, positional=positional, fingerprint=fingerprint,
+        codec=codec,
     )
 
 
@@ -130,6 +135,7 @@ def merge_indexes(
     *,
     merge_docstore: bool = True,
     clear_tombstones: bool = True,
+    codec: str | None = None,
 ) -> dict:
     """Merge N indexes into one compacted index at `dest` (Ray tasks,
     one per bucket). Tombstoned terms (union over sources) are dropped
@@ -142,6 +148,9 @@ def merge_indexes(
         if m["analyzer"] != m0["analyzer"] or m["num_buckets"] != m0["num_buckets"]:
             raise ValueError("can only merge indexes with the same analyzer and num_buckets")
     positional = all(m.get("positional") for m in metas)
+    # dest codec: explicit > first source's > default (sources may mix
+    # codecs — each shard table carries its own in schema metadata)
+    codec = codec or metas[0].get("codec", "varint")
     salts = [int(m.get("salt", 1)) for m in metas]
     drop = frozenset().union(*(load_tombstones(s) for s in sources))
     fp = "merge:" + ":".join(m["fingerprint"] for m in metas)
@@ -154,7 +163,7 @@ def merge_indexes(
         for b in batch["bucket"].to_pylist():
             r = merge_bucket(
                 int(b), sources, dest, salts=salts, positional=positional,
-                fingerprint=fp, drop_terms=drop,
+                fingerprint=fp, drop_terms=drop, codec=codec,
             )
             if r is not None:
                 rows.append(r)
@@ -185,6 +194,7 @@ def merge_indexes(
         "num_buckets": m0["num_buckets"],
         "salt": 1,
         "positional": positional,
+        "codec": codec,
         "fingerprint": fp,
         "merged_from": sources,
     }

@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.feather as feather
 
-from ..functions.codecs import decode_many, encode_many, varint_decode
+from ..functions.codecs import MANY_CODECS, decode_many, encode_many, single_decoder, varint_decode
 
 BLOCK_SIZE = 128
 
@@ -113,7 +113,7 @@ def _unpack_packed(group: pa.Table, positional: bool) -> dict:
     return out
 
 
-def build_shard_table(group: pa.Table, *, positional: bool) -> tuple[pa.Table, dict]:
+def build_shard_table(group: pa.Table, *, positional: bool, codec: str = "varint") -> tuple[pa.Table, dict]:
     """Turn one shard's posting rows (exploded or packed format) into
     the shard table.
 
@@ -157,9 +157,10 @@ def build_shard_table(group: pa.Table, *, positional: bool) -> tuple[pa.Table, d
     # exactly one batch because batches partition rows)
     total_tf = np.add.reduceat(tf, t_offsets[:-1])
 
-    docs_buf, docs_off = encode_many(doc_id, t_offsets, delta=True)
-    tfs_buf, tfs_off = encode_many(tf, t_offsets, delta=False)
-    dls_buf, dls_off = encode_many(dl, t_offsets, delta=False)
+    enc_many = MANY_CODECS[codec][0]
+    docs_buf, docs_off = enc_many(doc_id, t_offsets, delta=True)
+    tfs_buf, tfs_off = enc_many(tf, t_offsets, delta=False)
+    dls_buf, dls_off = enc_many(dl, t_offsets, delta=False)
 
     # block-max metadata: blocks of BLOCK_SIZE within each term
     within = np.arange(n) - np.repeat(t_starts, df)
@@ -189,12 +190,12 @@ def build_shard_table(group: pa.Table, *, positional: bool) -> tuple[pa.Table, d
         new_off = np.r_[0, np.cumsum(lens)]
         idx = np.repeat(row_off[:-1][order], lens) + (np.arange(new_off[-1]) - np.repeat(new_off[:-1], lens))
         pos_sorted = flat_pos[idx]
-        pos_buf, pos_byte_off = encode_many(pos_sorted, new_off, delta=True)
+        pos_buf, pos_byte_off = enc_many(pos_sorted, new_off, delta=True)
         # per-term concatenated position bytes + per-doc byte lengths
         doc_pos_bytes = np.diff(pos_byte_off)
         term_pos_off = pos_byte_off[t_offsets]
         pos_term_buf = pos_buf  # already concatenated in term order
-        plen_buf, plen_off = encode_many(doc_pos_bytes, t_offsets, delta=False)
+        plen_buf, plen_off = enc_many(doc_pos_bytes, t_offsets, delta=False)
         pos_col_off = term_pos_off
         cols["pos"] = _bin_array(pos_term_buf, pos_col_off)
         cols["pos_lens"] = _bin_array(plen_buf, plen_off)
@@ -210,13 +211,16 @@ def build_shard_table(group: pa.Table, *, positional: bool) -> tuple[pa.Table, d
     )
 
     metrics = {
+        "codec": codec,
         "n_terms": int(len(terms)),
         "n_postings": int(n),
         "total_tf": int(tf.sum()),
         "min_term": terms[0].as_py() if len(terms) else "",
         "max_term": terms[-1].as_py() if len(terms) else "",
     }
-    return pa.table(cols), metrics
+    # the codec travels WITH the shard (schema metadata) so readers
+    # never depend on out-of-band configuration
+    return pa.table(cols).replace_schema_metadata({b"msr_codec": codec.encode()}), metrics
 
 
 def shard_paths(index_dir: str, shard_id: int) -> tuple[str, str]:
@@ -227,7 +231,7 @@ def shard_paths(index_dir: str, shard_id: int) -> tuple[str, str]:
     )
 
 
-def write_shard(group: pa.Table, *, index_dir: str, positional: bool, fingerprint: str) -> pa.Table:
+def write_shard(group: pa.Table, *, index_dir: str, positional: bool, fingerprint: str, codec: str = "varint") -> pa.Table:
     """map_groups body: build + atomically write one shard; returns the
     manifest as a one-row table. Skips (idempotent resume) when a
     committed manifest with the same fingerprint exists."""
@@ -242,7 +246,7 @@ def write_shard(group: pa.Table, *, index_dir: str, positional: bool, fingerprin
             old["status"] = "skipped"
             return _manifest_row(old)
 
-    table, metrics = build_shard_table(group, positional=positional)
+    table, metrics = build_shard_table(group, positional=positional, codec=codec)
     tmp = fpath + ".tmp"
     feather.write_feather(table, tmp, compression="uncompressed")
     os.replace(tmp, fpath)
@@ -297,17 +301,24 @@ def list_shards(index_dir: str) -> list[int]:
     return out
 
 
+def shard_codec(table: pa.Table) -> str:
+    md = table.schema.metadata or {}
+    return md.get(b"msr_codec", b"varint").decode()
+
+
 def decode_posting_row(table: pa.Table, row: int, *, positional: bool = False) -> dict:
-    """Decode one term's posting payloads into numpy arrays."""
-    docs = varint_decode(table["docs"][row].as_py(), delta=True)
-    tfs = varint_decode(table["tfs"][row].as_py(), delta=False)
-    dls = varint_decode(table["dls"][row].as_py(), delta=False)
+    """Decode one term's posting payloads into numpy arrays (codec
+    dispatched from the shard's schema metadata)."""
+    dec = single_decoder(shard_codec(table))
+    docs = dec(table["docs"][row].as_py(), delta=True)
+    tfs = dec(table["tfs"][row].as_py(), delta=False)
+    dls = dec(table["dls"][row].as_py(), delta=False)
     out = {"doc_ids": docs, "tfs": tfs, "doc_lens": dls}
     if positional and "pos" in table.column_names:
         pos_buf = table["pos"][row].as_py()
-        plens = varint_decode(table["pos_lens"][row].as_py(), delta=False)
+        plens = dec(table["pos_lens"][row].as_py(), delta=False)
         byte_off = np.r_[0, np.cumsum(plens)]
-        flat, val_off = decode_many(pos_buf, byte_off, delta=True)
+        flat, val_off = MANY_CODECS[shard_codec(table)][1](pos_buf, byte_off, delta=True)
         out["positions"] = [flat[val_off[i] : val_off[i + 1]] for i in range(len(docs))]
     return out
 
