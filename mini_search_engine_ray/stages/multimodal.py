@@ -104,3 +104,97 @@ def extract_media_features(ds, *, concurrency: int | tuple[int, int] = 2, batch_
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class MediaResize:
+    """Actor-pool stage: image payload -> resized payload.
+
+    Geometry math (aspect-preserving fit into target box) is real and
+    tested; the pixel resampling itself is the deterministic fake
+    (PIL absent in this container; `strict=True` raises). Non-image
+    rows pass through untouched."""
+
+    def __init__(self, target_w: int = 224, target_h: int = 224, *, strict: bool = False) -> None:
+        self.tw, self.th = int(target_w), int(target_h)
+        self.strict = strict
+        try:  # pragma: no cover
+            import PIL.Image  # noqa: F401
+
+            self._has_decoder = True
+        except ImportError:
+            self._has_decoder = False
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict and not self._has_decoder:
+            raise NotImplementedError("real image resizing requires PIL")
+        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        is_img = np.asarray(
+            [t.startswith("image/") for t in batch["media_type"].to_pylist()]
+        )
+        scale = np.minimum(self.tw / np.maximum(w, 1), self.th / np.maximum(h, 1))
+        new_w = np.where(is_img, np.maximum(1, np.round(w * scale)), w).astype(np.int32)
+        new_h = np.where(is_img, np.maximum(1, np.round(h * scale)), h).astype(np.int32)
+        payloads = batch["payload"].to_pylist()
+        out_payloads = [
+            hashlib.blake2b(
+                (p or b"") + int(nw).to_bytes(4, "big") + int(nh).to_bytes(4, "big"),
+                digest_size=32,
+            ).digest()
+            if img
+            else (p or b"")
+            for p, nw, nh, img in zip(payloads, new_w, new_h, is_img)
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "payload": pa.array(out_payloads, type=pa.large_binary()),
+                "width": pa.array(new_w),
+                "height": pa.array(new_h),
+                "duration_ms": batch["duration_ms"],
+            }
+        )
+
+
+class VideoFrameSample:
+    """Actor-pool stage: video row -> n_frames frame rows (explode).
+
+    Frame timestamps are evenly spaced over the clip (real math:
+    t_i = duration * i / (n-1), endpoints included); frame payloads are
+    the deterministic fake (ffmpeg absent; `strict=True` raises).
+    Non-video rows are dropped — run on a filtered dataset or union the
+    streams downstream."""
+
+    def __init__(self, n_frames: int = 4, *, strict: bool = False) -> None:
+        self.n_frames = max(1, int(n_frames))
+        self.strict = strict
+        self._has_decoder = False  # no ffmpeg in this container
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict and not self._has_decoder:
+            raise NotImplementedError("real frame sampling requires ffmpeg")
+        ids, frames, t_ms, payloads = [], [], [], []
+        rows = batch.to_pylist()
+        for r in rows:
+            if not (r["media_type"] or "").startswith("video/"):
+                continue
+            dur = int(r["duration_ms"] or 0)
+            for i in range(self.n_frames):
+                t = 0 if self.n_frames == 1 else round(dur * i / (self.n_frames - 1))
+                ids.append(r["media_id"])
+                frames.append(i)
+                t_ms.append(t)
+                payloads.append(
+                    hashlib.blake2b(
+                        (r["payload"] or b"") + int(t).to_bytes(4, "big"), digest_size=32
+                    ).digest()
+                )
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_no": pa.array(frames, pa.int32()),
+                "t_ms": pa.array(t_ms, pa.int32()),
+                "frame_payload": pa.array(payloads, type=pa.large_binary()),
+            }
+        )

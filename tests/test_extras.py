@@ -199,6 +199,64 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             fe(synth_media_table(2))
 
+    def test_resize_geometry_and_passthrough(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.multimodal import MediaResize
+
+        media = synth_media_table(30)
+        out = (
+            rd.from_arrow(media)
+            .map_batches(MediaResize, fn_constructor_kwargs={"target_w": 64, "target_h": 48},
+                         batch_format="pyarrow", batch_size=8, concurrency=2)
+            .take_all()
+        )
+        src = {r["media_id"]: r for r in media.to_pylist()}
+        for r in out:
+            o = src[r["media_id"]]
+            if r["media_type"].startswith("image/"):
+                # aspect-preserving fit into 64x48
+                assert r["width"] <= 64 and r["height"] <= 48
+                assert abs(r["width"] / r["height"] - o["width"] / o["height"]) < 0.2
+            else:  # non-image rows untouched
+                assert (r["width"], r["height"]) == (o["width"], o["height"])
+                assert r["payload"] == o["payload"]
+
+    def test_frame_sample_explode(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.multimodal import VideoFrameSample
+
+        media = synth_media_table(30)
+        n_videos = sum(1 for t in media["media_type"].to_pylist() if t.startswith("video/"))
+        out = (
+            rd.from_arrow(media)
+            .map_batches(VideoFrameSample, fn_constructor_kwargs={"n_frames": 4},
+                         batch_format="pyarrow", batch_size=8, concurrency=2)
+            .take_all()
+        )
+        assert len(out) == 4 * n_videos
+        by_id: dict[int, list] = {}
+        for r in out:
+            by_id.setdefault(r["media_id"], []).append(r)
+        durs = {r["media_id"]: r["duration_ms"] for r in media.to_pylist()}
+        for mid, frames in by_id.items():
+            frames.sort(key=lambda r: r["frame_no"])
+            assert [f["frame_no"] for f in frames] == [0, 1, 2, 3]
+            assert frames[0]["t_ms"] == 0
+            assert frames[-1]["t_ms"] == durs[mid]  # endpoint included
+
+    def test_resize_strict_raises(self):
+        from mini_search_engine_ray.stages.multimodal import MediaResize, VideoFrameSample
+
+        rs = MediaResize(strict=True)
+        if rs._has_decoder:
+            pytest.skip("decoder present")
+        with pytest.raises(NotImplementedError):
+            rs(synth_media_table(2))
+        with pytest.raises(NotImplementedError):
+            VideoFrameSample(strict=True)(synth_media_table(2))
+
 
 class TestIVF:
     def test_ivf_recall_vs_brute_force(self, ray_session):
