@@ -431,11 +431,19 @@ class IndexSearcher:
                 np.add.at(acc_scores, pos, w)
             if len(acc_docs) >= k:
                 theta = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
-        # the accumulator summed per-doc contributions in UB-sorted term
-        # order; rescore the (complete) candidate set in original term
-        # order so scores — and hence exact-tie ordering — are bitwise
-        # identical to the exhaustive path
-        return self._topk(acc_docs, self._exact_rescore(terms, acc_docs), k)
+        # The accumulator summed per-doc contributions in UB-sorted term
+        # order (can differ from the exhaustive sum by ~ulps). Rescore
+        # in original term order — bitwise-identical to exhaustive — but
+        # ONLY the top-k plus the relative-slack boundary band: any doc
+        # more than the slack below the approximate kth cannot tie the
+        # exact kth, so the full-candidate rescore (a second pass over
+        # every query-term posting) is unnecessary.
+        if len(acc_docs) > k:
+            kth = np.partition(acc_scores, len(acc_scores) - k)[len(acc_scores) - k]
+            band = acc_docs[acc_scores >= self._theta_slack(kth)]
+        else:
+            band = acc_docs
+        return self._topk(band, self._exact_rescore(terms, band), k)
 
     def _bm25_wand(self, terms, k: int):
         """Document-at-a-time block-max WAND (north-star traversal;
