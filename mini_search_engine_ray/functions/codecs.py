@@ -188,8 +188,12 @@ def _pfor_decode_block(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
     if n_exc:
         pos = np.frombuffer(buf[off : off + n_exc], dtype=np.uint8).astype(np.int64)
         off += n_exc
-        # high parts: n_exc varints (scan for terminator bytes)
-        raw = np.frombuffer(buf[off:], dtype=np.uint8)
+        # high parts: n_exc varints. Bound the terminator scan to the
+        # maximum possible span (10 bytes per varint) — scanning the
+        # whole remaining buffer per block would make multi-block
+        # decode O(n^2).
+        window = min(len(buf) - off, 10 * int(n_exc))
+        raw = np.frombuffer(buf[off : off + window], dtype=np.uint8)
         ends = np.flatnonzero((raw & 0x80) == 0)[:n_exc]
         span = int(ends[-1]) + 1
         high = varint_decode(buf[off : off + span], delta=False).astype(np.uint64)
@@ -277,14 +281,6 @@ def pfor_decode_many(buf, byte_offsets: np.ndarray, *, delta: bool = True) -> tu
     return flat, val_off
 
 
-# codec registry for the shard layer (shards record their codec in the
-# Arrow schema metadata; readers dispatch through this table)
-MANY_CODECS = {
-    "varint": None,       # filled below (functions defined later)
-    "pfordelta": (pfor_encode_many, pfor_decode_many),
-}
-
-
 # -- ragged batch encode/decode (whole shard column in one pass) -------
 
 
@@ -354,13 +350,19 @@ def decode_many(buf, byte_offsets: np.ndarray, *, delta: bool = True) -> tuple[n
     return vals, val_off
 
 
-MANY_CODECS["varint"] = (encode_many, decode_many)
+# codec registry for the shard layer (shards record their codec in the
+# Arrow schema metadata; readers dispatch through this table) —
+# ONE place to register a codec: (encode_many, decode_many, decode_one)
+CODECS = {
+    "varint": (encode_many, decode_many, varint_decode),
+    "pfordelta": (pfor_encode_many, pfor_decode_many, pfordelta_decode),
+}
+MANY_CODECS = {k: (e, d) for k, (e, d, _) in CODECS.items()}
 
 
 def single_decoder(codec: str):
     """Single-buffer decoder for a registered codec name."""
-    if codec == "varint":
-        return varint_decode
-    if codec == "pfordelta":
-        return pfordelta_decode
-    raise ValueError(f"unknown posting codec {codec!r}")
+    try:
+        return CODECS[codec][2]
+    except KeyError:
+        raise ValueError(f"unknown posting codec {codec!r}") from None

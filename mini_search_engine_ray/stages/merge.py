@@ -27,7 +27,7 @@ import os
 import numpy as np
 import pyarrow as pa
 
-from ..functions.codecs import MANY_CODECS, decode_many
+from ..functions.codecs import MANY_CODECS
 from ..pipelines.build import META_FILE, load_meta
 from ..stages import shards as shards_mod
 from ..state.searcher import load_tombstones, save_tombstones
@@ -49,9 +49,7 @@ def decode_shard_table(t: pa.Table, *, positional: bool) -> dict:
     [, positions_flat, positions_offsets]."""
     df = t["df"].to_numpy(zero_copy_only=False)
     terms = np.asarray(t["term"].to_pylist(), dtype=object)
-    from .shards import shard_codec
-
-    dec_many = MANY_CODECS[shard_codec(t)][1]
+    dec_many = MANY_CODECS[shards_mod.shard_codec(t)][1]
 
     def _col(name: str, *, delta: bool):
         data, off = _bin_column_parts(t, name)
@@ -153,7 +151,9 @@ def merge_indexes(
     codec = codec or metas[0].get("codec", "varint")
     salts = [int(m.get("salt", 1)) for m in metas]
     drop = frozenset().union(*(load_tombstones(s) for s in sources))
-    fp = "merge:" + ":".join(m["fingerprint"] for m in metas)
+    # fp must include the DEST codec: re-merging to transcode would
+    # otherwise no-op against the existing shard manifests
+    fp = "merge:" + ":".join(m["fingerprint"] for m in metas) + f":codec={codec}"
     os.makedirs(dest, exist_ok=True)
 
     buckets = sorted({sid // salt for src, salt in zip(sources, salts) for sid in shards_mod.list_shards(src)})

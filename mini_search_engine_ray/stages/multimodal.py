@@ -117,20 +117,20 @@ class MediaResize:
     def __init__(self, target_w: int = 224, target_h: int = 224, *, strict: bool = False) -> None:
         self.tw, self.th = int(target_w), int(target_h)
         self.strict = strict
-        try:  # pragma: no cover
-            import PIL.Image  # noqa: F401
-
-            self._has_decoder = True
-        except ImportError:
-            self._has_decoder = False
+        # no real resampling path is implemented (PIL absent from this
+        # container) — strict must ALWAYS raise, even if PIL happens to
+        # be importable, so fake payloads can never masquerade as real
+        self._has_decoder = False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if self.strict and not self._has_decoder:
             raise NotImplementedError("real image resizing requires PIL")
-        w = batch["width"].to_numpy(zero_copy_only=False).astype(np.float64)
-        h = batch["height"].to_numpy(zero_copy_only=False).astype(np.float64)
+        import pyarrow.compute as pc
+
+        w = pc.fill_null(batch["width"], 0).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = pc.fill_null(batch["height"], 0).to_numpy(zero_copy_only=False).astype(np.float64)
         is_img = np.asarray(
-            [t.startswith("image/") for t in batch["media_type"].to_pylist()]
+            [(t or "").startswith("image/") for t in batch["media_type"].to_pylist()]
         )
         scale = np.minimum(self.tw / np.maximum(w, 1), self.th / np.maximum(h, 1))
         new_w = np.where(is_img, np.maximum(1, np.round(w * scale)), w).astype(np.int32)

@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.feather as feather
 
-from ..functions.codecs import MANY_CODECS, decode_many, encode_many, single_decoder, varint_decode
+from ..functions.codecs import MANY_CODECS, single_decoder
 
 BLOCK_SIZE = 128
 
