@@ -280,9 +280,25 @@ def q_search_phrase(sf_dir: str):
     return _ids_table(_searcher(sf_dir).search_phrase(PHRASE))
 
 
+def _rounded_topk(ids, sc, k: int) -> pa.Table:
+    """Top-k by (round4(score) desc, doc_id asc). Ranking at the
+    compared 4-decimal precision makes the k-boundary independent of
+    per-engine float ulps: large corpora produce wide EXACT-tie
+    plateaus (identical tf/dl profiles), where sub-ulp noise would
+    otherwise make engine and oracle pick different tie members."""
+    r = _r4(sc)
+    order = np.lexsort((np.asarray(ids), -r))[:k]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)[order]),
+            "score": pa.array(r[order]),
+        }
+    )
+
+
 def q_bm25_topk(sf_dir: str):
-    ids, sc = _searcher(sf_dir).search_bm25(BM25_TERMS, TOPK)
-    return _scored_table(ids, sc)
+    ids, sc = _searcher(sf_dir).search_bm25(BM25_TERMS, None, prune=False)
+    return _rounded_topk(ids, sc, TOPK)
 
 
 def q_bm25_all(sf_dir: str):
@@ -291,8 +307,8 @@ def q_bm25_all(sf_dir: str):
 
 
 def q_tfidf_topk(sf_dir: str):
-    ids, sc = _searcher(sf_dir).search_tfidf(TFIDF_TERMS, TOPK)
-    return _scored_table(ids, sc)
+    ids, sc = _searcher(sf_dir).search_tfidf(TFIDF_TERMS, None)
+    return _rounded_topk(ids, sc, TOPK)
 
 
 def q_dedup_exact(sf_dir: str):
@@ -1081,7 +1097,7 @@ scores AS (
   CROSS JOIN meta
   GROUP BY tf.doc_id)
 SELECT doc_id, {_R4.format(expr="score")} AS score
-FROM scores ORDER BY score DESC, doc_id {lim}
+FROM scores ORDER BY {_R4.format(expr="score")} DESC, doc_id {lim}
 """
 
 
@@ -1104,7 +1120,7 @@ scores AS (
   SELECT doc_id, sum(dot_part) / sqrt(sum(len_part)) AS score
   FROM parts GROUP BY doc_id)
 SELECT doc_id, {_R4.format(expr="score")} AS score
-FROM scores ORDER BY score DESC, doc_id {lim}
+FROM scores ORDER BY {_R4.format(expr="score")} DESC, doc_id {lim}
 """
 
 
