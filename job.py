@@ -93,7 +93,7 @@ def main(argv: list[str] | None = None) -> int:
 
     # query batch through the stateful searcher actor pool
     t1 = time.time()
-    results = {}
+    results = []
     if args.queries:
         import pyarrow as pa
 
@@ -113,12 +113,20 @@ def main(argv: list[str] | None = None) -> int:
             )
             .take_all()
         )
-        for i, q in enumerate(rows):
-            hits = [r for r in out if r["query_id"] == i]
-            results[",".join(q["terms"])] = [
-                {"doc_id": int(r["doc_id"]), "score": round(float(r["score"]), 4)}
-                for r in sorted(hits, key=lambda r: r["rank"])
-            ]
+        results = [
+            {
+                "query_id": i,
+                "query": ",".join(q["terms"]),
+                "hits": [
+                    {"doc_id": int(r["doc_id"]), "score": round(float(r["score"]), 4)}
+                    for r in sorted(
+                        (r for r in out if r["query_id"] == i),
+                        key=lambda r: r["rank"],
+                    )
+                ],
+            }
+            for i, q in enumerate(rows)
+        ]
     print(
         json.dumps(
             {

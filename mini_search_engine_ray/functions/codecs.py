@@ -195,6 +195,8 @@ def _pfor_decode_block(buf: memoryview, off: int) -> tuple[np.ndarray, int]:
         window = min(len(buf) - off, 10 * int(n_exc))
         raw = np.frombuffer(buf[off : off + window], dtype=np.uint8)
         ends = np.flatnonzero((raw & 0x80) == 0)[:n_exc]
+        if len(ends) < n_exc:
+            raise ValueError("truncated PForDelta block: missing exception varints")
         span = int(ends[-1]) + 1
         high = varint_decode(buf[off : off + span], delta=False).astype(np.uint64)
         off += span

@@ -361,25 +361,30 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def dedup_exact(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: md5(text) -> keep the min doc_id per hash. Returns
-    a Dataset (content_hash, keep_id, n_dups). One narrow shuffle."""
+    a Dataset (content_hash, keep_id, n_dups). One narrow shuffle of
+    (hash, id) rows into a NATIVE groupby aggregate — no per-group
+    Python callable (at 10^9 mostly-unique docs a per-group pandas
+    map_groups would mean 10^9 Python DataFrame constructions)."""
+    from ray.data.aggregate import Count, Min
+
     def add_hash(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
         h = [hashlib.md5((x or "").encode()).hexdigest() for x in texts]
         return pa.table({"content_hash": pa.array(h), id_col: t[id_col]})
 
-    def keep_first(g):
-        import pandas as pd
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
+    )
 
-        return pd.DataFrame(
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
             {
-                "content_hash": [g["content_hash"].iloc[0]],
-                "keep_id": [int(g[id_col].min())],
-                "n_dups": [int(len(g))],
+                "content_hash": t["content_hash"],
+                "keep_id": pc.cast(t["keep_id"], pa.int64()),
+                "n_dups": pc.cast(t["n_dups"], pa.int64()),
             }
         )
 
-    return (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
-        .map_groups(keep_first, batch_format="pandas")
-    )
+    return out.map_batches(fix, batch_format="pyarrow")

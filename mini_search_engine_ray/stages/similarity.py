@@ -80,9 +80,60 @@ def cosine_topk_batch(
     )
 
 
+def _merge_topk_table(t: pa.Table, *, id_col: str, k: int) -> pa.Table:
+    """Vectorized per-query top-k over a table of partial results
+    (score desc, id asc within each query; rank assigned 0..k-1).
+    Schema-stable on empty input (silences Ray's different-schema
+    warnings for empty blocks)."""
+    empty = pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            "rank": pa.array([], pa.int32()),
+            id_col: pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }
+    )
+    if t.num_rows == 0 or "query_id" not in t.column_names:
+        return empty
+    qid = t["query_id"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    s = t["score"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, -s, qid))
+    qs, idss, ss = qid[order], ids[order], s[order]
+    starts = np.flatnonzero(np.r_[True, qs[1:] != qs[:-1]])
+    rank = np.arange(len(qs)) - np.repeat(starts, np.diff(np.r_[starts, len(qs)]))
+    keep = rank < k
+    return pa.table(
+        {
+            "query_id": pa.array(qs[keep]),
+            "rank": pa.array(rank[keep].astype(np.int32)),
+            id_col: pa.array(idss[keep]),
+            "score": pa.array(ss[keep]),
+        }
+    )
+
+
+def _tree_merge_topk(partial, *, id_col: str, k: int):
+    """Two-level top-k reduction over per-batch partials: a stateless
+    combiner task merges many partial blocks (each emits <= Q*k rows),
+    then one final task merges the combiner outputs. Replaces the
+    per-query map_groups sort-shuffle — no all-to-all exchange, no
+    schema-less empty blocks, and the gather stays O(tasks * Q * k)."""
+    comb = partial.map_batches(
+        lambda t: _merge_topk_table(t, id_col=id_col, k=k),
+        batch_size=65536,
+        batch_format="pyarrow",
+    )
+    return comb.repartition(1).map_batches(
+        lambda t: _merge_topk_table(t, id_col=id_col, k=k),
+        batch_size=None,
+        batch_format="pyarrow",
+    )
+
+
 def ann_cosine_topk(ds, queries: np.ndarray, *, emb_col="embedding", id_col="vec_id", k=10):
     """Global cosine top-k per query: broadcast queries, per-batch
-    partial top-k, per-query merge. Returns Dataset (query_id, rank,
+    partial top-k, tree merge. Returns Dataset (query_id, rank,
     vec_id, score)."""
     import ray
 
@@ -91,16 +142,7 @@ def ann_cosine_topk(ds, queries: np.ndarray, *, emb_col="embedding", id_col="vec
         lambda t: cosine_topk_batch(t, qref, emb_col=emb_col, id_col=id_col, k=k),
         batch_format="pyarrow",
     )
-
-    def merge_topk(g):
-        import pandas as pd
-
-        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int32)
-        return g[["query_id", "rank", id_col, "score"]]
-
-    return partial.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return _tree_merge_topk(partial, id_col=id_col, k=k)
 
 
 def train_ivf_centroids(
@@ -183,14 +225,7 @@ def ivf_cosine_topk(
         )
 
     partial_ds = ds.map_batches(partial, batch_format="pyarrow")
-
-    def merge_topk(g):
-        g = g.sort_values(["score", id_col], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(len(g), dtype=np.int32)
-        return g[["query_id", "rank", id_col, "score"]]
-
-    return partial_ds.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    return _tree_merge_topk(partial_ds, id_col=id_col, k=k)
 
 
 def lsh_bucket_batch(

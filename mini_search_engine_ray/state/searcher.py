@@ -40,7 +40,6 @@ from ..functions.analyzers import make_analyzer
 from ..pipelines.build import load_meta
 from ..stages.ingest import term_bucket
 from ..stages.shards import decode_posting_row, open_shard
-from ..functions.codecs import varint_decode
 
 K1 = 1.2
 B = 0.75
@@ -64,6 +63,44 @@ def save_tombstones(index_dir: str, terms: set[str]) -> None:
     os.replace(tmp, p)
 
 
+class _TermDict:
+    """Zero-copy binary-searchable view of a shard's SORTED term
+    column: probes compare UTF-8 bytes directly against the mmap'd
+    Arrow offsets+data buffers (bytewise order == codepoint order for
+    UTF-8, the order the shard writer sorts by), so a searcher actor
+    on a 10^8-term shard set materializes no Python string objects —
+    each lookup costs O(log n) small byte-slice copies only."""
+
+    __slots__ = ("off", "data", "n")
+
+    def __init__(self, col) -> None:
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        self.n = len(col)
+        if self.n == 0:
+            self.off = np.zeros(1, dtype=np.int64)
+            self.data = np.empty(0, dtype=np.uint8)
+            return
+        odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+        off = np.frombuffer(col.buffers()[1], dtype=odt)
+        self.off = off[col.offset : col.offset + self.n + 1]
+        self.data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+
+    def find(self, term: str) -> int | None:
+        """Row index of `term`, or None."""
+        key = term.encode()
+        off, data = self.off, self.data
+        lo, hi = 0, self.n
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            if data[off[mid] : off[mid + 1]].tobytes() < key:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < self.n and data[off[lo] : off[lo + 1]].tobytes() == key:
+            return lo
+        return None
+
+
 class IndexSearcher:
     def __init__(self, index_dir: str) -> None:
         self.index_dir = index_dir
@@ -82,7 +119,7 @@ class IndexSearcher:
         self.avgdl = float(self.meta["avgdl"]) or 1.0
         self.tombstones = load_tombstones(index_dir)
         self._shards: dict[int, pa.Table | None] = {}
-        self._terms: dict[int, np.ndarray] = {}
+        self._terms: dict[int, _TermDict | None] = {}
         self._postings_cache: dict[str, tuple | None] = {}
 
     # -- shard access ---------------------------------------------------
@@ -92,15 +129,11 @@ class IndexSearcher:
             self._shards[shard_id] = open_shard(self.index_dir, shard_id)
         return self._shards[shard_id]
 
-    def _term_array(self, shard_id: int) -> np.ndarray | None:
-        arr = self._terms.get(shard_id)
-        if arr is None:
+    def _term_dict(self, shard_id: int) -> _TermDict | None:
+        if shard_id not in self._terms:
             t = self._shard(shard_id)
-            if t is None:
-                return None
-            arr = np.asarray(t["term"].to_pylist(), dtype=object)
-            self._terms[shard_id] = arr
-        return arr
+            self._terms[shard_id] = None if t is None else _TermDict(t["term"])
+        return self._terms[shard_id]
 
     def _term_rows(self, term: str) -> list[tuple[pa.Table, int]]:
         """(shard_table, row) for every salted sub-shard holding term."""
@@ -108,12 +141,12 @@ class IndexSearcher:
         out = []
         for s in range(self.salt):
             sid = bucket * self.salt + s
-            arr = self._term_array(sid)
-            if arr is None or len(arr) == 0:
+            td = self._term_dict(sid)
+            if td is None or td.n == 0:
                 continue
-            i = np.searchsorted(arr, term)
-            if i < len(arr) and arr[i] == term:
-                out.append((self._shard(sid), int(i)))
+            i = td.find(term)
+            if i is not None:
+                out.append((self._shard(sid), i))
         return out
 
     def postings(self, term: str, *, positions: bool = False):
