@@ -238,9 +238,9 @@ def bench_dedup_minhash_100k(out: dict) -> None:
     n = pairs.count()
     out["queries"]["dedup_minhash_100k"] = round(time.time() - t0, 3)
     out["dedup_100k_pairs"] = int(n)
-    # parallelism evidence: task count of the pair-generation map_groups
+    # parallelism evidence: task count of the pair-generation stage
     # (the FIRST MapBatches operator after the FIRST Sort in the
-    # lineage = groupby("grp").map_groups(_pairs_in_band))
+    # lineage = sort(band, band_hash) -> _pairs_in_band_block)
     try:
         import re
 

@@ -585,12 +585,14 @@ def q_embedding_dup_pairs(sf_dir: str):
         ds, threshold=EMB_DUP_THRESHOLD, num_hyperplanes=EMB_DUP_HYPERPLANES
     )
 
-    def fix(df):
-        df = df.copy()
-        df["score"] = np.floor(df["score"] * 1e4 + 0.5) / 1e4
-        return df
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "score": pa.array(_r4(t["score"].to_numpy(zero_copy_only=False)))})
 
-    return out.map_batches(fix, batch_format="pandas")
+    return out.map_batches(fix, batch_format="pyarrow")
 
 
 def q_dedup_near_jaccard(sf_dir: str):

@@ -181,18 +181,23 @@ def lsh_band_batch(t: pa.Table, *, id_col: str = "doc_id", bands: int = 16, rows
     )
 
 
-def _pairs_in_band(g, id_col: str = "doc_id", max_bucket: int = 200):
-    """All candidate pairs within one LSH band: vectorized run detection
-    over band_hash; Python only touches the (few) colliding buckets.
-    Buckets larger than `max_bucket` are truncated (quadratic blowup
-    guard — a bucket that big means near-identical boilerplate; the
-    kept prefix still links its members transitively)."""
-    import pandas as pd
-
-    g = g.sort_values(["band_hash", id_col])
-    h = g["band_hash"].to_numpy()
-    ids = g[id_col].to_numpy()
-    starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+def _pairs_in_band_block(t: pa.Table, id_col: str = "doc_id", max_bucket: int = 200) -> pa.Table:
+    """All candidate pairs within each (band, band_hash) bucket of a
+    range-sorted block: vectorized run detection; Python only touches
+    the (few) colliding buckets. Buckets larger than `max_bucket` are
+    truncated (quadratic blowup guard — a bucket that big means
+    near-identical boilerplate; the kept prefix still links its
+    members transitively). Schema-stable on empty blocks."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if t.num_rows == 0 or "band_hash" not in t.column_names:
+        return empty
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    h = t["band_hash"].to_numpy(zero_copy_only=False)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    order = np.lexsort((ids, h, band))
+    band, h, ids = band[order], h[order], ids[order]
+    new_bucket = (band[1:] != band[:-1]) | (h[1:] != h[:-1])
+    starts = np.flatnonzero(np.r_[True, new_bucket])
     ends = np.r_[starts[1:], len(h)]
     out_a, out_b = [], []
     for s, e in zip(starts, ends):
@@ -205,54 +210,57 @@ def _pairs_in_band(g, id_col: str = "doc_id", max_bucket: int = 200):
         out_a.append(members[iu])
         out_b.append(members[ju])
     if not out_a:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    return pd.DataFrame({"a": np.concatenate(out_a), "b": np.concatenate(out_b)})
+        return empty
+    return pa.table({"a": pa.array(np.concatenate(out_a)),
+                     "b": pa.array(np.concatenate(out_b))})
+
+
+def _dedup_sorted_pairs(t: pa.Table) -> pa.Table:
+    """Drop duplicate (a, b) rows from a block of a (a, b)-sorted
+    dataset (a pair's duplicates are co-located by the range sort)."""
+    empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    if t.num_rows == 0 or "a" not in t.column_names:
+        return empty
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
 
 
 def minhash_candidate_pairs(ds, *, text_col="text", id_col="doc_id",
-                            num_perm=64, shingle_k=3, bands=16, rows=4, seed=1234,
-                            partitions_per_band=64):
+                            num_perm=64, shingle_k=3, bands=16, rows=4, seed=1234):
     """Dataset pipeline: docs -> signatures -> LSH bands -> candidate
     pairs (a < b, unique). Returns (pairs_ds, signatures_ds).
 
-    Shuffle key: `grp = band * P + (band_hash mod P)` with
-    P = `partitions_per_band` — every hash bucket lands WHOLE in one
-    group (so results are independent of P), but a band's rows spread
-    over P groups. Grouping by band alone puts all N docs' rows for a
-    band into ONE task (unbounded memory, parallelism ceiling = bands);
-    grouping by raw (band, band_hash) creates ~N tiny Python-level
-    groups (quadratically slower). P ≈ 4× cluster cores keeps groups
-    bounded (~N/P rows) with elastic parallelism; the vectorized
-    `_pairs_in_band` run-detection still handles many buckets per task.
+    Shuffle shape: one range sort on the full (band, band_hash) key —
+    Ray's sample-based range partitioning yields balanced, elastic
+    partitions (no per-band task ceiling, no unbounded groups) while
+    keeping every hash bucket whole inside one partition (equal keys
+    never straddle a sort boundary — the same invariant map_groups
+    relies on). Each output block is then swept once by the vectorized
+    run-detection pair generator; results are partitioning-independent.
     """
     sigs = ds.map_batches(
         lambda t: minhash_batch(t, text_col=text_col, id_col=id_col,
                                 num_perm=num_perm, shingle_k=shingle_k, seed=seed),
         batch_format="pyarrow",
     )
-    P = int(partitions_per_band)
-
-    def band_rows(t: pa.Table) -> pa.Table:
-        out = lsh_band_batch(t, id_col=id_col, bands=bands, rows=rows)
-        band = out["band"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bh = out["band_hash"].to_numpy(zero_copy_only=False)
-        grp = band * P + (bh % P)  # numpy % is non-negative for P > 0
-        return out.append_column("grp", pa.array(grp))
-
-    bands_ds = sigs.map_batches(band_rows, batch_format="pyarrow")
-    pairs = bands_ds.groupby("grp").map_groups(
-        lambda g: _pairs_in_band(g, id_col), batch_format="pandas"
+    bands_ds = sigs.map_batches(
+        lambda t: lsh_band_batch(t, id_col=id_col, bands=bands, rows=rows),
+        batch_format="pyarrow",
+    )
+    pairs = bands_ds.sort(["band", "band_hash"]).map_batches(
+        lambda t: _pairs_in_band_block(t, id_col), batch_size=None, batch_format="pyarrow"
     )
     # candidate pairs are small (bounded by collisions); materialize so
     # the emptiness check and the dedupe don't re-run the pipeline
     pairs = pairs.materialize()
-
-    def dedup_pairs(g):
-        return g.drop_duplicates(["a", "b"])
-
     if pairs.count() == 0:
         return pairs, sigs
-    return pairs.groupby("a").map_groups(dedup_pairs, batch_format="pandas"), sigs
+    deduped = pairs.sort(["a", "b"]).map_batches(
+        _dedup_sorted_pairs, batch_size=None, batch_format="pyarrow"
+    )
+    return deduped, sigs
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -262,58 +270,91 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 def verify_pairs_jaccard(
     ds, pairs, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3
 ):
-    """EXACT k-shingle Jaccard for candidate pairs (the verification
-    stage after LSH): one distributed pass computes each involved doc's
-    DISTINCT shingle-hash set (map_batches, docs filtered to the
-    candidate set); the per-pair intersection runs on the driver over
-    the collected sets — bounded by the candidate count, which LSH
-    keeps small by construction. (At a scale where even candidates
-    outgrow the driver, re-key this as a shingle-equality join.)
+    """EXACT k-shingle Jaccard for candidate pairs — the verification
+    stage after LSH — as a DISTRIBUTED shingle-equality join (the same
+    join the `dedup_near_jaccard` SQL oracle models):
+
+      1. map_batches over the corpus, filtered to involved docs: emit
+         one (pair_id, sh) row per (candidate pair, DISTINCT shingle
+         of either member). A doc in several pairs replicates its
+         shingles per pair (bounded by its LSH candidate degree).
+      2. groupby(pair_id, sh).count(): a (pair, shingle) appears twice
+         iff BOTH members hold it (members are distinct docs and
+         per-doc shingles are distinct) -> intersection marker.
+      3. groupby(pair_id).aggregate(Count -> |union|, Sum(marker) ->
+         |intersection|) — all native aggregates, no per-group Python.
+
+    Only the final per-pair (union, inter) rows — output-sized, like
+    `pairs` itself — reach the driver; per-doc shingle data never does.
 
     `pairs`: Dataset or DataFrame with columns a, b. Returns a
     pa.Table (a, b, jaccard) in pairs order. Empty-vs-empty sets
     define jaccard = 1.0 (parity with `exact_jaccard_tokens`).
     """
-    import pandas as pd
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
 
     if hasattr(pairs, "to_pandas"):
         pairs = pairs.to_pandas()
     if len(pairs) == 0:
         return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    involved = np.unique(np.r_[pairs["a"].to_numpy(), pairs["b"].to_numpy()])
-    inv_set = pa.array(involved)
+    a_arr = pairs["a"].to_numpy().astype(np.int64)
+    b_arr = pairs["b"].to_numpy().astype(np.int64)
+    n_pairs = len(a_arr)
+    # doc -> [pair_id, ...] (a doc may sit in many pairs); broadcast ONCE
+    doc_pairs: dict[int, list[int]] = {}
+    for pid in range(n_pairs):
+        doc_pairs.setdefault(int(a_arr[pid]), []).append(pid)
+        doc_pairs.setdefault(int(b_arr[pid]), []).append(pid)
+    dp_ref = ray.put({d: np.asarray(ps, dtype=np.int64) for d, ps in doc_pairs.items()})
+    inv_ref = ray.put(pa.array(np.fromiter(doc_pairs, dtype=np.int64, count=len(doc_pairs))))
 
-    def shingle_sets(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.is_in(t[id_col], value_set=inv_set)
-        t = t.filter(keep)
+    def pair_shingle_rows(t: pa.Table) -> pa.Table:
+        dp = ray.get(dp_ref)
+        t = t.filter(pc.is_in(t[id_col], value_set=ray.get(inv_ref)))
+        empty = pa.table({"pair_id": pa.array([], pa.int64()),
+                          "sh": pa.array([], pa.int64())})
         if t.num_rows == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "sh": pa.array([], pa.list_(pa.int64()))})
+            return empty
         flat, off = _doc_shingles_flat(t, text_col, k)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        out_sh = [np.unique(flat[off[i]:off[i + 1]]).view(np.int64) for i in range(t.num_rows)]
+        out_pid, out_sh = [], []
+        for i in range(t.num_rows):
+            sh_u = np.unique(flat[off[i] : off[i + 1]]).view(np.int64)
+            if len(sh_u) == 0:
+                continue
+            pids = dp[int(ids[i])]
+            out_pid.append(np.repeat(pids, len(sh_u)))
+            out_sh.append(np.tile(sh_u, len(pids)))
+        if not out_pid:
+            return empty
+        return pa.table({"pair_id": pa.array(np.concatenate(out_pid)),
+                         "sh": pa.array(np.concatenate(out_sh))})
+
+    rows_ds = ds.map_batches(pair_shingle_rows, batch_format="pyarrow")
+    per_sh = rows_ds.groupby(["pair_id", "sh"]).count()
+
+    def flags(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pair_id" not in t.column_names:
+            return pa.table({"pair_id": pa.array([], pa.int64()),
+                             "is_inter": pa.array([], pa.int64())})
         return pa.table({
-            id_col: pa.array(ids),
-            "sh": pa.array([x.tolist() for x in out_sh], type=pa.list_(pa.int64())),
+            "pair_id": t["pair_id"],
+            "is_inter": pc.cast(pc.equal(t["count()"], 2), pa.int64()),
         })
 
-    rows = ds.map_batches(shingle_sets, batch_format="pyarrow").take_all()
-    sets = {int(r[id_col]): np.asarray(r["sh"], dtype=np.int64) for r in rows}
-    out = []
-    for a, b in zip(pairs["a"].to_numpy(), pairs["b"].to_numpy()):
-        sa = sets.get(int(a), np.empty(0, np.int64))
-        sb = sets.get(int(b), np.empty(0, np.int64))
-        if len(sa) == 0 and len(sb) == 0:
-            out.append(1.0)
-            continue
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        out.append(inter / (len(sa) + len(sb) - inter))
-    return pa.table({"a": pa.array(pairs["a"].to_numpy(), pa.int64()),
-                     "b": pa.array(pairs["b"].to_numpy(), pa.int64()),
-                     "jaccard": pa.array(np.asarray(out, dtype=np.float64))})
+    agg = (
+        per_sh.map_batches(flags, batch_format="pyarrow")
+        .groupby("pair_id")
+        .aggregate(Count(alias_name="union_n"), Sum("is_inter", alias_name="inter_n"))
+    )
+    jac = np.ones(n_pairs, dtype=np.float64)  # absent pair = empty-vs-empty = 1.0
+    for r in agg.take_all():  # output-sized: one row per pair with any shingles
+        jac[int(r["pair_id"])] = float(r["inter_n"] or 0) / float(r["union_n"])
+    return pa.table({"a": pa.array(a_arr), "b": pa.array(b_arr),
+                     "jaccard": pa.array(jac)})
 
 
 def exact_jaccard_tokens(text_a: str, text_b: str, k: int = 3) -> float:

@@ -261,9 +261,14 @@ def embedding_dup_pairs(
     probes/repeats for recall). A bucket larger than `max_bucket` is
     truncated to its `max_bucket` smallest ids before the in-bucket
     all-pairs matmul — the same quadratic-blowup guard as
-    `dedup._pairs_in_band`; a degenerate hot bucket (boilerplate /
-    near-zero embeddings) would otherwise cost O(bucket²) memory and
-    one-task wall time. Truncated buckets are logged."""
+    `dedup._pairs_in_band_block`; a degenerate hot bucket (boilerplate
+    / near-zero embeddings) would otherwise cost O(bucket²) memory and
+    one-task wall time. Truncated buckets are logged.
+
+    Shuffle shape: one range sort on `bucket` (balanced elastic
+    partitions, buckets kept whole — the map_groups invariant) + a
+    vectorized per-block sweep; no per-group Python callables, no
+    schema-less empty blocks."""
     import ray
 
     if dim is None:
@@ -277,30 +282,47 @@ def embedding_dup_pairs(
         batch_format="pyarrow",
     )
 
-    def in_bucket_pairs(g):
-        import pandas as pd
-
-        empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
-                              "score": pd.Series(dtype="float64")})
-        ids = g[id_col].to_numpy()
-        if len(ids) < 2:
+    def in_bucket_pairs_block(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                          "score": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "bucket" not in t.column_names:
             return empty
-        if len(ids) > max_bucket:
-            import logging
+        ids_all = t[id_col].to_numpy(zero_copy_only=False)
+        buckets = t["bucket"].to_numpy(zero_copy_only=False)
+        m_all = _normalize(_emb_matrix(t, "embedding_keep").astype(np.float64))
+        order = np.lexsort((ids_all, buckets))
+        starts = np.flatnonzero(np.r_[True, buckets[order][1:] != buckets[order][:-1]])
+        ends = np.r_[starts[1:], len(order)]
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            sel = order[s:e]
+            if len(sel) > max_bucket:
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "embedding_dup_pairs: bucket %s truncated %d -> %d vectors",
-                g["bucket"].iloc[0], len(ids), max_bucket,
-            )
-            keep = np.argsort(ids, kind="stable")[:max_bucket]
-            g = g.iloc[keep]
-            ids = g[id_col].to_numpy()
-        m = _normalize(np.stack(g["embedding_keep"].to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        mask = sims[iu, ju] >= threshold
-        a, b = ids[iu[mask]], ids[ju[mask]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"a": lo, "b": hi, "score": sims[iu[mask], ju[mask]]})
+                logging.getLogger(__name__).warning(
+                    "embedding_dup_pairs: bucket %s truncated %d -> %d vectors",
+                    int(buckets[sel[0]]), len(sel), max_bucket,
+                )
+                sel = sel[:max_bucket]  # ids ascending within bucket already
+            ids = ids_all[sel]
+            m = m_all[sel]
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            mask = sims[iu, ju] >= threshold
+            if not mask.any():
+                continue
+            a, b = ids[iu[mask]], ids[ju[mask]]
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_s.append(sims[iu[mask], ju[mask]])
+        if not out_a:
+            return empty
+        return pa.table({"a": pa.array(np.concatenate(out_a)),
+                         "b": pa.array(np.concatenate(out_b)),
+                         "score": pa.array(np.concatenate(out_s))})
 
-    return bucketed.groupby("bucket").map_groups(in_bucket_pairs, batch_format="pandas")
+    return bucketed.sort("bucket").map_batches(
+        in_bucket_pairs_block, batch_size=None, batch_format="pyarrow"
+    )
