@@ -10,13 +10,16 @@ redistribution); there is NO 1/N term. Fusion
 (`search/IcsSearchEngine.java:199-234`): fused = base_score +
 w * pagerank, sorted desc, top-k.
 
-Two implementations with identical results (tested):
+Three implementations with identical results (tested), by scale tier:
   * `pagerank_numpy` — CSR-style vectorized driver loop; the edge list
     for even a 10^9-page web graph is narrow (two int64 columns), so
     iterating in memory on one node is usually right below ~10^9 edges.
-  * `pagerank_dataset` — distributed Ray Data loop (edges join scores,
-    groupby(dst).sum) for graphs whose score vector exceeds one node's
-    memory; one groupby shuffle per iteration, partitioned by dst.
+  * `pagerank_dataset` — edges stay a distributed Dataset; the DENSE
+    score vector is broadcast per iteration (8 bytes/node — fine to
+    ~10^9 nodes); one groupby shuffle per iteration.
+  * `pagerank_dataset_join` — scores-join-edges: scores themselves are
+    a (node, score) Dataset, nothing dense anywhere; two exchanges per
+    iteration. For node counts beyond one worker's heap.
 """
 
 from __future__ import annotations
@@ -72,9 +75,8 @@ def pagerank_dataset(
 
     Scale shape: EDGES stay distributed and arbitrarily large; the dense
     score vector must fit one worker's heap (8 GB at 10^9 nodes). For
-    node counts beyond that this loop becomes scores-join-edges
-    (`Dataset.join`), same structure with one more shuffle per
-    iteration.
+    node counts beyond that use `pagerank_dataset_join` (scores as a
+    Dataset, one more exchange per iteration).
     """
     import ray
     from ray.data.aggregate import Sum
@@ -127,6 +129,168 @@ def pagerank_dataset(
     scores = ray.get(score_ref)
     return pa.table(
         {"node": pa.array(np.arange(num_nodes, dtype=np.int64)), "score": pa.array(scores)}
+    )
+
+
+def pagerank_dataset_join(
+    edges_ds,
+    num_nodes: int,
+    *,
+    iterations: int = ITERATIONS,
+    damping: float = DAMPING,
+):
+    """Scores-JOIN-edges PageRank — the variant for node counts whose
+    dense score vector no longer fits one worker's heap
+    (`pagerank_dataset` broadcasts 8 GB at 10^9 nodes; here scores
+    live in a (node, score) Dataset end to end). Reference-exact
+    recurrence (init 1.0, no dangling redistribution, no 1/N term);
+    equality vs `pagerank_numpy` is tested (allclose — distributed
+    Sum order differs by ulps).
+
+    Per iteration, TWO all-to-all exchanges — the unavoidable price of
+    not materializing scores:
+      1. cogroup on src: one range sort of edges ∪ per-node state
+         (equal keys never straddle sort partitions — the map_groups
+         invariant — so a vectorized per-block sweep sees each node's
+         state row and its out-edges together) emitting per-edge
+         contributions (dst, score/outdeg);
+      2. groupby(dst).Sum — inbound mass, folded into the NEXT
+         iteration's cogroup (nodes absent default to score 1-d).
+
+    Rows are (key, t, w, s, dst) with t ordering state-before-edges:
+      t=0 node base (w = 1/outdeg, 0 for sinks), t=1 inbound sum s,
+      t=2 out-edge. Nodes are assumed to be 0..num_nodes-1 (every
+      edge endpoint has a base row).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    zero8 = lambda n: pa.array(np.zeros(n, dtype=np.int8))  # noqa: E731
+    zerof = lambda n: pa.array(np.zeros(n, dtype=np.float64))  # noqa: E731
+    zeroi = lambda n: pa.array(np.zeros(n, dtype=np.int64))  # noqa: E731
+
+    # -- static per-node base: w = 1/outdeg (one cogroup, once) --------
+    def tag_nodes(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"key": t["id"], "t": zero8(n), "w": zerof(n), "dst": zeroi(n)})
+
+    def tag_outdeg(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        if n == 0 or "src" not in t.column_names:
+            return pa.table({"key": pa.array([], pa.int64()), "t": pa.array([], pa.int8()),
+                             "w": pa.array([], pa.float64()), "dst": pa.array([], pa.int64())})
+        cnt = t["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"key": t["src"],
+                         "t": pa.array(np.ones(n, dtype=np.int8)),
+                         "w": pa.array(1.0 / cnt), "dst": zeroi(n)})
+
+    def base_sweep(t: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()), "w": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return empty
+        key = t["key"].to_numpy(zero_copy_only=False)
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        w = t["w"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        run_of = np.cumsum(np.r_[0, (key[1:] != key[:-1]).astype(np.int64)])
+        w_run = np.zeros(len(starts))
+        m = tt == 1
+        w_run[run_of[m]] = w[m]
+        return pa.table({"node": pa.array(key[starts]), "w": pa.array(w_run)})
+
+    nodes = rd.range(num_nodes).map_batches(tag_nodes, batch_format="pyarrow")
+    outdeg = edges_ds.groupby("src").count().map_batches(tag_outdeg, batch_format="pyarrow")
+    base = (
+        nodes.union(outdeg).sort("key")
+        .map_batches(base_sweep, batch_size=None, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # -- tagged invariants reused every iteration ----------------------
+    def tag_base(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"key": t["node"], "t": zero8(n), "w": t["w"],
+                         "s": zerof(n), "dst": zeroi(n)})
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"key": t["src"], "t": pa.array(np.full(n, 2, dtype=np.int8)),
+                         "w": zerof(n), "s": zerof(n), "dst": t["dst"]})
+
+    def tag_sums(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "dst" not in t.column_names:
+            return pa.table({"key": pa.array([], pa.int64()), "t": pa.array([], pa.int8()),
+                             "w": pa.array([], pa.float64()), "s": pa.array([], pa.float64()),
+                             "dst": pa.array([], pa.int64())})
+        n = t.num_rows
+        return pa.table({"key": t["dst"], "t": pa.array(np.ones(n, dtype=np.int8)),
+                         "w": zerof(n), "s": t["s"], "dst": zeroi(n)})
+
+    base_tagged = base.map_batches(tag_base, batch_format="pyarrow").materialize()
+    edges_tagged = edges_ds.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def make_sweep(init: bool):
+        def contrib_sweep(t: pa.Table) -> pa.Table:
+            empty = pa.table({"dst": pa.array([], pa.int64()), "c": pa.array([], pa.float64())})
+            if t.num_rows == 0 or "key" not in t.column_names:
+                return empty
+            key = t["key"].to_numpy(zero_copy_only=False)
+            tt = t["t"].to_numpy(zero_copy_only=False)
+            w = t["w"].to_numpy(zero_copy_only=False)
+            s = t["s"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+            run_of = np.cumsum(np.r_[0, (key[1:] != key[:-1]).astype(np.int64)])
+            nr = len(starts)
+            w_run = np.zeros(nr)
+            m0 = tt == 0
+            w_run[run_of[m0]] = w[m0]
+            if init:
+                score_run = np.ones(nr)
+            else:
+                s_run = np.zeros(nr)
+                m1 = tt == 1
+                s_run[run_of[m1]] = s[m1]
+                score_run = (1.0 - damping) + damping * s_run
+            v_run = score_run * w_run
+            em = tt == 2
+            if not em.any():
+                return empty
+            return pa.table({"dst": pa.array(dst[em]), "c": pa.array(v_run[run_of[em]])})
+
+        return contrib_sweep
+
+    sums = None
+    for it in range(iterations):
+        parts = base_tagged.union(edges_tagged)
+        if sums is not None:
+            parts = parts.union(sums.map_batches(tag_sums, batch_format="pyarrow"))
+        contrib = parts.sort("key").map_batches(
+            make_sweep(init=sums is None), batch_size=None, batch_format="pyarrow"
+        )
+        sums = (
+            contrib.groupby("dst").aggregate(Sum("c", alias_name="s")).materialize()
+        )
+
+    # -- final scores: one more cogroup of base ∪ sums -----------------
+    def final_sweep(t: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return empty
+        key = t["key"].to_numpy(zero_copy_only=False)
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        run_of = np.cumsum(np.r_[0, (key[1:] != key[:-1]).astype(np.int64)])
+        s_run = np.zeros(len(starts))
+        m1 = tt == 1
+        s_run[run_of[m1]] = s[m1]
+        return pa.table({"node": pa.array(key[starts]),
+                         "score": pa.array((1.0 - damping) + damping * s_run)})
+
+    out = base_tagged.union(sums.map_batches(tag_sums, batch_format="pyarrow"))
+    return out.sort("key").map_batches(
+        final_sweep, batch_size=None, batch_format="pyarrow"
     )
 
 

@@ -8,6 +8,7 @@ import pytest
 from mini_search_engine_ray.pipelines.pagerank import (
     fuse_scores,
     pagerank_dataset,
+    pagerank_dataset_join,
     pagerank_numpy,
 )
 
@@ -73,6 +74,45 @@ def test_dataset_matches_numpy(ray_session):
     got = np.empty(n)
     got[t["node"].to_numpy()] = t["score"].to_numpy()
     exp = pagerank_numpy(src, dst, n, iterations=10)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_dataset_join_matches_numpy(ray_session):
+    """Scores-join-edges variant (no dense vector anywhere) equals the
+    numpy oracle on a graph with a dangling node and hubs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    src, dst, n = _seeded_graph(30, seed=3)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+    t = pagerank_dataset_join(edges, n, iterations=8).to_pandas()
+    assert len(t) == n
+    got = np.empty(n)
+    got[t["node"].to_numpy()] = t["score"].to_numpy()
+    exp = pagerank_numpy(src, dst, n, iterations=8)
+    np.testing.assert_allclose(got, exp, rtol=1e-9)
+
+
+def test_dataset_join_matches_numpy_synthetic_200k(ray_session):
+    """Equality at 200k nodes / 400k edges (the VERDICT done-bar),
+    few iterations to keep the per-iteration shuffles test-sized."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 200_000
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i]
+    dst = np.r_[(7 * i + 3) % n, (13 * i + 5) % n]
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+    t = pagerank_dataset_join(edges, n, iterations=3).to_pandas()
+    assert len(t) == n
+    got = np.empty(n)
+    got[t["node"].to_numpy()] = t["score"].to_numpy()
+    exp = pagerank_numpy(src, dst, n, iterations=3)
     np.testing.assert_allclose(got, exp, rtol=1e-9)
 
 
