@@ -14,6 +14,9 @@ Workloads:
   query_p95          200 mixed BM25/boolean queries on the synth index;
                      reports p95 single-query latency (+ batch QPS via
                      the searcher actor pool)
+  query_distributed  the same 200 BM25 queries through the
+                     doc-partitioned scatter-gather path (4 partition
+                     actors, global-df two-pass) + rank-parity check
   dedup_minhash      MinHash+LSH candidate pairs over documents
   ann_cosine         cosine top-k over embeddings
   pagerank           100-iteration PageRank over a synthetic graph
@@ -184,6 +187,68 @@ def bench_query_p95(out: dict, index_dir: str) -> None:
     out["query_wand_p95_ms"] = round(float(np.percentile(lat_w, 95)) * 1000, 2)
 
 
+def bench_query_distributed(out: dict) -> None:
+    """Scatter-gather BM25 over the doc-partitioned index (4 partition
+    actors): per-query p95 / QPS through the full two-pass path (df
+    exchange + partition-local MaxScore + gather), plus a rank-parity
+    spot check against the single-index searcher."""
+    import numpy as np
+    import ray.data as rd
+
+    from mini_search_engine_ray.sources.corpus import corpus_fingerprint
+    from mini_search_engine_ray.state.distributed import (
+        DistributedSearcher,
+        build_partitioned_index,
+    )
+    from mini_search_engine_ray.state.searcher import IndexSearcher
+
+    path = _synth_corpus_path()
+    root = os.path.join(CACHE, f"didx-synth-{SYNTH_DOCS}-{NUM_CPUS}")
+    t0 = time.time()
+    build_partitioned_index(
+        rd.read_parquet(path, columns=["doc_id", "content"]),
+        root,
+        n_partitions=4,
+        fingerprint=corpus_fingerprint([path]),
+        analyzer="composable",
+        num_buckets=8,
+        tokenize_batch_size=4096,
+    )
+    out["queries"]["dist_index_build_p4"] = round(time.time() - t0, 3)
+
+    vocab = ["index", "token", "merge", "parse", "request", "handler",
+             "stream", "batch", "cluster", "segment", "information",
+             "retrieval", "kitten", "needle", "response", "buffer"]
+    rng = np.random.default_rng(7)
+    queries = [list(rng.choice(vocab, size=rng.integers(1, 4), replace=False)) for _ in range(200)]
+    s = DistributedSearcher(root)
+    try:
+        s.search_bm25(vocab[:2], 10)  # warm actors + mmaps
+        lat = []
+        t0 = time.time()
+        for q in queries:
+            tq = time.time()
+            s.search_bm25(q, 10)
+            lat.append(time.time() - tq)
+        total = time.time() - t0
+        out["queries"]["query_200x_distributed"] = round(total, 3)
+        out["query_dist_p95_ms"] = round(float(np.percentile(lat, 95)) * 1000, 2)
+        out["query_dist_qps"] = round(len(queries) / total, 1)
+        out["query_dist_partitions"] = 4
+        # parity spot check vs the single-node index built by
+        # bench_synth_index_build (same corpus, same analyzer)
+        single_dir = os.path.join(CACHE, f"idx-synth-{SYNTH_DOCS}-{NUM_CPUS}")
+        if os.path.exists(os.path.join(single_dir, "meta.json")):
+            single = IndexSearcher(single_dir)
+            ok = all(
+                s.search_bm25(q, 10)[0].tolist() == single.search_bm25(q, 10)[0].tolist()
+                for q in queries[:20]
+            )
+            out["query_dist_parity_ok"] = bool(ok)
+    finally:
+        s.shutdown()
+
+
 def bench_dedup_minhash(out: dict) -> None:
     import ray.data as rd
 
@@ -313,6 +378,8 @@ def run_all(only: str | None = None) -> dict:
         bench_docs_index_build(out)
     if only in (None, "query_p95") and index_dir:
         bench_query_p95(out, index_dir)
+    if only in (None, "query_distributed"):
+        bench_query_distributed(out)
     if only in (None, "dedup_minhash"):
         bench_dedup_minhash(out)
     if only in (None, "dedup_minhash_100k"):

@@ -189,6 +189,54 @@ def _searcher(sf_dir: str):
     return IndexSearcher(get_index(sf_dir))
 
 
+DIST_PARTITIONS = 4
+
+
+def get_partitioned_index(sf_dir: str, *, analyzer: str = "punctuation",
+                          n_parts: int = DIST_PARTITIONS) -> str:
+    """Build (or reuse) the doc-partitioned index root for sf_dir —
+    the distributed scatter-gather serving layout
+    (state/distributed.py)."""
+    from ..sources.corpus import adapt_documents_table, corpus_fingerprint
+    from ..state.distributed import build_partitioned_index, load_root_meta
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    fp = f"{FORMAT_VERSION}:{corpus_fingerprint([src])}"
+    key = hashlib.sha256(f"{src}:dist:{analyzer}:{n_parts}:{fp}".encode()).hexdigest()[:16]
+    root = os.path.join(_cache_root(), f"didx-{key}")
+    try:
+        if load_root_meta(root)["fingerprint"] == f"{fp}:P={n_parts}":
+            return root
+    except Exception:
+        pass
+    build_partitioned_index(
+        adapt_documents_table(sf_dir),
+        root,
+        n_partitions=n_parts,
+        fingerprint=fp,
+        analyzer=analyzer,
+        num_buckets=4,
+        positional=False,
+    )
+    return root
+
+
+_DIST_SEARCHERS: dict[str, object] = {}
+
+
+def _dist_searcher(sf_dir: str):
+    from ..state.distributed import DistributedSearcher
+
+    root = get_partitioned_index(sf_dir)
+    s = _DIST_SEARCHERS.get(root)
+    if s is None:
+        # fractional actor CPUs: the cached actor fleet must not pin
+        # whole cores for the rest of the driver session (later queries'
+        # Ray Data tasks share the same CPU budget)
+        s = _DIST_SEARCHERS[root] = DistributedSearcher(root, num_cpus_per_actor=0.25)
+    return s
+
+
 def _docs_ds(sf_dir: str):
     import ray.data as rd
 
@@ -308,6 +356,28 @@ def q_bm25_all(sf_dir: str):
 
 def q_tfidf_topk(sf_dir: str):
     ids, sc = _searcher(sf_dir).search_tfidf(TFIDF_TERMS, None)
+    return _rounded_topk(ids, sc, TOPK)
+
+
+def q_bm25_topk_distributed(sf_dir: str):
+    """BM25 top-k answered by the doc-partitioned scatter-gather
+    serving path (state/distributed.py: per-partition actors, global
+    df exchange, per-partition score + merge) — value-checked against
+    the SAME SQL oracle as the single-index `bm25_topk`, proving the
+    distributed path is score-identical."""
+    ids, sc = _dist_searcher(sf_dir).search_bm25(BM25_TERMS, None, prune=False)
+    return _rounded_topk(ids, sc, TOPK)
+
+
+def q_bm25_all_distributed(sf_dir: str):
+    ids, sc = _dist_searcher(sf_dir).search_bm25(BM25_TERMS, None, prune=False)
+    return _scored_table(ids, sc)
+
+
+def q_tfidf_topk_distributed(sf_dir: str):
+    """Reference tf·idf via the distributed two-pass (the per-segment
+    pass-1/pass-2 of IIM:1351-1449 generalized to partitions)."""
+    ids, sc = _dist_searcher(sf_dir).search_tfidf(TFIDF_TERMS, None)
     return _rounded_topk(ids, sc, TOPK)
 
 
@@ -775,6 +845,9 @@ QUERIES = {
     "bm25_topk": q_bm25_topk,
     "bm25_all": q_bm25_all,
     "tfidf_topk": q_tfidf_topk,
+    "bm25_topk_distributed": q_bm25_topk_distributed,
+    "bm25_all_distributed": q_bm25_all_distributed,
+    "tfidf_topk_distributed": q_tfidf_topk_distributed,
     "dedup_exact": q_dedup_exact,
     "sha256_docs": q_sha256_docs,
     "token_count_total": q_token_count_total,
@@ -1213,6 +1286,9 @@ GROUP BY term
     "bm25_topk": _bm25_sql(BM25_TERMS, TOPK),
     "bm25_all": _bm25_sql(BM25_TERMS, None),
     "tfidf_topk": _tfidf_sql(TFIDF_TERMS, TOPK),
+    "bm25_topk_distributed": _bm25_sql(BM25_TERMS, TOPK),
+    "bm25_all_distributed": _bm25_sql(BM25_TERMS, None),
+    "tfidf_topk_distributed": _tfidf_sql(TFIDF_TERMS, TOPK),
     "dedup_exact": """
 SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_dups

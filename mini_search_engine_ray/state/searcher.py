@@ -47,6 +47,10 @@ B = 0.75
 TOMBSTONE_FILE = "tombstones.json"
 
 
+def bm25_idf(df: int, n_docs: int) -> float:
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
 def load_tombstones(index_dir: str) -> set[str]:
     p = os.path.join(index_dir, TOMBSTONE_FILE)
     if not os.path.exists(p):
@@ -283,7 +287,7 @@ class IndexSearcher:
         return qw * idf * (tf * (K1 + 1.0)) / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
 
     def _bm25_idf(self, dfv: int) -> float:
-        return math.log(1.0 + (self.n_docs - dfv + 0.5) / (dfv + 0.5))
+        return bm25_idf(dfv, self.n_docs)
 
     def search_bm25(
         self,
@@ -301,12 +305,36 @@ class IndexSearcher:
         keywords = [query] if isinstance(query, str) else query
         toks = [t for ks in self._analyze_keywords(keywords) for t in ks]
         qtf = Counter(toks)
-        terms = []
+        tw = []
         for t, qw in qtf.items():
             p = self.postings(t)
             if p is None:
                 continue
-            idf = self._bm25_idf(len(p[0]))
+            tw.append((t, qw, self._bm25_idf(len(p[0]))))
+        return self.search_bm25_weighted(tw, k, prune=prune, method=method)
+
+    def search_bm25_weighted(
+        self,
+        term_weights: list[tuple[str, float, float]],
+        k: int | None = 10,
+        *,
+        prune: bool = True,
+        method: str = "maxscore",
+    ):
+        """BM25 with EXTERNAL (term, query_weight, idf) triples — the
+        partition-local scoring pass of distributed scatter-gather
+        serving (state/distributed.py), where idf comes from GLOBAL df
+        gathered across partitions (pass 1) rather than this index's
+        local df; `self.avgdl`/`self.n_docs` are likewise set to the
+        global stats by the partition actor. Accumulation order is the
+        given term order, so per-doc scores are bitwise-identical to a
+        single-index search with the same triples (each doc lives in
+        exactly one partition)."""
+        terms = []
+        for t, qw, idf in term_weights:
+            p = self.postings(t)
+            if p is None:
+                continue
             terms.append((t, qw, idf, p))
         if not terms:
             return np.empty(0, dtype=np.int64), np.empty(0)
@@ -640,14 +668,30 @@ class IndexSearcher:
             qvec[t] = qvec.get(t, 0.0) + self.n_docs / dfv
         if not qvec:
             return np.empty(0, dtype=np.int64), np.empty(0)
+        tw = [(t, qw, self.n_docs / self.df(t)) for t, qw in qvec.items()]
+        return self.search_tfidf_weighted(tw, top_k)
+
+    def search_tfidf_weighted(
+        self, term_weights: list[tuple[str, float, float]], top_k: int | None = 10
+    ):
+        """tf·idf with EXTERNAL (term, query_weight, idf) triples — the
+        partition-local pass-2 of distributed serving, mirroring the
+        reference's per-segment two-pass (`IIM:1351-1449`): pass 1
+        gathers global df/N (the coordinator builds qw = Σ N/df per
+        duplicate token and idf = N/df), pass 2 scores locally. The
+        score normalization sums tfidf_doc² over query terms per DOC,
+        so it is complete within the doc's partition."""
         docs_all, dots, lens = [], [], []
-        for t, qw in qvec.items():
+        for t, qw, idf in term_weights:
             p = self.postings(t)
-            idf = self.n_docs / len(p[0])
+            if p is None:
+                continue
             tfidf = p[1].astype(np.float64) * idf
             docs_all.append(p[0])
             dots.append(tfidf * qw)
             lens.append(tfidf * tfidf)
+        if not docs_all:
+            return np.empty(0, dtype=np.int64), np.empty(0)
         docs = np.concatenate(docs_all)
         uniq, dot = self._accumulate(docs, np.concatenate(dots))
         _, ln = self._accumulate(docs, np.concatenate(lens))

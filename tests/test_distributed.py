@@ -1,0 +1,133 @@
+"""Distributed scatter-gather query serving: bitwise parity with the
+single-index searcher, partition-count invariance, global-stats
+correctness (state/distributed.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mini_search_engine_ray.pipelines.build import build_index
+from mini_search_engine_ray.state.distributed import (
+    DistributedSearcher,
+    build_partitioned_index,
+    load_root_meta,
+)
+from mini_search_engine_ray.state.searcher import IndexSearcher
+
+N_DOCS = 400
+
+
+def _corpus_table(n=N_DOCS, seed=21) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vocab = np.asarray(
+        "spark window merge table row scan hash join filter vector index "
+        "agg key part sort read write block shard term doc query score".split()
+    )
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(5, 40)))) for _ in range(n)]
+    texts[7] = texts[11] = "spark window merge " * 3  # exact score ties
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "content": pa.array(texts, type=pa.large_string()),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def indexes(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    root = tmp_path_factory.mktemp("dist")
+    t = _corpus_table()
+    build_index(
+        rd.from_arrow(t), str(root / "single"), analyzer="punctuation",
+        num_buckets=4, n_docs=t.num_rows, write_docstore=False,
+    )
+    for P in (1, 4):
+        build_partitioned_index(
+            rd.from_arrow(t), str(root / f"dist{P}"), n_partitions=P,
+            analyzer="punctuation", num_buckets=4, fingerprint=f"t{P}",
+        )
+    return root
+
+
+QUERIES = [
+    ["spark", "window", "merge"],
+    ["table"],
+    ["vector", "index", "doc", "score"],
+    ["spark", "spark", "window"],  # duplicate keyword -> qw accumulation
+    ["nosuchterm"],
+    ["nosuchterm", "table"],
+]
+
+
+def test_root_meta_global_stats(indexes):
+    single = IndexSearcher(str(indexes / "single"))
+    meta = load_root_meta(str(indexes / "dist4"))
+    assert meta["n_docs"] == N_DOCS
+    assert meta["avgdl"] == pytest.approx(single.avgdl)
+    assert meta["n_partitions"] == 4
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_bm25_bitwise_parity(indexes, P):
+    single = IndexSearcher(str(indexes / "single"))
+    # fractional actor CPUs: P actors must co-schedule inside the
+    # 4-CPU test session without starving Ray Data tasks
+    dist = DistributedSearcher(str(indexes / f"dist{P}"), num_cpus_per_actor=0.25)
+    try:
+        for q in QUERIES:
+            for k, prune in [(10, True), (10, False), (None, False), (3, True)]:
+                ids_s, sc_s = single.search_bm25(q, k, prune=prune)
+                ids_d, sc_d = dist.search_bm25(q, k, prune=prune)
+                assert ids_d.tolist() == ids_s.tolist(), (q, k, prune)
+                assert sc_d.tolist() == sc_s.tolist(), (q, k, prune)  # bitwise
+    finally:
+        dist.shutdown()
+
+
+def test_tfidf_bitwise_parity(indexes):
+    single = IndexSearcher(str(indexes / "single"))
+    dist = DistributedSearcher(str(indexes / "dist4"), num_cpus_per_actor=0.25)
+    try:
+        for q in QUERIES:
+            for k in (10, None):
+                ids_s, sc_s = single.search_tfidf(q, k)
+                ids_d, sc_d = dist.search_tfidf(q, k)
+                assert ids_d.tolist() == ids_s.tolist(), (q, k)
+                assert sc_d.tolist() == sc_s.tolist(), (q, k)
+    finally:
+        dist.shutdown()
+
+
+def test_partition_count_invariance(indexes):
+    # sequential create/use/shutdown: concurrent 1-CPU actor fleets can
+    # exceed the 4-CPU test session and deadlock actor scheduling
+    res = {}
+    for P in (1, 4):
+        d = DistributedSearcher(str(indexes / f"dist{P}"), num_cpus_per_actor=0.25)
+        try:
+            res[P] = [d.search_bm25(q, 10) for q in QUERIES]
+        finally:
+            d.shutdown()
+    for a, b in zip(res[1], res[4]):
+        assert a[0].tolist() == b[0].tolist()
+        assert a[1].tolist() == b[1].tolist()
+
+
+def test_local_df_differs_but_global_scores_match(indexes):
+    """The point of pass 1: per-partition df is NOT the global df, yet
+    scores still match — i.e. the exchange is actually load-bearing."""
+    from mini_search_engine_ray.state.distributed import PartitionSearcher, partition_dir
+
+    meta = load_root_meta(str(indexes / "dist4"))
+    locals_ = [
+        PartitionSearcher(partition_dir(str(indexes / "dist4"), p),
+                          meta["n_docs"], meta["avgdl"]).local_dfs(["table"])["table"]
+        for p in range(4)
+    ]
+    single = IndexSearcher(str(indexes / "single"))
+    assert sum(locals_) == single.df("table")
+    assert any(x != single.df("table") for x in locals_)
