@@ -235,6 +235,14 @@ def bench_query_distributed(out: dict) -> None:
         out["query_dist_p95_ms"] = round(float(np.percentile(lat, 95)) * 1000, 2)
         out["query_dist_qps"] = round(len(queries) / total, 1)
         out["query_dist_partitions"] = 4
+        # batched serving: ONE df exchange + ONE scatter per actor for
+        # the whole 200-query batch (2 RTTs total, not 2 per query) —
+        # the request-queue shape a real serving tier runs at
+        t0 = time.time()
+        batched = s.search_bm25_many(queries, 10)
+        tb = time.time() - t0
+        out["queries"]["query_200x_dist_batched"] = round(tb, 3)
+        out["query_dist_batch_qps"] = round(len(queries) / tb, 1)
         # parity spot check vs the single-node index built by
         # bench_synth_index_build (same corpus, same analyzer)
         single_dir = os.path.join(CACHE, f"idx-synth-{SYNTH_DOCS}-{NUM_CPUS}")
@@ -245,6 +253,12 @@ def bench_query_distributed(out: dict) -> None:
                 for q in queries[:20]
             )
             out["query_dist_parity_ok"] = bool(ok)
+            out["query_dist_batch_parity_ok"] = bool(
+                all(
+                    batched[i][0].tolist() == single.search_bm25(q, 10)[0].tolist()
+                    for i, q in enumerate(queries)
+                )
+            )
     finally:
         s.shutdown()
 

@@ -102,6 +102,26 @@ def test_tfidf_bitwise_parity(indexes):
         dist.shutdown()
 
 
+def test_bm25_batched_parity(indexes):
+    """search_bm25_many (one df exchange + one scatter for the whole
+    batch) returns, per query, exactly what the one-at-a-time
+    scatter-gather and the single index return — batching changes the
+    transport, not the math. Includes empty/unknown-term queries, which
+    must come back as empty results at the right batch positions."""
+    single = IndexSearcher(str(indexes / "single"))
+    dist = DistributedSearcher(str(indexes / "dist4"), num_cpus_per_actor=0.25)
+    try:
+        batch = QUERIES + [[], ["nosuchterm"]]
+        many = dist.search_bm25_many(batch, 10)
+        assert len(many) == len(batch)
+        for q, (ids_m, sc_m) in zip(batch, many):
+            ids_s, sc_s = single.search_bm25(q, 10)
+            assert ids_m.tolist() == ids_s.tolist(), q
+            assert sc_m.tolist() == sc_s.tolist(), q  # bitwise
+    finally:
+        dist.shutdown()
+
+
 def test_partition_count_invariance(indexes):
     # sequential create/use/shutdown: concurrent 1-CPU actor fleets can
     # exceed the 4-CPU test session and deadlock actor scheduling
