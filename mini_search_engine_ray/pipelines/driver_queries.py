@@ -699,6 +699,37 @@ def q_pagerank(sf_dir: str):
     return pa.table({"node": pa.array(i), "score": pa.array(_r4(scores))})
 
 
+def q_pagerank_join(sf_dir: str):
+    """Scores-JOIN-edges PageRank (`pagerank_dataset_join` — the
+    beyond-one-heap variant where scores stay a (node, score) Dataset
+    end to end) over the SAME synthetic doc-id link graph as
+    q_pagerank, at 8 iterations so the per-iteration sort+groupby
+    exchanges stay cheap at oracle scale. Same unrolled-SQL oracle
+    family (`_pagerank_sql(8)`); exercises the distributed cogroup
+    path rather than the numpy oracle."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from .pagerank import pagerank_dataset_join
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i]
+    dst = np.r_[(7 * i + 3) % n, (13 * i + 5) % n]
+    keep = src != dst
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    )
+    out = pagerank_dataset_join(edges, n, iterations=8).to_pandas()
+    out = out.sort_values("node").reset_index(drop=True)
+    return pa.table(
+        {
+            "node": pa.array(out["node"].to_numpy()),
+            "score": pa.array(_r4(out["score"].to_numpy())),
+        }
+    )
+
+
 # -- golden VALUES oracles ---------------------------------------------
 
 _CODEC_GOLDEN = [
@@ -861,6 +892,7 @@ QUERIES = {
     "dedup_near_jaccard": q_dedup_near_jaccard,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
+    "pagerank_join": q_pagerank_join,
     "codec_golden": q_codec_golden,
     "pfordelta_golden": q_pfordelta_golden,
     "stemmer_golden": q_stemmer_golden,
@@ -1325,6 +1357,7 @@ FROM r WHERE rn <= {ANN_K}
     ),
     "compression_ratio": _compression_ratio_sql(),
     "pagerank": _pagerank_sql(),
+    "pagerank_join": _pagerank_sql(8),
     # IVF at full probe is provably lossless => the exact brute-force
     # top-k SQL is its oracle (same queries/k as ann_cosine_topk)
     "ann_ivf_topk": f"""
