@@ -193,7 +193,8 @@ DIST_PARTITIONS = 4
 
 
 def get_partitioned_index(sf_dir: str, *, analyzer: str = "punctuation",
-                          n_parts: int = DIST_PARTITIONS) -> str:
+                          n_parts: int = DIST_PARTITIONS,
+                          positional: bool = False) -> str:
     """Build (or reuse) the doc-partitioned index root for sf_dir —
     the distributed scatter-gather serving layout
     (state/distributed.py)."""
@@ -202,7 +203,9 @@ def get_partitioned_index(sf_dir: str, *, analyzer: str = "punctuation",
 
     src = os.path.join(sf_dir, "documents.parquet")
     fp = f"{FORMAT_VERSION}:{corpus_fingerprint([src])}"
-    key = hashlib.sha256(f"{src}:dist:{analyzer}:{n_parts}:{fp}".encode()).hexdigest()[:16]
+    key = hashlib.sha256(
+        f"{src}:dist:{analyzer}:{n_parts}:{int(positional)}:{fp}".encode()
+    ).hexdigest()[:16]
     root = os.path.join(_cache_root(), f"didx-{key}")
     try:
         if load_root_meta(root)["fingerprint"] == f"{fp}:P={n_parts}":
@@ -216,7 +219,7 @@ def get_partitioned_index(sf_dir: str, *, analyzer: str = "punctuation",
         fingerprint=fp,
         analyzer=analyzer,
         num_buckets=4,
-        positional=False,
+        positional=positional,
     )
     return root
 
@@ -224,10 +227,10 @@ def get_partitioned_index(sf_dir: str, *, analyzer: str = "punctuation",
 _DIST_SEARCHERS: dict[str, object] = {}
 
 
-def _dist_searcher(sf_dir: str):
+def _dist_searcher(sf_dir: str, *, positional: bool = False):
     from ..state.distributed import DistributedSearcher
 
-    root = get_partitioned_index(sf_dir)
+    root = get_partitioned_index(sf_dir, positional=positional)
     s = _DIST_SEARCHERS.get(root)
     if s is None:
         # fractional actor CPUs: the cached actor fleet must not pin
@@ -372,6 +375,23 @@ def q_bm25_topk_distributed(sf_dir: str):
 def q_bm25_all_distributed(sf_dir: str):
     ids, sc = _dist_searcher(sf_dir).search_bm25(BM25_TERMS, None, prune=False)
     return _scored_table(ids, sc)
+
+
+def q_search_and_distributed(sf_dir: str):
+    """Boolean AND over the doc-partitioned index: ONE scatter, no df
+    exchange (matching is partition-local under doc-partitioning);
+    sorted concat of doc-disjoint partition answers. Same SQL oracle
+    as the single-index `search_and`."""
+    return _ids_table(_dist_searcher(sf_dir).search_and(AND_TERMS))
+
+
+def q_search_phrase_distributed(sf_dir: str):
+    """Phrase adjacency over a POSITIONAL doc-partitioned index —
+    per-partition positional cascade, one scatter. Same SQL oracle as
+    the single-index `search_phrase`."""
+    return _ids_table(
+        _dist_searcher(sf_dir, positional=True).search_phrase(PHRASE)
+    )
 
 
 def q_tfidf_topk_distributed(sf_dir: str):
@@ -877,6 +897,8 @@ QUERIES = {
     "bm25_all": q_bm25_all,
     "tfidf_topk": q_tfidf_topk,
     "bm25_topk_distributed": q_bm25_topk_distributed,
+    "search_and_distributed": q_search_and_distributed,
+    "search_phrase_distributed": q_search_phrase_distributed,
     "bm25_all_distributed": q_bm25_all_distributed,
     "tfidf_topk_distributed": q_tfidf_topk_distributed,
     "dedup_exact": q_dedup_exact,
@@ -1401,3 +1423,10 @@ SELECT * FROM (VALUES
     + ", ".join(f"('{l}', '{i}', '{o}')" for l, i, o in _WB_DICT_GOLDEN)
     + ") AS t(lang, input, tokens)",
 }
+
+# the distributed boolean paths answer the SAME question as their
+# single-index twins — reuse those oracles verbatim so any divergence
+# between the scatter path and the single index shows up as a driver
+# value mismatch
+ORACLE_SQL["search_and_distributed"] = ORACLE_SQL["search_and"]
+ORACLE_SQL["search_phrase_distributed"] = ORACLE_SQL["search_phrase"]

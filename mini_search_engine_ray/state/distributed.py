@@ -191,6 +191,19 @@ class PartitionSearcher:
     def search_tfidf_weighted(self, term_weights, top_k):
         return self.s.search_tfidf_weighted(term_weights, top_k)
 
+    def search_boolean(self, kind: str, arg):
+        """Partition-local boolean search. Doc-partitioning means a
+        doc's postings for EVERY term live here, so keyword/AND/OR/
+        phrase need no cross-partition exchange at all — the result is
+        exactly this partition's slice of the global answer."""
+        fn = {
+            "keyword": self.s.search_keyword,
+            "and": self.s.search_and,
+            "or": self.s.search_or,
+            "phrase": self.s.search_phrase,
+        }[kind]
+        return fn(arg)
+
 
 class DistributedSearcher:
     """Scatter-gather coordinator over the partition actors.
@@ -288,6 +301,32 @@ class DistributedSearcher:
             [a.search_bm25_weighted.remote(tw, k, prune, method) for a in self.actors]
         )
         return self._gather_topk(results, k)
+
+    def _scatter_boolean(self, kind: str, arg) -> np.ndarray:
+        """One scatter, no df pass: boolean matching is partition-local
+        under doc-partitioning. Partitions are doc-disjoint, so a
+        sorted concat of the per-partition results IS the single-index
+        answer (postings are doc_id-sorted on both paths; tested)."""
+        import ray
+
+        parts = ray.get([a.search_boolean.remote(kind, arg) for a in self.actors])
+        if not parts:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate([np.asarray(p, dtype=np.int64) for p in parts]))
+
+    def search_keyword(self, keyword: str) -> np.ndarray:
+        return self._scatter_boolean("keyword", keyword)
+
+    def search_and(self, keywords: list[str]) -> np.ndarray:
+        return self._scatter_boolean("and", keywords)
+
+    def search_or(self, keywords: list[str]) -> np.ndarray:
+        return self._scatter_boolean("or", keywords)
+
+    def search_phrase(self, phrase: list[str]) -> np.ndarray:
+        """Requires the partitions to be built with positional=True
+        (same contract as the single index)."""
+        return self._scatter_boolean("phrase", phrase)
 
     def search_bm25_many(
         self,

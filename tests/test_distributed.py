@@ -50,6 +50,16 @@ def indexes(ray_session, tmp_path_factory):
             rd.from_arrow(t), str(root / f"dist{P}"), n_partitions=P,
             analyzer="punctuation", num_buckets=4, fingerprint=f"t{P}",
         )
+    # positional pair for distributed phrase search
+    build_index(
+        rd.from_arrow(t), str(root / "single_pos"), analyzer="punctuation",
+        num_buckets=4, n_docs=t.num_rows, write_docstore=False, positional=True,
+    )
+    build_partitioned_index(
+        rd.from_arrow(t), str(root / "dist_pos"), n_partitions=3,
+        analyzer="punctuation", num_buckets=4, fingerprint="tp",
+        positional=True,
+    )
     return root
 
 
@@ -135,6 +145,25 @@ def test_partition_count_invariance(indexes):
     for a, b in zip(res[1], res[4]):
         assert a[0].tolist() == b[0].tolist()
         assert a[1].tolist() == b[1].tolist()
+
+
+def test_boolean_scatter_parity(indexes):
+    """keyword/AND/OR/phrase over the doc-partitioned index: one
+    scatter, no df exchange — sorted concat of the doc-disjoint
+    partition answers equals the single positional index exactly."""
+    single = IndexSearcher(str(indexes / "single_pos"))
+    dist = DistributedSearcher(str(indexes / "dist_pos"), num_cpus_per_actor=0.25)
+    try:
+        for kw in ["spark", "table", "nosuchterm"]:
+            assert dist.search_keyword(kw).tolist() == single.search_keyword(kw).tolist()
+        for q in QUERIES:
+            assert dist.search_and(q).tolist() == single.search_and(q).tolist(), q
+            assert dist.search_or(q).tolist() == single.search_or(q).tolist(), q
+        for ph in [["spark", "window"], ["spark", "window", "merge"],
+                   ["window", "spark"], ["nosuchterm", "spark"]]:
+            assert dist.search_phrase(ph).tolist() == single.search_phrase(ph).tolist(), ph
+    finally:
+        dist.shutdown()
 
 
 def test_local_df_differs_but_global_scores_match(indexes):
