@@ -132,6 +132,7 @@ AND_TERMS = ["window", "merge"]
 OR_TERMS = ["spark", "vector"]
 PHRASE = ["key", "agg"]
 PHRASE3 = ["table", "part", "hash"]
+PREFIX = "par"
 BM25_TERMS = ["spark", "window", "merge"]
 TFIDF_TERMS = ["table", "row", "scan"]
 TOPK = 10
@@ -331,6 +332,13 @@ def q_search_phrase(sf_dir: str):
     return _ids_table(_searcher(sf_dir).search_phrase(PHRASE))
 
 
+def q_search_prefix(sf_dir: str):
+    """Docs containing any term with prefix `PREFIX`: a per-shard
+    range scan (two binary searches) over the sorted zero-copy term
+    dictionaries, then an OR over the expanded terms' postings."""
+    return _ids_table(_searcher(sf_dir).search_prefix(PREFIX))
+
+
 def _rounded_topk(ids, sc, k: int) -> pa.Table:
     """Top-k by (round4(score) desc, doc_id asc). Ranking at the
     compared 4-decimal precision makes the k-boundary independent of
@@ -392,6 +400,14 @@ def q_search_phrase_distributed(sf_dir: str):
     return _ids_table(
         _dist_searcher(sf_dir, positional=True).search_phrase(PHRASE)
     )
+
+
+def q_search_prefix_distributed(sf_dir: str):
+    """Prefix search over the doc-partitioned index: each partition
+    range-scans its own dictionaries and ORs locally; one scatter,
+    sorted concat. Same SQL oracle as the single-index
+    `search_prefix`."""
+    return _ids_table(_dist_searcher(sf_dir).search_prefix(PREFIX))
 
 
 def q_tfidf_topk_distributed(sf_dir: str):
@@ -548,6 +564,38 @@ def q_ann_ivf_topk(sf_dir: str):
     qt = pq.read_table(emb_path, filters=[("vec_id", "<", ANN_QUERY_IDS)]).sort_by("vec_id")
     qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
     out = ivf_cosine_topk(rd.read_parquet(emb_path), qm, k=ANN_K, n_centroids=8, nprobe=8)
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "vec_id": t["vec_id"],
+                "score": pa.array(_r4(t["score"].to_numpy(zero_copy_only=False))),
+            }
+        )
+
+    return out.drop_columns(["rank"]).map_batches(fix, batch_format="pyarrow")
+
+
+def q_ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed cosine top-k run at FULL probe (probe_radius ==
+    num_hyperplanes): the hyperplane-bucket/multi-probe machinery is
+    exercised end-to-end and its lossless-at-full-probe invariant is
+    checked against the brute-force SQL oracle. The approximate path
+    (small probe_radius) isn't SQL-expressible; its recall bound is
+    pytest-verified (tests/test_extras.py)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from ..stages.similarity import lsh_cosine_topk
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qt = pq.read_table(emb_path, filters=[("vec_id", "<", ANN_QUERY_IDS)]).sort_by("vec_id")
+    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+    out = lsh_cosine_topk(
+        rd.read_parquet(emb_path), qm, k=ANN_K, num_hyperplanes=6, probe_radius=6
+    )
 
     def fix(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -889,6 +937,7 @@ QUERIES = {
     "search_and": q_search_and,
     "search_or": q_search_or,
     "search_phrase": q_search_phrase,
+    "search_prefix": q_search_prefix,
     "search_phrase3": q_search_phrase3,
     "tfidf_all": q_tfidf_all,
     "term_positions": q_term_positions,
@@ -899,6 +948,7 @@ QUERIES = {
     "bm25_topk_distributed": q_bm25_topk_distributed,
     "search_and_distributed": q_search_and_distributed,
     "search_phrase_distributed": q_search_phrase_distributed,
+    "search_prefix_distributed": q_search_prefix_distributed,
     "bm25_all_distributed": q_bm25_all_distributed,
     "tfidf_topk_distributed": q_tfidf_topk_distributed,
     "dedup_exact": q_dedup_exact,
@@ -906,6 +956,7 @@ QUERIES = {
     "token_count_total": q_token_count_total,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "compression_ratio": q_compression_ratio,
     "minhash_signatures": q_minhash_signatures,
     "simhash": q_simhash,
@@ -1314,6 +1365,12 @@ WHERE len(terms) >= 3
                AND terms[i+2] = '{PHRASE3[2]}')) > 0
 ORDER BY doc_id
 """,
+    "search_prefix": f"""
+WITH {_BASE_CTE}
+SELECT doc_id FROM base
+WHERE len(list_filter(terms, x -> starts_with(x, '{PREFIX}'))) > 0
+ORDER BY doc_id
+""",
     "tfidf_all": _tfidf_sql(TFIDF_TERMS, None),
     "term_positions": f"""
 WITH {_BASE_CTE}
@@ -1430,3 +1487,7 @@ SELECT * FROM (VALUES
 # value mismatch
 ORACLE_SQL["search_and_distributed"] = ORACLE_SQL["search_and"]
 ORACLE_SQL["search_phrase_distributed"] = ORACLE_SQL["search_phrase"]
+ORACLE_SQL["search_prefix_distributed"] = ORACLE_SQL["search_prefix"]
+# LSH at full probe is provably lossless => the exact brute-force
+# top-k SQL is its oracle (same queries/k as ann_cosine_topk)
+ORACLE_SQL["ann_lsh_topk"] = ORACLE_SQL["ann_cosine_topk"]

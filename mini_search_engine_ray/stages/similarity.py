@@ -228,6 +228,90 @@ def ivf_cosine_topk(
     return _tree_merge_topk(partial_ds, id_col=id_col, k=k)
 
 
+def _hamming_ball_codes(code: int, n_bits: int, radius: int) -> np.ndarray:
+    """All n_bits-bit codes within hamming distance <= radius of `code`
+    (sorted int64). Size = sum_{i<=r} C(n_bits, i) — tiny for the
+    H <= 16 hyperplane counts this module uses."""
+    from itertools import combinations
+
+    out = [code]
+    for r in range(1, radius + 1):
+        for bits in combinations(range(n_bits), r):
+            flip = 0
+            for b in bits:
+                flip |= 1 << b
+            out.append(code ^ flip)
+    return np.unique(np.asarray(out, dtype=np.int64))
+
+
+def lsh_cosine_topk(
+    ds, queries: np.ndarray, *, emb_col="embedding", id_col="vec_id",
+    k=10, num_hyperplanes=8, probe_radius=1, seed=77,
+):
+    """LSH-bucketed approximate cosine top-k — the second scale path for
+    ANN (alongside IVF): vectors hash to sign-bit buckets under a
+    broadcast random-hyperplane projection; each query scans only the
+    buckets within hamming distance `probe_radius` of its own code
+    (multi-probe). No shuffle at all — one map_batches pass + the same
+    tree merge as the brute-force baseline; candidate count shrinks
+    ~2^-(H - log2(ball size)) per vector batch.
+
+    At `probe_radius == num_hyperplanes` every bucket is probed, so the
+    result is provably identical to `ann_cosine_topk` (the driver
+    oracle uses this); recall at small radii is pytest-bounded.
+    """
+    import ray
+
+    if num_hyperplanes > 16:
+        raise ValueError("num_hyperplanes > 16 makes full-probe oracles infeasible")
+    qn = _normalize(np.ascontiguousarray(queries).astype(np.float64))
+    rng = np.random.default_rng(seed)
+    proj = rng.standard_normal((num_hyperplanes, qn.shape[1]))
+    qbits = (qn @ proj.T) > 0
+    weights = (1 << np.arange(num_hyperplanes - 1, -1, -1)).astype(np.int64)
+    qcodes = qbits @ weights
+    probe_lists = [
+        _hamming_ball_codes(int(c), num_hyperplanes, probe_radius) for c in qcodes
+    ]
+    pref = ray.put(proj)
+    qref = ray.put(qn)
+    plref = ray.put(probe_lists)
+
+    def partial(t: pa.Table) -> pa.Table:
+        proj_m = ray.get(pref)
+        q = ray.get(qref)
+        probes = ray.get(plref)
+        m_raw = _emb_matrix(t, emb_col).astype(np.float64)
+        codes = (((m_raw @ proj_m.T) > 0) @ weights).astype(np.int64)
+        m = _normalize(m_raw)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(q)):
+            mask = np.isin(codes, probes[qi])
+            if not mask.any():
+                continue
+            sims = m[mask] @ q[qi]
+            sel_ids = ids[mask]
+            order = _topk_ids_scores(sel_ids, sims, k)
+            out_q.append(np.full(len(order), qi, dtype=np.int64))
+            out_id.append(sel_ids[order])
+            out_s.append(sims[order])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "score": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    partial_ds = ds.map_batches(partial, batch_format="pyarrow")
+    return _tree_merge_topk(partial_ds, id_col=id_col, k=k)
+
+
 def lsh_bucket_batch(
     t: pa.Table, proj_ref, *, emb_col: str = "embedding", id_col: str = "vec_id"
 ) -> pa.Table:

@@ -201,6 +201,7 @@ class PartitionSearcher:
             "and": self.s.search_and,
             "or": self.s.search_or,
             "phrase": self.s.search_phrase,
+            "prefix": self.s.search_prefix,
         }[kind]
         return fn(arg)
 
@@ -327,6 +328,12 @@ class DistributedSearcher:
         """Requires the partitions to be built with positional=True
         (same contract as the single index)."""
         return self._scatter_boolean("phrase", phrase)
+
+    def search_prefix(self, prefix: str) -> np.ndarray:
+        """Distributed prefix search: each partition range-scans its
+        own term dictionaries (two binary searches per shard) and ORs
+        its local postings; doc-disjoint partitions concat exactly."""
+        return self._scatter_boolean("prefix", prefix)
 
     def search_bm25_many(
         self,

@@ -104,6 +104,34 @@ class _TermDict:
             return lo
         return None
 
+    def lower_bound(self, key: bytes) -> int:
+        """First row index whose term is >= key (bytewise)."""
+        off, data = self.off, self.data
+        lo, hi = 0, self.n
+        while lo < hi:
+            mid = (lo + hi) >> 1
+            if data[off[mid] : off[mid + 1]].tobytes() < key:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    def prefix_range(self, prefix: bytes) -> tuple[int, int]:
+        """[lo, hi) row range of terms starting with `prefix` — two
+        binary searches; hi probes the byte-successor of the prefix
+        (trailing 0xFF bytes stripped, last byte incremented)."""
+        lo = self.lower_bound(prefix)
+        succ = bytearray(prefix)
+        while succ and succ[-1] == 0xFF:
+            succ.pop()
+        if not succ:
+            return lo, self.n
+        succ[-1] += 1
+        return lo, self.lower_bound(bytes(succ))
+
+    def term_at(self, i: int) -> str:
+        return self.data[self.off[i] : self.off[i + 1]].tobytes().decode()
+
 
 class IndexSearcher:
     def __init__(self, index_dir: str) -> None:
@@ -216,6 +244,50 @@ class IndexSearcher:
             return np.empty(0, dtype=np.int64)
         p = self.postings(toks[0])
         return p[0] if p else np.empty(0, dtype=np.int64)
+
+    def expand_prefix(self, prefix: str, *, max_expansion: int = 1024) -> list[str]:
+        """Index terms starting with `prefix`, globally lexicographic,
+        truncated deterministically to `max_expansion` (Lucene-style
+        maxExpansions guard: a 1-char prefix on a 10^8-term dictionary
+        must not expand into millions of posting fetches). Terms are
+        hash-bucketed across shards, so the range scan runs per shard —
+        each a pair of binary searches on the zero-copy dictionary —
+        and only MATCHED terms are materialized as Python strings."""
+        prefix = prefix.strip().lower()
+        if not prefix:
+            return []
+        key = prefix.encode()
+        matched: set[str] = set()
+        for sid in range(self.num_buckets * self.salt):
+            td = self._term_dict(sid)
+            if td is None or td.n == 0:
+                continue
+            lo, hi = td.prefix_range(key)
+            for i in range(lo, hi):
+                matched.add(td.term_at(i))
+        out = sorted(matched - self.tombstones)
+        if len(out) > max_expansion:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "prefix %r expanded to %d terms; truncating to %d",
+                prefix, len(out), max_expansion,
+            )
+            out = out[:max_expansion]
+        return out
+
+    def search_prefix(self, prefix: str, *, max_expansion: int = 1024) -> np.ndarray:
+        """Docs containing ANY term with the given prefix (OR over the
+        expanded terms), ascending doc_id. The prefix is matched against
+        the index's stored (analyzed, stopword-stripped) terms."""
+        lists = []
+        for t in self.expand_prefix(prefix, max_expansion=max_expansion):
+            p = self.postings(t)
+            if p is not None:
+                lists.append(p[0])
+        if not lists:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(lists))
 
     def search_and(self, keywords: list[str]) -> np.ndarray:
         per_kw = self._analyze_keywords(keywords)

@@ -269,3 +269,64 @@ class TestTombstones:
         assert len(s2.search_keyword("import")) == 0
         # other terms unaffected
         assert len(s2.search_keyword("kitten")) == 1
+
+
+class TestPrefixSearch:
+    def test_term_dict_prefix_range(self):
+        from mini_search_engine_ray.state.searcher import _TermDict
+
+        terms = ["ant", "apple", "apply", "b", "b\xff", "b\xffx", "ba", "zz"]
+        td = _TermDict(pa.array(sorted(terms)))
+        n = td.n
+
+        def rng(p):
+            lo, hi = td.prefix_range(p.encode())
+            return [td.term_at(i) for i in range(lo, hi)]
+
+        assert rng("app") == ["apple", "apply"]
+        assert rng("apple") == ["apple"]
+        assert rng("a") == ["ant", "apple", "apply"]
+        assert rng("c") == []
+        assert rng("zz") == ["zz"]
+        # successor of a prefix ending in 0xff must strip + carry
+        assert rng("b\xff") == sorted(["b\xff", "b\xffx"])
+        assert td.prefix_range(b"\xff") == (n, n)
+        # empty-ish: lower_bound of b"" is 0
+        assert td.lower_bound(b"") == 0
+
+    def test_prefix_vs_bruteforce(self, small_index):
+        idx, docs = small_index
+        s = IndexSearcher(idx)
+        an = s.analyzer
+        for prefix in ["par", "s", "re", "zqx"]:
+            expect = sorted(
+                d for d, text in docs.items()
+                if any(t.startswith(prefix) for t in an.analyze(text))
+            )
+            got = s.search_prefix(prefix)
+            assert got.tolist() == expect, prefix
+        assert s.search_prefix("").tolist() == []
+        assert s.search_prefix("   ").tolist() == []
+
+    def test_prefix_max_expansion_truncates(self, small_index):
+        idx, docs = small_index
+        s = IndexSearcher(idx)
+        all_terms = s.expand_prefix("s")
+        if len(all_terms) < 3:
+            pytest.skip("corpus too small for truncation check")
+        capped = s.expand_prefix("s", max_expansion=2)
+        assert capped == sorted(all_terms)[:2]  # deterministic lexicographic cut
+        got = s.search_prefix("s", max_expansion=2)
+        expect = np.unique(np.concatenate([s.postings(t)[0] for t in capped]))
+        assert got.tolist() == expect.tolist()
+
+    def test_prefix_respects_tombstones(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        d = str(tmp_path / "pref_del")
+        build_index(_tiny_ds(), d, num_buckets=4, n_docs=6, write_docstore=False)
+        s = IndexSearcher(d)
+        before = s.search_prefix("import")
+        assert len(before) == 5
+        s.delete_documents("import")
+        assert s.search_prefix("import").tolist() == []

@@ -162,6 +162,8 @@ def test_boolean_scatter_parity(indexes):
         for ph in [["spark", "window"], ["spark", "window", "merge"],
                    ["window", "spark"], ["nosuchterm", "spark"]]:
             assert dist.search_phrase(ph).tolist() == single.search_phrase(ph).tolist(), ph
+        for pref in ["s", "sc", "nosuch", "table"]:
+            assert dist.search_prefix(pref).tolist() == single.search_prefix(pref).tolist(), pref
     finally:
         dist.shutdown()
 

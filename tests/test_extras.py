@@ -314,3 +314,65 @@ class TestIVF:
         bf = ann_cosine_topk(rd.from_arrow(t), q, k=5).take_all()
         key = lambda rows: sorted((r["query_id"], r["rank"], r["vec_id"]) for r in rows)
         assert key(ivf) == key(bf)  # probing every bucket == exact
+
+
+class TestLSHANN:
+    def _table(self, emb):
+        return pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(emb), dtype=np.int64)),
+                "embedding": pa.array([list(map(float, r)) for r in emb],
+                                      type=pa.list_(pa.float32())),
+            }
+        )
+
+    def test_lsh_recall_vs_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.similarity import lsh_cosine_topk
+
+        rng = np.random.default_rng(4)
+        centers = rng.standard_normal((8, 16)) * 4
+        emb = np.concatenate([c + rng.standard_normal((60, 16)) for c in centers])
+        ids = np.arange(len(emb), dtype=np.int64)
+        queries = emb[::97][:5]
+        out = lsh_cosine_topk(rd.from_arrow(self._table(emb)), queries, k=10,
+                              num_hyperplanes=8, probe_radius=2).take_all()
+        mn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = mn.astype(np.float64) @ qn.astype(np.float64).T
+        recalls = []
+        for qi in range(len(queries)):
+            exact = set(np.lexsort((ids, -sims[:, qi]))[:10].tolist())
+            got = {r["vec_id"] for r in out if r["query_id"] == qi}
+            recalls.append(len(exact & got) / 10)
+        assert sum(recalls) / len(recalls) >= 0.6, recalls
+        # deterministic across runs (fixed projection seed)
+        out2 = lsh_cosine_topk(rd.from_arrow(self._table(emb)), queries, k=10,
+                               num_hyperplanes=8, probe_radius=2).take_all()
+        key = lambda rows: sorted((r["query_id"], r["rank"], r["vec_id"]) for r in rows)
+        assert key(out) == key(out2)
+
+    def test_full_probe_equals_exact(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.similarity import ann_cosine_topk, lsh_cosine_topk
+
+        rng = np.random.default_rng(5)
+        emb = rng.standard_normal((150, 8))
+        q = emb[:3]
+        t = self._table(emb)
+        lsh = lsh_cosine_topk(rd.from_arrow(t), q, k=5,
+                              num_hyperplanes=6, probe_radius=6).take_all()
+        bf = ann_cosine_topk(rd.from_arrow(t), q, k=5).take_all()
+        key = lambda rows: sorted((r["query_id"], r["rank"], r["vec_id"]) for r in rows)
+        assert key(lsh) == key(bf)  # probing every bucket == exact
+
+    def test_hyperplane_cap(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.similarity import lsh_cosine_topk
+
+        with pytest.raises(ValueError):
+            lsh_cosine_topk(rd.from_items([{"vec_id": 0, "embedding": [1.0]}]),
+                            np.ones((1, 1)), num_hyperplanes=17)
