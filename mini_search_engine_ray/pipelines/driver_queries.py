@@ -133,6 +133,13 @@ OR_TERMS = ["spark", "vector"]
 PHRASE = ["key", "agg"]
 PHRASE3 = ["table", "part", "hash"]
 PREFIX = "par"
+NOT_INCLUDE = ["window"]
+NOT_EXCLUDE = ["merge"]
+NEAR_PAIR = ["key", "agg"]
+NEAR_SLOP = 2
+FUZZY_Q = "mart"
+FUZZY_EDITS = 2
+WILDCARD_PAT = "s*a*"
 BM25_TERMS = ["spark", "window", "merge"]
 TFIDF_TERMS = ["table", "row", "scan"]
 TOPK = 10
@@ -339,6 +346,33 @@ def q_search_prefix(sf_dir: str):
     return _ids_table(_searcher(sf_dir).search_prefix(PREFIX))
 
 
+def q_search_not(sf_dir: str):
+    """AND-NOT boolean difference: docs with every NOT_INCLUDE term and
+    no NOT_EXCLUDE term — a sorted-array anti-join on the postings, no
+    all-docs universe scan."""
+    return _ids_table(_searcher(sf_dir).search_not(NOT_INCLUDE, NOT_EXCLUDE))
+
+
+def q_search_near(sf_dir: str):
+    """Ordered proximity (slop=NEAR_SLOP): the phrase position cascade
+    with the exact-adjacency intersect replaced by a searchsorted
+    window test."""
+    return _ids_table(_searcher(sf_dir).search_near(NEAR_PAIR, NEAR_SLOP))
+
+
+def q_search_fuzzy(sf_dir: str):
+    """Fuzzy search (Levenshtein <= FUZZY_EDITS): length-banded
+    vectorized Wagner-Fischer scan of the zero-copy term dictionaries,
+    then OR over the expanded terms' postings."""
+    return _ids_table(_searcher(sf_dir).search_fuzzy(FUZZY_Q, FUZZY_EDITS))
+
+
+def q_search_wildcard(sf_dir: str):
+    """Glob search: literal-head prefix range scan + compiled-regex
+    filter over the term dictionaries, then OR over postings."""
+    return _ids_table(_searcher(sf_dir).search_wildcard(WILDCARD_PAT))
+
+
 def _rounded_topk(ids, sc, k: int) -> pa.Table:
     """Top-k by (round4(score) desc, doc_id asc). Ranking at the
     compared 4-decimal precision makes the k-boundary independent of
@@ -408,6 +442,35 @@ def q_search_prefix_distributed(sf_dir: str):
     sorted concat. Same SQL oracle as the single-index
     `search_prefix`."""
     return _ids_table(_dist_searcher(sf_dir).search_prefix(PREFIX))
+
+
+def q_search_not_distributed(sf_dir: str):
+    """AND-NOT over the doc-partitioned index: doc-disjoint partitions
+    make the exclusion partition-local (a doc's excluded terms live
+    with it), so one scatter suffices. Same SQL oracle as the
+    single-index `search_not`."""
+    return _ids_table(_dist_searcher(sf_dir).search_not(NOT_INCLUDE, NOT_EXCLUDE))
+
+
+def q_search_near_distributed(sf_dir: str):
+    """Proximity search over the doc-partitioned positional index."""
+    return _ids_table(
+        _dist_searcher(sf_dir, positional=True).search_near(NEAR_PAIR, NEAR_SLOP)
+    )
+
+
+def q_search_fuzzy_distributed(sf_dir: str):
+    """Fuzzy search over the doc-partitioned index: each partition
+    length-band-scans only ITS OWN dictionaries — matching is
+    partition-local, so the expansion needs no cross-partition term
+    exchange."""
+    return _ids_table(_dist_searcher(sf_dir).search_fuzzy(FUZZY_Q, FUZZY_EDITS))
+
+
+def q_search_wildcard_distributed(sf_dir: str):
+    """Glob search over the doc-partitioned index (partition-local
+    expansion, one scatter, sorted concat)."""
+    return _ids_table(_dist_searcher(sf_dir).search_wildcard(WILDCARD_PAT))
 
 
 def q_tfidf_topk_distributed(sf_dir: str):
@@ -938,6 +1001,10 @@ QUERIES = {
     "search_or": q_search_or,
     "search_phrase": q_search_phrase,
     "search_prefix": q_search_prefix,
+    "search_not": q_search_not,
+    "search_near": q_search_near,
+    "search_fuzzy": q_search_fuzzy,
+    "search_wildcard": q_search_wildcard,
     "search_phrase3": q_search_phrase3,
     "tfidf_all": q_tfidf_all,
     "term_positions": q_term_positions,
@@ -949,6 +1016,10 @@ QUERIES = {
     "search_and_distributed": q_search_and_distributed,
     "search_phrase_distributed": q_search_phrase_distributed,
     "search_prefix_distributed": q_search_prefix_distributed,
+    "search_not_distributed": q_search_not_distributed,
+    "search_near_distributed": q_search_near_distributed,
+    "search_fuzzy_distributed": q_search_fuzzy_distributed,
+    "search_wildcard_distributed": q_search_wildcard_distributed,
     "bm25_all_distributed": q_bm25_all_distributed,
     "tfidf_topk_distributed": q_tfidf_topk_distributed,
     "dedup_exact": q_dedup_exact,
@@ -1371,6 +1442,33 @@ SELECT doc_id FROM base
 WHERE len(list_filter(terms, x -> starts_with(x, '{PREFIX}'))) > 0
 ORDER BY doc_id
 """,
+    "search_not": f"""
+WITH {_BASE_CTE}
+SELECT doc_id FROM base
+WHERE len(list_filter(terms, x -> x = '{NOT_INCLUDE[0]}')) > 0
+  AND len(list_filter(terms, x -> x = '{NOT_EXCLUDE[0]}')) = 0
+ORDER BY doc_id
+""",
+    "search_near": f"""
+WITH {_BASE_CTE}
+SELECT doc_id FROM base
+WHERE len(list_filter(generate_series(1, len(terms)),
+      i -> terms[i] = '{NEAR_PAIR[0]}'
+           AND list_contains(terms[i+1 : i+{NEAR_SLOP + 1}], '{NEAR_PAIR[1]}'))) > 0
+ORDER BY doc_id
+""",
+    "search_fuzzy": f"""
+WITH {_BASE_CTE}
+SELECT doc_id FROM base
+WHERE len(list_filter(terms, x -> levenshtein(x, '{FUZZY_Q}') <= {FUZZY_EDITS})) > 0
+ORDER BY doc_id
+""",
+    "search_wildcard": f"""
+WITH {_BASE_CTE}
+SELECT doc_id FROM base
+WHERE len(list_filter(terms, x -> x LIKE '{WILDCARD_PAT.replace("*", "%").replace("?", "_")}')) > 0
+ORDER BY doc_id
+""",
     "tfidf_all": _tfidf_sql(TFIDF_TERMS, None),
     "term_positions": f"""
 WITH {_BASE_CTE}
@@ -1488,6 +1586,10 @@ SELECT * FROM (VALUES
 ORACLE_SQL["search_and_distributed"] = ORACLE_SQL["search_and"]
 ORACLE_SQL["search_phrase_distributed"] = ORACLE_SQL["search_phrase"]
 ORACLE_SQL["search_prefix_distributed"] = ORACLE_SQL["search_prefix"]
+ORACLE_SQL["search_not_distributed"] = ORACLE_SQL["search_not"]
+ORACLE_SQL["search_near_distributed"] = ORACLE_SQL["search_near"]
+ORACLE_SQL["search_fuzzy_distributed"] = ORACLE_SQL["search_fuzzy"]
+ORACLE_SQL["search_wildcard_distributed"] = ORACLE_SQL["search_wildcard"]
 # LSH at full probe is provably lossless => the exact brute-force
 # top-k SQL is its oracle (same queries/k as ann_cosine_topk)
 ORACLE_SQL["ann_lsh_topk"] = ORACLE_SQL["ann_cosine_topk"]

@@ -202,6 +202,10 @@ class PartitionSearcher:
             "or": self.s.search_or,
             "phrase": self.s.search_phrase,
             "prefix": self.s.search_prefix,
+            "wildcard": self.s.search_wildcard,
+            "not": lambda a: self.s.search_not(a[0], a[1]),
+            "near": lambda a: self.s.search_near(a[0], slop=a[1]),
+            "fuzzy": lambda a: self.s.search_fuzzy(a[0], max_edits=a[1]),
         }[kind]
         return fn(arg)
 
@@ -334,6 +338,28 @@ class DistributedSearcher:
         own term dictionaries (two binary searches per shard) and ORs
         its local postings; doc-disjoint partitions concat exactly."""
         return self._scatter_boolean("prefix", prefix)
+
+    def search_wildcard(self, pattern: str) -> np.ndarray:
+        """Distributed glob search: each partition expands the pattern
+        against its own dictionaries — a doc matches iff one of ITS
+        terms matches, so matching is partition-local."""
+        return self._scatter_boolean("wildcard", pattern)
+
+    def search_not(self, include: list[str], exclude: list[str]) -> np.ndarray:
+        """Distributed AND-NOT: doc-disjoint partitions make exclusion
+        partition-local (a doc's excluded terms live with it)."""
+        return self._scatter_boolean("not", (include, exclude))
+
+    def search_near(self, phrase: list[str], slop: int = 0) -> np.ndarray:
+        """Distributed ordered-proximity search (slop=0 == phrase)."""
+        return self._scatter_boolean("near", (phrase, slop))
+
+    def search_fuzzy(self, keyword: str, max_edits: int = 1) -> np.ndarray:
+        """Distributed fuzzy search: each partition scans its OWN
+        length-banded dictionaries for terms within `max_edits` — a
+        doc matches iff one of its own terms is close enough, so no
+        cross-partition term exchange is needed."""
+        return self._scatter_boolean("fuzzy", (keyword, max_edits))
 
     def search_bm25_many(
         self,

@@ -330,3 +330,162 @@ class TestPrefixSearch:
         assert len(before) == 5
         s.delete_documents("import")
         assert s.search_prefix("import").tolist() == []
+
+
+def _pylev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    D = list(range(n + 1))
+    for i in range(1, m + 1):
+        prev, D[0] = D[0], i
+        for j in range(1, n + 1):
+            cur = min(D[j] + 1, D[j - 1] + 1, prev + (a[i - 1] != b[j - 1]))
+            prev, D[j] = D[j], cur
+    return D[n]
+
+
+class TestNotNearFuzzyWildcard:
+    def test_not_vs_bruteforce(self, small_index):
+        idx, docs = small_index
+        s = IndexSearcher(idx)
+        an = s.analyzer
+        # derive probe terms from the corpus so include-hits and
+        # exclude-hits are both non-trivial
+        toks0 = [t for t in an.analyze(docs[0]) if t]
+        t1, t2 = toks0[0], toks0[1]
+        t3 = [t for t in an.analyze(docs[1]) if t][0]
+        cases = [([t1], [t3]), ([t1, t2], [t3]), ([t1], []),
+                 ([t1], ["nosuch"]), (["nosuch"], [t1])]
+        nontrivial = 0
+        for inc, exc in cases:
+            expect = []
+            for d, text in docs.items():
+                toks = set(an.analyze(text))
+                inc_t = [an.analyze(k) for k in inc]
+                exc_t = [t for k in exc for t in an.analyze(k)]
+                if all(tt and all(x in toks for x in tt) for tt in inc_t) and \
+                        not any(x in toks for x in exc_t):
+                    expect.append(d)
+            nontrivial += bool(expect)
+            assert s.search_not(inc, exc).tolist() == expect, (inc, exc)
+        assert nontrivial  # at least one case returns docs
+
+    def test_near_vs_bruteforce(self, small_index):
+        idx, docs = small_index
+        s = IndexSearcher(idx)
+        an = s.analyzer
+
+        def brute(ph, slop):
+            seq = [t for k in ph for t in an.analyze(k)]
+            out = []
+            for d, text in docs.items():
+                toks = an.analyze(text)
+                pos = [[j for j, t in enumerate(toks) if t == q] for q in seq]
+                if any(not p for p in pos):
+                    continue
+                prev = pos[0]
+                for nx in pos[1:]:
+                    prev = [x for x in nx if any(q < x <= q + slop + 1 for q in prev)]
+                if prev:
+                    out.append(d)
+            return out
+
+        # derive probes from the corpus so the non-empty path is
+        # guaranteed: adjacent pair (slop 0), one-gap pair (needs
+        # slop>=1), and a reversed pair (likely empty)
+        toks0 = [t for t in an.analyze(docs[0]) if t]
+        probes = [
+            ([toks0[0], toks0[1]], 0),
+            ([toks0[0], toks0[1]], 2),
+            ([toks0[0], toks0[2]], 0),
+            ([toks0[0], toks0[2]], 1),
+            ([toks0[2], toks0[0]], 1),
+            ([toks0[4]], 0),
+        ]
+        hit_some = False
+        for ph, slop in probes:
+            exp = brute(ph, slop)
+            hit_some = hit_some or bool(exp)
+            assert s.search_near(ph, slop).tolist() == exp, (ph, slop)
+            # slop=0 is exactly phrase search
+            assert s.search_near(ph, 0).tolist() == s.search_phrase(ph).tolist(), ph
+        assert hit_some  # corpus must exercise the non-empty path
+        # one-gap pair: slop 1 must add doc 0 over slop 0 unless the
+        # adjacent form also occurs elsewhere
+        assert 0 in s.search_near([toks0[0], toks0[2]], 1).tolist()
+        with pytest.raises(ValueError):
+            s.search_near(["key", "agg"], -1)
+
+    def test_fuzzy_vs_bruteforce(self, small_index):
+        idx, docs = small_index
+        s = IndexSearcher(idx)
+        an = s.analyzer
+        vocab = set()
+        for text in docs.values():
+            vocab.update(an.analyze(text))
+        # derive probes from the vocab so the non-empty path is
+        # guaranteed: an exact term, a 1-edit mutation of it, and a
+        # nonsense word (empty)
+        base = sorted(t for t in vocab if t.isalpha() and len(t) >= 5)[0]
+        mut = base[:-1] + ("x" if base[-1] != "x" else "y")
+        hit_some = False
+        for kw, e in [(base, 1), (mut, 1), (mut, 2), ("zzzzqq", 2)]:
+            qt = an.analyze(kw)[0]
+            exp_terms = sorted(
+                ((_pylev(qt, t), t) for t in vocab if _pylev(qt, t) <= e)
+            )
+            got = s.expand_fuzzy(kw, e, max_expansion=10**6)
+            assert got == [(t, d) for d, t in exp_terms], (kw, e)
+            hit_some = hit_some or len(got) > 0
+            exp_docs = sorted(
+                d for d, text in docs.items()
+                if any(_pylev(qt, t) <= e for t in set(an.analyze(text)))
+            )
+            assert s.search_fuzzy(kw, e, max_expansion=10**6).tolist() == exp_docs
+        assert hit_some
+        with pytest.raises(ValueError):
+            s.search_fuzzy("window", 3)
+        with pytest.raises(ValueError):
+            s.search_fuzzy("window", 0)
+
+    def test_fuzzy_expansion_cap_is_best_first(self, small_index):
+        idx, docs = small_index
+        s = IndexSearcher(idx)
+        an = s.analyzer
+        vocab = set()
+        for text in docs.values():
+            vocab.update(an.analyze(text))
+        probe = None
+        for t in sorted(vocab):
+            if len(s.expand_fuzzy(t, 2, max_expansion=10**6)) >= 3:
+                probe = t
+                break
+        if probe is None:
+            pytest.skip("corpus too small for truncation check")
+        full = s.expand_fuzzy(probe, 2, max_expansion=10**6)
+        capped = s.expand_fuzzy(probe, 2, max_expansion=2)
+        assert capped == full[:2]  # (distance asc, term asc) prefix
+
+    def test_wildcard_vs_bruteforce(self, small_index):
+        import fnmatch
+
+        idx, docs = small_index
+        s = IndexSearcher(idx)
+        an = s.analyzer
+        vocab = set()
+        for text in docs.values():
+            vocab.update(an.analyze(text))
+        base = sorted(t for t in vocab if t.isalpha() and len(t) >= 5)[0]
+        derived = [base[:3] + "*", "*" + base[-2:], base[0] + "?" + base[2:], base]
+        hit_some = False
+        for pat in derived + ["*ar*", "a*c", "nosuch*"]:
+            exp = sorted(
+                d for d, text in docs.items()
+                if any(fnmatch.fnmatchcase(t, pat) for t in set(an.analyze(text)))
+            )
+            hit_some = hit_some or bool(exp)
+            assert s.search_wildcard(pat).tolist() == exp, pat
+        assert hit_some
+        # degenerate patterns match nothing rather than everything
+        assert s.search_wildcard("*").tolist() == []
+        assert s.search_wildcard("").tolist() == []
+        assert s.search_wildcard("?*").tolist() == []

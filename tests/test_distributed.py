@@ -164,6 +164,16 @@ def test_boolean_scatter_parity(indexes):
             assert dist.search_phrase(ph).tolist() == single.search_phrase(ph).tolist(), ph
         for pref in ["s", "sc", "nosuch", "table"]:
             assert dist.search_prefix(pref).tolist() == single.search_prefix(pref).tolist(), pref
+        for inc, exc in [(["spark"], ["window"]), (["spark", "table"], ["merge", "row"]),
+                         (["spark"], []), (["nosuchterm"], ["spark"])]:
+            assert dist.search_not(inc, exc).tolist() == single.search_not(inc, exc).tolist(), (inc, exc)
+        for ph, slop in [(["spark", "window"], 0), (["spark", "window"], 2),
+                         (["spark", "merge"], 3)]:
+            assert dist.search_near(ph, slop).tolist() == single.search_near(ph, slop).tolist(), (ph, slop)
+        for kw, e in [("spork", 1), ("tible", 2), ("nosuchterm", 1)]:
+            assert dist.search_fuzzy(kw, e).tolist() == single.search_fuzzy(kw, e).tolist(), (kw, e)
+        for pat in ["s*k", "t?ble", "*dow", "nosuch*"]:
+            assert dist.search_wildcard(pat).tolist() == single.search_wildcard(pat).tolist(), pat
     finally:
         dist.shutdown()
 
