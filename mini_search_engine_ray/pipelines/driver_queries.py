@@ -814,6 +814,31 @@ def q_dedup_near_jaccard(sf_dir: str):
     )
 
 
+DEDUP_CLUSTER_THRESHOLD = 0.8  # all sf candidates sit >= 0.9, comfortably
+#                                off the threshold boundary on both engines
+
+
+def q_dedup_clusters(sf_dir: str):
+    """Transitive near-dup clustering: LSH candidates -> exact Jaccard
+    verify -> threshold -> distributed connected components (min-label
+    propagation with pointer jumping). One row (node, component) per
+    doc in a surviving pair; dedup keeps node == component."""
+    from ..stages.dedup import near_dup_clusters
+
+    import pyarrow.compute as pc
+
+    out = near_dup_clusters(_docs_ds(sf_dir), threshold=DEDUP_CLUSTER_THRESHOLD)
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "component": pa.array([], pa.int64())})
+        return pa.table({"node": pc.cast(t["node"], pa.int64()),
+                         "component": pc.cast(t["component"], pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_pagerank(sf_dir: str):
     """PageRank over a deterministic synthetic link graph derived from
     doc ids (each doc links to (7i+3) mod N and (13i+5) mod N)."""
@@ -1034,6 +1059,7 @@ QUERIES = {
     "fingerprints": q_fingerprints,
     "minhash_near_pairs": q_minhash_near_pairs,
     "dedup_near_jaccard": q_dedup_near_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
     "pagerank_join": q_pagerank_join,
@@ -1150,6 +1176,76 @@ FROM cand c
 LEFT JOIN sz za ON za.doc_id = c.a
 LEFT JOIN sz zb ON zb.doc_id = c.b
 LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+"""
+
+
+def _dedup_clusters_sql(rows: int = 4, max_bucket: int = 200,
+                        threshold: float = DEDUP_CLUSTER_THRESHOLD,
+                        iters: int = 8) -> str:
+    """Same candidate + exact-Jaccard CTEs as dedup_near_jaccard,
+    thresholded, then `iters` unrolled rounds of min-label propagation
+    WITH pointer jumping (each round also asks the current label for
+    ITS label), so chains contract geometrically — 8 rounds covers any
+    component diameter the 0.01/0.1 corpora can produce, and the Ray
+    side iterates to an exact fixpoint, which the unrolled SQL matches
+    once both are converged."""
+    poly = _poly_list([f"sigs[{r + 1}]" for r in range(rows)])
+    jac = ("CASE WHEN coalesce(za.n, 0) = 0 AND coalesce(zb.n, 0) = 0 THEN 1.0 "
+           "ELSE coalesce(i.i, 0)::DOUBLE / "
+           "(coalesce(za.n, 0) + coalesce(zb.n, 0) - coalesce(i.i, 0)) END")
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+l{k + 1} AS MATERIALIZED (
+  SELECT n.node,
+         least(n.comp,
+               coalesce(min(nb.comp), n.comp),
+               coalesce(min(pj.comp), n.comp)) AS comp
+  FROM l{k} n
+  LEFT JOIN e ON e.src = n.node
+  LEFT JOIN l{k} nb ON nb.node = e.dst
+  LEFT JOIN l{k} pj ON pj.node = n.comp
+  GROUP BY n.node, n.comp
+)""")
+    return f"""
+WITH {_minhash_sig_ctes()},
+bs AS (
+  SELECT doc_id, p // {rows} AS band, list(sig_u ORDER BY p) AS sigs
+  FROM sig GROUP BY doc_id, p // {rows}
+),
+bh AS (SELECT doc_id, band, {poly} AS bhash FROM bs),
+mem AS (
+  SELECT band, bhash, doc_id,
+         row_number() OVER (PARTITION BY band, bhash ORDER BY doc_id) AS rn
+  FROM (SELECT DISTINCT band, bhash, doc_id FROM bh)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM mem x JOIN mem y
+    ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+  WHERE x.rn <= {max_bucket} AND y.rn <= {max_bucket}
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM shingles),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*)::BIGINT AS i
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.a
+  JOIN dsh y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+),
+keep AS MATERIALIZED (
+  SELECT c.a, c.b
+  FROM cand c
+  LEFT JOIN sz za ON za.doc_id = c.a
+  LEFT JOIN sz zb ON zb.doc_id = c.b
+  LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+  WHERE {jac} >= {threshold}
+),
+e AS MATERIALIZED (SELECT a AS src, b AS dst FROM keep UNION ALL SELECT b AS src, a AS dst FROM keep),
+l0 AS MATERIALIZED (SELECT src AS node, least(src, min(dst)) AS comp FROM e GROUP BY src),
+{",".join(steps)}
+SELECT node, comp AS component FROM l{iters}
 """
 
 
@@ -1527,6 +1623,7 @@ FROM r WHERE rn <= {ANN_K}
     "minhash_signatures": _minhash_signatures_sql(),
     "minhash_near_pairs": _minhash_near_pairs_sql(),
     "dedup_near_jaccard": _dedup_near_jaccard_sql(),
+    "dedup_clusters": _dedup_clusters_sql(),
     "simhash": _simhash_sql(),
     "fingerprints": _fingerprints_sql(),
     "embedding_dup_pairs": _embedding_dup_pairs_sql(

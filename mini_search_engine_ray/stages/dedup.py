@@ -429,3 +429,165 @@ def dedup_exact(ds, *, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return out.map_batches(fix, batch_format="pyarrow")
+
+
+def connected_components(pairs_ds, *, a_col: str = "a", b_col: str = "b",
+                         max_iter: int = 64):
+    """Transitive near-dup clustering: given an undirected pair list
+    (e.g. Jaccard-verified LSH candidates), label every involved node
+    with its component id = the MINIMUM doc_id reachable from it.
+    Returns a Dataset (node, component), one row per distinct node.
+
+    The canonical LLM-pipeline step AFTER pair verification: mirrored
+    dumps chain A~B~C where (A,C) was never a candidate pair — keeping
+    one doc per PAIR over-keeps; one per COMPONENT is the actual
+    dedup contract.
+
+    Distributed min-label propagation, all native Dataset ops:
+      seed     comp(n) = min(n, min neighbor) — one groupby(Min).
+      iterate  cogroup labels with the (directed-both-ways) edge list
+               on a single range sort (equal keys never straddle a
+               sort partition — the map_groups invariant), sweep each
+               block vectorized to emit (neighbor, my_comp) + (self,
+               my_comp), then groupby(node).Min(cand) -> new labels.
+      stop     labels only ever DECREASE, so sum(comp) strictly
+               decreases iff any label changed — a scalar aggregate
+               per iteration is the whole convergence check (no
+               driver-side diff of label tables).
+
+    Rounds needed = graph diameter (near-dup components are
+    quasi-cliques from LSH buckets, so 2-4 in practice; `max_iter`
+    guards pathological chains). Per round: one sort + one groupby
+    over (nodes + 2·pairs) rows — both output-sized, never
+    corpus-sized."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t[b_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(np.r_[a, b]), "dst": pa.array(np.r_[b, a])})
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.int64()),
+                      "component": pa.array([], pa.int64())})
+        )
+
+    def seed_fix(t: pa.Table) -> pa.Table:
+        n = t["src"].to_numpy(zero_copy_only=False)
+        m = t["min(dst)"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(n), "comp": pa.array(np.minimum(n, m))})
+
+    labels = (
+        edges.groupby("src").aggregate(Min("dst"))
+        .map_batches(seed_fix, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"key": t["node"], "t": pa.array(np.zeros(n, dtype=np.int8)),
+                         "comp": t["comp"], "dst": pa.array(np.zeros(n, dtype=np.int64))})
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"key": t["src"], "t": pa.array(np.ones(n, dtype=np.int8)),
+                         "comp": pa.array(np.zeros(n, dtype=np.int64)), "dst": t["dst"]})
+
+    def tag_jumps(t: pa.Table) -> pa.Table:
+        """Pointer-jumping rows: ask my CURRENT component for ITS
+        component (key=comp, deliver to dst=node) — contracts label
+        chains by halving, so convergence is O(log longest_chain)
+        rather than O(diameter); comp values are always seeded node
+        ids, so the keyed run exists."""
+        n = t.num_rows
+        return pa.table({"key": t["comp"], "t": pa.array(np.ones(n, dtype=np.int8)),
+                         "comp": pa.array(np.zeros(n, dtype=np.int64)), "dst": t["node"]})
+
+    def sweep(t: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "cand": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return empty
+        key = t["key"].to_numpy(zero_copy_only=False)
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        comp = t["comp"].to_numpy(zero_copy_only=False)
+        dst = t["dst"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        run_of = np.cumsum(np.r_[0, (key[1:] != key[:-1]).astype(np.int64)])
+        # default to the node's own id — a run with no state row (can't
+        # happen: every edge src is seeded) degrades to self-labeling
+        comp_run = key[starts].astype(np.int64, copy=True)
+        is_state = tt == 0
+        comp_run[run_of[is_state]] = comp[is_state]
+        is_edge = ~is_state
+        return pa.table({
+            "node": pa.array(np.r_[dst[is_edge], key[starts]]),
+            "cand": pa.array(np.r_[comp_run[run_of[is_edge]], comp_run]),
+        })
+
+    def min_fix(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "comp": t["min(cand)"]})
+
+    edge_rows = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+    # pin the label partition count: union adds blocks and sort/groupby
+    # preserve them, so WITHOUT this the block count doubles per
+    # iteration and scheduling overhead grows exponentially (observed:
+    # 1.7s -> 184s by iteration 11 on a 1000-node graph)
+    n_parts = max(1, edge_rows.num_blocks())
+    prev_sum = labels.aggregate(Sum("comp"))["sum(comp)"]
+    for _ in range(max_iter):
+        labels = (
+            labels.map_batches(tag_labels, batch_format="pyarrow")
+            .union(edge_rows)
+            .union(labels.map_batches(tag_jumps, batch_format="pyarrow"))
+            .sort("key")
+            .map_batches(sweep, batch_size=None, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("cand"))
+            .map_batches(min_fix, batch_format="pyarrow")
+            .repartition(n_parts)
+            .materialize()
+        )
+        cur_sum = labels.aggregate(Sum("comp"))["sum(comp)"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    else:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "connected_components: no fixpoint after %d iterations", max_iter
+        )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["node"], "component": t["comp"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def near_dup_clusters(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      threshold: float = 0.8, **lsh_kwargs):
+    """The full near-dedup contract end to end: MinHash LSH candidate
+    pairs -> exact k-shingle Jaccard verification (distributed
+    shingle-equality join) -> keep pairs with jaccard >= `threshold`
+    -> transitive connected components. Returns a Dataset
+    (node, component): one row per doc involved in a surviving pair,
+    labeled with the MIN doc_id reachable from it. The dedup policy is
+    then "keep doc iff it never appears as a node, or node ==
+    component" — one survivor per transitive cluster, not per pair
+    (pairs over-keep on chained mirrors A~B~C where (A, C) was never
+    an LSH candidate)."""
+    import ray.data as rd
+
+    pairs, _ = minhash_candidate_pairs(
+        ds.select_columns([id_col, text_col]),
+        text_col=text_col, id_col=id_col, **lsh_kwargs,
+    )
+    verified = verify_pairs_jaccard(ds, pairs, text_col=text_col, id_col=id_col)
+    keep = verified.filter(
+        pc.greater_equal(verified["jaccard"], pa.scalar(float(threshold)))
+    )
+    return connected_components(rd.from_arrow(keep.select(["a", "b"])))

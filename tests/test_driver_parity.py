@@ -75,22 +75,13 @@ def test_every_oracle_query_has_impl(registry):
     assert set(o) <= set(q)
 
 
-ORACLE_KEYS = [
-    "token_stats", "langid", "bpe_token_count",
-    "term_stats", "search_keyword", "search_and",
-    "search_or", "search_phrase", "search_phrase3", "tfidf_all",
-    "term_positions", "code_term_stats",
-    "bm25_topk", "bm25_all", "tfidf_topk",
-    "dedup_exact", "sha256_docs", "token_count_total", "ann_cosine_topk",
-    "codec_golden", "pfordelta_golden", "stemmer_golden", "wordbreak_golden",
-    "wordbreak_dict_golden",
-    # round 2: former rows-only entries, now with full SQL oracles
-    # (md5-based 64-bit sketch arithmetic / unrolled PageRank / varint
-    # byte-length replication / IVF-at-full-probe == exact)
-    "minhash_signatures", "simhash", "fingerprints", "minhash_near_pairs",
-    "embedding_dup_pairs", "compression_ratio", "pagerank", "ann_ivf_topk",
-    "dedup_near_jaccard",
-]
+# Dynamic: every ORACLE_SQL entry is parity-tested at sf0.001, so a new
+# driver query can never ship without in-repo oracle coverage. (The
+# registry import is collection-time safe — driver_queries never inits
+# Ray at module scope.)
+from mini_search_engine_ray.pipelines.driver_queries import ORACLE_SQL as _OSQL
+
+ORACLE_KEYS = sorted(_OSQL)
 
 
 @pytest.mark.parametrize("name", ORACLE_KEYS)

@@ -376,3 +376,68 @@ class TestLSHANN:
         with pytest.raises(ValueError):
             lsh_cosine_topk(rd.from_items([{"vec_id": 0, "embedding": [1.0]}]),
                             np.ones((1, 1)), num_hyperplanes=17)
+
+
+class TestConnectedComponents:
+    def _cc(self, a, b, **kw):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import connected_components
+
+        t = pa.table({"a": pa.array(np.asarray(a, dtype=np.int64)),
+                      "b": pa.array(np.asarray(b, dtype=np.int64))})
+        out = connected_components(rd.from_arrow(t), **kw).to_pandas()
+        return dict(zip(out.node, out.component))
+
+    def test_chain_collapses_to_min(self, ray_session):
+        # 0-1-2-...-49: worst-case diameter; pointer jumping must close
+        # it in O(log n) rounds, and every node labels to 0
+        n = 50
+        lab = self._cc(np.arange(n - 1), np.arange(1, n))
+        assert len(lab) == n
+        assert set(lab.values()) == {0}
+
+    def test_disjoint_cliques_and_bridge(self, ray_session):
+        # clique {10,11,12} + clique {20,21,22} + bridge 12-20 merges
+        # them; isolated pair {30,31} stays its own component
+        a = [10, 10, 11, 20, 20, 21, 12, 30]
+        b = [11, 12, 12, 21, 22, 22, 20, 31]
+        lab = self._cc(a, b)
+        assert {lab[x] for x in (10, 11, 12, 20, 21, 22)} == {10}
+        assert lab[30] == 30 and lab[31] == 30
+
+    def test_empty_pairs(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import connected_components
+
+        t = pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        out = connected_components(rd.from_arrow(t))
+        # schema-stable empty (ray to_pandas drops columns on 0 rows,
+        # so assert at the Arrow level)
+        assert out.count() == 0
+        assert [f.name for f in out.schema().base_schema] == ["node", "component"]
+
+    def test_transitive_not_pairwise(self, ray_session):
+        # A~B, B~C but never (A,C): one component, min label wins
+        lab = self._cc([5, 7], [7, 9])
+        assert lab == {5: 5, 7: 5, 9: 5}
+
+
+class TestNearDupClusters:
+    def test_end_to_end_chain(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import near_dup_clusters
+
+        # doc0 ~ doc1 ~ doc2 are successive one-token edits (each
+        # adjacent pair is near; 0 vs 2 may or may not be a candidate)
+        # and doc3 is unrelated
+        v1 = BASE
+        v2 = BASE.replace("lazy", "sleepy")
+        v3 = v2.replace("quick", "rapid")
+        ds = rd.from_arrow(_doc_table([v1, v2, v3, FAR]))
+        out = near_dup_clusters(ds, threshold=0.5).to_pandas()
+        lab = dict(zip(out.node, out.component))
+        assert {lab[x] for x in (0, 1, 2)} == {0}
+        assert 3 not in lab  # FAR doc is in no surviving pair
