@@ -254,6 +254,12 @@ def _docs_ds(sf_dir: str):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def _events_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+
+
 def _ids_table(ids) -> pa.Table:
     return pa.table({"doc_id": pa.array(np.asarray(ids, dtype=np.int64))})
 
@@ -814,6 +820,84 @@ def q_dedup_near_jaccard(sf_dir: str):
     )
 
 
+WINDOW_WIDTH_S = 3600
+WINDOW_HOP_S = 900
+SESSION_GAP_S = 1800
+
+
+def _window_fix(key_col: str = "event_type"):
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "window_start_us" not in t.column_names:
+            return pa.table({"window_start_us": pa.array([], pa.int64()),
+                             key_col: pa.array([], pa.large_string()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
+        return pa.table({
+            "window_start_us": t["window_start_us"],
+            key_col: pc.cast(t[key_col], pa.large_string()),
+            "n_events": t["n_events"],
+            "sum_value": pa.array(_r4(t["sum_value"].to_numpy(zero_copy_only=False))),
+        })
+
+    return fix
+
+
+def q_window_tumbling(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the event log: per-batch
+    partial (lexsort+reduceat) -> native groupby over partials."""
+    from ..stages.windows import tumbling_window_agg
+
+    out = tumbling_window_agg(_events_ds(sf_dir), width_s=WINDOW_WIDTH_S)
+    return out.map_batches(_window_fix(), batch_format="pyarrow")
+
+
+def q_window_sliding(sf_dir: str):
+    """Hopping 1-hour/15-min window aggregate: hop-granular partials
+    replicated x4 AFTER collapse, then the same tiny groupby."""
+    from ..stages.windows import sliding_window_agg
+
+    out = sliding_window_agg(_events_ds(sf_dir), width_s=WINDOW_WIDTH_S,
+                             hop_s=WINDOW_HOP_S)
+    return out.map_batches(_window_fix(), batch_format="pyarrow")
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min timeout): one global (user, ts)
+    sort, per-block vectorized sweep, O(num_blocks) edge stitch."""
+    from ..stages.windows import sessionize
+
+    out = sessionize(_events_ds(sf_dir), gap_s=SESSION_GAP_S)
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "session_start_us": pa.array([], pa.int64()),
+                             "session_end_us": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value": pa.array([], pa.float64())})
+        return pa.table({
+            "user_id": t["user_id"],
+            "session_start_us": t["session_start_us"],
+            "session_end_us": t["session_end_us"],
+            "n_events": t["n_events"],
+            "sum_value": pa.array(_r4(t["sum_value"].to_numpy(zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_asof_attribution(sf_dir: str):
+    """As-of attribution join: latest at-or-before 'view' per 'click'
+    by the same user (DuckDB ASOF JOIN semantics), via one (user, ts,
+    views-first) sort + segmented running-latest sweeps with an
+    O(num_blocks) carry chain."""
+    from ..stages.windows import asof_join_latest
+
+    return asof_join_latest(_events_ds(sf_dir))
+
+
 DEDUP_CLUSTER_THRESHOLD = 0.8  # all sf candidates sit >= 0.9, comfortably
 #                                off the threshold boundary on both engines
 
@@ -1060,6 +1144,10 @@ QUERIES = {
     "minhash_near_pairs": q_minhash_near_pairs,
     "dedup_near_jaccard": q_dedup_near_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "window_tumbling": q_window_tumbling,
+    "window_sliding": q_window_sliding,
+    "sessionize": q_sessionize,
+    "asof_attribution": q_asof_attribution,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
     "pagerank_join": q_pagerank_join,
@@ -1246,6 +1334,56 @@ e AS MATERIALIZED (SELECT a AS src, b AS dst FROM keep UNION ALL SELECT b AS src
 l0 AS MATERIALIZED (SELECT src AS node, least(src, min(dst)) AS comp FROM e GROUP BY src),
 {",".join(steps)}
 SELECT node, comp AS component FROM l{iters}
+"""
+
+
+def _window_tumbling_sql(width_s: int = WINDOW_WIDTH_S) -> str:
+    w = width_s * 1_000_000
+    return f"""
+SELECT (epoch_us(ts) // {w}) * {w} AS window_start_us,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       {_R4.format(expr="sum(value)")} AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _window_sliding_sql(width_s: int = WINDOW_WIDTH_S,
+                        hop_s: int = WINDOW_HOP_S) -> str:
+    h = hop_s * 1_000_000
+    m = width_s // hop_s
+    return f"""
+WITH ev AS (SELECT epoch_us(ts) AS tu, event_type, value FROM events),
+js AS (SELECT unnest(range({m}))::BIGINT AS j)
+SELECT (ev.tu // {h} - js.j) * {h} AS window_start_us,
+       ev.event_type,
+       count(*)::BIGINT AS n_events,
+       {_R4.format(expr="sum(ev.value)")} AS sum_value
+FROM ev CROSS JOIN js GROUP BY 1, 2
+"""
+
+
+def _sessionize_sql(gap_s: int = SESSION_GAP_S) -> str:
+    g = gap_s * 1_000_000
+    return f"""
+WITH ev AS (SELECT user_id, epoch_us(ts) AS tu, value FROM events),
+lg AS (SELECT *, lag(tu) OVER (PARTITION BY user_id ORDER BY tu) AS ptu FROM ev),
+br AS (SELECT *, CASE WHEN ptu IS NULL OR tu - ptu > {g} THEN 1 ELSE 0 END AS brk FROM lg),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM br)
+SELECT user_id, min(tu) AS session_start_us, max(tu) AS session_end_us,
+       count(*)::BIGINT AS n_events,
+       {_R4.format(expr="sum(value)")} AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+_ASOF_ATTRIBUTION_SQL = """
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       coalesce(epoch_us(v.ts), -1) AS view_ts_us
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON c.user_id = v.user_id AND c.ts >= v.ts
 """
 
 
@@ -1624,6 +1762,10 @@ FROM r WHERE rn <= {ANN_K}
     "minhash_near_pairs": _minhash_near_pairs_sql(),
     "dedup_near_jaccard": _dedup_near_jaccard_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
+    "window_tumbling": _window_tumbling_sql(),
+    "window_sliding": _window_sliding_sql(),
+    "sessionize": _sessionize_sql(),
+    "asof_attribution": _ASOF_ATTRIBUTION_SQL,
     "simhash": _simhash_sql(),
     "fingerprints": _fingerprints_sql(),
     "embedding_dup_pairs": _embedding_dup_pairs_sql(
