@@ -368,6 +368,77 @@ def bench_pagerank(out: dict) -> None:
     out["queries"]["pagerank_100it"] = round(time.time() - t0, 3)
 
 
+def bench_temporal(out: dict) -> None:
+    """5M-event synthetic log (50k users, ~20 min span): tumbling
+    window aggregate, gap sessionization and as-of attribution join at
+    a scale where per-block sweeps and the O(num_blocks) edge stitch
+    dominate fixed overheads."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.windows import (
+        asof_join_latest,
+        sessionize,
+        tumbling_window_agg,
+    )
+
+    n, users = 5_000_000, 50_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(int(i[0]))
+        ts = (i * 250_000 + rng.integers(0, 200_000, len(i))).astype(np.int64)
+        return pa.table({
+            "event_id": pa.array(i),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, users, len(i))),
+            "event_type": pa.array(rng.choice(["view", "click", "error"],
+                                              size=len(i), p=[0.5, 0.3, 0.2])),
+            "value": pa.array(rng.uniform(0, 100, len(i))),
+        })
+
+    ev = rd.range(n).map_batches(gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    tumbling_window_agg(ev, width_s=60).materialize()
+    out["queries"]["window_tumbling_5m"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    sessionize(ev, gap_s=30).materialize()
+    out["queries"]["sessionize_5m"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    asof_join_latest(ev).materialize()
+    out["queries"]["asof_join_5m"] = round(time.time() - t0, 3)
+
+
+def bench_connected_components(out: dict) -> None:
+    """Transitive dedup clustering machinery on a 500k-edge graph of
+    100k 5-cliques chained pairwise (diameter grows with the chain):
+    exercises the per-iteration sort+groupby rounds + pointer jumping."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.dedup import connected_components
+
+    cliques = 50_000
+    base = np.arange(cliques, dtype=np.int64) * 5
+    # 5-clique edges (10 per clique) + bridges merging cliques PAIRWISE
+    # (LSH near-dup components are small quasi-cliques, not long chains)
+    from itertools import combinations
+
+    offs = np.array(list(combinations(range(5), 2)), dtype=np.int64)
+    a = (base[:, None] + offs[None, :, 0]).ravel()
+    b = (base[:, None] + offs[None, :, 1]).ravel()
+    bridge_a = base[0::2] + 4
+    bridge_b = base[1::2]
+    t = pa.table({"a": pa.array(np.r_[a, bridge_a]), "b": pa.array(np.r_[b, bridge_b])})
+    t0 = time.time()
+    res = connected_components(rd.from_arrow(t))
+    n_nodes = res.count()
+    out["queries"]["connected_components_500k"] = round(time.time() - t0, 3)
+    assert n_nodes == cliques * 5
+
+
 def run_all(only: str | None = None) -> dict:
     import ray
 
@@ -402,6 +473,10 @@ def run_all(only: str | None = None) -> dict:
         bench_ann(out)
     if only in (None, "pagerank"):
         bench_pagerank(out)
+    if only in (None, "temporal"):
+        bench_temporal(out)
+    if only in (None, "connected_components"):
+        bench_connected_components(out)
     out["value"] = round(sum(out["queries"].values()), 3)
     ray.shutdown()
     return out

@@ -592,11 +592,14 @@ def q_code_term_stats(sf_dir: str):
     exploded = ds.map_batches(explode, batch_format="pyarrow")
 
     # (doc_id, term) rows are distinct by construction, so df = row
-    # count per term and total_tf = sum(tf) per term — one aggregate.
-    from ray.data.aggregate import Count, Sum
+    # count per term and total_tf = sum(tf) per term — one sorted
+    # reduceat reduction (term cardinality is data-sized; the native
+    # groupby combine is per-row Python, see stages/aggregates.py).
+    from ..stages.aggregates import sorted_groupby_agg
 
-    out = exploded.groupby("term").aggregate(
-        Count(alias_name="df"), Sum("tf", alias_name="total_tf")
+    out = sorted_groupby_agg(
+        exploded, ["term"],
+        [("term", "count", "df"), ("tf", "sum", "total_tf")],
     )
 
     def fix(t: pa.Table) -> pa.Table:

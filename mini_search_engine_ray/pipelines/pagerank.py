@@ -79,7 +79,8 @@ def pagerank_dataset(
     Dataset, one more exchange per iteration).
     """
     import ray
-    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import sorted_groupby_agg
 
     @ray.remote
     def _assemble_inv_out(num_nodes: int, *blocks) -> np.ndarray:
@@ -103,7 +104,12 @@ def pagerank_dataset(
             new[dst] = (1.0 - damping) + damping * s
         return new
 
-    outdeg_blocks = edges_ds.groupby("src").count().to_arrow_refs()
+    # sorted reduceat reduction, NOT native groupby().aggregate(): the
+    # native combine is per-row Python (~60x slower at per-node key
+    # cardinality; see stages/aggregates.py)
+    outdeg_blocks = sorted_groupby_agg(
+        edges_ds, ["src"], [("src", "count", "count()")]
+    ).to_arrow_refs()
     inv_ref = _assemble_inv_out.remote(num_nodes, *outdeg_blocks)
 
     score_ref = ray.put(np.ones(num_nodes, dtype=np.float64))
@@ -119,12 +125,10 @@ def pagerank_dataset(
             c = s[src] * io[src]
             return pa.table({"dst": t["dst"], "c": pa.array(c)})
 
-        sum_blocks = (
-            edges_ds.map_batches(contrib, batch_format="pyarrow")
-            .groupby("dst")
-            .aggregate(Sum("c", alias_name="c_sum"))
-            .to_arrow_refs()
-        )
+        sum_blocks = sorted_groupby_agg(
+            edges_ds.map_batches(contrib, batch_format="pyarrow"),
+            ["dst"], [("c", "sum", "c_sum")],
+        ).to_arrow_refs()
         score_ref = _assemble_scores.remote(num_nodes, damping, *sum_blocks)
     scores = ray.get(score_ref)
     return pa.table(
@@ -163,7 +167,8 @@ def pagerank_dataset_join(
       edge endpoint has a base row).
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
+
+    from ..stages.aggregates import sorted_groupby_agg
 
     zero8 = lambda n: pa.array(np.zeros(n, dtype=np.int8))  # noqa: E731
     zerof = lambda n: pa.array(np.zeros(n, dtype=np.float64))  # noqa: E731
@@ -199,7 +204,9 @@ def pagerank_dataset_join(
         return pa.table({"node": pa.array(key[starts]), "w": pa.array(w_run)})
 
     nodes = rd.range(num_nodes).map_batches(tag_nodes, batch_format="pyarrow")
-    outdeg = edges_ds.groupby("src").count().map_batches(tag_outdeg, batch_format="pyarrow")
+    outdeg = sorted_groupby_agg(
+        edges_ds, ["src"], [("src", "count", "count()")]
+    ).map_batches(tag_outdeg, batch_format="pyarrow")
     base = (
         nodes.union(outdeg).sort("key")
         .map_batches(base_sweep, batch_size=None, batch_format="pyarrow")
@@ -268,9 +275,7 @@ def pagerank_dataset_join(
         contrib = parts.sort("key").map_batches(
             make_sweep(init=sums is None), batch_size=None, batch_format="pyarrow"
         )
-        sums = (
-            contrib.groupby("dst").aggregate(Sum("c", alias_name="s")).materialize()
-        )
+        sums = sorted_groupby_agg(contrib, ["dst"], [("c", "sum", "s")]).materialize()
 
     # -- final scores: one more cogroup of base ∪ sums -----------------
     def final_sweep(t: pa.Table) -> pa.Table:

@@ -1,0 +1,92 @@
+"""Vectorized grouped aggregation for HIGH-CARDINALITY keys.
+
+Ray Data's native ``groupby().aggregate(...)`` runs per-row Python in
+the combine phase — measured on this host at ~10 s per 1.1M rows even
+at 100 distinct keys (32 CPUs), vs 0.15 s for the underlying sort.
+For data-sized keyed reductions (one group per node / content hash /
+(pair, shingle)), that overhead dominates entire pipelines.
+
+``sorted_groupby_agg`` keeps the same all-to-all exchange (a range
+sort on the key columns) but replaces the per-row combine with ONE
+numpy ``reduceat`` sweep per output block. Correctness rests on the
+sort invariant Ray's own ``map_groups`` relies on: rows with equal
+sort keys never straddle an output block, so every group is wholly
+contained in exactly one block and per-block run reduction is exact.
+Native ``groupby`` remains the right call when partials are collapsed
+FIRST and only few rows reach the shuffle (e.g. windowed aggregates).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_OPS = {"min", "max", "sum", "count"}
+
+
+def _agg_out_type(op: str, src: pa.DataType) -> pa.DataType:
+    if op == "count":
+        return pa.int64()
+    return src
+
+
+def sorted_groupby_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
+    """Grouped reduction via sort + vectorized per-block sweep.
+
+    ``aggs``: list of (source_col, op, alias) with op in
+    {'min','max','sum','count'} ('count' ignores source_col). Returns
+    a Dataset with columns ``keys + [alias, ...]``, one row per
+    distinct key combination. The only shuffle is the range sort; the
+    sweep is O(rows) numpy with no per-group Python calls.
+    """
+    for _, op, _ in aggs:
+        if op not in _OPS:
+            raise ValueError(f"unsupported agg op: {op}")
+
+    def sweep(t: pa.Table) -> pa.Table:
+        cols: dict[str, pa.Array] = {}
+        if t.num_rows == 0:
+            for k in keys:
+                cols[k] = pa.array([], t.schema.field(k).type if k in t.column_names
+                                   else pa.int64())
+            for src, op, alias in aggs:
+                st = (t.schema.field(src).type
+                      if src in t.column_names else pa.int64())
+                cols[alias] = pa.array([], _agg_out_type(op, st))
+            return pa.table(cols)
+        n = t.num_rows
+        key_arrs = []
+        for k in keys:
+            col = t[k]
+            key_arrs.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        brk = np.zeros(n - 1, dtype=bool)
+        for arr in key_arrs:
+            if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+                v = arr.to_numpy(zero_copy_only=False)
+                brk |= v[1:] != v[:-1]
+            else:
+                ne = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
+                brk |= ne.to_numpy(zero_copy_only=False).astype(bool)
+        starts = np.flatnonzero(np.r_[True, brk])
+        lens = np.diff(np.r_[starts, n]).astype(np.int64)
+        idx = pa.array(starts)
+        for k, arr in zip(keys, key_arrs):
+            cols[k] = arr.take(idx)
+        for src, op, alias in aggs:
+            if op == "count":
+                cols[alias] = pa.array(lens)
+                continue
+            col = t[src]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            v = col.to_numpy(zero_copy_only=False)
+            if op == "min":
+                r = np.minimum.reduceat(v, starts)
+            elif op == "max":
+                r = np.maximum.reduceat(v, starts)
+            else:
+                r = np.add.reduceat(v, starts)
+            cols[alias] = pa.array(r, type=col.type if op != "sum" else None)
+        return pa.table(cols)
+
+    return ds.sort(keys).map_batches(sweep, batch_size=None, batch_format="pyarrow")

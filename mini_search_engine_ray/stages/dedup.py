@@ -293,7 +293,6 @@ def verify_pairs_jaccard(
     """
     import ray
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
 
     if hasattr(pairs, "to_pandas"):
         pairs = pairs.to_pandas()
@@ -333,8 +332,14 @@ def verify_pairs_jaccard(
         return pa.table({"pair_id": pa.array(np.concatenate(out_pid)),
                          "sh": pa.array(np.concatenate(out_sh))})
 
+    from .aggregates import sorted_groupby_agg
+
     rows_ds = ds.map_batches(pair_shingle_rows, batch_format="pyarrow")
-    per_sh = rows_ds.groupby(["pair_id", "sh"]).count()
+    # sorted reduceat reductions, NOT native groupby().aggregate():
+    # (pair, shingle) cardinality is data-sized and the native combine
+    # is per-row Python (see stages/aggregates.py)
+    per_sh = sorted_groupby_agg(rows_ds, ["pair_id", "sh"],
+                                [("sh", "count", "cnt")])
 
     def flags(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "pair_id" not in t.column_names:
@@ -342,13 +347,13 @@ def verify_pairs_jaccard(
                              "is_inter": pa.array([], pa.int64())})
         return pa.table({
             "pair_id": t["pair_id"],
-            "is_inter": pc.cast(pc.equal(t["count()"], 2), pa.int64()),
+            "is_inter": pc.cast(pc.equal(t["cnt"], 2), pa.int64()),
         })
 
-    agg = (
-        per_sh.map_batches(flags, batch_format="pyarrow")
-        .groupby("pair_id")
-        .aggregate(Count(alias_name="union_n"), Sum("is_inter", alias_name="inter_n"))
+    agg = sorted_groupby_agg(
+        per_sh.map_batches(flags, batch_format="pyarrow"),
+        ["pair_id"],
+        [("pair_id", "count", "union_n"), ("is_inter", "sum", "inter_n")],
     )
     jac = np.ones(n_pairs, dtype=np.float64)  # absent pair = empty-vs-empty = 1.0
     for r in agg.take_all():  # output-sized: one row per pair with any shingles
@@ -403,20 +408,21 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def dedup_exact(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     """Exact dedup: md5(text) -> keep the min doc_id per hash. Returns
     a Dataset (content_hash, keep_id, n_dups). One narrow shuffle of
-    (hash, id) rows into a NATIVE groupby aggregate — no per-group
-    Python callable (at 10^9 mostly-unique docs a per-group pandas
-    map_groups would mean 10^9 Python DataFrame constructions)."""
-    from ray.data.aggregate import Count, Min
+    (hash, id) rows into a sorted reduceat reduction — no per-group
+    (or per-row) Python anywhere: at 10^9 mostly-unique docs both a
+    per-group pandas map_groups AND the native groupby().aggregate()
+    combine (per-row Python) are ruinous (see stages/aggregates.py)."""
+    from .aggregates import sorted_groupby_agg
 
     def add_hash(t: pa.Table) -> pa.Table:
         texts = t[text_col].to_pylist()
         h = [hashlib.md5((x or "").encode()).hexdigest() for x in texts]
         return pa.table({"content_hash": pa.array(h), id_col: t[id_col]})
 
-    out = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
+    out = sorted_groupby_agg(
+        ds.map_batches(add_hash, batch_format="pyarrow"),
+        ["content_hash"],
+        [(id_col, "min", "keep_id"), (id_col, "count", "n_dups")],
     )
 
     def fix(t: pa.Table) -> pa.Table:
@@ -443,25 +449,31 @@ def connected_components(pairs_ds, *, a_col: str = "a", b_col: str = "b",
     one doc per PAIR over-keeps; one per COMPONENT is the actual
     dedup contract.
 
-    Distributed min-label propagation, all native Dataset ops:
-      seed     comp(n) = min(n, min neighbor) — one groupby(Min).
+    Distributed min-label propagation:
+      seed     comp(n) = min(n, min neighbor) — one sorted reduction.
       iterate  cogroup labels with the (directed-both-ways) edge list
                on a single range sort (equal keys never straddle a
                sort partition — the map_groups invariant), sweep each
                block vectorized to emit (neighbor, my_comp) + (self,
-               my_comp), then groupby(node).Min(cand) -> new labels.
+               my_comp), then a second sorted min-reduction on node ->
+               new labels. Both reductions use `sorted_groupby_agg`
+               (sort + reduceat), NOT native groupby().aggregate():
+               the native combine is per-row Python and measured ~60x
+               slower at these key cardinalities (one group per node).
       stop     labels only ever DECREASE, so sum(comp) strictly
                decreases iff any label changed — a scalar aggregate
                per iteration is the whole convergence check (no
                driver-side diff of label tables).
 
-    Rounds needed = graph diameter (near-dup components are
-    quasi-cliques from LSH buckets, so 2-4 in practice; `max_iter`
-    guards pathological chains). Per round: one sort + one groupby
-    over (nodes + 2·pairs) rows — both output-sized, never
+    Rounds needed = O(log diameter) with the pointer-jump rows
+    (near-dup components are quasi-cliques from LSH buckets, so 2-4
+    in practice; `max_iter` guards pathological chains). Per round:
+    two sorts over (nodes + 2·pairs) rows — output-sized, never
     corpus-sized."""
     import ray.data as rd
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
+
+    from .aggregates import sorted_groupby_agg
 
     def both_dirs(t: pa.Table) -> pa.Table:
         a = t[a_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -476,12 +488,15 @@ def connected_components(pairs_ds, *, a_col: str = "a", b_col: str = "b",
         )
 
     def seed_fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "src" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "comp": pa.array([], pa.int64())})
         n = t["src"].to_numpy(zero_copy_only=False)
-        m = t["min(dst)"].to_numpy(zero_copy_only=False)
+        m = t["min_dst"].to_numpy(zero_copy_only=False)
         return pa.table({"node": pa.array(n), "comp": pa.array(np.minimum(n, m))})
 
     labels = (
-        edges.groupby("src").aggregate(Min("dst"))
+        sorted_groupby_agg(edges, ["src"], [("dst", "min", "min_dst")])
         .map_batches(seed_fix, batch_format="pyarrow")
         .materialize()
     )
@@ -528,9 +543,6 @@ def connected_components(pairs_ds, *, a_col: str = "a", b_col: str = "b",
             "cand": pa.array(np.r_[comp_run[run_of[is_edge]], comp_run]),
         })
 
-    def min_fix(t: pa.Table) -> pa.Table:
-        return pa.table({"node": t["node"], "comp": t["min(cand)"]})
-
     edge_rows = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
     # pin the label partition count: union adds blocks and sort/groupby
     # preserve them, so WITHOUT this the block count doubles per
@@ -539,15 +551,15 @@ def connected_components(pairs_ds, *, a_col: str = "a", b_col: str = "b",
     n_parts = max(1, edge_rows.num_blocks())
     prev_sum = labels.aggregate(Sum("comp"))["sum(comp)"]
     for _ in range(max_iter):
-        labels = (
+        propagated = (
             labels.map_batches(tag_labels, batch_format="pyarrow")
             .union(edge_rows)
             .union(labels.map_batches(tag_jumps, batch_format="pyarrow"))
             .sort("key")
             .map_batches(sweep, batch_size=None, batch_format="pyarrow")
-            .groupby("node")
-            .aggregate(Min("cand"))
-            .map_batches(min_fix, batch_format="pyarrow")
+        )
+        labels = (
+            sorted_groupby_agg(propagated, ["node"], [("cand", "min", "comp")])
             .repartition(n_parts)
             .materialize()
         )
