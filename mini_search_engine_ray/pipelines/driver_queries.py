@@ -926,6 +926,16 @@ def q_dedup_clusters(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_clean_corpus(sf_dir: str):
+    """Flagship training-data cleaning composite: quality gate (token
+    count) + language ID + exact dedup survivor + near-dup transitive
+    cluster survivor, assembled by one sorted reduction — the full
+    cleaning contract value-checked end to end against SQL."""
+    from .clean import clean_corpus
+
+    return clean_corpus(_docs_ds(sf_dir))
+
+
 def q_pagerank(sf_dir: str):
     """PageRank over a deterministic synthetic link graph derived from
     doc ids (each doc links to (7i+3) mod N and (13i+5) mod N)."""
@@ -1151,6 +1161,7 @@ QUERIES = {
     "window_sliding": q_window_sliding,
     "sessionize": q_sessionize,
     "asof_attribution": q_asof_attribution,
+    "clean_corpus": q_clean_corpus,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
     "pagerank_join": q_pagerank_join,
@@ -1280,6 +1291,21 @@ def _dedup_clusters_sql(rows: int = 4, max_bucket: int = 200,
     component diameter the 0.01/0.1 corpora can produce, and the Ray
     side iterates to an exact fixpoint, which the unrolled SQL matches
     once both are converged."""
+    return f"""
+WITH {_minhash_sig_ctes()},
+{_cluster_cte_chain(rows, max_bucket, threshold, iters)}
+SELECT node, comp AS component FROM l{iters}
+"""
+
+
+def _cluster_cte_chain(rows: int = 4, max_bucket: int = 200,
+                       threshold: float = None, iters: int = 8) -> str:
+    """CTE chain (requires `_minhash_sig_ctes()` CTEs before it) from
+    LSH banding through thresholded exact-Jaccard pairs to `l{iters}`
+    (node, comp) min-label components — shared by `dedup_clusters` and
+    the `clean_corpus` composite."""
+    if threshold is None:
+        threshold = DEDUP_CLUSTER_THRESHOLD
     poly = _poly_list([f"sigs[{r + 1}]" for r in range(rows)])
     jac = ("CASE WHEN coalesce(za.n, 0) = 0 AND coalesce(zb.n, 0) = 0 THEN 1.0 "
            "ELSE coalesce(i.i, 0)::DOUBLE / "
@@ -1298,9 +1324,7 @@ l{k + 1} AS MATERIALIZED (
   LEFT JOIN l{k} pj ON pj.node = n.comp
   GROUP BY n.node, n.comp
 )""")
-    return f"""
-WITH {_minhash_sig_ctes()},
-bs AS (
+    return f"""bs AS (
   SELECT doc_id, p // {rows} AS band, list(sig_u ORDER BY p) AS sigs
   FROM sig GROUP BY doc_id, p // {rows}
 ),
@@ -1335,8 +1359,44 @@ keep AS MATERIALIZED (
 ),
 e AS MATERIALIZED (SELECT a AS src, b AS dst FROM keep UNION ALL SELECT b AS src, a AS dst FROM keep),
 l0 AS MATERIALIZED (SELECT src AS node, least(src, min(dst)) AS comp FROM e GROUP BY src),
-{",".join(steps)}
-SELECT node, comp AS component FROM l{iters}
+{",".join(steps)}"""
+
+
+def _clean_corpus_sql(iters: int = 8) -> str:
+    """Composes the shared tokenization + MinHash CTEs, the language-ID
+    marker expressions, the cluster chain and an md5 exact-dedup
+    anti-join into the full cleaning contract."""
+    from ..pipelines.clean import CLEAN_MIN_TOKENS
+    from ..stages.textstats import LANG_MARKERS
+
+    en = _marker_count(LANG_MARKERS["en"])
+    de = _marker_count(LANG_MARKERS["de"])
+    fr = _marker_count(LANG_MARKERS["fr"])
+    es = _marker_count(LANG_MARKERS["es"])
+    return f"""
+WITH {_minhash_sig_ctes()},
+{_cluster_cte_chain(iters=iters)},
+lc AS (SELECT doc_id, {en} AS en, {de} AS de, {fr} AS fr, {es} AS es FROM tok),
+lang AS (
+  SELECT doc_id,
+    CASE WHEN greatest(en,de,fr,es) = 0 THEN 'unknown'
+         WHEN en = greatest(en,de,fr,es) THEN 'en'
+         WHEN de = greatest(en,de,fr,es) THEN 'de'
+         WHEN fr = greatest(en,de,fr,es) THEN 'fr'
+         ELSE 'es' END AS pred_lang
+  FROM lc
+),
+q AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tok
+      WHERE len(toks) >= {CLEAN_MIN_TOKENS}),
+hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+kx AS (SELECT h, min(doc_id) AS keep_id FROM hx GROUP BY h),
+exl AS (SELECT hx.doc_id FROM hx JOIN kx ON hx.h = kx.h
+        WHERE hx.doc_id <> kx.keep_id),
+nl AS (SELECT node AS doc_id FROM l{iters} WHERE node <> comp)
+SELECT q.doc_id, q.n_tokens, lang.pred_lang
+FROM q JOIN lang ON lang.doc_id = q.doc_id
+WHERE q.doc_id NOT IN (SELECT doc_id FROM exl)
+  AND q.doc_id NOT IN (SELECT doc_id FROM nl)
 """
 
 
@@ -1769,6 +1829,7 @@ FROM r WHERE rn <= {ANN_K}
     "window_sliding": _window_sliding_sql(),
     "sessionize": _sessionize_sql(),
     "asof_attribution": _ASOF_ATTRIBUTION_SQL,
+    "clean_corpus": _clean_corpus_sql(),
     "simhash": _simhash_sql(),
     "fingerprints": _fingerprints_sql(),
     "embedding_dup_pairs": _embedding_dup_pairs_sql(
