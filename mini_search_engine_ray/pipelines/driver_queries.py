@@ -926,6 +926,46 @@ def q_dedup_clusters(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+TOPK_PER_GROUP_K = 3
+
+
+def q_top_events_per_user(sf_dir: str):
+    """Generic top-k-per-group operator: top-3 events by value per
+    user (ties broken by event_id). One range sort on the group key
+    + per-block lexsort sweep — no per-group Python."""
+    from ..stages.aggregates import topk_per_group
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ts_us": ts.cast(pa.int64()),
+            "value": pc.cast(t["value"], pa.float64()),
+        })
+
+    ds = _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return topk_per_group(ds, ["user_id"], "value", TOPK_PER_GROUP_K,
+                          tiebreak="event_id")
+
+
+HLL_PRECISION_BITS = 10
+
+
+def q_distinct_hll(sf_dir: str):
+    """HyperLogLog register table for distinct-token counting: the
+    shuffle carries at most 2^p register rows per batch, never tokens.
+    Registers are DETERMINISTIC given the md5-low-64 token hash, so
+    the sketch itself (not just its estimate) is value-checked in SQL."""
+    from ..stages.textstats import distinct_count_hll
+
+    return distinct_count_hll(_docs_ds(sf_dir),
+                              precision_bits=HLL_PRECISION_BITS)
+
+
 def q_clean_corpus(sf_dir: str):
     """Flagship training-data cleaning composite: quality gate (token
     count) + language ID + exact dedup survivor + near-dup transitive
@@ -1162,6 +1202,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "asof_attribution": q_asof_attribution,
     "clean_corpus": q_clean_corpus,
+    "top_events_per_user": q_top_events_per_user,
+    "distinct_hll": q_distinct_hll,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
     "pagerank_join": q_pagerank_join,
@@ -1360,6 +1402,33 @@ keep AS MATERIALIZED (
 e AS MATERIALIZED (SELECT a AS src, b AS dst FROM keep UNION ALL SELECT b AS src, a AS dst FROM keep),
 l0 AS MATERIALIZED (SELECT src AS node, least(src, min(dst)) AS comp FROM e GROUP BY src),
 {",".join(steps)}"""
+
+
+def _top_events_per_user_sql(k: int = TOPK_PER_GROUP_K) -> str:
+    return f"""
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn <= {k}
+"""
+
+
+def _distinct_hll_sql(b: int = HLL_PRECISION_BITS) -> str:
+    w = 64 - b
+    suffix = f"(h & ((1::UBIGINT << {w}) - 1))"
+    return f"""
+WITH {_TOK_CTE},
+tv AS (SELECT unnest(toks) AS token FROM tok),
+hh AS (SELECT md5_number_lower(token) AS h FROM tv),
+r AS (
+  SELECT (h >> {w})::BIGINT AS bucket,
+         CASE WHEN {suffix} = 0 THEN {w + 1}
+              ELSE {w} - length(bin({suffix}::UBIGINT)) + 1 END AS rho
+  FROM hh
+)
+SELECT bucket, max(rho)::BIGINT AS rho FROM r GROUP BY bucket
+"""
 
 
 def _clean_corpus_sql(iters: int = 8) -> str:
@@ -1830,6 +1899,8 @@ FROM r WHERE rn <= {ANN_K}
     "sessionize": _sessionize_sql(),
     "asof_attribution": _ASOF_ATTRIBUTION_SQL,
     "clean_corpus": _clean_corpus_sql(),
+    "top_events_per_user": _top_events_per_user_sql(),
+    "distinct_hll": _distinct_hll_sql(),
     "simhash": _simhash_sql(),
     "fingerprints": _fingerprints_sql(),
     "embedding_dup_pairs": _embedding_dup_pairs_sql(

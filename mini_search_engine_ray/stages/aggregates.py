@@ -90,3 +90,54 @@ def sorted_groupby_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
         return pa.table(cols)
 
     return ds.sort(keys).map_batches(sweep, batch_size=None, batch_format="pyarrow")
+
+
+def topk_per_group(ds, keys: list[str], order_col: str, k: int, *,
+                   descending: bool = True, tiebreak: str | None = None):
+    """Top-k rows per key group, whole rows preserved.
+
+    One range sort on the KEY columns alone (so key runs never
+    straddle sorted blocks — the invariant holds only for the full
+    sort key, which is why the order column must NOT be part of the
+    shuffle key), then a vectorized per-block lexsort of (run,
+    order_col [, tiebreak]) and a rank-in-run < k filter. No
+    per-group Python, no global collect; the only shuffle is the
+    sort. `order_col` (and `tiebreak`) must be numeric. Pass
+    `tiebreak` (ascending) to make the kept set deterministic under
+    order-value ties."""
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        n = t.num_rows
+        brk = np.zeros(n - 1, dtype=bool)
+        for key in keys:
+            col = t[key]
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+                v = arr.to_numpy(zero_copy_only=False)
+                brk |= v[1:] != v[:-1]
+            else:
+                brk |= pc.not_equal(arr.slice(1), arr.slice(0, n - 1)) \
+                    .to_numpy(zero_copy_only=False).astype(bool)
+        run_of = np.cumsum(np.r_[0, brk.astype(np.int64)])
+        ov = t[order_col]
+        ov = (ov.combine_chunks() if isinstance(ov, pa.ChunkedArray) else ov) \
+            .to_numpy(zero_copy_only=False).astype(np.float64)
+        lex = [ov if not descending else -ov, run_of]
+        if tiebreak is not None:
+            tb = t[tiebreak]
+            tb = (tb.combine_chunks() if isinstance(tb, pa.ChunkedArray) else tb) \
+                .to_numpy(zero_copy_only=False)
+            lex.insert(0, tb)
+        order = np.lexsort(lex)  # primary: run, then order_col, then tiebreak
+        srun = run_of[order]
+        starts = np.flatnonzero(np.r_[True, srun[1:] != srun[:-1]])
+        rank = np.arange(n, dtype=np.int64) - starts[
+            np.cumsum(np.r_[0, (srun[1:] != srun[:-1]).astype(np.int64)])
+        ]
+        return t.take(pa.array(np.sort(order[rank < k])))
+
+    return ds.sort(list(keys)).map_batches(
+        sweep, batch_size=None, batch_format="pyarrow"
+    )

@@ -204,3 +204,82 @@ def fingerprint_batch(
             "n_fingerprints": pa.array(counts),
         }
     )
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized bit_length for uint64 (log2-float is unsafe
+    past 53 bits)."""
+    bl = np.zeros(len(x), dtype=np.int64)
+    v = x.astype(np.uint64, copy=True)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = v >= (np.uint64(1) << np.uint64(shift))
+        bl[m] += shift
+        v[m] >>= np.uint64(shift)
+    bl[x > 0] += 1
+    return bl
+
+
+def hll_register_batch(t: pa.Table, *, text_col: str = "text",
+                       precision_bits: int = 10) -> pa.Table:
+    """Per-batch HyperLogLog partial registers over the token stream:
+    bucket = top `precision_bits` bits of the md5-low-64 token hash,
+    rho = leading-zero count of the 64-p-bit suffix + 1. max() is
+    idempotent, so no per-batch dedup is needed and partials combine
+    by a plain grouped max. Emits only the batch's NON-EMPTY buckets
+    (<= 2^p rows per batch regardless of batch size)."""
+    from .dedup import _token_hashes
+
+    b = precision_bits
+    w = 64 - b
+    content = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    _, values = _split_tokens(content)
+    if len(values) == 0:
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "rho": pa.array([], pa.int64())})
+    h = _token_hashes(values)
+    bucket = (h >> np.uint64(w)).astype(np.int64)
+    suffix = h & ((np.uint64(1) << np.uint64(w)) - np.uint64(1))
+    rho = w - _bit_length_u64(suffix) + 1
+    reg = np.zeros(1 << b, dtype=np.int64)
+    np.maximum.at(reg, bucket, rho)
+    nz = np.flatnonzero(reg)
+    return pa.table({"bucket": pa.array(nz), "rho": pa.array(reg[nz])})
+
+
+def distinct_count_hll(ds, *, text_col: str = "text", precision_bits: int = 10):
+    """Distributed distinct-token cardinality sketch: per-batch partial
+    registers (bounded at 2^p rows/batch) -> one grouped max over at
+    most 2^p keys. The shuffle carries register rows only — never
+    tokens — so the cost is independent of corpus size beyond the
+    streaming read. Returns a Dataset (bucket, rho) of non-empty
+    registers; feed to `hll_estimate` for the cardinality."""
+    from .aggregates import sorted_groupby_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        return hll_register_batch(t, text_col=text_col,
+                                  precision_bits=precision_bits)
+
+    return sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["bucket"], [("rho", "max", "rho")],
+    )
+
+
+def hll_estimate(registers, *, precision_bits: int = 10) -> float:
+    """Standard bias-corrected HLL estimate (Flajolet et al. 2007)
+    from a (bucket, rho) register table/Dataset; empty buckets count
+    as rho=0. Expected relative error ~1.04/sqrt(2^p)."""
+    if hasattr(registers, "to_pandas"):
+        registers = registers.to_pandas()  # <= 2^p rows
+    m = 1 << precision_bits
+    reg = np.zeros(m, dtype=np.int64)
+    if len(registers):
+        reg[np.asarray(registers["bucket"], dtype=np.int64)] = np.asarray(
+            registers["rho"], dtype=np.int64
+        )
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.exp2(-reg.astype(np.float64)))
+    zeros = int((reg == 0).sum())
+    if e <= 2.5 * m and zeros:
+        e = m * np.log(m / zeros)  # linear-counting small-range fix
+    return float(e)

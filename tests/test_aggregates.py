@@ -82,3 +82,85 @@ class TestSortedGroupbyAgg:
         t = pa.table({"k": pa.array([1]), "v": pa.array([1.0])})
         with pytest.raises(ValueError):
             sorted_groupby_agg(rd.from_arrow(t), ["k"], [("v", "median", "m")])
+
+
+class TestTopkPerGroup:
+    def test_vs_pandas_multiblock(self, ray_session):
+        from mini_search_engine_ray.stages.aggregates import topk_per_group
+
+        rng = np.random.default_rng(0)
+        n = 8000
+        t = pa.table({
+            "g": pa.array(rng.integers(0, 40, n)),
+            "v": pa.array(rng.uniform(0, 1, n)),
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+        })
+        out = topk_per_group(_ds(t, parts=8), ["g"], "v", 3,
+                             tiebreak="id").to_pandas()
+        exp = (t.to_pandas().sort_values(["g", "v", "id"],
+                                         ascending=[True, False, True])
+               .groupby("g").head(3))
+        got = out.sort_values(["g", "v", "id"],
+                              ascending=[True, False, True]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, exp.reset_index(drop=True))
+
+    def test_ascending_bottom_k(self, ray_session):
+        from mini_search_engine_ray.stages.aggregates import topk_per_group
+
+        rng = np.random.default_rng(1)
+        n = 2000
+        t = pa.table({"g": pa.array(rng.integers(0, 10, n)),
+                      "v": pa.array(rng.uniform(0, 1, n)),
+                      "id": pa.array(np.arange(n, dtype=np.int64))})
+        out = topk_per_group(_ds(t), ["g"], "v", 2, descending=False,
+                             tiebreak="id").to_pandas()
+        exp = (t.to_pandas().sort_values(["g", "v", "id"])
+               .groupby("g").head(2))
+        pd.testing.assert_frame_equal(
+            out.sort_values(["g", "v", "id"]).reset_index(drop=True),
+            exp.reset_index(drop=True))
+
+    def test_small_groups_keep_all(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import topk_per_group
+
+        t = pa.table({"g": pa.array([1, 1, 2]), "v": pa.array([0.5, 0.7, 0.1]),
+                      "id": pa.array([0, 1, 2])})
+        out = topk_per_group(rd.from_arrow(t), ["g"], "v", 5,
+                             tiebreak="id").to_pandas()
+        assert len(out) == 3  # k larger than any group keeps everything
+
+
+class TestHLL:
+    def test_registers_deterministic_and_estimate_close(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.textstats import (
+            _split_tokens,
+            distinct_count_hll,
+            hll_estimate,
+        )
+
+        rng = np.random.default_rng(7)
+        # corpus with a KNOWN distinct-token count
+        vocab = [f"tok{i:05d}" for i in range(20000)]
+        docs = [" ".join(rng.choice(vocab, size=60)) for _ in range(2000)]
+        t = pa.table({"doc_id": pa.array(np.arange(2000, dtype=np.int64)),
+                      "text": pa.array(docs, pa.large_string())})
+        regs = distinct_count_hll(_ds(t, parts=8), precision_bits=10)
+        regs_pd = regs.to_pandas()
+        assert regs_pd.bucket.is_unique and (regs_pd.rho >= 1).all()
+        est = hll_estimate(regs_pd, precision_bits=10)
+        _, values = _split_tokens(t["text"].combine_chunks())
+        true = len(set(values.to_pylist()))
+        assert abs(est - true) / true < 0.1  # ~3.3% expected at p=10
+
+    def test_bit_length_u64_exact(self, ray_session):
+        from mini_search_engine_ray.stages.textstats import _bit_length_u64
+
+        xs = np.array([0, 1, 2, 3, 2**53 - 1, 2**53, 2**53 + 1, 2**63,
+                       2**64 - 1], dtype=np.uint64)
+        got = _bit_length_u64(xs)
+        exp = np.array([int(x).bit_length() for x in xs.tolist()])
+        assert (got == exp).all()
