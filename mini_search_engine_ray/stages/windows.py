@@ -8,12 +8,13 @@ gap sessionization, as-of attribution join) over the `events` table
 Scale contracts (what each op ships through the object store):
 
 - ``tumbling_window_agg`` / ``sliding_window_agg``: per-batch partial
-  aggregation (lexsort + reduceat inside ``map_batches``), then a
-  native ``groupby`` over the partials — the all-to-all exchange
-  carries ONE row per (batch, window, key), never raw events. The
-  sliding variant replicates the per-HOP partials (already collapsed),
-  not the raw rows, so the replication factor ``width // hop``
-  multiplies partial rows only.
+  aggregation (lexsort + reduceat inside ``map_batches``), then ONE
+  sorted reduceat reduction over the partials (``sorted_groupby_agg``
+  — the partial stream is itself data-sized at 10^5 blocks) — the
+  all-to-all exchange carries ONE row per (batch, window, key), never
+  raw events. The sliding variant replicates the per-HOP partials
+  (already collapsed), not the raw rows, so the replication factor
+  ``width // hop`` multiplies partial rows only.
 
 - ``sessionize`` / ``asof_join_latest``: ONE global range sort by
   (user, ts), then per-block vectorized sweeps over the materialized
@@ -81,7 +82,18 @@ def _bucket_partials(win: np.ndarray, keys: pa.Array, vals: np.ndarray,
     })
 
 
-def _finalize_agg(out, key_col: str):
+def _combine_partials(partials_ds, key_col: str):
+    """Combine per-batch (window, key, n, s) partials: one sorted
+    reduceat reduction — at 100 TB the partial stream itself is
+    data-sized (blocks x windows x keys), so the per-row-Python native
+    groupby combine is avoided here too (stages/aggregates.py)."""
+    from .aggregates import sorted_groupby_agg
+
+    out = sorted_groupby_agg(
+        partials_ds, ["window_start_us", key_col],
+        [("n", "sum", "n_events"), ("s", "sum", "sum_value")],
+    )
+
     def fix(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "window_start_us" not in t.column_names:
             return pa.table({
@@ -93,8 +105,8 @@ def _finalize_agg(out, key_col: str):
         return pa.table({
             "window_start_us": pc.cast(t["window_start_us"], pa.int64()),
             key_col: pc.cast(t[key_col], pa.large_string()),
-            "n_events": pc.cast(t["sum(n)"], pa.int64()),
-            "sum_value": pc.cast(t["sum(s)"], pa.float64()),
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pc.cast(t["sum_value"], pa.float64()),
         })
 
     return out.map_batches(fix, batch_format="pyarrow")
@@ -106,8 +118,6 @@ def tumbling_window_agg(ds, *, width_s: float, ts_col: str = "ts",
     (window_start, key). Returns (window_start_us, key, n_events,
     sum_value) — window_start_us = floor(ts / width) * width in epoch
     micros."""
-    from ray.data.aggregate import Sum
-
     width_us = int(round(width_s * _US))
 
     def partial(t: pa.Table) -> pa.Table:
@@ -119,12 +129,9 @@ def tumbling_window_agg(ds, *, width_s: float, ts_col: str = "ts",
         vals = _col_np(t, value_col, np.float64)
         return _bucket_partials(win, keys, vals, key_col)
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["window_start_us", key_col])
-        .aggregate(Sum("n"), Sum("s"))
+    return _combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), key_col
     )
-    return _finalize_agg(out, key_col)
 
 
 def sliding_window_agg(ds, *, width_s: float, hop_s: float, ts_col: str = "ts",
@@ -133,8 +140,6 @@ def sliding_window_agg(ds, *, width_s: float, hop_s: float, ts_col: str = "ts",
     every event belongs to exactly ``width // hop`` windows. The
     replication happens AFTER per-hop partial aggregation, so the
     factor multiplies collapsed partial rows, not raw events."""
-    from ray.data.aggregate import Sum
-
     width_us = int(round(width_s * _US))
     hop_us = int(round(hop_s * _US))
     if width_us % hop_us != 0:
@@ -162,12 +167,9 @@ def sliding_window_agg(ds, *, width_s: float, hop_s: float, ts_col: str = "ts",
             "s": pc.take(p["s"].combine_chunks(), pa.array(rep)),
         })
 
-    out = (
-        ds.map_batches(partial, batch_format="pyarrow")
-        .groupby(["window_start_us", key_col])
-        .aggregate(Sum("n"), Sum("s"))
+    return _combine_partials(
+        ds.map_batches(partial, batch_format="pyarrow"), key_col
     )
-    return _finalize_agg(out, key_col)
 
 
 _SESS_SCHEMA = {
