@@ -952,6 +952,22 @@ def q_top_events_per_user(sf_dir: str):
                           tiebreak="event_id")
 
 
+def q_user_value_quantiles(sf_dir: str):
+    """Exact per-user p50/p95 of event value (quantile_disc rank
+    semantics), via the group-key-only sort + per-block lexsort rank
+    pick — exact for high-cardinality groups."""
+    from ..stages.aggregates import quantile_per_group
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "value": pc.cast(t["value"], pa.float64())})
+
+    ds = _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return quantile_per_group(ds, ["user_id"], "value", [0.5, 0.95])
+
+
 HLL_PRECISION_BITS = 10
 
 
@@ -1203,6 +1219,7 @@ QUERIES = {
     "asof_attribution": q_asof_attribution,
     "clean_corpus": q_clean_corpus,
     "top_events_per_user": q_top_events_per_user,
+    "user_value_quantiles": q_user_value_quantiles,
     "distinct_hll": q_distinct_hll,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
@@ -1411,6 +1428,13 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                                    ORDER BY value DESC, event_id) AS rn
       FROM events)
 WHERE rn <= {k}
+"""
+
+
+_USER_VALUE_QUANTILES_SQL = """
+SELECT user_id, quantile_disc(value, 0.5) AS q5,
+       quantile_disc(value, 0.95) AS q95
+FROM events GROUP BY user_id
 """
 
 
@@ -1900,6 +1924,7 @@ FROM r WHERE rn <= {ANN_K}
     "asof_attribution": _ASOF_ATTRIBUTION_SQL,
     "clean_corpus": _clean_corpus_sql(),
     "top_events_per_user": _top_events_per_user_sql(),
+    "user_value_quantiles": _USER_VALUE_QUANTILES_SQL,
     "distinct_hll": _distinct_hll_sql(),
     "simhash": _simhash_sql(),
     "fingerprints": _fingerprints_sql(),

@@ -141,3 +141,62 @@ def topk_per_group(ds, keys: list[str], order_col: str, k: int, *,
     return ds.sort(list(keys)).map_batches(
         sweep, batch_size=None, batch_format="pyarrow"
     )
+
+
+def quantile_per_group(ds, keys: list[str], value_col: str, qs: list[float]):
+    """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics: 0-based rank ``ceil(q*n) - 1`` of the ascending-sorted
+    values). Same machinery as ``topk_per_group``: range sort on the
+    KEY columns alone, per-block lexsort of (run, value), ranks picked
+    vectorized — exact as long as each group fits one sorted block
+    (high-cardinality group keys; a handful of giant groups needs a
+    histogram pass instead). Returns keys + one ``q<q>`` column per
+    requested quantile."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile out of range: {q}")
+
+    def qname(q: float) -> str:
+        return "q" + f"{q:g}".replace("0.", "").replace(".", "_")
+
+    def sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            cols = {}
+            for k in keys:
+                cols[k] = pa.array([], t.schema.field(k).type
+                                   if k in t.column_names else pa.int64())
+            vt = (t.schema.field(value_col).type
+                  if value_col in t.column_names else pa.float64())
+            for q in qs:
+                cols[qname(q)] = pa.array([], vt)
+            return pa.table(cols)
+        n = t.num_rows
+        brk = np.zeros(n - 1, dtype=bool)
+        key_arrs = []
+        for k in keys:
+            col = t[k]
+            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            key_arrs.append(arr)
+            if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+                v = arr.to_numpy(zero_copy_only=False)
+                brk |= v[1:] != v[:-1]
+            else:
+                brk |= pc.not_equal(arr.slice(1), arr.slice(0, n - 1)) \
+                    .to_numpy(zero_copy_only=False).astype(bool)
+        run_of = np.cumsum(np.r_[0, brk.astype(np.int64)])
+        col = t[value_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vals = col.to_numpy(zero_copy_only=False)
+        order = np.lexsort((vals, run_of))
+        srun = run_of[order]
+        starts = np.flatnonzero(np.r_[True, srun[1:] != srun[:-1]])
+        lens = np.diff(np.r_[starts, n]).astype(np.int64)
+        cols = {k: arr.take(pa.array(order[starts])) for k, arr in zip(keys, key_arrs)}
+        for q in qs:
+            rank = np.maximum(np.ceil(q * lens).astype(np.int64) - 1, 0)
+            cols[qname(q)] = pa.array(vals[order[starts + rank]], type=col.type)
+        return pa.table(cols)
+
+    return ds.sort(list(keys)).map_batches(
+        sweep, batch_size=None, batch_format="pyarrow"
+    )

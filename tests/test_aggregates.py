@@ -164,3 +164,41 @@ class TestHLL:
         got = _bit_length_u64(xs)
         exp = np.array([int(x).bit_length() for x in xs.tolist()])
         assert (got == exp).all()
+
+
+class TestQuantilePerGroup:
+    def test_vs_duckdb_semantics(self, ray_session):
+        import duckdb
+
+        from mini_search_engine_ray.stages.aggregates import quantile_per_group
+
+        rng = np.random.default_rng(3)
+        n = 20000
+        t = pa.table({"g": pa.array(rng.integers(0, 100, n)),
+                      "v": pa.array(rng.uniform(0, 1, n))})
+        out = (quantile_per_group(_ds(t, parts=8), ["g"], "v", [0.5, 0.95])
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.sql("SELECT g, quantile_disc(v, 0.5) AS q5, "
+                      "quantile_disc(v, 0.95) AS q95 FROM t GROUP BY g "
+                      "ORDER BY g").df()
+        assert np.allclose(out.q5, exp.q5) and np.allclose(out.q95, exp.q95)
+
+    def test_single_row_groups(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import quantile_per_group
+
+        t = pa.table({"g": pa.array([1, 2, 3]), "v": pa.array([0.3, 0.9, 0.1])})
+        out = quantile_per_group(rd.from_arrow(t), ["g"], "v", [0.5]).to_pandas()
+        assert dict(zip(out.g, out.q5)) == {1: 0.3, 2: 0.9, 3: 0.1}
+
+    def test_bad_q_raises(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import quantile_per_group
+
+        t = pa.table({"g": pa.array([1]), "v": pa.array([1.0])})
+        with pytest.raises(ValueError):
+            quantile_per_group(rd.from_arrow(t), ["g"], "v", [1.5])
