@@ -982,6 +982,60 @@ def q_distinct_hll(sf_dir: str):
                               precision_bits=HLL_PRECISION_BITS)
 
 
+CAP_PER_SOURCE = 10
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Exact heavy hitters (tokens with > 1/HH_K of the token stream)
+    via the two-pass Misra-Gries-style candidate + recount operator:
+    the shuffle carries <= k rows per batch, never the token stream."""
+    import ray.data as rd
+
+    from ..stages.frequent import heavy_hitters
+
+    return heavy_hitters(rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]))
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Frequent adjacent-token bigrams (count * BIGRAM_K > total
+    pairs) with exact counts and PMI — collocation mining with the
+    same pigeonhole-bounded two-pass shape (at most k-1 survivors)."""
+    import ray.data as rd
+
+    from ..stages.frequent import bigram_pmi
+
+    return bigram_pmi(rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]))
+
+
+def q_hash_split(sf_dir: str):
+    """Deterministic content-addressed train/valid/test split:
+    md5-low-64(text) mod 10000 bucketed 80/10/10 — stable under
+    re-sharding; pure per-batch map, no shuffle."""
+    import ray.data as rd
+
+    from ..stages.sampling import hash_split
+
+    return hash_split(rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]))
+
+
+def q_cap_per_source(sf_dir: str):
+    """Per-domain frequency capping: keep at most CAP_PER_SOURCE docs
+    per `source`, choosing the cap-smallest md5-low-64(text) (ties by
+    doc_id) — content-addressed, deterministic, one key-only range
+    sort + vectorized per-block rank sweep."""
+    import ray.data as rd
+
+    from ..stages.sampling import cap_per_group
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text", "source"])
+    return cap_per_group(ds, ["source"], CAP_PER_SOURCE)
+
+
 def q_clean_corpus(sf_dir: str):
     """Flagship training-data cleaning composite: quality gate (token
     count) + language ID + exact dedup survivor + near-dup transitive
@@ -1221,6 +1275,10 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "user_value_quantiles": q_user_value_quantiles,
     "distinct_hll": q_distinct_hll,
+    "heavy_hitters": q_heavy_hitters,
+    "bigram_pmi": q_bigram_pmi,
+    "hash_split": q_hash_split,
+    "cap_per_source": q_cap_per_source,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
     "pagerank_join": q_pagerank_join,
@@ -1765,6 +1823,62 @@ FROM scores ORDER BY {_R4.format(expr="score")} DESC, doc_id {lim}
 """
 
 
+def _heavy_hitters_sql() -> str:
+    from ..stages.frequent import HH_K
+
+    return f"""
+WITH {_TOK_CTE},
+tokpos AS (SELECT doc_id, unnest(toks) AS tok FROM tok)
+SELECT tok AS term, count(*)::BIGINT AS cnt FROM tokpos GROUP BY tok
+HAVING count(*) * {HH_K} > (SELECT count(*) FROM tokpos)
+"""
+
+
+def _bigram_pmi_sql() -> str:
+    from ..stages.frequent import BIGRAM_K
+
+    return f"""
+WITH {_TOK_CTE},
+tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) AS pos FROM tok),
+big AS (SELECT w1, w2 FROM (
+  SELECT tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tokpos) WHERE w2 IS NOT NULL),
+pc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY 1, 2),
+uc AS (SELECT tok AS w, count(*) AS c FROM tokpos GROUP BY 1),
+n1 AS (SELECT count(*) AS n1 FROM tokpos),
+n2 AS (SELECT count(*) AS n2 FROM big)
+SELECT w1, w2, c12,
+  {_R4.format(expr="ln(c12::DOUBLE * n1 * n1 / (n2::DOUBLE * u1.c * u2.c))")} AS pmi
+FROM pc, n1, n2
+JOIN uc u1 ON u1.w = pc.w1
+JOIN uc u2 ON u2.w = pc.w2
+WHERE c12 * {BIGRAM_K} > n2
+"""
+
+
+# bucket = md5-low-64(text) mod 10000, split 80/10/10 (sampling.hash_split)
+_HASH_SPLIT_SQL = """
+SELECT doc_id,
+  (md5_number_lower(text) % 10000)::BIGINT AS bucket,
+  CASE WHEN (md5_number_lower(text) % 10000) < 8000 THEN 'train'
+       WHEN (md5_number_lower(text) % 10000) < 9000 THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+# keep the CAP_PER_SOURCE smallest md5-low-64(text) per source, ties by
+# doc_id (sampling.cap_per_group — uint64 and UBIGINT sort identically)
+_CAP_PER_SOURCE_SQL = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5_number_lower(text), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {CAP_PER_SOURCE}
+"""
+
+
 ORACLE_SQL = {
     "token_stats": f"""
 WITH {_BASE_CTE}
@@ -1926,6 +2040,10 @@ FROM r WHERE rn <= {ANN_K}
     "top_events_per_user": _top_events_per_user_sql(),
     "user_value_quantiles": _USER_VALUE_QUANTILES_SQL,
     "distinct_hll": _distinct_hll_sql(),
+    "heavy_hitters": _heavy_hitters_sql(),
+    "bigram_pmi": _bigram_pmi_sql(),
+    "hash_split": _HASH_SPLIT_SQL,
+    "cap_per_source": _CAP_PER_SOURCE_SQL,
     "simhash": _simhash_sql(),
     "fingerprints": _fingerprints_sql(),
     "embedding_dup_pairs": _embedding_dup_pairs_sql(

@@ -46,6 +46,10 @@ def sorted_groupby_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
 
     def sweep(t: pa.Table) -> pa.Table:
         cols: dict[str, pa.Array] = {}
+        if t.num_rows == 0 and t.num_columns == 0:
+            # schema-less empty block from the sort boundary: pass it
+            # through rather than inventing (possibly wrong-typed) columns
+            return t
         if t.num_rows == 0:
             for k in keys:
                 cols[k] = pa.array([], t.schema.field(k).type if k in t.column_names
@@ -123,8 +127,15 @@ def topk_per_group(ds, keys: list[str], order_col: str, k: int, *,
         run_of = np.cumsum(np.r_[0, brk.astype(np.int64)])
         ov = t[order_col]
         ov = (ov.combine_chunks() if isinstance(ov, pa.ChunkedArray) else ov) \
-            .to_numpy(zero_copy_only=False).astype(np.float64)
-        lex = [ov if not descending else -ov, run_of]
+            .to_numpy(zero_copy_only=False)
+        if descending:
+            # negation needs float; exact only below 2^53 for int orders
+            key = -ov.astype(np.float64)
+        else:
+            # ascending keeps the native dtype: int64/uint64 orders
+            # (e.g. md5-low-64 caps) stay bit-exact
+            key = ov
+        lex = [key, run_of]
         if tiebreak is not None:
             tb = t[tiebreak]
             tb = (tb.combine_chunks() if isinstance(tb, pa.ChunkedArray) else tb) \

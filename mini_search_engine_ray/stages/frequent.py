@@ -1,0 +1,244 @@
+"""Exact distributed frequent-items (heavy hitters) and collocation
+(bigram PMI) operators over the token stream.
+
+Both use the same two-pass shape, built on the pigeonhole guarantee
+behind Misra-Gries / SpaceSaving sketches (Misra & Gries 1982):
+
+  any item with global count * k > N (N = stream length) must have
+  batch-local count * k > N_b in at least one batch
+
+so the union of per-batch local candidates is a SUPERSET of the true
+heavy hitters, and an exact recount restricted to that candidate set
+followed by the global ``count * k > N`` filter yields EXACTLY
+``{item : count(item) * k > N}`` — of which there are at most k-1
+(their counts sum to <= N).  The shuffle therefore carries
+
+  pass 1:  <= k-1 candidate rows + 1 total-sentinel row per batch
+  pass 2:  <= |candidates| exact-count rows per batch
+
+never the token stream itself; the only data-sized work is the
+streaming tokenize of each pass.  The candidate union is bounded by
+(k-1) * num_batches in theory but is ~k in practice (Zipfian streams);
+if a pathological stream blows it up, the exact full-count fallback is
+``sorted_groupby_agg`` over all tokens (what `term_stats` runs).
+
+Thresholds are FRACTIONAL (count * k > N), so the same operator (and
+the same oracle SQL) is scale-invariant across sf directories.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textstats import _split_tokens, round4
+
+# count*k > N  <=>  frequency > 1/k
+HH_K = 40        # tokens with > 2.5% of the token stream
+BIGRAM_K = 600   # bigrams with > 1/600 of the adjacent-pair stream
+
+# sentinel "term" carrying per-batch stream totals through the same
+# combine (real tokens are never empty: _split_tokens drops empties)
+_TOTAL = ""
+
+
+def _string(arr: pa.Array) -> pa.Array:
+    return arr.cast(pa.string()) if arr.type != pa.string() else arr
+
+
+def heavy_hitters(ds, *, k: int = HH_K, text_col: str = "text"):
+    """Exact tokens with count * k > total_tokens, as a Dataset
+    (term, cnt).  Two streaming passes (candidates, exact recount);
+    the result has at most k-1 rows."""
+    from .aggregates import sorted_groupby_agg
+
+    def local_candidates(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        _, values = _split_tokens(content)
+        tot = len(values)
+        if tot == 0:
+            return pa.table({"term": pa.array([_TOTAL], pa.string()),
+                             "cnt": pa.array([0], pa.int64())})
+        denc = values.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(denc.dictionary)).astype(np.int64)
+        keep = np.flatnonzero(cnt * k > tot)
+        terms = _string(denc.dictionary.take(pa.array(keep)))
+        return pa.table({
+            "term": pa.concat_arrays([terms, pa.array([_TOTAL], pa.string())]),
+            "cnt": pa.array(np.r_[cnt[keep], tot]),
+        })
+
+    combined = sorted_groupby_agg(
+        ds.map_batches(local_candidates, batch_format="pyarrow"),
+        ["term"], [("cnt", "sum", "cnt")],
+    ).to_pandas()  # bounded: <= (k-1) distinct candidates per batch
+    n_total = int(combined.loc[combined["term"] == _TOTAL, "cnt"].sum())
+    cand = sorted(str(s) for s in combined.loc[combined["term"] != _TOTAL, "term"])
+    if not cand or n_total == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    cand_set = pa.array(cand, pa.string())
+
+    def recount(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        _, values = _split_tokens(content)
+        vals = values.filter(pc.is_in(values, value_set=cand_set))
+        if len(vals) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        denc = vals.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(denc.dictionary)).astype(np.int64)
+        return pa.table({"term": _string(denc.dictionary),
+                         "cnt": pa.array(cnt)})
+
+    exact = sorted_groupby_agg(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        ["term"], [("cnt", "sum", "cnt")],
+    )
+
+    def final(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = cnt * k > n_total
+        return pa.table({"term": _string(t["term"].combine_chunks()
+                                          if isinstance(t["term"], pa.ChunkedArray)
+                                          else t["term"]).filter(pa.array(keep)),
+                         "cnt": pa.array(cnt[keep])})
+
+    return exact.map_batches(final, batch_format="pyarrow")
+
+
+_PAIR_SEP = "\x1f"
+
+
+def bigram_pmi(ds, *, k: int = BIGRAM_K, text_col: str = "text") -> pa.Table:
+    """Exact frequent bigrams (adjacent token pairs within a document)
+    with count * k > total_pairs, plus their pointwise mutual
+    information.  Returns a pyarrow Table (w1, w2, c12, pmi) with at
+    most k-1 rows; pmi = round4(ln(c12 * N1^2 / (N2 * c1 * c2))) where
+    N1/N2 are the token/pair stream lengths and c1/c2 the exact member
+    unigram counts.
+
+    Pass 1 ships <= k+1 rows per batch (local pair candidates + token
+    and pair total sentinels); pass 2 recounts ONLY candidate pairs and
+    their member words.  All driver-side materializations are bounded
+    by k (pigeonhole: at most k-1 survivors)."""
+    from .aggregates import sorted_groupby_agg
+
+    def local_candidates(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        parents, values = _split_tokens(content)
+        n_tok = len(values)
+        sent_w1 = pa.array([_TOTAL, _TOTAL], pa.string())
+        sent_w2 = pa.array(["#tokens", "#pairs"], pa.string())
+        if n_tok == 0:
+            return pa.table({"w1": sent_w1, "w2": sent_w2,
+                             "cnt": pa.array([0, 0], pa.int64())})
+        denc = values.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        adj = parents[:-1] == parents[1:]
+        left, right = codes[:-1][adj], codes[1:][adj]
+        n_pair = len(left)
+        if n_pair == 0:
+            return pa.table({"w1": sent_w1, "w2": sent_w2,
+                             "cnt": pa.array([n_tok, 0], pa.int64())})
+        v = len(denc.dictionary)
+        uk, cnt = np.unique(left * v + right, return_counts=True)
+        keep = cnt.astype(np.int64) * k > n_pair
+        uk, cnt = uk[keep], cnt[keep].astype(np.int64)
+        w1 = _string(denc.dictionary.take(pa.array(uk // v)))
+        w2 = _string(denc.dictionary.take(pa.array(uk % v)))
+        return pa.table({
+            "w1": pa.concat_arrays([w1, sent_w1]),
+            "w2": pa.concat_arrays([w2, sent_w2]),
+            "cnt": pa.array(np.r_[cnt, n_tok, n_pair]),
+        })
+
+    combined = sorted_groupby_agg(
+        ds.map_batches(local_candidates, batch_format="pyarrow"),
+        ["w1", "w2"], [("cnt", "sum", "cnt")],
+    ).to_pandas()  # bounded: <= k-1 local candidates per batch
+    sent = combined["w1"] == _TOTAL
+    totals = dict(zip(combined.loc[sent, "w2"], combined.loc[sent, "cnt"]))
+    n1 = int(totals.get("#tokens", 0))
+    n2 = int(totals.get("#pairs", 0))
+    cand = combined.loc[~sent, ["w1", "w2"]]
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "c12": pa.array([], pa.int64()),
+                      "pmi": pa.array([], pa.float64())})
+    if n2 == 0 or len(cand) == 0:
+        return empty
+    pair_keys = sorted(str(a) + _PAIR_SEP + str(b)
+                       for a, b in zip(cand["w1"], cand["w2"]))
+    word_set = pa.array(sorted({str(w) for col in ("w1", "w2")
+                                for w in cand[col]}), pa.string())
+    pair_set = pa.array(pair_keys, pa.string())
+
+    def recount(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        parents, values = _split_tokens(content)
+        out_k: list[pa.Array] = []
+        out_c: list[np.ndarray] = []
+        member = pc.is_in(values, value_set=word_set)
+        mvals = values.filter(member)
+        if len(mvals):
+            denc = mvals.dictionary_encode()
+            codes = denc.indices.to_numpy(zero_copy_only=False)
+            cnt = np.bincount(codes, minlength=len(denc.dictionary)).astype(np.int64)
+            out_k.append(_string(denc.dictionary))
+            out_c.append(cnt)
+        m = member.to_numpy(zero_copy_only=False)
+        if len(values) >= 2:
+            adj = (parents[:-1] == parents[1:]) & m[:-1] & m[1:]
+            if adj.any():
+                li, ri = np.flatnonzero(adj), np.flatnonzero(adj) + 1
+                pairs = pc.binary_join_element_wise(
+                    _string(values.take(pa.array(li))),
+                    _string(values.take(pa.array(ri))), _PAIR_SEP)
+                pairs = pairs.filter(pc.is_in(pairs, value_set=pair_set))
+                if len(pairs):
+                    denc = pairs.dictionary_encode()
+                    codes = denc.indices.to_numpy(zero_copy_only=False)
+                    cnt = np.bincount(codes, minlength=len(denc.dictionary)).astype(np.int64)
+                    out_k.append(_string(denc.dictionary))
+                    out_c.append(cnt)
+        if not out_k:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"key": pa.concat_arrays(out_k),
+                         "cnt": pa.array(np.concatenate(out_c))})
+
+    exact = sorted_groupby_agg(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        ["key"], [("cnt", "sum", "cnt")],
+    ).to_pandas()  # bounded: <= k-1 pairs + 2(k-1) words
+    counts = dict(zip(exact["key"], (int(c) for c in exact["cnt"])))
+    rows = []
+    for key in pair_keys:
+        c12 = counts.get(key, 0)
+        if c12 * k <= n2:
+            continue
+        w1, w2 = key.split(_PAIR_SEP)
+        c1, c2 = counts[w1], counts[w2]
+        pmi = float(round4(np.array(
+            [np.log(c12 * float(n1) * float(n1) / (float(n2) * c1 * c2))]))[0])
+        rows.append((w1, w2, c12, pmi))
+    if not rows:
+        return empty
+    rows.sort()
+    return pa.table({
+        "w1": pa.array([r[0] for r in rows], pa.string()),
+        "w2": pa.array([r[1] for r in rows], pa.string()),
+        "c12": pa.array([r[2] for r in rows], pa.int64()),
+        "pmi": pa.array([r[3] for r in rows], pa.float64()),
+    })

@@ -1,0 +1,95 @@
+"""Deterministic content-addressed sampling operators: train/valid/test
+hash splits and per-group frequency capping (the "max N documents per
+domain" rule every web-scale corpus curation pipeline applies).
+
+Both key off the LOW 64 bits of md5 of a string column — the same hash
+family the dedup sketches use (`stages/dedup._token_hashes`), chosen
+because it equals DuckDB's ``md5_number_lower`` so the driver oracle
+replicates the assignment exactly in SQL.  Content-addressed splits are
+stable under re-sharding, re-ordering and incremental corpus growth:
+a document's split never changes when the corpus around it does.
+
+Scale shape: ``hash_split`` is a pure per-batch map (no shuffle at
+all); ``cap_per_group`` is one range sort on the group key plus a
+vectorized per-block rank sweep (`stages/aggregates.topk_per_group`) —
+the md5 order column rides along as uint64, never participating in the
+shuffle key, and ascending integer ranking is bit-exact (no float
+round-trip).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+SPLIT_BUCKETS = 10_000
+DEFAULT_SPLITS = [("train", 8_000), ("valid", 1_000), ("test", 1_000)]
+
+
+def md5_low64(strings: list[str]) -> np.ndarray:
+    """Low 64 bits of md5 per string (little-endian last 8 digest
+    bytes) — equals DuckDB ``md5_number_lower(s)``."""
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
+    return out
+
+
+def hash_split(ds, *, splits=None, text_col: str = "text",
+               id_col: str = "doc_id", buckets: int = SPLIT_BUCKETS):
+    """Deterministic split assignment: bucket = md5_low64(text) %
+    buckets, split by cumulative bucket ranges.  Returns a Dataset
+    (id_col, bucket, split).  Pure map — no shuffle, no state."""
+    splits = list(splits or DEFAULT_SPLITS)
+    if sum(w for _, w in splits) != buckets:
+        raise ValueError("split weights must sum to the bucket count")
+    names = np.asarray([n for n, _ in splits], dtype=object)
+    bounds = np.cumsum([w for _, w in splits])
+
+    def assign(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        h = md5_low64(content.to_pylist())
+        b = (h % np.uint64(buckets)).astype(np.int64)
+        idx = np.searchsorted(bounds, b, side="right")
+        return pa.table({
+            id_col: t[id_col],
+            "bucket": pa.array(b),
+            "split": pa.array(names[idx].tolist(), pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def cap_per_group(ds, keys: list[str], cap: int, *,
+                  hash_col: str = "text", id_col: str = "doc_id",
+                  out_cols: list[str] | None = None):
+    """Per-group frequency cap: keep at most ``cap`` rows per distinct
+    ``keys`` combination — the ``cap`` rows with the SMALLEST
+    md5_low64(hash_col), ties broken by ascending ``id_col``.  The
+    selection is content-addressed and deterministic: independent of
+    row order, batch boundaries and partitioning, and replicable in
+    SQL as ``row_number() OVER (PARTITION BY keys ORDER BY
+    md5_number_lower(hash_col), id_col) <= cap``.
+
+    One range sort on ``keys`` (the only shuffle) + per-block
+    vectorized rank filter; the hash column is uint64 end to end."""
+    from .aggregates import topk_per_group
+
+    out_cols = list(out_cols or ([id_col] + [k for k in keys if k != id_col]))
+
+    def prep(t: pa.Table) -> pa.Table:
+        content = t[hash_col]
+        content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        cols = {c: t[c] for c in dict.fromkeys(out_cols + keys + [id_col])}
+        cols["_h64"] = pa.array(md5_low64(content.to_pylist()),
+                                type=pa.uint64())
+        return pa.table(cols)
+
+    capped = topk_per_group(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        keys, "_h64", cap, descending=False, tiebreak=id_col,
+    )
+    return capped.select_columns(out_cols)

@@ -1,0 +1,157 @@
+"""Frequent-items (heavy hitters, bigram PMI) and deterministic
+sampling (hash split, per-group cap) vs brute-force Python oracles,
+including multi-block candidate-union behavior and boundary exactness
+of the fractional count*k > N filter."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mini_search_engine_ray.stages.frequent import bigram_pmi, heavy_hitters
+from mini_search_engine_ray.stages.sampling import (cap_per_group, hash_split,
+                                                    md5_low64)
+from mini_search_engine_ray.stages.textstats import round4
+
+
+def _ds(t: pa.Table, parts: int = 6):
+    import ray.data as rd
+
+    step = max(1, t.num_rows // parts)
+    return rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
+
+
+def _tokens(texts):
+    from mini_search_engine_ray.functions.tokenizers import punctuation_tokenize
+
+    for s in texts:
+        # sketch/frequency operators run over the RAW token stream
+        yield from punctuation_tokenize(s, stop_words=frozenset())
+
+
+def _corpus(rng, n_docs=300):
+    # Zipf-ish synthetic corpus: a few hot words, a long tail
+    hot = ["alpha", "beta", "gamma"]
+    tail = [f"w{i}" for i in range(200)]
+    texts = []
+    for _ in range(n_docs):
+        words = list(rng.choice(hot, size=rng.integers(5, 15)))
+        words += list(rng.choice(tail, size=rng.integers(5, 25)))
+        rng.shuffle(words)
+        texts.append(" ".join(words))
+    return texts
+
+
+class TestHeavyHitters:
+    def test_vs_exact_counter(self, ray_session):
+        rng = np.random.default_rng(7)
+        texts = _corpus(rng)
+        t = pa.table({"text": pa.array(texts)})
+        k = 25
+        out = heavy_hitters(_ds(t), k=k)
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        got = dict(zip(df["term"], df["cnt"]))
+        cnt = Counter(_tokens(texts))
+        n = sum(cnt.values())
+        exp = {w: c for w, c in cnt.items() if c * k > n}
+        assert got == exp
+        assert len(exp) > 0 and len(exp) < k  # pigeonhole bound
+
+    def test_empty_and_no_hitters(self, ray_session):
+        t = pa.table({"text": pa.array(["", "", ""])})
+        out = heavy_hitters(_ds(t, parts=2), k=10)
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        assert len(df) == 0
+
+
+class TestBigramPMI:
+    def test_vs_brute_force(self, ray_session):
+        rng = np.random.default_rng(11)
+        texts = _corpus(rng, n_docs=200)
+        # plant a strong collocation
+        texts += ["alpha beta " * 30 for _ in range(20)]
+        t = pa.table({"text": pa.array(texts)})
+        k = 50
+        out = bigram_pmi(_ds(t), k=k).to_pandas()
+        # brute force
+        uni = Counter(_tokens(texts))
+        n1 = sum(uni.values())
+        from mini_search_engine_ray.functions.tokenizers import punctuation_tokenize
+
+        pairs = Counter()
+        for s in texts:
+            toks = punctuation_tokenize(s, stop_words=frozenset())
+            pairs.update(zip(toks, toks[1:]))
+        n2 = sum(pairs.values())
+        exp = {}
+        for (w1, w2), c12 in pairs.items():
+            if c12 * k > n2:
+                pmi = float(round4(np.array(
+                    [np.log(c12 * float(n1) * n1 / (float(n2) * uni[w1] * uni[w2]))]))[0])
+                exp[(w1, w2)] = (c12, pmi)
+        got = {(r.w1, r.w2): (r.c12, r.pmi) for r in out.itertuples()}
+        assert got == exp
+        assert ("alpha", "beta") in got
+
+    def test_no_pairs(self, ray_session):
+        t = pa.table({"text": pa.array(["one", "two", ""])})
+        out = bigram_pmi(_ds(t, parts=2), k=10).to_pandas()
+        # single-token docs produce no adjacent pairs
+        assert len(out) == 0
+
+
+class TestHashSplit:
+    def test_deterministic_and_partition_invariant(self, ray_session):
+        texts = [f"doc number {i} body" for i in range(400)]
+        t = pa.table({"doc_id": pa.array(np.arange(400)),
+                      "text": pa.array(texts)})
+        a = hash_split(_ds(t, parts=8)).to_pandas().sort_values("doc_id")
+        b = hash_split(_ds(t, parts=2)).to_pandas().sort_values("doc_id")
+        assert (a.values == b.values).all()
+        # matches the md5-low-64 definition row by row
+        h = md5_low64(texts) % np.uint64(10000)
+        assert (a["bucket"].values == h.astype(np.int64)).all()
+        exp_split = np.where(h < 8000, "train", np.where(h < 9000, "valid", "test"))
+        assert (a["split"].values == exp_split).all()
+        # roughly 80/10/10
+        vc = a["split"].value_counts()
+        assert vc["train"] > vc.get("valid", 0) + vc.get("test", 0)
+
+    def test_weights_must_sum(self, ray_session):
+        t = pa.table({"doc_id": pa.array([1]), "text": pa.array(["x"])})
+        with pytest.raises(ValueError):
+            hash_split(_ds(t, parts=1), splits=[("a", 1), ("b", 2)])
+
+
+class TestCapPerGroup:
+    def test_vs_brute_force(self, ray_session):
+        rng = np.random.default_rng(3)
+        n = 600
+        groups = [f"g{int(i)}" for i in rng.integers(0, 12, n)]
+        texts = [f"content {i} {rng.integers(0, 10)}" for i in range(n)]
+        t = pa.table({"doc_id": pa.array(np.arange(n)),
+                      "src": pa.array(groups),
+                      "text": pa.array(texts)})
+        cap = 7
+        out = cap_per_group(_ds(t), ["src"], cap, id_col="doc_id",
+                            out_cols=["doc_id", "src"]).to_pandas()
+        h = md5_low64(texts)
+        import pandas as pd
+
+        df = pd.DataFrame({"doc_id": np.arange(n), "src": groups, "h": h})
+        exp = (df.sort_values(["src", "h", "doc_id"]).groupby("src")
+               .head(cap)[["doc_id", "src"]])
+        assert set(map(tuple, out.values)) == set(map(tuple, exp.values))
+        assert (out.groupby("src").size() <= cap).all()
+
+    def test_groups_under_cap_untouched(self, ray_session):
+        t = pa.table({"doc_id": pa.array([0, 1, 2]),
+                      "src": pa.array(["a", "a", "b"]),
+                      "text": pa.array(["x", "y", "z"])})
+        out = cap_per_group(_ds(t, parts=1), ["src"], 5, id_col="doc_id",
+                            out_cols=["doc_id", "src"]).to_pandas()
+        assert len(out) == 3
