@@ -410,6 +410,86 @@ def bench_temporal(out: dict) -> None:
     out["queries"]["asof_join_5m"] = round(time.time() - t0, 3)
 
 
+def bench_join(out: dict) -> None:
+    """General equi-join machinery at scale: 5M-row fact side joined to
+    a 1M-row dimension side with the sort-merge shuffle join (~1.25
+    avg matches per key -> ~6.2M output rows) followed by the sorted
+    grouped reduction, and the same fact side against a 10k-row
+    broadcast hash join (no shuffle)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import sorted_groupby_agg
+    from mini_search_engine_ray.stages.join import (broadcast_join,
+                                                    sort_merge_join)
+
+    n_left, n_right, keys = 5_000_000, 1_000_000, 800_000
+
+    def gen_left(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(int(i[0]) + 1)
+        return pa.table({"k": pa.array(rng.integers(0, keys, len(i))),
+                         "v": pa.array(rng.uniform(0, 10, len(i)))})
+
+    def gen_right(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(int(i[0]) + 2)
+        return pa.table({"k": pa.array(rng.integers(0, keys, len(i))),
+                         "w": pa.array(rng.uniform(0, 1, len(i)))})
+
+    left = rd.range(n_left).map_batches(gen_left, batch_format="pyarrow").materialize()
+    right = rd.range(n_right).map_batches(gen_right, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    j = sort_merge_join(left, right, "k", partitions=64)
+    agg = sorted_groupby_agg(j, ["k"], [("v", "sum", "sv"), ("w", "count", "n")])
+    n_groups = agg.count()
+    out["queries"]["join_smj_5m_x_1m"] = round(time.time() - t0, 3)
+    assert n_groups > 0
+    small = pa.table({"k": pa.array(np.arange(10_000, dtype=np.int64)),
+                      "name": pa.array([f"n{i}" for i in range(10_000)])})
+    t0 = time.time()
+    bj = broadcast_join(left, small, "k")
+    n_rows = bj.count()
+    out["queries"]["join_broadcast_5m"] = round(time.time() - t0, 3)
+    assert n_rows > 0
+
+
+def bench_curation(out: dict) -> None:
+    """Corpus-curation operators over the synthetic 60k-doc corpus:
+    two-pass exact heavy hitters (candidates + restricted recount),
+    content-addressed hash split (pure map), and per-source frequency
+    capping (key-only sort + rank sweep)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.frequent import heavy_hitters
+    from mini_search_engine_ray.stages.sampling import cap_per_group, hash_split
+
+    corpus = _synth_corpus_path()
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "text": t["content"],
+                         "repo": t["repo"]})
+
+    docs = rd.read_parquet(
+        corpus, columns=["doc_id", "content", "repo"]
+    ).map_batches(prep, batch_format="pyarrow").materialize()
+    n = docs.count()
+    t0 = time.time()
+    hh = heavy_hitters(docs, k=100)
+    n_hh = hh.count() if hasattr(hh, "count") else hh.num_rows
+    out["queries"]["heavy_hitters_60k"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    hash_split(docs).count()
+    out["queries"]["hash_split_60k"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    # 91 distinct repos x cap 300 (~660 docs/repo uncapped)
+    capped = cap_per_group(docs, ["repo"], 300).count()
+    out["queries"]["cap_per_repo_60k"] = round(time.time() - t0, 3)
+    assert 0 < capped <= 91 * 300 and n_hh < 100 and n > 0
+
+
 def bench_connected_components(out: dict) -> None:
     """Transitive dedup clustering machinery on a 500k-edge graph of
     100k 5-cliques chained pairwise (diameter grows with the chain):
@@ -477,6 +557,10 @@ def run_all(only: str | None = None) -> dict:
         bench_temporal(out)
     if only in (None, "connected_components"):
         bench_connected_components(out)
+    if only in (None, "join"):
+        bench_join(out)
+    if only in (None, "curation"):
+        bench_curation(out)
     out["value"] = round(sum(out["queries"].values()), 3)
     ray.shutdown()
     return out

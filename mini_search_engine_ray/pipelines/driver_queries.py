@@ -1036,6 +1036,110 @@ def q_cap_per_source(sf_dir: str):
     return cap_per_group(ds, ["source"], CAP_PER_SOURCE)
 
 
+def q_revenue_per_nation(sf_dir: str):
+    """Generic distributed equi-join demo over the relational tables
+    (TPC-H Q5 flavor): lineitem ⨝ orders ⨝ customer via two sort-merge
+    shuffle joins (both sides data-sized), nation via a broadcast hash
+    join (fixed 25 rows), then one sorted grouped reduction.  The
+    compared aggregates are chosen float-exact: count, sum of
+    integer-valued quantities, and max of an IEEE-exact product —
+    no float-association hazard between the engines."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import broadcast_join, sort_merge_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    j1 = sort_merge_join(li, orders, "l_orderkey", "o_orderkey",
+                         partitions=8)
+    j1_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_quantity", pa.float64()),
+                           ("l_extendedprice", pa.float64()),
+                           ("l_discount", pa.float64()),
+                           ("o_custkey", pa.int64())])
+    j2 = sort_merge_join(j1, cust, "o_custkey", "c_custkey",
+                         left_schema=j1_schema, partitions=8)
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    j3 = broadcast_join(j2, nation, "c_nationkey", right_on="n_nationkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"n_name": t["n_name"], "qty": t["l_quantity"],
+                         "rev": rev})
+
+    agg = sorted_groupby_agg(
+        j3.map_batches(prep, batch_format="pyarrow"), ["n_name"],
+        [("qty", "count", "n_items"), ("qty", "sum", "sum_qty"),
+         ("rev", "max", "max_item_rev")])
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "n_name" not in t.column_names:
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "n_items": pa.array([], pa.int64()),
+                             "sum_qty": pa.array([], pa.int64()),
+                             "max_item_rev": pa.array([], pa.float64())})
+        return pa.table({
+            "n_name": pc.cast(t["n_name"], pa.string()),
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "sum_qty": pa.array(t["sum_qty"].to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "max_item_rev": pa.array(_r4(t["max_item_rev"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
+def q_customer_order_counts(sf_dir: str):
+    """Left-join semantics: every customer with their order count,
+    zero-order customers included (null right side counted as 0) —
+    customer LEFT sort-merge-join orders + one sorted reduction."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    j = sort_merge_join(cust, orders, "c_custkey", "o_custkey", how="left",
+                        partitions=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        matched = pc.cast(pc.is_valid(t["o_orderkey"]), pa.int64())
+        return pa.table({"c_custkey": t["c_custkey"], "matched": matched})
+
+    agg = sorted_groupby_agg(j.map_batches(prep, batch_format="pyarrow"),
+                             ["c_custkey"], [("matched", "sum", "n_orders")])
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "c_custkey" not in t.column_names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        return pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                         "n_orders": pc.cast(t["n_orders"], pa.int64())})
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
 def q_clean_corpus(sf_dir: str):
     """Flagship training-data cleaning composite: quality gate (token
     count) + language ID + exact dedup survivor + near-dup transitive
@@ -1279,6 +1383,8 @@ QUERIES = {
     "bigram_pmi": q_bigram_pmi,
     "hash_split": q_hash_split,
     "cap_per_source": q_cap_per_source,
+    "revenue_per_nation": q_revenue_per_nation,
+    "customer_order_counts": q_customer_order_counts,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
     "pagerank_join": q_pagerank_join,
@@ -1879,6 +1985,27 @@ WHERE rn <= {CAP_PER_SOURCE}
 """
 
 
+# lineitem ⨝ orders ⨝ customer ⨝ nation; aggregates chosen float-exact
+# (count / integer-valued sum / max of an IEEE-exact product)
+_REVENUE_PER_NATION_SQL = f"""
+SELECT n_name,
+       count(*)::BIGINT AS n_items,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       {_R4.format(expr="max(l_extendedprice * (1 - l_discount))")} AS max_item_rev
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+_CUSTOMER_ORDER_COUNTS_SQL = """
+SELECT c_custkey, count(o_orderkey)::BIGINT AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
 ORACLE_SQL = {
     "token_stats": f"""
 WITH {_BASE_CTE}
@@ -2044,6 +2171,8 @@ FROM r WHERE rn <= {ANN_K}
     "bigram_pmi": _bigram_pmi_sql(),
     "hash_split": _HASH_SPLIT_SQL,
     "cap_per_source": _CAP_PER_SOURCE_SQL,
+    "revenue_per_nation": _REVENUE_PER_NATION_SQL,
+    "customer_order_counts": _CUSTOMER_ORDER_COUNTS_SQL,
     "simhash": _simhash_sql(),
     "fingerprints": _fingerprints_sql(),
     "embedding_dup_pairs": _embedding_dup_pairs_sql(

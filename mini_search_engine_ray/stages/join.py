@@ -1,0 +1,201 @@
+"""General distributed equi-joins.
+
+Two operators cover the two scale regimes:
+
+``sort_merge_join``   both sides data-sized.  Tag each side, align the
+    two relations onto ONE unified Arrow schema (other side's payload
+    columns null), union the Datasets, range-sort on the join key
+    ALONE (the only shuffle — the side tag must not be part of the
+    shuffle key or the two sides of one key could land in different
+    blocks), then one vectorized per-block sweep: detect key runs,
+    stable-partition each run into left/right rows, and emit the
+    segmented cross product with two ``np.repeat`` index constructions
+    — no per-key Python, no hash tables.  Equal keys never straddle
+    sorted output blocks (the same invariant Ray's own ``map_groups``
+    relies on), so every key's match set is wholly local to one block.
+
+``broadcast_join``    one side small.  The small side is ``ray.put``
+    once and joined against every batch with Arrow's native hash join
+    (``pa.Table.join``) — no shuffle at all; the big side streams.
+
+Skew note: a single hot key's output is materialized inside one block
+(cross-product of its two sides).  That is inherent to any non-salted
+equi-join; for hot-key workloads pre-aggregate one side first or use
+``broadcast_join`` on the deduplicated small side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_SIDE = "__join_side"
+
+
+def _ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Concatenation of arange(start, start+len) segments, vectorized."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    off = np.r_[0, np.cumsum(lens)[:-1]]
+    return np.repeat(starts - off, lens) + np.arange(total, dtype=np.int64)
+
+
+def _combined(col) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
+                    suffix: str = "_r", left_schema: pa.Schema | None = None,
+                    right_schema: pa.Schema | None = None,
+                    partitions: int | None = None):
+    """Distributed equi-join of two Datasets.
+
+    ``on`` is the left key column (or list); ``right_on`` the right key
+    (defaults to ``on``).  ``how`` is ``inner`` or ``left``.  Output
+    columns: left columns (key included, left names) followed by the
+    right payload columns, suffixed with ``suffix`` on collision.  One
+    range sort on the key is the only shuffle.
+
+    Pass ``left_schema``/``right_schema`` when an input is a derived
+    (lazy) Dataset whose schema is statically known to the caller —
+    e.g. the output of another ``sort_merge_join`` — so construction
+    never forces a partial execution just to discover it.
+
+    ``partitions`` coalesces the unioned input to that many blocks
+    before the sort.  Ray's range sort creates #blocks² shuffle
+    objects, so a union of two many-block sides pays quadratic
+    scheduling overhead for tiny blocks; size ``partitions`` to the
+    data (rows / target block rows), not to the block count the reads
+    happened to produce.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
+        if right_on is not None else lkeys
+    if len(lkeys) != len(rkeys):
+        raise ValueError("key column count mismatch")
+
+    lschema = left_schema if left_schema is not None else left.schema().base_schema
+    rschema = right_schema if right_schema is not None else right.schema().base_schema
+    lcols = [f.name for f in lschema]
+    rpay = [f.name for f in rschema if f.name not in rkeys]
+    rout = {c: (c + suffix if c in lcols else c) for c in rpay}
+    fields = (
+        [(c, lschema.field(c).type) for c in lcols]
+        + [(rout[c], rschema.field(c).type) for c in rpay]
+        + [(_SIDE, pa.int8())]
+    )
+    unified = pa.schema(fields)
+    lpay = [c for c in lcols if c not in lkeys]
+
+    def align_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {c: t[c] for c in lcols}
+        for c in rpay:
+            cols[rout[c]] = pa.nulls(n, rschema.field(c).type)
+        cols[_SIDE] = pa.nulls(n, pa.int8()).fill_null(0)
+        return pa.table(cols, schema=unified)
+
+    def align_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {}
+        for lk, rk in zip(lkeys, rkeys):
+            cols[lk] = t[rk]
+        for c in lpay:
+            cols[c] = pa.nulls(n, lschema.field(c).type)
+        for c in rpay:
+            cols[rout[c]] = t[c]
+        cols[_SIDE] = pa.nulls(n, pa.int8()).fill_null(1)
+        return pa.table(cols, schema=unified)
+
+    both = left.map_batches(align_left, batch_format="pyarrow").union(
+        right.map_batches(align_right, batch_format="pyarrow"))
+    if partitions is not None:
+        both = both.repartition(partitions)
+
+    out_fields = [(c, lschema.field(c).type) for c in lcols] + \
+                 [(rout[c], rschema.field(c).type) for c in rpay]
+
+    def sweep(t: pa.Table) -> pa.Table:
+        empty = pa.table({name: pa.array([], typ) for name, typ in out_fields})
+        if t.num_rows == 0:
+            return empty
+        n = t.num_rows
+        brk = np.zeros(n - 1, dtype=bool)
+        for k in lkeys:
+            arr = _combined(t[k])
+            if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+                v = arr.to_numpy(zero_copy_only=False)
+                brk |= v[1:] != v[:-1]
+            else:
+                import pyarrow.compute as pc
+
+                brk |= pc.not_equal(arr.slice(1), arr.slice(0, n - 1)) \
+                    .to_numpy(zero_copy_only=False).astype(bool)
+        run_of = np.cumsum(np.r_[0, brk.astype(np.int64)])
+        side = _combined(t[_SIDE]).to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, run_of))
+        srun = run_of[order]
+        starts = np.flatnonzero(np.r_[True, srun[1:] != srun[:-1]])
+        lens = np.diff(np.r_[starts, n]).astype(np.int64)
+        nl = np.add.reduceat((side[order] == 0).astype(np.int64), starts)
+        nr = lens - nl
+        l_parts: list[np.ndarray] = []
+        r_parts: list[np.ndarray] = []
+        matched = np.flatnonzero((nl > 0) & (nr > 0))
+        if len(matched):
+            # per left element of a matched run: its run's right span
+            left_sel = _ranges(starts[matched], nl[matched])       # in order space
+            per_left_nr = np.repeat(nr[matched], nl[matched])      # segment length
+            m_total = int(per_left_nr.sum())
+            seg_off = np.r_[0, np.cumsum(per_left_nr)[:-1]]
+            within = np.arange(m_total, dtype=np.int64) - np.repeat(seg_off, per_left_nr)
+            right_base = np.repeat((starts + nl)[matched], nl[matched])
+            l_parts.append(order[np.repeat(left_sel, per_left_nr)])
+            r_parts.append(order[np.repeat(right_base, per_left_nr) + within])
+        if how == "left":
+            lonely = np.flatnonzero((nl > 0) & (nr == 0))
+            if len(lonely):
+                l_parts.append(order[_ranges(starts[lonely], nl[lonely])])
+                r_parts.append(np.full(int(nl[lonely].sum()), -1, dtype=np.int64))
+        if not l_parts:
+            return empty
+        l_idx = np.concatenate(l_parts)
+        r_idx = np.concatenate(r_parts)
+        l_take = pa.array(l_idx)
+        r_take = pa.array(r_idx, mask=r_idx < 0)  # null index -> null value
+        cols = {}
+        for c in lcols:
+            cols[c] = _combined(t[c]).take(l_take)
+        for c in rpay:
+            cols[rout[c]] = _combined(t[rout[c]]).take(r_take)
+        return pa.table(cols, schema=pa.schema(out_fields))
+
+    return both.sort(lkeys).map_batches(sweep, batch_size=None,
+                                        batch_format="pyarrow")
+
+
+def broadcast_join(ds, small: pa.Table, on, right_on=None, *,
+                   how: str = "inner", suffix: str = "_r"):
+    """Join a streaming Dataset against a SMALL in-memory table: the
+    table is placed in the object store once (``ray.put``) and every
+    batch runs Arrow's native hash join against it — no shuffle, the
+    big side streams with full pipeline parallelism."""
+    import ray
+
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how: {how}")
+    join_type = "inner" if how == "inner" else "left outer"
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
+        if right_on is not None else lkeys
+    ref = ray.put(small)
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)  # zero-copy from shared memory
+        return t.join(s, keys=lkeys, right_keys=rkeys, join_type=join_type,
+                      right_suffix=suffix)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

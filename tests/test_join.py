@@ -1,0 +1,120 @@
+"""sort_merge_join / broadcast_join vs pandas merge oracles: random
+multi-match keys (full cross products per key), left join with
+unmatched rows, string keys, multi-block inputs, empties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mini_search_engine_ray.stages.join import broadcast_join, sort_merge_join
+
+
+def _ds(t: pa.Table, parts: int = 5):
+    import ray.data as rd
+
+    step = max(1, t.num_rows // parts)
+    return rd.from_arrow([t.slice(i, step) for i in range(0, t.num_rows, step)])
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _expect(ldf, rdf, lk, rk, how):
+    exp = ldf.merge(rdf, left_on=lk, right_on=rk, how=how,
+                    suffixes=("", "_r"))
+    for c in (rk if isinstance(rk, list) else [rk]):
+        keep = c in ldf.columns and c in (lk if isinstance(lk, list) else [lk])
+        if c in exp.columns and not keep:
+            exp = exp.drop(columns=[c])
+    return exp
+
+
+class TestSortMergeJoin:
+    def test_inner_multi_match_vs_pandas(self, ray_session):
+        rng = np.random.default_rng(5)
+        nl, nr = 800, 600
+        lt = pa.table({"k": pa.array(rng.integers(0, 120, nl)),
+                       "lv": pa.array(rng.integers(0, 1000, nl))})
+        rt = pa.table({"k": pa.array(rng.integers(0, 120, nr)),
+                       "rv": pa.array(rng.uniform(size=nr))})
+        out = sort_merge_join(_ds(lt), _ds(rt, parts=3), "k").to_pandas()
+        exp = lt.to_pandas().merge(rt.to_pandas(), on="k", how="inner")
+        a, b = _canon(out), _canon(exp)
+        assert len(a) == len(b)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    def test_left_join_unmatched_nulls(self, ray_session):
+        lt = pa.table({"k": pa.array([1, 2, 3, 4, 4]),
+                       "lv": pa.array([10, 20, 30, 40, 41])})
+        rt = pa.table({"k": pa.array([2, 4, 4]),
+                       "rv": pa.array(["a", "b", "c"])})
+        out = sort_merge_join(_ds(lt, parts=2), _ds(rt, parts=1), "k",
+                              how="left").to_pandas()
+        exp = lt.to_pandas().merge(rt.to_pandas(), on="k", how="left")
+        pd.testing.assert_frame_equal(_canon(out), _canon(exp),
+                                      check_dtype=False)
+        assert out.loc[out.k == 1, "rv"].isna().all()
+        assert len(out.loc[out.k == 4]) == 4  # 2 left x 2 right
+
+    def test_different_key_names_and_collision_suffix(self, ray_session):
+        lt = pa.table({"ok": pa.array([1, 2, 3]), "v": pa.array([1, 2, 3])})
+        rt = pa.table({"rk": pa.array([1, 1, 3]), "v": pa.array([9, 8, 7])})
+        out = sort_merge_join(_ds(lt, parts=1), _ds(rt, parts=1),
+                              "ok", "rk").to_pandas()
+        assert sorted(out.columns) == ["ok", "v", "v_r"]
+        exp = lt.to_pandas().merge(rt.to_pandas(), left_on="ok",
+                                   right_on="rk", how="inner",
+                                   suffixes=("", "_r")).drop(columns=["rk"])
+        pd.testing.assert_frame_equal(_canon(out), _canon(exp),
+                                      check_dtype=False)
+
+    def test_string_keys(self, ray_session):
+        rng = np.random.default_rng(9)
+        words = np.array([f"w{i}" for i in range(40)])
+        lt = pa.table({"k": pa.array(words[rng.integers(0, 40, 300)].tolist()),
+                       "lv": pa.array(np.arange(300))})
+        rt = pa.table({"k": pa.array(words[rng.integers(0, 40, 200)].tolist()),
+                       "rv": pa.array(np.arange(200) * 2)})
+        out = sort_merge_join(_ds(lt), _ds(rt, parts=2), "k").to_pandas()
+        exp = lt.to_pandas().merge(rt.to_pandas(), on="k", how="inner")
+        pd.testing.assert_frame_equal(_canon(out), _canon(exp),
+                                      check_dtype=False)
+
+    def test_no_matches_inner_empty(self, ray_session):
+        lt = pa.table({"k": pa.array([1, 2]), "lv": pa.array([1, 2])})
+        rt = pa.table({"k": pa.array([5, 6]), "rv": pa.array([5, 6])})
+        out = sort_merge_join(_ds(lt, parts=1), _ds(rt, parts=1), "k")
+        # blocks stay schema-stable even when every block is empty
+        assert sorted(out.schema().names) == ["k", "lv", "rv"]
+        assert out.count() == 0
+
+    def test_bad_how_raises(self, ray_session):
+        lt = pa.table({"k": pa.array([1])})
+        with pytest.raises(ValueError):
+            sort_merge_join(_ds(lt, parts=1), _ds(lt, parts=1), "k", how="outer")
+
+
+class TestBroadcastJoin:
+    def test_inner_and_left_vs_pandas(self, ray_session):
+        rng = np.random.default_rng(2)
+        big = pa.table({"k": pa.array(rng.integers(0, 30, 500)),
+                        "v": pa.array(rng.uniform(size=500))})
+        small = pa.table({"k": pa.array(np.arange(0, 25)),
+                          "name": pa.array([f"n{i}" for i in range(25)])})
+        for how in ("inner", "left"):
+            out = broadcast_join(_ds(big), small, "k", how=how).to_pandas()
+            exp = big.to_pandas().merge(small.to_pandas(), on="k", how=how)
+            pd.testing.assert_frame_equal(_canon(out), _canon(exp),
+                                          check_dtype=False)
+
+    def test_right_key_rename(self, ray_session):
+        big = pa.table({"ck": pa.array([1, 2, 2]), "v": pa.array([1, 2, 3])})
+        small = pa.table({"sk": pa.array([2]), "name": pa.array(["x"])})
+        out = broadcast_join(_ds(big, parts=1), small, "ck",
+                             right_on="sk").to_pandas()
+        assert len(out) == 2 and set(out.columns) == {"ck", "v", "name"}
