@@ -65,16 +65,23 @@ def clean_corpus(docs_ds, *, min_tokens: int = CLEAN_MIN_TOKENS,
         return pa.table({"h": pa.array(h), "doc_id": t["doc_id"]})
 
     def exact_loser_sweep(t: pa.Table) -> pa.Table:
-        # sorted by (h, doc_id): every run's FIRST row is the survivor
+        # sorted on h ALONE (the no-straddle invariant holds only for
+        # the full sort key, so sorting by (h, doc_id) could split an
+        # equal-h run across blocks and crown two survivors); the
+        # per-run min doc_id is picked by an in-block lexsort instead
         empty = pa.table({"doc_id": pa.array([], pa.int64())})
         if t.num_rows == 0 or "h" not in t.column_names:
             return empty
         h = t["h"].combine_chunks() if isinstance(t["h"], pa.ChunkedArray) else t["h"]
         n = t.num_rows
-        first = np.r_[True, ~pc.equal(h.slice(1), h.slice(0, n - 1))
-                      .to_numpy(zero_copy_only=False).astype(bool)]
+        brk = ~pc.equal(h.slice(1), h.slice(0, n - 1)) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        run = np.cumsum(np.r_[0, brk.astype(np.int64)])
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": pa.array(ids[~first])})
+        order = np.lexsort((ids, run))
+        srun = run[order]
+        first = np.r_[True, srun[1:] != srun[:-1]]
+        return pa.table({"doc_id": pa.array(np.sort(ids[order[~first]]))})
 
     def drop_rows(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
@@ -92,7 +99,7 @@ def clean_corpus(docs_ds, *, min_tokens: int = CLEAN_MIN_TOKENS,
     qual = docs_ds.map_batches(qual_rows, batch_format="pyarrow")
     exact_losers = (
         docs_ds.map_batches(hash_rows, batch_format="pyarrow")
-        .sort(["h", "doc_id"])
+        .sort(["h"])
         .map_batches(exact_loser_sweep, batch_size=None, batch_format="pyarrow")
         .map_batches(drop_rows, batch_format="pyarrow")
     )

@@ -25,6 +25,35 @@ import pyarrow.compute as pc
 _OPS = {"min", "max", "sum", "count"}
 
 
+def key_run_breaks(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """breaks[n-1]: True where rows i and i+1 differ on any key column
+    of the key-sorted table.  Null-aware with SQL GROUP BY semantics
+    (null == null, null != value), so a null-key run is its own group
+    instead of silently merging into the neighbor.  Null-free numeric
+    keys take the zero-copy numpy fast path.  (NaN float keys are
+    unsupported: NaN != NaN splits them into singleton runs.  Null
+    STRING keys additionally cannot pass ``Dataset.sort`` at all —
+    Ray's boundary sampler raises on None < str — so only null
+    numeric keys reach these sweeps in practice.)"""
+    n = t.num_rows
+    brk = np.zeros(max(n - 1, 0), dtype=bool)
+    for k in keys:
+        col = t[k]
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if (pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type)) \
+                and arr.null_count == 0:
+            v = arr.to_numpy(zero_copy_only=False)
+            brk |= v[1:] != v[:-1]
+        else:
+            a, b = arr.slice(1), arr.slice(0, n - 1)
+            ne = pc.not_equal(a, b).fill_null(False) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            va = a.is_valid().to_numpy(zero_copy_only=False)
+            vb = b.is_valid().to_numpy(zero_copy_only=False)
+            brk |= ne | (va != vb)
+    return brk
+
+
 def _agg_out_type(op: str, src: pa.DataType) -> pa.DataType:
     if op == "count":
         return pa.int64()
@@ -64,14 +93,7 @@ def sorted_groupby_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
         for k in keys:
             col = t[k]
             key_arrs.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
-        brk = np.zeros(n - 1, dtype=bool)
-        for arr in key_arrs:
-            if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
-                v = arr.to_numpy(zero_copy_only=False)
-                brk |= v[1:] != v[:-1]
-            else:
-                ne = pc.not_equal(arr.slice(1), arr.slice(0, n - 1))
-                brk |= ne.to_numpy(zero_copy_only=False).astype(bool)
+        brk = key_run_breaks(t, keys)
         starts = np.flatnonzero(np.r_[True, brk])
         lens = np.diff(np.r_[starts, n]).astype(np.int64)
         idx = pa.array(starts)
@@ -83,6 +105,12 @@ def sorted_groupby_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
                 continue
             col = t[src]
             col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+            if col.null_count:
+                # to_numpy would turn null ints into NaN floats: wrong
+                # sums and a crash casting min/max back — fail loudly
+                raise ValueError(
+                    f"sorted_groupby_agg: null values in aggregate source "
+                    f"column {src!r} are not supported; filter or fill first")
             v = col.to_numpy(zero_copy_only=False)
             if op == "min":
                 r = np.minimum.reduceat(v, starts)
@@ -114,17 +142,7 @@ def topk_per_group(ds, keys: list[str], order_col: str, k: int, *,
         if t.num_rows == 0:
             return t
         n = t.num_rows
-        brk = np.zeros(n - 1, dtype=bool)
-        for key in keys:
-            col = t[key]
-            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
-                v = arr.to_numpy(zero_copy_only=False)
-                brk |= v[1:] != v[:-1]
-            else:
-                brk |= pc.not_equal(arr.slice(1), arr.slice(0, n - 1)) \
-                    .to_numpy(zero_copy_only=False).astype(bool)
-        run_of = np.cumsum(np.r_[0, brk.astype(np.int64)])
+        run_of = np.cumsum(np.r_[0, key_run_breaks(t, keys).astype(np.int64)])
         ov = t[order_col]
         ov = (ov.combine_chunks() if isinstance(ov, pa.ChunkedArray) else ov) \
             .to_numpy(zero_copy_only=False)
@@ -182,19 +200,11 @@ def quantile_per_group(ds, keys: list[str], value_col: str, qs: list[float]):
                 cols[qname(q)] = pa.array([], vt)
             return pa.table(cols)
         n = t.num_rows
-        brk = np.zeros(n - 1, dtype=bool)
         key_arrs = []
         for k in keys:
             col = t[k]
-            arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-            key_arrs.append(arr)
-            if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
-                v = arr.to_numpy(zero_copy_only=False)
-                brk |= v[1:] != v[:-1]
-            else:
-                brk |= pc.not_equal(arr.slice(1), arr.slice(0, n - 1)) \
-                    .to_numpy(zero_copy_only=False).astype(bool)
-        run_of = np.cumsum(np.r_[0, brk.astype(np.int64)])
+            key_arrs.append(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+        run_of = np.cumsum(np.r_[0, key_run_breaks(t, keys).astype(np.int64)])
         col = t[value_col]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         vals = col.to_numpy(zero_copy_only=False)

@@ -39,6 +39,8 @@ def _token_hashes(values: pa.Array) -> np.ndarray:
     `md5_number_lower(tok)`, which lets the driver oracle replicate
     every sketch built on top (MinHash, SimHash, winnowing) in pure
     SQL."""
+    from ..functions.hashing import md5_low64_str
+
     denc = values.dictionary_encode()
     codes = denc.indices.to_numpy(zero_copy_only=False)
     vocab = denc.dictionary.to_pylist()
@@ -47,7 +49,7 @@ def _token_hashes(values: pa.Array) -> np.ndarray:
     for i, v in enumerate(vocab):
         h = cache.get(v)
         if h is None:
-            h = int.from_bytes(hashlib.md5(v.encode()).digest()[8:], "little")
+            h = md5_low64_str(v)
             if len(cache) < 2_000_000:
                 cache[v] = h
         out[i] = h
@@ -164,7 +166,11 @@ def lsh_band_batch(t: pa.Table, *, id_col: str = "doc_id", bands: int = 16, rows
     """Explode signatures into (band, band_hash, doc_id) rows."""
     sig_col = t["sig"].combine_chunks() if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
     num_perm = sig_col.type.list_size
-    assert bands * rows == num_perm, "bands*rows must equal num_perm"
+    if bands * rows != num_perm:
+        # a bare assert is stripped under -O and would silently band
+        # only a prefix of the signature (recall loss, no error)
+        raise ValueError(
+            f"bands*rows ({bands}*{rows}) must equal num_perm ({num_perm})")
     sig = sig_col.values.to_numpy(zero_copy_only=False).reshape(-1, num_perm).astype(np.uint64)
     n = len(sig)
     with np.errstate(over="ignore"):
@@ -200,9 +206,12 @@ def _pairs_in_band_block(t: pa.Table, id_col: str = "doc_id", max_bucket: int = 
     starts = np.flatnonzero(np.r_[True, new_bucket])
     ends = np.r_[starts[1:], len(h)]
     out_a, out_b = [], []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
+    # pre-filter: only colliding buckets reach the Python loop (a
+    # mostly-unique block would otherwise pay one interpreter
+    # iteration per singleton bucket)
+    multi = np.flatnonzero((ends - starts) >= 2)
+    for i in multi:
+        s, e = starts[i], ends[i]
         members = np.unique(ids[s:e])[:max_bucket]
         if len(members) < 2:
             continue
@@ -384,8 +393,12 @@ def simhash_batch(
     out = np.zeros(n, dtype=np.uint64)
     if len(values):
         th = _token_hashes(values)
-        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
-        signed = bits * 2 - 1  # (T, 64) in {-1, +1}
+        # int8 bit matrix: 8x smaller transient than int64 (1M tokens:
+        # 64 MB instead of 512 MB per intermediate)
+        signed = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                  & np.uint64(1)).astype(np.int8)
+        signed <<= 1
+        signed -= 1  # in place -> {-1, +1}, no second matrix
         acc = np.zeros((n, 64), dtype=np.int64)
         np.add.at(acc, parents, signed)
         fp_bits = (acc > 0).astype(np.uint64)

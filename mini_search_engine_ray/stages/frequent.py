@@ -78,8 +78,11 @@ def heavy_hitters(ds, *, k: int = HH_K, text_col: str = "text"):
     n_total = int(combined.loc[combined["term"] == _TOTAL, "cnt"].sum())
     cand = sorted(str(s) for s in combined.loc[combined["term"] != _TOTAL, "term"])
     if not cand or n_total == 0:
-        return pa.table({"term": pa.array([], pa.string()),
-                         "cnt": pa.array([], pa.int64())})
+        import ray.data as rd
+
+        # keep the return type a Dataset on every path
+        return rd.from_arrow(pa.table({"term": pa.array([], pa.string()),
+                                       "cnt": pa.array([], pa.int64())}))
     cand_set = pa.array(cand, pa.string())
 
     def recount(t: pa.Table) -> pa.Table:

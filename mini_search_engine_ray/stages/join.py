@@ -62,6 +62,11 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
     e.g. the output of another ``sort_merge_join`` — so construction
     never forces a partial execution just to discover it.
 
+    Null join keys follow SQL semantics (match nothing): both sides
+    drop them before the shuffle; ``how='left'`` re-emits the left
+    side's null-key rows unmatched via a shuffle-free side branch
+    (note: that branch re-reads the left input once more).
+
     ``partitions`` coalesces the unioned input to that many blocks
     before the sort.  Ray's range sort creates #blocks² shuffle
     objects, so a union of two many-block sides pays quadratic
@@ -90,7 +95,23 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
     unified = pa.schema(fields)
     lpay = [c for c in lcols if c not in lkeys]
 
+    def _drop_null_keys(t: pa.Table, keycols: list[str]) -> pa.Table:
+        # SQL semantics: a null key matches nothing
+        import pyarrow.compute as pc
+
+        mask = None
+        for k in keycols:
+            if t[k].null_count == 0:
+                continue
+            v = pc.is_valid(t[k])
+            mask = v if mask is None else pc.and_(mask, v)
+        return t.filter(mask) if mask is not None else t
+
     def align_left(t: pa.Table) -> pa.Table:
+        # null-key left rows never match; for how='left' they bypass
+        # the shuffle entirely (see null_left below) — also required
+        # because Ray's sort cannot order null string keys
+        t = _drop_null_keys(t, lkeys)
         n = t.num_rows
         cols = {c: t[c] for c in lcols}
         for c in rpay:
@@ -99,6 +120,7 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
         return pa.table(cols, schema=unified)
 
     def align_right(t: pa.Table) -> pa.Table:
+        t = _drop_null_keys(t, rkeys)
         n = t.num_rows
         cols = {}
         for lk, rk in zip(lkeys, rkeys):
@@ -122,19 +144,12 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
         empty = pa.table({name: pa.array([], typ) for name, typ in out_fields})
         if t.num_rows == 0:
             return empty
-        n = t.num_rows
-        brk = np.zeros(n - 1, dtype=bool)
-        for k in lkeys:
-            arr = _combined(t[k])
-            if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
-                v = arr.to_numpy(zero_copy_only=False)
-                brk |= v[1:] != v[:-1]
-            else:
-                import pyarrow.compute as pc
+        from .aggregates import key_run_breaks
 
-                brk |= pc.not_equal(arr.slice(1), arr.slice(0, n - 1)) \
-                    .to_numpy(zero_copy_only=False).astype(bool)
-        run_of = np.cumsum(np.r_[0, brk.astype(np.int64)])
+        n = t.num_rows
+        # null-aware breaks: null-key LEFT rows (how='left' keeps them)
+        # form their own runs with zero right rows -> emitted unmatched
+        run_of = np.cumsum(np.r_[0, key_run_breaks(t, lkeys).astype(np.int64)])
         side = _combined(t[_SIDE]).to_numpy(zero_copy_only=False)
         order = np.lexsort((side, run_of))
         srun = run_of[order]
@@ -173,8 +188,28 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
             cols[rout[c]] = _combined(t[rout[c]]).take(r_take)
         return pa.table(cols, schema=pa.schema(out_fields))
 
-    return both.sort(lkeys).map_batches(sweep, batch_size=None,
-                                        batch_format="pyarrow")
+    joined = both.sort(lkeys).map_batches(sweep, batch_size=None,
+                                          batch_format="pyarrow")
+    if how != "left":
+        return joined
+
+    out_schema = pa.schema(out_fields)
+
+    def null_left(t: pa.Table) -> pa.Table:
+        # rows with a null in ANY key, emitted unmatched, shuffle-free
+        import pyarrow.compute as pc
+
+        mask = None
+        for k in lkeys:
+            v = pc.is_null(t[k])
+            mask = v if mask is None else pc.or_(mask, v)
+        t = t.filter(mask)
+        cols = {c: t[c] for c in lcols}
+        for c in rpay:
+            cols[rout[c]] = pa.nulls(t.num_rows, rschema.field(c).type)
+        return pa.table(cols, schema=out_schema)
+
+    return joined.union(left.map_batches(null_left, batch_format="pyarrow"))
 
 
 def broadcast_join(ds, small: pa.Table, on, right_on=None, *,

@@ -19,22 +19,13 @@ round-trip).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 
+from ..functions.hashing import md5_low64_batch as md5_low64
+
 SPLIT_BUCKETS = 10_000
 DEFAULT_SPLITS = [("train", 8_000), ("valid", 1_000), ("test", 1_000)]
-
-
-def md5_low64(strings: list[str]) -> np.ndarray:
-    """Low 64 bits of md5 per string (little-endian last 8 digest
-    bytes) — equals DuckDB ``md5_number_lower(s)``."""
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        out[i] = int.from_bytes(hashlib.md5(s.encode()).digest()[8:], "little")
-    return out
 
 
 def hash_split(ds, *, splits=None, text_col: str = "text",

@@ -202,3 +202,34 @@ class TestQuantilePerGroup:
         t = pa.table({"g": pa.array([1]), "v": pa.array([1.0])})
         with pytest.raises(ValueError):
             quantile_per_group(rd.from_arrow(t), ["g"], "v", [1.5])
+
+
+class TestNullKeys:
+    """Null-aware key runs (SQL GROUP BY semantics): a null key is its
+    own group, never merged into the adjacent value's run."""
+
+    def test_null_string_key_runs_detected_in_sweep(self, ray_session):
+        # Ray's sort itself rejects null string keys (None < str), so
+        # the sweep helper is exercised directly on a pre-sorted block
+        from mini_search_engine_ray.stages.aggregates import key_run_breaks
+
+        t = pa.table({"k": pa.array(["x", "x", None, None, "y"])})
+        brk = key_run_breaks(t, ["k"])
+        # x|x != None, None == None, None != y
+        assert brk.tolist() == [False, True, False, True]
+
+    def test_null_int_key_is_own_group(self, ray_session):
+        t = pa.table({"k": pa.array([1, 1, None, 2], type=pa.int64()),
+                      "v": pa.array([1, 2, 4, 8])})
+        out = sorted_groupby_agg(_ds(t, parts=1), ["k"],
+                                 [("v", "sum", "s")]).to_pandas()
+        by_null = out[out.k.isna()]
+        assert len(by_null) == 1 and by_null.s.iloc[0] == 4
+        assert dict(zip(out.k.dropna().astype(int),
+                        out[out.k.notna()].s)) == {1: 3, 2: 8}
+
+    def test_null_agg_source_raises(self, ray_session):
+        t = pa.table({"k": pa.array([1, 1]), "v": pa.array([1, None])})
+        with pytest.raises(Exception, match="null values in aggregate"):
+            sorted_groupby_agg(_ds(t, parts=1), ["k"],
+                               [("v", "sum", "s")]).to_pandas()

@@ -155,3 +155,22 @@ class TestCapPerGroup:
         out = cap_per_group(_ds(t, parts=1), ["src"], 5, id_col="doc_id",
                             out_cols=["doc_id", "src"]).to_pandas()
         assert len(out) == 3
+
+
+class TestNullText:
+    def test_hash_split_null_text_hashes_like_empty(self, ray_session):
+        from mini_search_engine_ray.stages.sampling import md5_low64
+
+        t = pa.table({"doc_id": pa.array([0, 1]),
+                      "text": pa.array(["abc", None])})
+        out = hash_split(_ds(t, parts=1)).to_pandas().sort_values("doc_id")
+        exp = md5_low64(["abc", ""]) % np.uint64(10000)
+        assert (out.bucket.values == exp.astype(np.int64)).all()
+
+    def test_lsh_bands_mismatch_raises(self, ray_session):
+        from mini_search_engine_ray.stages.dedup import lsh_band_batch, minhash_batch
+
+        t = pa.table({"doc_id": pa.array([1]), "text": pa.array(["a b c d e"])})
+        sigs = minhash_batch(t, num_perm=64)
+        with pytest.raises(ValueError, match="bands"):
+            lsh_band_batch(sigs, bands=8, rows=4)

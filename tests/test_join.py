@@ -118,3 +118,29 @@ class TestBroadcastJoin:
         out = broadcast_join(_ds(big, parts=1), small, "ck",
                              right_on="sk").to_pandas()
         assert len(out) == 2 and set(out.columns) == {"ck", "v", "name"}
+
+
+class TestNullJoinKeys:
+    """SQL semantics: a NULL join key matches nothing — inner drops
+    those rows, left emits them unmatched."""
+
+    def test_inner_drops_null_keys(self, ray_session):
+        lt = pa.table({"k": pa.array(["x", None, "y"]),
+                       "lv": pa.array([1, 2, 3])})
+        rt = pa.table({"k": pa.array(["x", None, None]),
+                       "rv": pa.array([10, 20, 30])})
+        out = sort_merge_join(_ds(lt, parts=1), _ds(rt, parts=1), "k").to_pandas()
+        assert len(out) == 1
+        assert out.iloc[0].tolist() == ["x", 1, 10]
+
+    def test_left_keeps_null_key_rows_unmatched(self, ray_session):
+        lt = pa.table({"k": pa.array(["x", None, None]),
+                       "lv": pa.array([1, 2, 3])})
+        rt = pa.table({"k": pa.array(["x", None]),
+                       "rv": pa.array([10, 20])})
+        out = sort_merge_join(_ds(lt, parts=1), _ds(rt, parts=1), "k",
+                              how="left").to_pandas()
+        assert len(out) == 3
+        nulls = out[out.k.isna()]
+        assert len(nulls) == 2 and nulls.rv.isna().all()
+        assert out[out.k == "x"].rv.tolist() == [10]
