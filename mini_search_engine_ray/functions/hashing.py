@@ -27,3 +27,11 @@ def md5_low64_batch(strings) -> np.ndarray:
     for i, s in enumerate(strings):
         out[i] = md5_low64_str(s)
     return out
+
+
+def md5_hex_batch(strings) -> list[str]:
+    """Full md5 hexdigest per element (== DuckDB ``md5(s)``); None
+    hashes like ''.  The content-identity hash exact dedup and the
+    clean_corpus loser sweep both key off — one definition, like
+    md5-low-64 above."""
+    return [hashlib.md5((s or "").encode()).hexdigest() for s in strings]

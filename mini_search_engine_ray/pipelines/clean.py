@@ -19,7 +19,6 @@ stage is the same partitioned machinery its standalone operator uses.
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -55,13 +54,15 @@ def clean_corpus(docs_ds, *, min_tokens: int = CLEAN_MIN_TOKENS,
         return pa.table({
             "doc_id": pa.array(ids[keep]),
             "drop": pa.array(np.zeros(int(keep.sum()), dtype=np.int64)),
+            "qual": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
             "n_tokens": pa.array(n[keep]),
             "lang_code": pa.array(code[keep]),
         })
 
     def hash_rows(t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
-        h = [hashlib.md5((x or "").encode()).hexdigest() for x in texts]
+        from ..functions.hashing import md5_hex_batch
+
+        h = md5_hex_batch(t["text"].to_pylist())
         return pa.table({"h": pa.array(h), "doc_id": t["doc_id"]})
 
     def exact_loser_sweep(t: pa.Table) -> pa.Table:
@@ -86,6 +87,7 @@ def clean_corpus(docs_ds, *, min_tokens: int = CLEAN_MIN_TOKENS,
     def drop_rows(t: pa.Table) -> pa.Table:
         empty = pa.table({"doc_id": pa.array([], pa.int64()),
                           "drop": pa.array([], pa.int64()),
+                          "qual": pa.array([], pa.int64()),
                           "n_tokens": pa.array([], pa.int64()),
                           "lang_code": pa.array([], pa.int64())})
         if t.num_rows == 0 or "doc_id" not in t.column_names:
@@ -93,6 +95,7 @@ def clean_corpus(docs_ds, *, min_tokens: int = CLEAN_MIN_TOKENS,
         n = t.num_rows
         return pa.table({"doc_id": t["doc_id"],
                          "drop": pa.array(np.ones(n, dtype=np.int64)),
+                         "qual": pa.array(np.zeros(n, dtype=np.int64)),
                          "n_tokens": pa.array(np.zeros(n, dtype=np.int64)),
                          "lang_code": pa.array(np.zeros(n, dtype=np.int64))})
 
@@ -120,6 +123,7 @@ def clean_corpus(docs_ds, *, min_tokens: int = CLEAN_MIN_TOKENS,
         qual.union(exact_losers).union(near),
         ["doc_id"],
         [("drop", "max", "dropped"),
+         ("qual", "max", "qual"),
          ("n_tokens", "max", "n_tokens"),
          ("lang_code", "max", "lang_code")],
     )
@@ -130,8 +134,9 @@ def clean_corpus(docs_ds, *, min_tokens: int = CLEAN_MIN_TOKENS,
                           "pred_lang": pa.array([], pa.large_string())})
         if t.num_rows == 0 or "doc_id" not in t.column_names:
             return empty
-        # survivors: not dropped AND had a quality row (n_tokens > 0)
-        keep = pc.and_(pc.equal(t["dropped"], 0), pc.greater(t["n_tokens"], 0))
+        # survivors: not dropped AND passed the quality gate (explicit
+        # marker — n_tokens>0 as a proxy broke min_tokens<=0)
+        keep = pc.and_(pc.equal(t["dropped"], 0), pc.equal(t["qual"], 1))
         t = t.filter(keep)
         code = t["lang_code"].combine_chunks() if isinstance(t["lang_code"], pa.ChunkedArray) else t["lang_code"]
         return pa.table({

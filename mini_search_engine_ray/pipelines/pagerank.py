@@ -104,6 +104,11 @@ def pagerank_dataset(
             new[dst] = (1.0 - damping) + damping * s
         return new
 
+    # materialize edges FIRST: outdegree and the iteration loop both
+    # consume them, and a lazy handle would re-execute the upstream
+    # edge pipeline once per consumer
+    edges_ds = edges_ds.materialize()
+
     # sorted reduceat reduction, NOT native groupby().aggregate(): the
     # native combine is per-row Python (~60x slower at per-node key
     # cardinality; see stages/aggregates.py)
@@ -113,7 +118,6 @@ def pagerank_dataset(
     inv_ref = _assemble_inv_out.remote(num_nodes, *outdeg_blocks)
 
     score_ref = ray.put(np.ones(num_nodes, dtype=np.float64))
-    edges_ds = edges_ds.materialize()
     for _ in range(iterations):
 
         def contrib(t: pa.Table, _s=score_ref, _i=inv_ref) -> pa.Table:
@@ -173,6 +177,11 @@ def pagerank_dataset_join(
     zero8 = lambda n: pa.array(np.zeros(n, dtype=np.int8))  # noqa: E731
     zerof = lambda n: pa.array(np.zeros(n, dtype=np.float64))  # noqa: E731
     zeroi = lambda n: pa.array(np.zeros(n, dtype=np.int64))  # noqa: E731
+
+    # materialize once: outdegree AND per-iteration edge tagging both
+    # consume the edges; a lazy handle would re-run the upstream
+    # pipeline for each
+    edges_ds = edges_ds.materialize()
 
     # -- static per-node base: w = 1/outdeg (one cogroup, once) --------
     def tag_nodes(t: pa.Table) -> pa.Table:
@@ -276,6 +285,12 @@ def pagerank_dataset_join(
             make_sweep(init=sums is None), batch_size=None, batch_format="pyarrow"
         )
         sums = sorted_groupby_agg(contrib, ["dst"], [("c", "sum", "s")]).materialize()
+
+    if sums is None:  # iterations == 0: parity with pagerank_numpy's init
+        return rd.range(num_nodes).map_batches(
+            lambda t: pa.table({"node": t["id"],
+                                "score": pa.array(np.ones(t.num_rows))}),
+            batch_format="pyarrow")
 
     # -- final scores: one more cogroup of base ∪ sums -----------------
     def final_sweep(t: pa.Table) -> pa.Table:

@@ -19,7 +19,6 @@ Scale shapes:
 
 from __future__ import annotations
 
-import hashlib
 from itertools import combinations
 
 import numpy as np
@@ -428,8 +427,9 @@ def dedup_exact(ds, *, text_col: str = "text", id_col: str = "doc_id"):
     from .aggregates import sorted_groupby_agg
 
     def add_hash(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        h = [hashlib.md5((x or "").encode()).hexdigest() for x in texts]
+        from ..functions.hashing import md5_hex_batch
+
+        h = md5_hex_batch(t[text_col].to_pylist())
         return pa.table({"content_hash": pa.array(h), id_col: t[id_col]})
 
     out = sorted_groupby_agg(

@@ -21,6 +21,10 @@ def _emb_matrix(t: pa.Table, emb_col: str) -> np.ndarray:
     if isinstance(col, pa.FixedSizeListArray):
         dim = col.type.list_size
         return col.values.to_numpy(zero_copy_only=False).reshape(-1, dim)
+    if len(col) == 0:
+        # an empty variable-size list array has a single-element
+        # offsets buffer — off[1] would raise; dim is unknowable here
+        return np.zeros((0, 0), dtype=np.float64)
     flat = col.values.to_numpy(zero_copy_only=False)
     off = col.offsets.to_numpy(zero_copy_only=False)
     dim = int(off[1] - off[0])
@@ -59,6 +63,10 @@ def cosine_topk_batch(
     """Batch-local top-k per query against the broadcast query matrix."""
     import ray
 
+    if t.num_rows == 0:  # var-size list batches lose dim when empty
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
     q = query_ref if isinstance(query_ref, np.ndarray) else ray.get(query_ref)
     m = _normalize(_emb_matrix(t, emb_col).astype(np.float64))
     qn = _normalize(q.astype(np.float64))
@@ -195,6 +203,10 @@ def ivf_cosine_topk(
     pref = ray.put(probe_sets)
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # var-size list batches lose dim when empty
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         c = ray.get(cref)
         q = ray.get(qref)
         psets = ray.get(pref)
@@ -278,6 +290,10 @@ def lsh_cosine_topk(
     plref = ray.put(probe_lists)
 
     def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:  # var-size list batches lose dim when empty
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
         proj_m = ray.get(pref)
         q = ray.get(qref)
         probes = ray.get(plref)
@@ -318,6 +334,10 @@ def lsh_bucket_batch(
     """Random-hyperplane LSH bucket id per vector (sign-bit code)."""
     import ray
 
+    if t.num_rows == 0:  # var-size list batches lose dim when empty
+        return pa.table({id_col: t[id_col],
+                         "bucket": pa.array([], pa.int64()),
+                         "embedding_keep": t[emb_col]})
     proj = proj_ref if isinstance(proj_ref, np.ndarray) else ray.get(proj_ref)
     m = _emb_matrix(t, emb_col).astype(np.float64)
     bits = (m @ proj.T) > 0  # (B, H)
@@ -356,8 +376,14 @@ def embedding_dup_pairs(
     import ray
 
     if dim is None:
-        first = ds.take(1)[0][emb_col]
-        dim = len(first)
+        probe = ds.take(1)
+        if not probe:  # empty dataset: no pairs, don't crash the probe
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table({
+                "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64())}))
+        dim = len(probe[0][emb_col])
     rng = np.random.default_rng(seed)
     proj = rng.standard_normal((num_hyperplanes, dim))
     pref = ray.put(proj)

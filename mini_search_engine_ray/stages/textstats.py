@@ -70,7 +70,9 @@ def token_stats_batch(t: pa.Table, *, text_col: str = "text", id_col: str = "doc
     len_sum = np.bincount(parents, weights=tok_len, minlength=n)
     # distinct terms per doc: unique (parent, term_code) pairs
     nonstop_par = parents[~is_stop]
-    codes = values.filter(pc.invert(pc.is_in(values, value_set=_STOP_PA))).dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    # reuse the is_stop mask computed above (one set-membership scan)
+    codes = values.filter(pa.array(~is_stop)).dictionary_encode() \
+        .indices.to_numpy(zero_copy_only=False)
     if len(nonstop_par):
         pairs = np.unique(nonstop_par.astype(np.int64) * (codes.max() + 1) + codes)
         uniq_parent = pairs // (codes.max() + 1)
