@@ -1036,6 +1036,52 @@ def q_cap_per_source(sf_dir: str):
     return cap_per_group(ds, ["source"], CAP_PER_SOURCE)
 
 
+def q_user_event_diversity(sf_dir: str):
+    """Exact per-user COUNT(DISTINCT event_type): per-batch Arrow hash
+    dedup -> grouped pair reduction -> per-user pair count (the exact
+    companion to the HLL sketch)."""
+    from ..stages.aggregates import count_distinct_per_group
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "event_type": pc.cast(t["event_type"], pa.string())})
+
+    ds = _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow")
+    out = count_distinct_per_group(ds, ["user_id"], "event_type",
+                                   alias="n_types")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_types": pa.array([], pa.int64())})
+        return pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                         "n_types": pc.cast(t["n_types"], pa.int64())})
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+GLOBAL_QS = [0.5, 0.9, 0.99]
+
+
+def q_value_quantiles_global(sf_dir: str):
+    """Exact whole-table quantiles of event value: one range sort,
+    ranks located via sorted-block METADATA, one block fetched per
+    rank — the driver never materializes the dataset."""
+    from ..stages.aggregates import global_quantiles
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"value": pc.cast(t["value"], pa.float64())})
+
+    ds = _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow")
+    return global_quantiles(ds, "value", GLOBAL_QS)
+
+
 def q_revenue_per_nation(sf_dir: str):
     """Generic distributed equi-join demo over the relational tables
     (TPC-H Q5 flavor): lineitem ⨝ orders ⨝ customer via two sort-merge
@@ -1385,6 +1431,8 @@ QUERIES = {
     "cap_per_source": q_cap_per_source,
     "revenue_per_nation": q_revenue_per_nation,
     "customer_order_counts": q_customer_order_counts,
+    "user_event_diversity": q_user_event_diversity,
+    "value_quantiles_global": q_value_quantiles_global,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
     "pagerank_join": q_pagerank_join,
@@ -2173,6 +2221,13 @@ FROM r WHERE rn <= {ANN_K}
     "cap_per_source": _CAP_PER_SOURCE_SQL,
     "revenue_per_nation": _REVENUE_PER_NATION_SQL,
     "customer_order_counts": _CUSTOMER_ORDER_COUNTS_SQL,
+    "user_event_diversity": """
+SELECT user_id, count(DISTINCT event_type)::BIGINT AS n_types
+FROM events GROUP BY user_id
+""",
+    "value_quantiles_global": "\nUNION ALL\n".join(
+        f"SELECT {q}::DOUBLE AS q, quantile_disc(value, {q}) AS value FROM events"
+        for q in GLOBAL_QS),
     "simhash": _simhash_sql(),
     "fingerprints": _fingerprints_sql(),
     "embedding_dup_pairs": _embedding_dup_pairs_sql(

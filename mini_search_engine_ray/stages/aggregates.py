@@ -124,6 +124,66 @@ def sorted_groupby_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
     return ds.sort(keys).map_batches(sweep, batch_size=None, batch_format="pyarrow")
 
 
+def global_quantiles(ds, value_col: str, qs: list[float]) -> pa.Table:
+    """Exact WHOLE-DATASET discrete quantiles (DuckDB ``quantile_disc``
+    rank semantics, 0-based rank ``ceil(q*n) - 1``): one range sort,
+    then each rank is located using the sorted blocks' row-count
+    METADATA only — exactly one block is fetched per distinct rank
+    (``ray.get`` of that block), so the driver never materializes the
+    dataset no matter its size.  Returns a pyarrow Table (q, value)."""
+    import ray
+
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile out of range: {q}")
+    blocks: list[tuple] = []  # (ref, num_rows) in global sorted order
+    for bundle in ds.sort(value_col).iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            blocks.append((ref, int(meta.num_rows)))
+    counts = np.array([nr for _, nr in blocks], dtype=np.int64)
+    n = int(counts.sum())
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    cum = np.cumsum(counts)
+    fetched: dict[int, pa.Table] = {}
+    out_v = []
+    for q in qs:
+        rank = max(int(np.ceil(q * n)) - 1, 0)
+        bi = int(np.searchsorted(cum, rank, side="right"))
+        if bi not in fetched:
+            fetched[bi] = ray.get(blocks[bi][0])
+        t = fetched[bi]
+        off = rank - (int(cum[bi - 1]) if bi else 0)
+        col = t[value_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        out_v.append(col[off].as_py())
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     "value": pa.array(out_v)})
+
+
+def count_distinct_per_group(ds, keys: list[str], value_col: str, *,
+                             alias: str = "n_distinct"):
+    """Exact per-group COUNT(DISTINCT value): per-batch local dedup of
+    (keys, value) rows with Arrow's native hash group-by (so the
+    shuffle carries each batch's distinct combinations, not the raw
+    stream), one grouped reduction to global-distinct pairs, then a
+    second reduction over the (much smaller) pair set.  Companion to
+    `distinct_count_hll` (textstats) — exact where HLL is approximate,
+    at the cost of a pair-cardinality shuffle."""
+    cols = list(keys) + [value_col]
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(cols) if set(cols) <= set(t.column_names) else t
+        return t.select(cols).group_by(cols).aggregate([])
+
+    dd = ds.map_batches(local_dedup, batch_format="pyarrow")
+    pairs = sorted_groupby_agg(dd, cols, [(value_col, "count", "_n")])
+    return sorted_groupby_agg(pairs, list(keys),
+                              [(value_col, "count", alias)])
+
+
 def topk_per_group(ds, keys: list[str], order_col: str, k: int, *,
                    descending: bool = True, tiebreak: str | None = None):
     """Top-k rows per key group, whole rows preserved.

@@ -233,3 +233,55 @@ class TestNullKeys:
         with pytest.raises(Exception, match="null values in aggregate"):
             sorted_groupby_agg(_ds(t, parts=1), ["k"],
                                [("v", "sum", "s")]).to_pandas()
+
+
+class TestCountDistinctPerGroup:
+    def test_vs_pandas(self, ray_session):
+        from mini_search_engine_ray.stages.aggregates import count_distinct_per_group
+
+        rng = np.random.default_rng(13)
+        n = 8000
+        t = pa.table({"g": pa.array(rng.integers(0, 150, n)),
+                      "v": pa.array([f"t{int(x)}" for x in rng.integers(0, 12, n)])})
+        out = (count_distinct_per_group(_ds(t, parts=7), ["g"], "v")
+               .to_pandas().sort_values("g").reset_index(drop=True))
+        exp = (t.to_pandas().groupby("g")["v"].nunique()
+               .reset_index(name="n_distinct"))
+        assert (out.g.values == exp.g.values).all()
+        assert (out.n_distinct.values == exp.n_distinct.values).all()
+
+    def test_duplicates_within_and_across_blocks(self, ray_session):
+        from mini_search_engine_ray.stages.aggregates import count_distinct_per_group
+
+        # same (g, v) pair repeated in every block: must count once
+        t = pa.table({"g": pa.array([1] * 40 + [2] * 40),
+                      "v": pa.array((["a", "b"] * 20) + (["c"] * 40))})
+        out = count_distinct_per_group(_ds(t, parts=8), ["g"], "v").to_pandas()
+        assert dict(zip(out.g, out.n_distinct)) == {1: 2, 2: 1}
+
+
+class TestGlobalQuantiles:
+    def test_vs_duckdb(self, ray_session):
+        import duckdb
+
+        from mini_search_engine_ray.stages.aggregates import global_quantiles
+
+        rng = np.random.default_rng(21)
+        t = pa.table({"v": pa.array(rng.uniform(-5, 5, 30000))})
+        out = global_quantiles(_ds(t, parts=9), "v", [0.25, 0.5, 0.99])
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exp = con.sql("SELECT quantile_disc(v, 0.25), quantile_disc(v, 0.5), "
+                      "quantile_disc(v, 0.99) FROM t").fetchone()
+        assert out["value"].to_pylist() == list(exp)
+
+    def test_empty_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import global_quantiles
+
+        t = pa.table({"v": pa.array([], pa.float64())})
+        out = global_quantiles(rd.from_arrow(t), "v", [0.5])
+        assert out.num_rows == 0
+        with pytest.raises(ValueError):
+            global_quantiles(rd.from_arrow(t), "v", [0.0])
