@@ -1186,6 +1186,93 @@ def q_customer_order_counts(sf_dir: str):
     return agg.map_batches(fix, batch_format="pyarrow")
 
 
+def q_customers_without_orders(sf_dir: str):
+    """Anti join (SQL NOT EXISTS): customers with no PENDING ('P')
+    order (the unrestricted version is empty at every sf — each
+    customer has some order).  Right payload never enters the shuffle
+    — right rows reduce to key + side tag."""
+    import ray.data as rd
+
+    from ..stages.join import sort_merge_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderstatus"],
+    ).filter(expr="o_orderstatus == 'P'").select_columns(["o_custkey"])
+    return sort_merge_join(cust, orders, "c_custkey", "o_custkey",
+                           how="anti", partitions=8)
+
+
+def q_parts_in_lineitem(sf_dir: str):
+    """Semi join (SQL EXISTS): parts referenced by at least one
+    lineitem, each emitted once."""
+    import ray.data as rd
+
+    from ..stages.join import sort_merge_join
+
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey"])
+    return sort_merge_join(part, li, "p_partkey", "l_partkey",
+                           how="semi", partitions=8)
+
+
+RANGE_WINDOW_S = 300
+
+
+def q_click_view_range_join(sf_dir: str):
+    """Banded range join: every (click, view) pair of the same user
+    with the click inside [view_ts, view_ts + 300 s].  Each view
+    interval is replicated to at most 2 time bands, so a pair is
+    emitted exactly once — one equi sort-merge join on (user, band) +
+    a vectorized containment filter."""
+    from ..stages.join import range_join
+
+    w_us = RANGE_WINDOW_S * 1_000_000
+
+    def prep_clicks(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["event_type"], "click"))
+        ts = t["ts"].combine_chunks() if isinstance(t["ts"], pa.ChunkedArray) else t["ts"]
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "click_id": pc.cast(t["event_id"], pa.int64()),
+            "ts_us": ts.cast(pa.int64()),
+        })
+
+    def prep_views(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.equal(t["event_type"], "view"))
+        ts = t["ts"].combine_chunks() if isinstance(t["ts"], pa.ChunkedArray) else t["ts"]
+        lo = ts.cast(pa.int64())
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "view_id": pc.cast(t["event_id"], pa.int64()),
+            "lo": lo,
+            "hi": pc.add(lo, pa.scalar(w_us, pa.int64())),
+        })
+
+    ev = _events_ds(sf_dir)
+    clicks = ev.map_batches(prep_clicks, batch_format="pyarrow")
+    views = ev.map_batches(prep_views, batch_format="pyarrow")
+    out = range_join(
+        clicks, views, on="user_id", left_ts="ts_us", right_lo="lo",
+        right_hi="hi", band_width=w_us, partitions=8,
+        left_schema=pa.schema([("user_id", pa.int64()),
+                               ("click_id", pa.int64()),
+                               ("ts_us", pa.int64())]),
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("view_id", pa.int64()),
+                                ("lo", pa.int64()), ("hi", pa.int64())]),
+    )
+    return out.select_columns(["click_id", "view_id"])
+
+
 def q_clean_corpus(sf_dir: str):
     """Flagship training-data cleaning composite: quality gate (token
     count) + language ID + exact dedup survivor + near-dup transitive
@@ -1433,6 +1520,9 @@ QUERIES = {
     "customer_order_counts": q_customer_order_counts,
     "user_event_diversity": q_user_event_diversity,
     "value_quantiles_global": q_value_quantiles_global,
+    "customers_without_orders": q_customers_without_orders,
+    "parts_in_lineitem": q_parts_in_lineitem,
+    "click_view_range_join": q_click_view_range_join,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
     "pagerank_join": q_pagerank_join,
@@ -2228,6 +2318,22 @@ FROM events GROUP BY user_id
     "value_quantiles_global": "\nUNION ALL\n".join(
         f"SELECT {q}::DOUBLE AS q, quantile_disc(value, {q}) AS value FROM events"
         for q in GLOBAL_QS),
+    "customers_without_orders": """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+""",
+    "parts_in_lineitem": """
+SELECT p_partkey FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+""",
+    "click_view_range_join": f"""
+SELECT c.event_id AS click_id, v.event_id AS view_id
+FROM events c JOIN events v
+  ON c.user_id = v.user_id
+WHERE c.event_type = 'click' AND v.event_type = 'view'
+  AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL {RANGE_WINDOW_S} SECOND
+""",
     "simhash": _simhash_sql(),
     "fingerprints": _fingerprints_sql(),
     "embedding_dup_pairs": _embedding_dup_pairs_sql(

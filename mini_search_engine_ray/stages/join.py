@@ -52,10 +52,15 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
     """Distributed equi-join of two Datasets.
 
     ``on`` is the left key column (or list); ``right_on`` the right key
-    (defaults to ``on``).  ``how`` is ``inner`` or ``left``.  Output
-    columns: left columns (key included, left names) followed by the
-    right payload columns, suffixed with ``suffix`` on collision.  One
-    range sort on the key is the only shuffle.
+    (defaults to ``on``).  ``how`` is ``inner``, ``left``, ``semi``
+    (left rows WITH a match, SQL EXISTS — emitted once each) or
+    ``anti`` (left rows WITHOUT a match, SQL NOT EXISTS — null-key
+    left rows included, matching NOT EXISTS, not NOT IN).  Output
+    columns: left columns (key included, left names) followed — for
+    inner/left — by the right payload columns, suffixed with
+    ``suffix`` on collision; semi/anti emit left columns only and
+    never ship the right payload through the shuffle.  One range sort
+    on the key is the only shuffle.
 
     Pass ``left_schema``/``right_schema`` when an input is a derived
     (lazy) Dataset whose schema is statically known to the caller —
@@ -74,7 +79,7 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
     data (rows / target block rows), not to the block count the reads
     happened to produce.
     """
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how: {how}")
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
@@ -85,7 +90,10 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
     lschema = left_schema if left_schema is not None else left.schema().base_schema
     rschema = right_schema if right_schema is not None else right.schema().base_schema
     lcols = [f.name for f in lschema]
-    rpay = [f.name for f in rschema if f.name not in rkeys]
+    # semi/anti only test existence: the right payload never enters
+    # the shuffle (right rows reduce to key + side tag)
+    rpay = [] if how in ("semi", "anti") else \
+        [f.name for f in rschema if f.name not in rkeys]
     rout = {c: (c + suffix if c in lcols else c) for c in rpay}
     fields = (
         [(c, lschema.field(c).type) for c in lcols]
@@ -157,6 +165,14 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
         lens = np.diff(np.r_[starts, n]).astype(np.int64)
         nl = np.add.reduceat((side[order] == 0).astype(np.int64), starts)
         nr = lens - nl
+        if how in ("semi", "anti"):
+            want = np.flatnonzero(
+                (nl > 0) & ((nr > 0) if how == "semi" else (nr == 0)))
+            if not len(want):
+                return empty
+            l_take = pa.array(np.sort(order[_ranges(starts[want], nl[want])]))
+            return pa.table({c: _combined(t[c]).take(l_take) for c in lcols},
+                            schema=pa.schema(out_fields))
         l_parts: list[np.ndarray] = []
         r_parts: list[np.ndarray] = []
         matched = np.flatnonzero((nl > 0) & (nr > 0))
@@ -190,13 +206,15 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
 
     joined = both.sort(lkeys).map_batches(sweep, batch_size=None,
                                           batch_format="pyarrow")
-    if how != "left":
+    if how not in ("left", "anti"):
         return joined
 
     out_schema = pa.schema(out_fields)
 
     def null_left(t: pa.Table) -> pa.Table:
-        # rows with a null in ANY key, emitted unmatched, shuffle-free
+        # rows with a null in ANY key: unmatched by definition, so
+        # 'left' emits them with a null right side and 'anti' (NOT
+        # EXISTS) keeps them — both shuffle-free
         import pyarrow.compute as pc
 
         mask = None
@@ -210,6 +228,71 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
         return pa.table(cols, schema=out_schema)
 
     return joined.union(left.map_batches(null_left, batch_format="pyarrow"))
+
+
+def range_join(left, right, *, on, left_ts: str, right_lo: str,
+               right_hi: str, band_width: int,
+               suffix: str = "_r", partitions: int | None = None,
+               left_schema: pa.Schema | None = None,
+               right_schema: pa.Schema | None = None):
+    """Distributed range/interval join via banding: emit (left, right)
+    pairs where ``right_lo <= left_ts <= right_hi`` and the equi-keys
+    ``on`` match.
+
+    Every interval must satisfy ``hi - lo <= band_width`` (checked per
+    batch), so it overlaps at most TWO bands of width ``band_width``:
+    each right row is replicated to band(lo) and band(hi) (once if
+    equal), each left row lands in exactly band(ts) — which also means
+    a surviving pair is emitted exactly once, no dedup pass needed.
+    The composition is one ``sort_merge_join`` on (keys..., band)
+    followed by a vectorized containment filter; replication factor is
+    <= 2 regardless of data size.  Timestamp columns must be integer
+    (cast timestamps to epoch units first)."""
+    lkeys = [on] if isinstance(on, str) else list(on)
+    w = int(band_width)
+    if w <= 0:
+        raise ValueError("band_width must be positive")
+
+    lschema = left_schema if left_schema is not None else left.schema().base_schema
+    rschema = right_schema if right_schema is not None else right.schema().base_schema
+
+    def band_left(t: pa.Table) -> pa.Table:
+        ts = _combined(t[left_ts]).to_numpy(zero_copy_only=False)
+        return t.append_column("_band", pa.array(ts // w))
+
+    def band_right(t: pa.Table) -> pa.Table:
+        lo = _combined(t[right_lo]).to_numpy(zero_copy_only=False)
+        hi = _combined(t[right_hi]).to_numpy(zero_copy_only=False)
+        if len(lo) and int((hi - lo).max()) > w:
+            raise ValueError(
+                "range_join: an interval exceeds band_width "
+                f"({int((hi - lo).max())} > {w}) — widen band_width")
+        b_lo, b_hi = lo // w, hi // w
+        second = np.flatnonzero(b_hi != b_lo)
+        idx = np.r_[np.arange(t.num_rows), second]
+        out = t.take(pa.array(idx))
+        return out.append_column("_band", pa.array(np.r_[b_lo, b_hi[second]]))
+
+    lb = left.map_batches(band_left, batch_format="pyarrow")
+    rb = right.map_batches(band_right, batch_format="pyarrow")
+    lb_schema = pa.schema(list(lschema) + [pa.field("_band", pa.int64())])
+    rb_schema = pa.schema(list(rschema) + [pa.field("_band", pa.int64())])
+    j = sort_merge_join(lb, rb, lkeys + ["_band"], how="inner",
+                        suffix=suffix, partitions=partitions,
+                        left_schema=lb_schema, right_schema=rb_schema)
+    lo_out = right_lo + (suffix if right_lo in [f.name for f in lschema] else "")
+    hi_out = right_hi + (suffix if right_hi in [f.name for f in lschema] else "")
+
+    def contain(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["_band"])
+        if t.num_rows == 0:
+            return t
+        ts = _combined(t[left_ts]).to_numpy(zero_copy_only=False)
+        lo = _combined(t[lo_out]).to_numpy(zero_copy_only=False)
+        hi = _combined(t[hi_out]).to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((lo <= ts) & (ts <= hi)))
+
+    return j.map_batches(contain, batch_format="pyarrow")
 
 
 def broadcast_join(ds, small: pa.Table, on, right_on=None, *,

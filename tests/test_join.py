@@ -144,3 +144,75 @@ class TestNullJoinKeys:
         nulls = out[out.k.isna()]
         assert len(nulls) == 2 and nulls.rv.isna().all()
         assert out[out.k == "x"].rv.tolist() == [10]
+
+
+class TestSemiAntiJoin:
+    def test_semi_vs_pandas(self, ray_session):
+        rng = np.random.default_rng(17)
+        lt = pa.table({"k": pa.array(rng.integers(0, 50, 300)),
+                       "lv": pa.array(np.arange(300))})
+        rt = pa.table({"k": pa.array(rng.integers(0, 25, 200)),
+                       "rv": pa.array(np.arange(200))})
+        out = sort_merge_join(_ds(lt), _ds(rt, parts=3), "k",
+                              how="semi").to_pandas()
+        keys_r = set(rt["k"].to_pylist())
+        exp = lt.to_pandas()[lt.to_pandas().k.isin(keys_r)]
+        assert sorted(out.columns) == ["k", "lv"]  # left cols only
+        assert set(map(tuple, out.values)) == set(map(tuple, exp.values))
+        assert len(out) == len(exp)  # each left row exactly once
+
+    def test_anti_vs_pandas_with_null_keys(self, ray_session):
+        lt = pa.table({"k": pa.array([1, 2, None, 3], type=pa.int64()),
+                       "lv": pa.array([10, 20, 30, 40])})
+        rt = pa.table({"k": pa.array([2, 2, 9]), "rv": pa.array([0, 1, 2])})
+        out = sort_merge_join(_ds(lt, parts=1), _ds(rt, parts=1), "k",
+                              how="anti").to_pandas()
+        # NOT EXISTS keeps null-key rows; matched key 2 dropped
+        assert sorted(out.lv.tolist()) == [10, 30, 40]
+        assert sorted(out.columns) == ["k", "lv"]
+
+    def test_semi_excludes_null_keys(self, ray_session):
+        lt = pa.table({"k": pa.array([1, None], type=pa.int64()),
+                       "lv": pa.array([1, 2])})
+        rt = pa.table({"k": pa.array([1]), "rv": pa.array([9])})
+        out = sort_merge_join(_ds(lt, parts=1), _ds(rt, parts=1), "k",
+                              how="semi").to_pandas()
+        assert out.lv.tolist() == [1]
+
+
+class TestRangeJoin:
+    def test_vs_brute_force(self, ray_session):
+        from mini_search_engine_ray.stages.join import range_join
+
+        rng = np.random.default_rng(23)
+        nl, nr, users = 2000, 400, 30
+        lt = pa.table({"u": pa.array(rng.integers(0, users, nl)),
+                       "lid": pa.array(np.arange(nl)),
+                       "ts": pa.array(rng.integers(0, 100_000, nl))})
+        lo = rng.integers(0, 100_000, nr)
+        width = rng.integers(0, 500, nr)
+        rt = pa.table({"u": pa.array(rng.integers(0, users, nr)),
+                       "rid": pa.array(np.arange(nr)),
+                       "lo": pa.array(lo), "hi": pa.array(lo + width)})
+        out = range_join(_ds(lt), _ds(rt, parts=3), on="u", left_ts="ts",
+                         right_lo="lo", right_hi="hi",
+                         band_width=500).to_pandas()
+        ldf, rdf = lt.to_pandas(), rt.to_pandas()
+        exp = ldf.merge(rdf, on="u")
+        exp = exp[(exp.lo <= exp.ts) & (exp.ts <= exp.hi)]
+        got = set(zip(out.lid, out.rid))
+        want = set(zip(exp.lid, exp.rid))
+        assert got == want
+        assert len(out) == len(want)  # each pair exactly once
+
+    def test_interval_wider_than_band_raises(self, ray_session):
+        from mini_search_engine_ray.stages.join import range_join
+
+        lt = pa.table({"u": pa.array([1]), "ts": pa.array([5])})
+        rt = pa.table({"u": pa.array([1]), "lo": pa.array([0]),
+                       "hi": pa.array([1000])})
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="band_width"):
+            range_join(_ds(lt, parts=1), _ds(rt, parts=1), on="u",
+                       left_ts="ts", right_lo="lo", right_hi="hi",
+                       band_width=10).to_pandas()
