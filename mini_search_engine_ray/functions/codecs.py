@@ -84,8 +84,14 @@ def varint_decode_slice(buf, start: int, length: int, *, delta: bool = True) -> 
 
 
 def naive_encode(values: np.ndarray | list[int]) -> bytes:
-    """4-byte big-endian ints (reference NaiveCompressor)."""
-    return np.asarray(values, dtype=np.int32).astype(">i4").tobytes()
+    """4-byte big-endian ints (reference NaiveCompressor).  The 4-byte
+    format is inherently int32; values outside that range raise rather
+    than silently wrapping (the varint/PForDelta codecs are the
+    int64-capable paths)."""
+    v = np.asarray(values, dtype=np.int64)
+    if len(v) and (int(v.max(initial=0)) > 2**31 - 1 or int(v.min(initial=0)) < -(2**31)):
+        raise ValueError("naive codec is 4-byte int32; value out of range")
+    return v.astype(np.int32).astype(">i4").tobytes()
 
 
 def naive_decode(buf) -> np.ndarray:

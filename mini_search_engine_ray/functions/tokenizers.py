@@ -43,12 +43,21 @@ def punctuation_tokenize(text: str | None, *, stop_words: frozenset[str] = STOP_
     return [t for t in toks if t and t not in stop_words]
 
 
+_NAIVE_SPLIT_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
 def naive_tokenize(text: str | None) -> list[str]:
     """Lowercase + whitespace split (the reference's debug NaiveAnalyzer,
-    `analysis/NaiveAnalyzer.java:10-16`). No stopword filtering."""
+    `analysis/NaiveAnalyzer.java:10-16`). No stopword filtering.
+
+    Splits on Java's ``\\s`` class ``[ \\t\\n\\x0B\\f\\r]`` — NOT
+    Python ``str.split()``, whose Unicode-whitespace set (NBSP, NEL,
+    U+2028…) diverges from both the reference and the vectorized Arrow
+    kernel in `stages/ingest.py`, which would make index-time and
+    query-time analysis disagree on such documents."""
     if not text:
         return []
-    return text.lower().split()
+    return [t for t in _NAIVE_SPLIT_RE.split(text.lower()) if t]
 
 
 # -- code-aware tokenizer (north-rule extension) -----------------------

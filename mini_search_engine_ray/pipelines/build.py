@@ -62,7 +62,11 @@ def _write_docstore_part(t: pa.Table, docstore_dir: str) -> None:
     hi = int(pc.max(t["doc_id"]).as_py())
     os.makedirs(docstore_dir, exist_ok=True)
     path = os.path.join(docstore_dir, f"part-{lo:012d}-{hi:012d}.parquet")
-    tmp = f"{path}.tmp.{os.getpid()}"
+    # "_"-prefixed temp name: Arrow dataset discovery ignores it, so a
+    # temp file leaked by a killed task is never read as data by
+    # docstore consumers (the retried task writes its own temp)
+    tmp = os.path.join(docstore_dir,
+                       f"_tmp.{os.getpid()}.part-{lo:012d}-{hi:012d}.parquet")
     pq.write_table(out, tmp)
     os.replace(tmp, path)
 

@@ -44,16 +44,6 @@ from ..functions.tokenizers import (
 
 _STOPWORDS_PA = pa.array(sorted(STOP_WORDS))
 
-POSTING_SCHEMA = pa.schema(
-    [
-        ("term", pa.string()),
-        ("shard", pa.int32()),
-        ("doc_id", pa.int64()),
-        ("tf", pa.int32()),
-        ("doc_len", pa.int32()),
-    ]
-)
-
 
 def term_bucket(term: str, num_buckets: int) -> int:
     """Deterministic term -> bucket hash (stable across processes)."""

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -151,9 +152,17 @@ def merge_indexes(
     codec = codec or metas[0].get("codec", "varint")
     salts = [int(m.get("salt", 1)) for m in metas]
     drop = frozenset().union(*(load_tombstones(s) for s in sources))
-    # fp must include the DEST codec: re-merging to transcode would
-    # otherwise no-op against the existing shard manifests
-    fp = "merge:" + ":".join(m["fingerprint"] for m in metas) + f":codec={codec}"
+    # fp must include the DEST codec (re-merging to transcode would
+    # otherwise no-op against the existing shard manifests) AND the
+    # tombstone drop set: a re-merge after a delete must rewrite the
+    # shards, or it would skip them yet still clear the tombstones,
+    # resurrecting the deleted terms
+    import hashlib as _hashlib
+
+    drop_fp = _hashlib.md5("\x00".join(sorted(drop)).encode()).hexdigest() \
+        if drop else "none"
+    fp = ("merge:" + ":".join(m["fingerprint"] for m in metas)
+          + f":codec={codec}:drop={drop_fp}")
     os.makedirs(dest, exist_ok=True)
 
     buckets = sorted({sid // salt for src, salt in zip(sources, salts) for sid in shards_mod.list_shards(src)})
@@ -198,6 +207,10 @@ def merge_indexes(
         "fingerprint": fp,
         "merged_from": sources,
     }
+    # the searcher reads this key unconditionally for wordbreak/japanese
+    # analyzers — a merged index must stay openable
+    if "wordbreak_dict_path" in m0:
+        meta["wordbreak_dict_path"] = m0["wordbreak_dict_path"]
     tmp = os.path.join(dest, META_FILE + ".tmp")
     with open(tmp, "w") as f:
         json.dump(meta, f, indent=1)
@@ -206,7 +219,12 @@ def merge_indexes(
     if merge_docstore:
         stores = [os.path.join(s, "docstore") for s in sources if os.path.isdir(os.path.join(s, "docstore"))]
         if stores:
-            rd.read_parquet(stores).write_parquet(os.path.join(dest, "docstore"))
+            dest_store = os.path.join(dest, "docstore")
+            # write_parquet APPENDS uuid-named files: a re-merge into an
+            # existing dest would duplicate every document (build.py
+            # guards its overlap case the same way)
+            shutil.rmtree(dest_store, ignore_errors=True)
+            rd.read_parquet(stores).write_parquet(dest_store)
 
     if clear_tombstones:
         save_tombstones(dest, set())

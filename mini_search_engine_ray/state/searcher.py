@@ -29,6 +29,7 @@ Query surface (parity with `InvertedIndexManager`):
 from __future__ import annotations
 
 import json
+import logging
 import math
 import os
 from collections import Counter
@@ -40,6 +41,20 @@ from ..functions.analyzers import make_analyzer
 from ..pipelines.build import load_meta
 from ..stages.ingest import term_bucket
 from ..stages.shards import decode_posting_row, open_shard
+
+_LOG = logging.getLogger(__name__)
+
+
+def _truncate_expansion(out: list, max_expansion: int, what: str, key) -> list:
+    """Shared Lucene-style expansion cap: log and keep the first
+    ``max_expansion`` entries of the (already deterministically
+    ordered) expansion list — one definition for prefix, wildcard and
+    fuzzy so the truncation semantics can't drift apart."""
+    if len(out) > max_expansion:
+        _LOG.warning("%s %r expanded to %d terms; truncating to %d",
+                     what, key, len(out), max_expansion)
+        out = out[:max_expansion]
+    return out
 
 K1 = 1.2
 B = 0.75
@@ -265,16 +280,8 @@ class IndexSearcher:
             lo, hi = td.prefix_range(key)
             for i in range(lo, hi):
                 matched.add(td.term_at(i))
-        out = sorted(matched - self.tombstones)
-        if len(out) > max_expansion:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "prefix %r expanded to %d terms; truncating to %d",
-                prefix, len(out), max_expansion,
-            )
-            out = out[:max_expansion]
-        return out
+        return _truncate_expansion(sorted(matched - self.tombstones),
+                                   max_expansion, "prefix", prefix)
 
     def search_prefix(self, prefix: str, *, max_expansion: int = 1024) -> np.ndarray:
         """Docs containing ANY term with the given prefix (OR over the
@@ -326,16 +333,8 @@ class IndexSearcher:
                 t = td.term_at(i)
                 if rx.match(t):
                     matched.add(t)
-        out = sorted(matched - self.tombstones)
-        if len(out) > max_expansion:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "wildcard %r matched %d terms; truncating to %d",
-                pattern, len(out), max_expansion,
-            )
-            out = out[:max_expansion]
-        return out
+        return _truncate_expansion(sorted(matched - self.tombstones),
+                                   max_expansion, "wildcard", pattern)
 
     def search_wildcard(self, pattern: str, *, max_expansion: int = 1024) -> np.ndarray:
         """Docs containing ANY term matching the glob pattern (OR over
@@ -404,15 +403,7 @@ class IndexSearcher:
             ((t, d) for t, d in best.items() if t not in self.tombstones),
             key=lambda td_: (td_[1], td_[0]),
         )
-        if len(out) > max_expansion:
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "fuzzy %r expanded to %d terms; truncating to %d",
-                keyword, len(out), max_expansion,
-            )
-            out = out[:max_expansion]
-        return out
+        return _truncate_expansion(out, max_expansion, "fuzzy", keyword)
 
     def search_fuzzy(
         self, keyword: str, max_edits: int = 1, *, max_expansion: int = 50
@@ -487,13 +478,16 @@ class IndexSearcher:
             cand = cand[np.isin(cand, p[0], assume_unique=True)]
             if len(cand) == 0:
                 return cand
-        # adjacency cascade per candidate doc (reference IIM:1196-1260)
+        # adjacency cascade per candidate doc (reference IIM:1196-1260).
+        # Candidate row indices via searchsorted on the (sorted) posting
+        # doc arrays — a Python dict over a high-df term's whole list
+        # would materialize millions of ints to index a few candidates.
         out = []
-        idx = [dict(zip(p[0].tolist(), range(len(p[0])))) for p in posts]
-        for doc in cand.tolist():
-            ok_pos = np.asarray(posts[0][3][idx[0][doc]]) + 1
+        rows = [np.searchsorted(p[0], cand) for p in posts]
+        for ci, doc in enumerate(cand.tolist()):
+            ok_pos = np.asarray(posts[0][3][rows[0][ci]]) + 1
             for t_i in range(1, len(posts)):
-                nxt_pos = np.asarray(posts[t_i][3][idx[t_i][doc]])
+                nxt_pos = np.asarray(posts[t_i][3][rows[t_i][ci]])
                 ok_pos = np.intersect1d(ok_pos, nxt_pos, assume_unique=True) + 1
                 if len(ok_pos) == 0:
                     break
@@ -532,11 +526,11 @@ class IndexSearcher:
         if len(seq) == 1:
             return cand
         out = []
-        idx = [dict(zip(p[0].tolist(), range(len(p[0])))) for p in posts]
-        for doc in cand.tolist():
-            prev = np.asarray(posts[0][3][idx[0][doc]])
+        rows = [np.searchsorted(p[0], cand) for p in posts]
+        for ci, doc in enumerate(cand.tolist()):
+            prev = np.asarray(posts[0][3][rows[0][ci]])
             for t_i in range(1, len(posts)):
-                nxt = np.asarray(posts[t_i][3][idx[t_i][doc]])
+                nxt = np.asarray(posts[t_i][3][rows[t_i][ci]])
                 lo = np.searchsorted(prev, nxt - (slop + 1), side="left")
                 hi = np.searchsorted(prev, nxt, side="left")
                 prev = nxt[hi > lo]
@@ -635,8 +629,13 @@ class IndexSearcher:
         allocation (codecs are int64-capable by design).
         """
         if docs.size and int(docs.max()) < self.DENSE_ACCUM_MAX_DOCS:
-            dense = np.bincount(docs, weights=contribs, minlength=int(docs.max()) + 1)
-            uniq = np.flatnonzero(dense)
+            n = int(docs.max()) + 1
+            dense = np.bincount(docs, weights=contribs, minlength=n)
+            # candidate set = docs WITH A HIT, not docs with a nonzero
+            # sum: a zero-weight term (or cancelling weights) sums to
+            # exactly 0.0, and the sparse path below keeps such docs —
+            # the two paths must agree regardless of the id span
+            uniq = np.flatnonzero(np.bincount(docs, minlength=n))
             return uniq, dense[uniq]
         uniq, inv = np.unique(docs, return_inverse=True)
         return uniq, np.bincount(inv, weights=contribs)
