@@ -65,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
     from mini_search_engine_ray.pipelines.build import build_index
     from mini_search_engine_ray.sources.corpus import (
         corpus_fingerprint,
+        corpus_num_rows,
         read_corpus_with_doc_ids,
     )
 
@@ -88,6 +89,9 @@ def main(argv: list[str] | None = None) -> int:
         positional=args.positional,
         fingerprint=corpus_fingerprint(paths),
         write_docstore=not args.no_docstore,
+        # footer-metadata count: without it build_index runs a
+        # data-reading count() pass, doubling ingest bytes
+        n_docs=corpus_num_rows(paths),
     )
     build_sec = time.time() - t0
 

@@ -26,20 +26,24 @@ PUNCT_SPLIT_RE = re.compile(f"[{PUNCT_CLASS}]+")
 # constant directly in the oracle SQL):
 PUNCT_SPLIT_RE2 = "[,.;?! ^\\f\\n\\r\\t\\x0B\\x85\\x{2028}\\x{2029}]+"
 
+# Java String.trim() removes every char <= U+0020 from both ends
+# (`PunctuationTokenizer.java:46` trims before splitting). Most of that
+# range is in the split class anyway, but the control chars
+# \x00-\x08 / \x0e-\x1f are NOT — a doc starting with e.g. \x1b (ANSI
+# escape, realistic in source code) must index 'hello', not
+# '\x1bhello'. Applied identically by this function, the vectorized
+# ingest kernel, the textstats kernel and the SQL oracle CTE.
+JAVA_TRIM_CHARS = "".join(chr(i) for i in range(0x21))
+
 
 def punctuation_tokenize(text: str | None, *, stop_words: frozenset[str] = STOP_WORDS) -> list[str]:
-    """lowercase -> split on punctuation/whitespace -> drop empties and
-    stopwords (no stemming).
-
-    The reference also trims first (`PunctuationTokenizer.java:46`), but
-    every character Java's trim removes that could affect tokens is in
-    the split class, so skipping the trim is token-equivalent — and it
-    keeps this function identical to the vectorized Arrow kernel in
-    `stages/ingest.py`.
-    """
+    """Java-trim -> lowercase -> split on punctuation/whitespace ->
+    drop empties and stopwords (no stemming) — token-identical to the
+    reference chain and to the vectorized Arrow kernel in
+    `stages/ingest.py`."""
     if not text:
         return []
-    toks = PUNCT_SPLIT_RE.split(text.lower())
+    toks = PUNCT_SPLIT_RE.split(text.strip(JAVA_TRIM_CHARS).lower())
     return [t for t in toks if t and t not in stop_words]
 
 

@@ -39,10 +39,15 @@ _SQL_CLASS = "[,.;?! ^\\f\\n\\r\\t\\x0B\\x85\\x{2028}\\x{2029}]+"
 assert _SQL_CLASS == PUNCT_SPLIT_RE2
 _STOP_IN = "(" + ",".join(f"'{w}'" for w in sorted(STOP_WORDS)) + ")"
 
+# Java String.trim() charset (chars <= U+0020) — mirrors
+# tokenizers.JAVA_TRIM_CHARS exactly (DuckDB accepts chr(0))
+_SQL_TRIM = "||".join(f"chr({i})" for i in range(0x21))
+
 _TOK_CTE = f"""
 tok AS (
   SELECT doc_id,
-         list_filter(regexp_split_to_array(lower(text), '{_SQL_CLASS}'),
+         list_filter(regexp_split_to_array(lower(trim(text, {_SQL_TRIM})),
+                                           '{_SQL_CLASS}'),
                      x -> x <> '') AS toks
   FROM documents
 )

@@ -324,8 +324,15 @@ def fuse_scores(
 ) -> tuple[np.ndarray, np.ndarray]:
     """fused = base + weight * pagerank[doc]; desc, ties by doc_id.
     weight=0 degrades exactly to the base ranking
-    (`IcsSearchEngineTest.java:84-140`)."""
-    fused = base_scores + weight * pagerank[doc_ids]
+    (`IcsSearchEngineTest.java:84-140`).  Docs beyond the score
+    vector's length (corpus larger than the id-graph) contribute
+    pagerank 0 instead of raising — the reference sizes its array by
+    the document count, so an absent graph node scores 0 there too."""
+    n_pr = len(pagerank)
+    in_range = doc_ids < n_pr
+    pr = np.where(in_range,
+                  pagerank[np.minimum(doc_ids, max(n_pr - 1, 0))], 0.0)
+    fused = base_scores + weight * pr
     order = np.lexsort((doc_ids, -fused))
     if top_k is not None:
         order = order[:top_k]

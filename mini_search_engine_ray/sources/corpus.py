@@ -180,6 +180,15 @@ def _rowgroup_tasks(paths: list[str]) -> list[dict]:
     return tasks
 
 
+def corpus_num_rows(paths: list[str]) -> int:
+    """Total row count from the parquet FOOTERS only — callers pass
+    this as build_index(n_docs=...) so the build never runs a
+    data-reading count() pass over the corpus."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.read_metadata(p).num_rows for p in sorted(paths))
+
+
 def read_corpus(paths: str | list[str], *, columns: list[str] | None = None):
     """Read a corpus Parquet table that already carries doc_id."""
     import ray.data as rd
@@ -246,6 +255,5 @@ def adapt_documents_table(sf_dir: str):
 
 def sha256_column(t: pa.Table, col: str = "content") -> pa.Array:
     """Per-row sha256 hex of a string column (north-rule invariant D4)."""
-    data = t[col].combine_chunks() if isinstance(t[col], pa.ChunkedArray) else t[col]
     return pa.array([hashlib.sha256(v.encode()).hexdigest() if v is not None else None
-                     for v in data.to_pylist()])
+                     for v in t[col].to_pylist()])

@@ -17,18 +17,35 @@ Two equivalents here:
 
 from __future__ import annotations
 
+import re
 from typing import Callable
 
 import numpy as np
 import pyarrow as pa
+
+_LINE_RE = re.compile("\r\n|\r|\n")
+
+
+def _split_lines_java(text: str) -> list[str]:
+    """Split on \\r\\n / \\r / \\n ONLY — Java BufferedReader.readLine
+    semantics.  Python ``str.splitlines()`` additionally breaks on
+    \\v, \\f, \\x1c-\\x1e, NEL (U+0085) and U+2028/U+2029, which Java
+    never does; a NEL inside a tsv field would become a spurious row
+    and shift every following line number."""
+    if not text:
+        return []
+    lines = _LINE_RE.split(text)
+    if lines[-1] == "" and text[-1] in "\r\n":
+        lines.pop()  # a trailing terminator does not open a new line
+    return lines
 
 
 def read_file_as_string(path: str, callback: Callable[[str], None] | None = None) -> str:
     """Reference-parity reader: returns the file content with line
     terminators normalized to '\\n' and NO trailing newline; invokes
     `callback(line)` per line in order (FileUtils.java:16-22)."""
-    with open(path, encoding="utf-8") as f:
-        lines = f.read().splitlines()
+    with open(path, encoding="utf-8", newline="") as f:
+        lines = _split_lines_java(f.read())
     if callback is not None:
         for line in lines:
             callback(line)
@@ -38,8 +55,8 @@ def read_file_as_string(path: str, callback: Callable[[str], None] | None = None
 def read_lines(paths: str | list[str]):
     """Dataset of (file:string, line_no:int64, line:string) — one task
     per file, vectorized line split, deterministic per-file numbering.
-    Line semantics match `str.splitlines()` on \\n/\\r\\n (BufferedReader
-    parity for the tsv inputs this feeds)."""
+    Line semantics are Java BufferedReader's (\\r\\n/\\r/\\n only —
+    see `_split_lines_java`)."""
     import ray.data as rd
 
     if isinstance(paths, str):
@@ -50,7 +67,7 @@ def read_lines(paths: str | list[str]):
         for row in batch.to_pylist():
             data: bytes = row["bytes"]
             text = data.decode("utf-8")
-            lines = text.splitlines()
+            lines = _split_lines_java(text)
             out_file.extend([row["path"]] * len(lines))
             out_no.append(np.arange(len(lines), dtype=np.int64))
             out_line.extend(lines)

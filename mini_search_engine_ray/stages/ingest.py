@@ -38,6 +38,7 @@ from ..functions.stopwords import STOP_WORDS
 from ..functions.tokenizers import (
     CAMEL_1_RE2,
     CAMEL_2_RE2,
+    JAVA_TRIM_CHARS,
     NON_IDENT_RE2,
     PUNCT_SPLIT_RE2,
 )
@@ -107,7 +108,9 @@ class TokenizeExplode:
         name = self.analyzer_name
         lower_after = False
         if name in ("composable", "punctuation"):
-            arr = pc.utf8_lower(content)
+            # Java-trim parity (see tokenizers.JAVA_TRIM_CHARS): strips
+            # end-of-doc control chars the split class doesn't cover
+            arr = pc.utf8_lower(pc.utf8_trim(content, characters=JAVA_TRIM_CHARS))
             toks = pc.split_pattern_regex(arr, pattern=PUNCT_SPLIT_RE2)
             drop_stop, min_len = True, 1
         elif name in ("code", "code_nostem"):

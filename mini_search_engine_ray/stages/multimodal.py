@@ -129,6 +129,13 @@ class MediaFeatureExtract:
                 "real media decoding requires an image/audio library not present "
                 "in this environment; run with strict=False for deterministic fakes"
             )
+        if batch.num_rows == 0:  # np.stack([]) raises on empty blocks
+            return pa.table({
+                "media_id": batch["media_id"],
+                "media_type": batch["media_type"],
+                "feature": pa.array([], pa.list_(pa.float64(), self.feature_dim)),
+                "payload_bytes": pa.array([], pa.int64()),
+            })
         payloads = batch["payload"].to_pylist()
         types = batch["media_type"].to_pylist()
         feats = np.stack(
@@ -196,9 +203,13 @@ class MediaResize:
 
         w = pc.fill_null(batch["width"], 0).to_numpy(zero_copy_only=False).astype(np.float64)
         h = pc.fill_null(batch["height"], 0).to_numpy(zero_copy_only=False).astype(np.float64)
+        # image rows need KNOWN dims for the aspect-fit math; a row
+        # with null/zero metadata dims must pass through untouched, not
+        # be "resized" to 1x1 (silent data destruction)
+        has_dims = (w > 0) & (h > 0)
         is_img = np.asarray(
             [(t or "").startswith("image/") for t in batch["media_type"].to_pylist()]
-        )
+        ) & has_dims
         scale = np.minimum(self.tw / np.maximum(w, 1), self.th / np.maximum(h, 1))
         new_w = np.where(is_img, np.maximum(1, np.round(w * scale)), w).astype(np.int32)
         new_h = np.where(is_img, np.maximum(1, np.round(h * scale)), h).astype(np.int32)
@@ -243,20 +254,27 @@ class VideoFrameSample:
         return [round(dur * i / (self.n_frames - 1)) for i in range(self.n_frames)]
 
     def _real_frames(self, payload: bytes, targets_ms: list[int]) -> list[bytes]:
-        """One sequential decode pass; nearest decoded frame per target."""
+        """One sequential decode pass, keeping ONLY the current-nearest
+        frame per target (O(n_targets) frames resident — buffering the
+        whole clip would hold every uncompressed plane in memory: a
+        2-minute 1080p30 clip is ~10 GB)."""
         container = self._av.open(io.BytesIO(payload))
         stream = container.streams.video[0]
-        decoded: list[tuple[float, object]] = []
+        best: list[tuple[float, object] | None] = [None] * len(targets_ms)
+        any_frame = False
         for frame in container.decode(stream):
+            any_frame = True
             t_ms = float(frame.pts * stream.time_base * 1000) if frame.pts is not None else 0.0
-            decoded.append((t_ms, frame))
-        if not decoded:
+            for i, tgt in enumerate(targets_ms):
+                d = abs(t_ms - tgt)
+                if best[i] is None or d < best[i][0]:
+                    best[i] = (d, frame)
+        if not any_frame:
             raise ValueError("no decodable video frames")
         out = []
-        for tgt in targets_ms:
-            t_ms, frame = min(decoded, key=lambda x: abs(x[0] - tgt))
+        for b in best:
             buf = io.BytesIO()
-            frame.to_image().save(buf, format="PNG")
+            b[1].to_image().save(buf, format="PNG")
             out.append(buf.getvalue())
         return out
 

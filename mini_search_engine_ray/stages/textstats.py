@@ -25,7 +25,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.stopwords import STOP_WORDS
-from ..functions.tokenizers import PUNCT_SPLIT_RE2
+from ..functions.tokenizers import JAVA_TRIM_CHARS, PUNCT_SPLIT_RE2
 
 _STOP_PA = pa.array(sorted(STOP_WORDS))
 
@@ -47,9 +47,12 @@ LANG_PRIORITY = ["en", "de", "fr", "es"]
 
 
 def _split_tokens(content: pa.Array):
-    """lower + punctuation split -> (parents, values) with empties kept
-    out; stopwords retained."""
-    toks = pc.split_pattern_regex(pc.utf8_lower(content), pattern=PUNCT_SPLIT_RE2)
+    """Java-trim + lower + punctuation split -> (parents, values) with
+    empties kept out; stopwords retained.  Mirrored by the oracle's
+    `_TOK_CTE` (same trim charset via chr(), same split class)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(pc.utf8_trim(content, characters=JAVA_TRIM_CHARS)),
+        pattern=PUNCT_SPLIT_RE2)
     parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
     values = toks.flatten()
     mask = pc.not_equal(values, "")

@@ -122,3 +122,33 @@ class TestDocstoreTmpFiles:
         s = IndexSearcher(idx)
         docs = s.get_documents(np.arange(4, dtype=np.int64))
         assert len(docs) == 4
+
+
+class TestJavaTrimParity:
+    def test_punctuation_trim_strips_edge_controls(self, ray_session):
+        import pyarrow as _pa
+
+        from mini_search_engine_ray.functions.tokenizers import punctuation_tokenize
+        from mini_search_engine_ray.stages.textstats import _split_tokens
+
+        # \x1b (ANSI escape) is <= U+0020 (Java trim) but NOT in the
+        # split class: it must be stripped at the ENDS only
+        text = "\x1bhello mid\x01dle world\x07"
+        toks = punctuation_tokenize(text, stop_words=frozenset())
+        assert toks == ["hello", "mid\x01dle", "world"]
+        _, values = _split_tokens(_pa.array([text]))
+        assert values.to_pylist() == toks
+
+    def test_trimmed_doc_findable_in_index(self, ray_session, tmp_path):
+        idx = str(tmp_path / "trimidx")
+        texts = ["\x1bneedle in haystack\x07", "other text entirely"]
+        build_index(_ds(_corpus(texts)), idx, num_buckets=2,
+                    analyzer="punctuation", n_docs=2,
+                    write_docstore=False, fingerprint="t")
+        s = IndexSearcher(idx)
+        assert s.search_keyword("needle").tolist() == [0]
+        # query-side trim is symmetric: the raw query finds it too
+        assert s.search_keyword("\x1bneedle").tolist() == [0]
+        # and the STORED term is the trimmed form
+        assert s.postings("needle") is not None
+        assert s.postings("\x1bneedle") is None
