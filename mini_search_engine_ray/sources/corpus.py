@@ -217,6 +217,11 @@ def read_corpus_with_doc_ids(paths: str | list[str], *, columns: list[str] | Non
         for row in batch.to_pylist():
             pf = pq.ParquetFile(row["file"])
             t = pf.read_row_group(row["row_group"], columns=columns)
+            if "doc_id" in t.column_names:
+                # this reader ASSIGNS identity; a pre-existing doc_id
+                # column would otherwise duplicate the field name and
+                # crash every downstream select
+                t = t.drop_columns(["doc_id"])
             ids = pa.array(np.arange(row["offset"], row["offset"] + t.num_rows, dtype=np.int64))
             out.append(t.add_column(0, "doc_id", ids))
         return pa.concat_tables(out)
