@@ -21,19 +21,38 @@ Workloads:
   ann_cosine         cosine top-k over embeddings
   pagerank           100-iteration PageRank over a synthetic graph
 
---scaling: runs `bench.py --only synth_index_build` in TWO fresh
-subprocesses (RAY_GRAFT_CPUS=8 and =32) on the same input and reports
-docs/s at both plus scaling efficiency (the BASELINE.md criterion —
-no real multi-node cluster exists in this sandbox).
+--scaling: runs `bench.py --only synth_index_build` in fresh
+subprocesses at THREE parallelism levels (RAY_GRAFT_CPUS=2/8/32,
+interleaved round-robin, min per level) on the same input and reports
+docs/s per level plus efficiency for both pairs — the headline
+`value` is the sub-knee 2→8 pair, with 8→32 and the host's own
+sha256-subprocess calibration reported alongside (the BASELINE.md
+criterion — no real multi-node cluster exists in this sandbox).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
+
+# the 200-query workload shared VERBATIM by query_p95 and the
+# distributed twin (the comparison only means something if both run
+# the identical batch)
+_QUERY_VOCAB = ["index", "token", "merge", "parse", "request", "handler",
+                "stream", "batch", "cluster", "segment", "information",
+                "retrieval", "kitten", "needle", "response", "buffer"]
+
+
+def _make_queries(n: int = 200) -> list[list[str]]:
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    return [list(rng.choice(_QUERY_VOCAB, size=rng.integers(1, 4),
+                            replace=False)) for _ in range(n)]
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -70,7 +89,7 @@ def _build(corpus_path: str, index_dir: str, *, n_docs: int, salt: int) -> dict:
         index_dir,
         analyzer="composable",
         num_buckets=16,
-        salt=2,
+        salt=salt,
         positional=False,
         n_docs=n_docs,
         fingerprint=corpus_fingerprint([corpus_path]),
@@ -160,11 +179,8 @@ def bench_query_p95(out: dict, index_dir: str) -> None:
     from mini_search_engine_ray.state.searcher import IndexSearcher
 
     s = IndexSearcher(index_dir)
-    vocab = ["index", "token", "merge", "parse", "request", "handler",
-             "stream", "batch", "cluster", "segment", "information",
-             "retrieval", "kitten", "needle", "response", "buffer"]
-    rng = np.random.default_rng(7)
-    queries = [list(rng.choice(vocab, size=rng.integers(1, 4), replace=False)) for _ in range(200)]
+    vocab = _QUERY_VOCAB
+    queries = _make_queries()
     s.search_bm25(vocab[:2], 10)  # warm mmaps
     lat = []
     t0 = time.time()
@@ -204,6 +220,10 @@ def bench_query_distributed(out: dict) -> None:
 
     path = _synth_corpus_path()
     root = os.path.join(CACHE, f"didx-synth-{SYNTH_DOCS}-{NUM_CPUS}")
+    # wipe before timing: the build is resumable, so a cached root from
+    # a previous bench run would measure the resume-skip no-op instead
+    # of a build (synth/docs index benches do the same rmtree)
+    shutil.rmtree(root, ignore_errors=True)
     t0 = time.time()
     build_partitioned_index(
         rd.read_parquet(path, columns=["doc_id", "content"]),
@@ -216,11 +236,8 @@ def bench_query_distributed(out: dict) -> None:
     )
     out["queries"]["dist_index_build_p4"] = round(time.time() - t0, 3)
 
-    vocab = ["index", "token", "merge", "parse", "request", "handler",
-             "stream", "batch", "cluster", "segment", "information",
-             "retrieval", "kitten", "needle", "response", "buffer"]
-    rng = np.random.default_rng(7)
-    queries = [list(rng.choice(vocab, size=rng.integers(1, 4), replace=False)) for _ in range(200)]
+    vocab = _QUERY_VOCAB
+    queries = _make_queries()
     s = DistributedSearcher(root)
     try:
         s.search_bm25(vocab[:2], 10)  # warm actors + mmaps
@@ -369,10 +386,10 @@ def bench_pagerank(out: dict) -> None:
 
 
 def bench_temporal(out: dict) -> None:
-    """5M-event synthetic log (50k users, ~20 min span): tumbling
-    window aggregate, gap sessionization and as-of attribution join at
-    a scale where per-block sweeps and the O(num_blocks) edge stitch
-    dominate fixed overheads."""
+    """5M-event synthetic log (50k users, ~14.5-day span at 250 ms
+    mean spacing): tumbling window aggregate, gap sessionization and
+    as-of attribution join at a scale where per-block sweeps and the
+    O(num_blocks) edge stitch dominate fixed overheads."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -491,9 +508,9 @@ def bench_curation(out: dict) -> None:
 
 
 def bench_connected_components(out: dict) -> None:
-    """Transitive dedup clustering machinery on a 500k-edge graph of
-    100k 5-cliques chained pairwise (diameter grows with the chain):
-    exercises the per-iteration sort+groupby rounds + pointer jumping."""
+    """Transitive dedup clustering machinery on a ~525k-edge graph of
+    50k 5-cliques (250k nodes) bridged pairwise: exercises the
+    per-iteration sort+groupby rounds + pointer jumping."""
     import numpy as np
     import pyarrow as pa
     import ray.data as rd
@@ -519,8 +536,20 @@ def bench_connected_components(out: dict) -> None:
     assert n_nodes == cliques * 5
 
 
+_WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
+              "query_distributed", "dedup_minhash", "dedup_minhash_100k",
+              "ann_cosine", "pagerank", "temporal", "connected_components",
+              "join", "curation")
+
+
 def run_all(only: str | None = None) -> dict:
     import ray
+
+    if only is not None and only not in _WORKLOADS:
+        # a typo'd --only would otherwise print a rc-0 "benchmark"
+        # with zero workloads and value 0
+        raise SystemExit(
+            f"unknown --only workload: {only!r} (valid: {', '.join(_WORKLOADS)})")
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
@@ -566,31 +595,31 @@ def run_all(only: str | None = None) -> dict:
     return out
 
 
-def _host_cpu_calibration(lo: int, hi: int, trials: int = 3) -> dict:
-    """Measure how much CPU this sandbox actually delivers from lo to
-    hi concurrent processes (pure cache-resident sha256 work — the
-    upper bound any engine can reach here). The sandbox's virtualized
-    CPUs have shown sustained-load ceilings well below nominal core
-    count; reporting the ceiling alongside the engine's scaling makes
-    the efficiency number interpretable."""
+def _host_throughput(n: int, trials: int = 3) -> float:
+    """Aggregate throughput of n concurrent cache-resident sha256
+    subprocesses (best of `trials`) — the upper bound any engine can
+    reach on this sandbox's virtualized CPUs."""
     work = (
         "import hashlib,time;t0=time.time();b=b'x'*1048576;h=hashlib.sha256()\n"
         "for _ in range(1200): h.update(b)\n"
         "print(time.time()-t0)"
     )
+    best = 0.0
+    for _ in range(trials):
+        ps = [
+            subprocess.Popen([sys.executable, "-c", work], stdout=subprocess.PIPE)
+            for _ in range(n)
+        ]
+        avg = sum(float(p.communicate()[0]) for p in ps) / n
+        best = max(best, n / avg)
+    return best
 
-    def agg_throughput(n: int) -> float:
-        best = 0.0
-        for _ in range(trials):
-            ps = [
-                subprocess.Popen([sys.executable, "-c", work], stdout=subprocess.PIPE)
-                for _ in range(n)
-            ]
-            avg = sum(float(p.communicate()[0]) for p in ps) / n
-            best = max(best, n / avg)
-        return best
 
-    thr_lo, thr_hi = agg_throughput(lo), agg_throughput(hi)
+def _host_cpu_calibration(lo: int, hi: int, trials: int = 3) -> dict:
+    """Host-deliverable speedup from lo to hi concurrent processes;
+    reporting it alongside the engine's scaling makes the efficiency
+    number interpretable (the sandbox throttles sustained load)."""
+    thr_lo, thr_hi = _host_throughput(lo, trials), _host_throughput(hi, trials)
     return {
         "host_thr_lo": round(thr_lo, 2),
         "host_thr_hi": round(thr_hi, 2),
@@ -655,9 +684,18 @@ def run_scaling() -> dict:
             times[n].append(run(n)["queries"]["synth_index_build"])
     best = {n: min(v) for n, v in times.items()}
 
+    # calibrate each level ONCE (pairs share the 8-cpu level; the old
+    # per-pair calibration ran the 8-process sha256 load twice, adding
+    # redundant thermal pressure right before the wide measurement)
+    thr = {n: _host_throughput(n) for n in levels}
+
     def pair(lo: int, hi: int) -> dict:
         speedup = best[lo] / best[hi]
-        cal = _host_cpu_calibration(lo, hi)
+        cal = {
+            "host_thr_lo": round(thr[lo], 2),
+            "host_thr_hi": round(thr[hi], 2),
+            "host_max_speedup": round(thr[hi] / thr[lo], 3),
+        }
         return {
             "cpus_lo": lo, "cpus_hi": hi, "sec_lo": best[lo], "sec_hi": best[hi],
             "docs_per_s_lo": round(int(scaling_docs) / best[lo], 1),

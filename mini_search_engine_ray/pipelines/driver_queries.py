@@ -196,10 +196,20 @@ def get_index(sf_dir: str, *, analyzer: str = "punctuation", positional: bool = 
     return index_dir
 
 
+_SEARCHERS: dict[str, object] = {}
+
+
 def _searcher(sf_dir: str):
+    """One cached IndexSearcher per index dir — ~16 query callables
+    share it within a driver run instead of re-opening meta + shard
+    mmaps + term dictionaries each (mirrors _DIST_SEARCHERS)."""
     from ..state.searcher import IndexSearcher
 
-    return IndexSearcher(get_index(sf_dir))
+    index_dir = get_index(sf_dir)
+    s = _SEARCHERS.get(index_dir)
+    if s is None:
+        s = _SEARCHERS[index_dir] = IndexSearcher(index_dir)
+    return s
 
 
 DIST_PARTITIONS = 4
@@ -523,30 +533,38 @@ def q_token_count_total(sf_dir: str):
     )
 
 
-def q_ann_cosine_topk(sf_dir: str):
+def _ann_inputs(sf_dir: str):
+    """Shared ANN prologue: (embedding Dataset, query matrix) — ONE
+    definition for the cosine/IVF/LSH sketches so their query set and
+    ordering can't drift apart."""
     import pyarrow.parquet as pq
-
     import ray.data as rd
-
-    from ..stages.similarity import ann_cosine_topk
 
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     qt = pq.read_table(emb_path, filters=[("vec_id", "<", ANN_QUERY_IDS)])
     qt = qt.sort_by("vec_id")  # query_id i == vec_id i
-    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
-    ds = rd.read_parquet(emb_path)
+    qm = np.stack([np.asarray(v, dtype=np.float64)
+                   for v in qt["embedding"].to_pylist()])
+    return rd.read_parquet(emb_path), qm
+
+
+def _ann_fix(t: pa.Table) -> pa.Table:
+    """Shared ANN output normalization (scores rounded 4dp)."""
+    return pa.table(
+        {
+            "query_id": t["query_id"],  # == vec_id of the query
+            "vec_id": t["vec_id"],
+            "score": pa.array(_r4(t["score"].to_numpy(zero_copy_only=False))),
+        }
+    )
+
+
+def q_ann_cosine_topk(sf_dir: str):
+    from ..stages.similarity import ann_cosine_topk
+
+    ds, qm = _ann_inputs(sf_dir)
     out = ann_cosine_topk(ds, qm, k=ANN_K)
-
-    def fix(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "query_id": t["query_id"],  # == vec_id of the query (0..4 in order)
-                "vec_id": t["vec_id"],
-                "score": pa.array(_r4(t["score"].to_numpy(zero_copy_only=False))),
-            }
-        )
-
-    return out.drop_columns(["rank"]).map_batches(fix, batch_format="pyarrow")
+    return out.drop_columns(["rank"]).map_batches(_ann_fix, batch_format="pyarrow")
 
 
 def q_search_phrase3(sf_dir: str):
@@ -631,27 +649,11 @@ def q_ann_ivf_topk(sf_dir: str):
     SQL oracle (exact top-k). The approximate path (nprobe <
     n_centroids) isn't SQL-expressible; its recall bound is
     pytest-verified (tests/test_extras.py)."""
-    import pyarrow.parquet as pq
-
-    import ray.data as rd
-
     from ..stages.similarity import ivf_cosine_topk
 
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(emb_path, filters=[("vec_id", "<", ANN_QUERY_IDS)]).sort_by("vec_id")
-    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
-    out = ivf_cosine_topk(rd.read_parquet(emb_path), qm, k=ANN_K, n_centroids=8, nprobe=8)
-
-    def fix(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "query_id": t["query_id"],
-                "vec_id": t["vec_id"],
-                "score": pa.array(_r4(t["score"].to_numpy(zero_copy_only=False))),
-            }
-        )
-
-    return out.drop_columns(["rank"]).map_batches(fix, batch_format="pyarrow")
+    ds, qm = _ann_inputs(sf_dir)
+    out = ivf_cosine_topk(ds, qm, k=ANN_K, n_centroids=8, nprobe=8)
+    return out.drop_columns(["rank"]).map_batches(_ann_fix, batch_format="pyarrow")
 
 
 def q_ann_lsh_topk(sf_dir: str):
@@ -661,27 +663,11 @@ def q_ann_lsh_topk(sf_dir: str):
     checked against the brute-force SQL oracle. The approximate path
     (small probe_radius) isn't SQL-expressible; its recall bound is
     pytest-verified (tests/test_extras.py)."""
-    import pyarrow.parquet as pq
-
-    import ray.data as rd
-
     from ..stages.similarity import lsh_cosine_topk
 
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    qt = pq.read_table(emb_path, filters=[("vec_id", "<", ANN_QUERY_IDS)]).sort_by("vec_id")
-    qm = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
-    out = lsh_cosine_topk(
-        rd.read_parquet(emb_path), qm, k=ANN_K, num_hyperplanes=6, probe_radius=6
-    )
-
-    def fix(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "query_id": t["query_id"],
-                "vec_id": t["vec_id"],
-                "score": pa.array(_r4(t["score"].to_numpy(zero_copy_only=False))),
-            }
-        )
+    ds, qm = _ann_inputs(sf_dir)
+    out = lsh_cosine_topk(ds, qm, k=ANN_K, num_hyperplanes=6, probe_radius=6)
+    fix = _ann_fix
 
     return out.drop_columns(["rank"]).map_batches(fix, batch_format="pyarrow")
 
@@ -2347,21 +2333,6 @@ WHERE c.event_type = 'click' AND v.event_type = 'view'
     "compression_ratio": _compression_ratio_sql(),
     "pagerank": _pagerank_sql(),
     "pagerank_join": _pagerank_sql(8),
-    # IVF at full probe is provably lossless => the exact brute-force
-    # top-k SQL is its oracle (same queries/k as ann_cosine_topk)
-    "ann_ivf_topk": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
-           FROM embeddings WHERE vec_id < {ANN_QUERY_IDS}),
-s AS (SELECT q.query_id, e.vec_id,
-             list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
-      FROM q CROSS JOIN embeddings e),
-r AS (SELECT query_id, vec_id, sim,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, vec_id) AS rn
-      FROM s)
-SELECT query_id, vec_id, {_R4.format(expr="sim")} AS score
-FROM r WHERE rn <= {ANN_K}
-""",
     "codec_golden": """
 SELECT * FROM (VALUES
   ('six_ones', '010101010101', true),
@@ -2402,6 +2373,8 @@ ORACLE_SQL["search_not_distributed"] = ORACLE_SQL["search_not"]
 ORACLE_SQL["search_near_distributed"] = ORACLE_SQL["search_near"]
 ORACLE_SQL["search_fuzzy_distributed"] = ORACLE_SQL["search_fuzzy"]
 ORACLE_SQL["search_wildcard_distributed"] = ORACLE_SQL["search_wildcard"]
-# LSH at full probe is provably lossless => the exact brute-force
-# top-k SQL is its oracle (same queries/k as ann_cosine_topk)
+# IVF/LSH at full probe are provably lossless => the exact brute-force
+# top-k SQL is their oracle (same queries/k as ann_cosine_topk); reuse
+# by ASSIGNMENT so the three sketches can never drift apart
+ORACLE_SQL["ann_ivf_topk"] = ORACLE_SQL["ann_cosine_topk"]
 ORACLE_SQL["ann_lsh_topk"] = ORACLE_SQL["ann_cosine_topk"]
