@@ -329,9 +329,14 @@ def fuse_scores(
     pagerank 0 instead of raising — the reference sizes its array by
     the document count, so an absent graph node scores 0 there too."""
     n_pr = len(pagerank)
-    in_range = doc_ids < n_pr
-    pr = np.where(in_range,
-                  pagerank[np.minimum(doc_ids, max(n_pr - 1, 0))], 0.0)
+    if n_pr == 0:
+        # empty id-graph: every doc is out-of-graph, pagerank 0 — the
+        # np.where below would still eagerly index the size-0 array
+        pr = np.zeros(len(doc_ids))
+    else:
+        in_range = doc_ids < n_pr
+        pr = np.where(in_range,
+                      pagerank[np.minimum(doc_ids, n_pr - 1)], 0.0)
     fused = base_scores + weight * pr
     order = np.lexsort((doc_ids, -fused))
     if top_k is not None:

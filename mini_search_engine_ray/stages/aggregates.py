@@ -176,6 +176,15 @@ def count_distinct_per_group(ds, keys: list[str], value_col: str, *,
     def local_dedup(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t.select(cols) if set(cols) <= set(t.column_names) else t
+        # SQL COUNT(DISTINCT v) ignores NULL values — drop them here so
+        # a null is never counted as a distinct value (and so a null
+        # string value never reaches Ray's sort, which crashes on null
+        # keys). Caveat: a group whose values are ALL null disappears
+        # from the output instead of appearing with 0, matching an
+        # inner-join shape rather than the full GROUP BY key set.
+        t = t.filter(pc.is_valid(t[value_col]))
+        if t.num_rows == 0:
+            return t.select(cols)
         return t.select(cols).group_by(cols).aggregate([])
 
     dd = ds.map_batches(local_dedup, batch_format="pyarrow")

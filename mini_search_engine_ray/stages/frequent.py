@@ -11,14 +11,17 @@ so the union of per-batch local candidates is a SUPERSET of the true
 heavy hitters, and an exact recount restricted to that candidate set
 followed by the global ``count * k > N`` filter yields EXACTLY
 ``{item : count(item) * k > N}`` — of which there are at most k-1
-(their counts sum to <= N).  The shuffle therefore carries
+(their counts sum to <= N).  Pass 1 runs the pigeonhole at TWO levels
+with a halved threshold (local count * 2k > N_local per batch, then
+summed-estimate * 2k > N_block per Ray block — see
+``_pigeonhole_merge_block`` for the soundness argument), so the
+shuffle carries
 
-  pass 1:  <= k-1 candidate rows + 1 total-sentinel row per batch
+  pass 1:  <= 2k-1 candidate rows + sentinel rows per BLOCK
   pass 2:  <= |candidates| exact-count rows per batch
 
-never the token stream itself; the only data-sized work is the
-streaming tokenize of each pass.  The candidate union is bounded by
-(k-1) * num_batches in theory but is ~k in practice (Zipfian streams);
+never the token stream itself, and the driver-side candidate union is
+bounded by (2k-1) * num_blocks (~k in practice on Zipfian streams);
 if a pathological stream blows it up, the exact full-count fallback is
 ``sorted_groupby_agg`` over all tokens (what `term_stats` runs).
 
@@ -47,6 +50,48 @@ def _string(arr: pa.Array) -> pa.Array:
     return arr.cast(pa.string()) if arr.type != pa.string() else arr
 
 
+def _pigeonhole_merge_block(t: pa.Table, key_cols: list[str], k: int,
+                            sentinel_col: str,
+                            total_w2: str | None = None) -> pa.Table:
+    """Second-level pigeonhole combine over one Ray block of per-batch
+    candidate summaries, bounding the driver-side candidate union at
+    <= (2k-1) * n_blocks rows instead of (2k-1) * n_batches.
+
+    Soundness (two-level pigeonhole with a HALVED threshold): batches
+    emit items with cnt_b * 2k > N_b, so within any block the summed
+    estimate est(x) undercounts the block's true count by at most
+    N_blk/(2k).  A true global heavy hitter (count * k > N) has, by
+    pigeonhole over blocks, count_blk(x) > N_blk/k in at least one
+    block, where est(x) > N_blk/k - N_blk/(2k) = N_blk/(2k) — so the
+    block filter est * 2k > N_blk keeps it.  (The tighter Misra-Gries
+    decrement merge is NOT sound here: per-batch exact-survivor
+    summaries lack the MG mass invariant M <= N - (k+1)err, and a true
+    hitter with count in (N/k, 2N/k] could lose its counter.)  At most
+    2k-1 items per block can pass (their estimates sum to <= N_blk).
+    Block totals N_blk come from the sentinel rows, which pass through
+    untouched for the global combine; pass 2's exact recount and the
+    final count * k > n_total filter are unchanged, so the output is
+    exact."""
+    if t.num_rows == 0:
+        return t
+    sent_mask = pc.equal(t[sentinel_col], _TOTAL)
+    sent = t.filter(sent_mask)
+    cand = t.filter(pc.invert(sent_mask))
+    tot_rows = sent if total_w2 is None else \
+        sent.filter(pc.equal(sent["w2"], total_w2))
+    n_blk = int(pc.sum(tot_rows["cnt"]).as_py() or 0)
+    merged = cand.group_by(key_cols).aggregate([("cnt", "sum")]) \
+        .rename_columns(key_cols + ["cnt"])
+    if merged.num_rows and n_blk:
+        cnt = merged["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = cnt * (2 * k) > n_blk
+        merged = pa.table(
+            {c: merged[c].filter(pa.array(keep)) for c in key_cols}
+            | {"cnt": pa.array(cnt[keep])})
+    return pa.concat_tables([merged.select(t.column_names),
+                             sent.select(t.column_names)])
+
+
 def heavy_hitters(ds, *, k: int = HH_K, text_col: str = "text"):
     """Exact tokens with count * k > total_tokens, as a Dataset
     (term, cnt).  Two streaming passes (candidates, exact recount);
@@ -64,7 +109,9 @@ def heavy_hitters(ds, *, k: int = HH_K, text_col: str = "text"):
         denc = values.dictionary_encode()
         codes = denc.indices.to_numpy(zero_copy_only=False)
         cnt = np.bincount(codes, minlength=len(denc.dictionary)).astype(np.int64)
-        keep = np.flatnonzero(cnt * k > tot)
+        # HALVED threshold (2k): feeds the block-level pigeonhole merge
+        # (see _pigeonhole_merge_block soundness note)
+        keep = np.flatnonzero(cnt * (2 * k) > tot)
         terms = _string(denc.dictionary.take(pa.array(keep)))
         return pa.table({
             "term": pa.concat_arrays([terms, pa.array([_TOTAL], pa.string())]),
@@ -72,9 +119,11 @@ def heavy_hitters(ds, *, k: int = HH_K, text_col: str = "text"):
         })
 
     combined = sorted_groupby_agg(
-        ds.map_batches(local_candidates, batch_format="pyarrow"),
+        ds.map_batches(local_candidates, batch_format="pyarrow")
+          .map_batches(lambda t: _pigeonhole_merge_block(t, ["term"], k, "term"),
+                       batch_size=None, batch_format="pyarrow"),
         ["term"], [("cnt", "sum", "cnt")],
-    ).to_pandas()  # bounded: <= (k-1) distinct candidates per batch
+    ).to_pandas()  # bounded: <= (k-1) candidates per BLOCK after MG merge
     n_total = int(combined.loc[combined["term"] == _TOTAL, "cnt"].sum())
     cand = sorted(str(s) for s in combined.loc[combined["term"] != _TOTAL, "term"])
     if not cand or n_total == 0:
@@ -118,7 +167,11 @@ def heavy_hitters(ds, *, k: int = HH_K, text_col: str = "text"):
     return exact.map_batches(final, batch_format="pyarrow")
 
 
-_PAIR_SEP = "\x1f"
+# pair-key separator: a space is IN the tokenizer's split class, so it
+# can never appear inside a token and the join is collision-free (a
+# non-split-class char like U+001F can survive mid-token and alias two
+# different bigrams into one recount key)
+_PAIR_SEP = " "
 
 
 def bigram_pmi(ds, *, k: int = BIGRAM_K, text_col: str = "text") -> pa.Table:
@@ -155,7 +208,8 @@ def bigram_pmi(ds, *, k: int = BIGRAM_K, text_col: str = "text") -> pa.Table:
                              "cnt": pa.array([n_tok, 0], pa.int64())})
         v = len(denc.dictionary)
         uk, cnt = np.unique(left * v + right, return_counts=True)
-        keep = cnt.astype(np.int64) * k > n_pair
+        # HALVED threshold (2k) for the block-level pigeonhole merge
+        keep = cnt.astype(np.int64) * (2 * k) > n_pair
         uk, cnt = uk[keep], cnt[keep].astype(np.int64)
         w1 = _string(denc.dictionary.take(pa.array(uk // v)))
         w2 = _string(denc.dictionary.take(pa.array(uk % v)))
@@ -166,9 +220,12 @@ def bigram_pmi(ds, *, k: int = BIGRAM_K, text_col: str = "text") -> pa.Table:
         })
 
     combined = sorted_groupby_agg(
-        ds.map_batches(local_candidates, batch_format="pyarrow"),
+        ds.map_batches(local_candidates, batch_format="pyarrow")
+          .map_batches(lambda t: _pigeonhole_merge_block(t, ["w1", "w2"], k,
+                                                         "w1", total_w2="#pairs"),
+                       batch_size=None, batch_format="pyarrow"),
         ["w1", "w2"], [("cnt", "sum", "cnt")],
-    ).to_pandas()  # bounded: <= k-1 local candidates per batch
+    ).to_pandas()  # bounded: <= k-1 candidates per BLOCK after MG merge
     sent = combined["w1"] == _TOTAL
     totals = dict(zip(combined.loc[sent, "w2"], combined.loc[sent, "cnt"]))
     n1 = int(totals.get("#tokens", 0))

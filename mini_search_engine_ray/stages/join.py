@@ -155,8 +155,10 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
         from .aggregates import key_run_breaks
 
         n = t.num_rows
-        # null-aware breaks: null-key LEFT rows (how='left' keeps them)
-        # form their own runs with zero right rows -> emitted unmatched
+        # null keys never reach this sweep: align_left/align_right drop
+        # them before the shuffle for EVERY how (they'd also crash
+        # Ray's sort); 'left'/'anti' re-emit them via the shuffle-free
+        # null_left branch below
         run_of = np.cumsum(np.r_[0, key_run_breaks(t, lkeys).astype(np.int64)])
         side = _combined(t[_SIDE]).to_numpy(zero_copy_only=False)
         order = np.lexsort((side, run_of))
