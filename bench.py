@@ -294,19 +294,12 @@ def bench_dedup_minhash(out: dict) -> None:
     out["dedup_candidate_pairs"] = int(n)
 
 
-def bench_dedup_minhash_100k(out: dict) -> None:
-    """MinHash+LSH candidate pairs at 100k docs — evidence that the
-    (band, band_hash mod P) re-keyed pair stage runs with parallelism
-    well beyond the former 16-band ceiling and bounded per-task groups.
-    The corpus embeds duplicate clusters so the pair stage has real
-    work."""
+def _dedup_corpus_path(n_docs: int) -> str:
+    """Synthetic dedup corpus with planted duplicate clusters (every
+    50th doc heads a cluster; the next doc is its near-dup)."""
     import numpy as np
     import pyarrow as pa
-    import ray.data as rd
 
-    from mini_search_engine_ray.stages.dedup import minhash_candidate_pairs
-
-    n_docs = int(os.environ.get("BENCH_DEDUP_DOCS", "100000"))
     path = os.path.join(CACHE, f"dedup-corpus-{n_docs}.parquet")
     if not os.path.exists(path):
         import pyarrow.parquet as pq
@@ -327,8 +320,21 @@ def bench_dedup_minhash_100k(out: dict) -> None:
                       "text": pa.array(texts, type=pa.large_string())})
         pq.write_table(t, path + ".tmp", row_group_size=4096)
         os.replace(path + ".tmp", path)
+    return path
 
-    ds = rd.read_parquet(path)
+
+def bench_dedup_minhash_100k(out: dict) -> None:
+    """MinHash+LSH candidate pairs at 100k docs — evidence that the
+    (band, band_hash mod P) re-keyed pair stage runs with parallelism
+    well beyond the former 16-band ceiling and bounded per-task groups.
+    The corpus embeds duplicate clusters so the pair stage has real
+    work."""
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.dedup import minhash_candidate_pairs
+
+    n_docs = int(os.environ.get("BENCH_DEDUP_DOCS", "100000"))
+    ds = rd.read_parquet(_dedup_corpus_path(n_docs))
     t0 = time.time()
     pairs, _ = minhash_candidate_pairs(ds)
     n = pairs.count()
@@ -353,6 +359,54 @@ def bench_dedup_minhash_100k(out: dict) -> None:
                     break
     except Exception:
         pass
+
+
+def bench_dedup_verify_100k(out: dict) -> None:
+    """Exact k-shingle Jaccard verification of 100k candidate pairs
+    over the 100k-doc dedup corpus — the fully distributed verify path
+    (pairs stay a Dataset end to end: explode -> shingle ->
+    sort-merge join -> keyed reductions -> left join back; no
+    driver-side pair list or doc->pairs dict anywhere)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.dedup import verify_pairs_jaccard
+
+    n_docs = int(os.environ.get("BENCH_DEDUP_DOCS", "100000"))
+    ds = rd.read_parquet(_dedup_corpus_path(n_docs))
+    # 100k candidate pairs: the ~2k planted near-dup pairs + random
+    # pairs (realistic LSH output shape: few true positives, many
+    # collisions to refute)
+    n_pairs = int(os.environ.get("BENCH_VERIFY_PAIRS", "100000"))
+    rng = np.random.default_rng(23)
+    heads = np.arange(0, n_docs - 1, 50, dtype=np.int64)
+    a_rand = rng.integers(0, n_docs - 1, size=n_pairs - len(heads)).astype(np.int64)
+    b_rand = a_rand + 1 + rng.integers(
+        0, np.maximum(n_docs - 1 - a_rand, 1)).astype(np.int64)
+    b_rand = np.minimum(b_rand, n_docs - 1)
+    a_all = np.r_[heads, a_rand]
+    b_all = np.r_[heads + 1, np.maximum(b_rand, a_rand + 1)]
+    # verify_pairs_jaccard requires DISTINCT pairs (the LSH stage's
+    # contract): dedupe the synthetic ones
+    uniq = np.unique(a_all * np.int64(n_docs) + b_all)
+    pairs = rd.from_arrow(pa.table({
+        "a": pa.array(uniq // n_docs),
+        "b": pa.array(uniq % n_docs),
+    }))
+    n_pairs = len(uniq)
+    t0 = time.time()
+    verified = verify_pairs_jaccard(ds, pairs)
+    import pyarrow.compute as pc
+
+    n_dups = 0  # streamed consumption; only per-batch counts held
+    for bt in verified.iter_batches(batch_format="pyarrow"):
+        if bt.num_rows and "jaccard" in bt.column_names:
+            n_dups += int(pc.sum(pc.cast(
+                pc.greater_equal(bt["jaccard"], 0.8), pa.int64())).as_py() or 0)
+    out["queries"]["dedup_verify_100k"] = round(time.time() - t0, 3)
+    out["dedup_verify_pairs"] = int(n_pairs)
+    out["dedup_verify_dups"] = int(n_dups)
 
 
 def bench_ann(out: dict) -> None:
@@ -538,8 +592,8 @@ def bench_connected_components(out: dict) -> None:
 
 _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",
-              "ann_cosine", "pagerank", "temporal", "connected_components",
-              "join", "curation")
+              "dedup_verify_100k", "ann_cosine", "pagerank", "temporal",
+              "connected_components", "join", "curation")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -553,6 +607,25 @@ def run_all(only: str | None = None) -> dict:
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+
+    class _DropEmptyBlockSchemaWarning(logging.Filter):
+        """Ray's map operators FORWARD empty input blocks without
+        calling the UDF (ray/data/_internal/planner/plan_udf_map_op.py:
+        "TODO(hchen): ... some all-to-all operators output empty blocks
+        with no schema"), so a range sort with empty boundary
+        partitions always trips streaming_executor_state's mixed-schema
+        warning no matter how schema-stable the UDFs are.  Cosmetic by
+        Ray's own admission — drop exactly that record."""
+
+        def filter(self, record: logging.LogRecord) -> bool:
+            return "RefBundle with a different schema" not in record.getMessage()
+
+    # logging filters do not propagate to child loggers: attach to the
+    # module logger that emits the record
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptyBlockSchemaWarning())
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -578,6 +651,8 @@ def run_all(only: str | None = None) -> dict:
         bench_dedup_minhash(out)
     if only in (None, "dedup_minhash_100k"):
         bench_dedup_minhash_100k(out)
+    if only in (None, "dedup_verify_100k"):
+        bench_dedup_verify_100k(out)
     if only in (None, "ann_cosine"):
         bench_ann(out)
     if only in (None, "pagerank"):

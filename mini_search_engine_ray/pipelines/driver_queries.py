@@ -804,14 +804,19 @@ def q_dedup_near_jaccard(sf_dir: str):
 
     docs = _docs_ds(sf_dir)
     pairs, _ = minhash_candidate_pairs(docs.select_columns(["doc_id", "text"]))
-    out = verify_pairs_jaccard(docs, pairs)
-    return pa.table(
-        {
-            "a": out["a"],
-            "b": out["b"],
-            "jaccard": pa.array(_r4(out["jaccard"].to_numpy(zero_copy_only=False))),
-        }
-    )
+    out = verify_pairs_jaccard(docs, pairs)  # Dataset (a, b, jaccard)
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64())})
+        return pa.table({
+            "a": t["a"], "b": t["b"],
+            "jaccard": pa.array(_r4(t["jaccard"].to_numpy(zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
 
 
 WINDOW_WIDTH_S = 3600

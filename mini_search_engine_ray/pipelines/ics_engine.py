@@ -17,7 +17,16 @@ import pyarrow as pa
 
 from ..state.searcher import IndexSearcher
 from .build import build_index
-from .pagerank import ITERATIONS, fuse_scores, pagerank_numpy
+from .pagerank import ITERATIONS, fuse_scores, pagerank_dataset, pagerank_numpy
+
+# Above this many edges the composite dispatches to the distributed
+# `pagerank_dataset` instead of collecting the edge list: 5e7 edges of
+# (src, dst) int64 is ~800 MB on the driver — a safe single-node
+# ceiling.  The numpy path is usually RIGHT below it (the web graph is
+# narrow and the driver loop beats 100 shuffle rounds); the dense
+# num_nodes score vector is held either way, matching the reference's
+# by-document-count array (`IcsSearchEngine.java:116-164`).
+COLLECT_EDGE_THRESHOLD = 50_000_000
 
 
 def read_url_tsv(path: str):
@@ -77,12 +86,40 @@ class IcsSearchEngine:
             self._searcher = IndexSearcher(self.index_dir)
         return self._searcher
 
-    def compute_page_rank(self, edges, num_nodes: int, *, iterations: int = ITERATIONS) -> np.ndarray:
-        """edges: Dataset (src,dst) or (src,dst) numpy arrays."""
-        if hasattr(edges, "take_all"):
-            rows = edges.take_all()
-            src = np.asarray([r["src"] for r in rows], dtype=np.int64)
-            dst = np.asarray([r["dst"] for r in rows], dtype=np.int64)
+    @staticmethod
+    def _collect_edges(edges) -> tuple[np.ndarray, np.ndarray]:
+        """Small-graph path ONLY: pull the edge blocks to the driver
+        (vectorized via Arrow refs, not per-row take_all)."""
+        import ray
+
+        tbls = [t for t in ray.get(edges.to_arrow_refs())
+                if t.num_rows and "src" in t.column_names]
+        if not tbls:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+        tbl = pa.concat_tables(tbls)
+        return (tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64),
+                tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64))
+
+    def compute_page_rank(
+        self, edges, num_nodes: int, *, iterations: int = ITERATIONS,
+        collect_threshold: int = COLLECT_EDGE_THRESHOLD,
+    ) -> np.ndarray:
+        """edges: Dataset (src,dst) or (src,dst) numpy arrays.
+
+        Size-dispatching: an edges Dataset with more than
+        ``collect_threshold`` rows runs `pagerank_dataset` — edges stay
+        distributed, the driver receives only the dense num_nodes score
+        vector — instead of being collected for the numpy loop.  The
+        paths agree to float reduction-order noise (tested)."""
+        if hasattr(edges, "count"):  # a Dataset
+            # materialize once: count() + (either path) re-consume it
+            edges = edges.materialize()
+            if edges.count() > collect_threshold:
+                tbl = pagerank_dataset(edges, num_nodes, iterations=iterations)
+                # node column is arange(num_nodes): score col IS the vector
+                self.pagerank_scores = tbl["score"].to_numpy(zero_copy_only=False)
+                return self.pagerank_scores
+            src, dst = self._collect_edges(edges)
         else:
             src, dst = edges
         self.pagerank_scores = pagerank_numpy(src, dst, num_nodes, iterations=iterations)

@@ -60,6 +60,24 @@ def _agg_out_type(op: str, src: pa.DataType) -> pa.DataType:
     return src
 
 
+def static_schema(ds) -> pa.Schema | None:
+    """The Dataset's Arrow schema IF statically known (parquet reads,
+    from_arrow, unions of known schemas) — never triggers execution.
+    Lets sorted sweeps emit fully-TYPED empty blocks for the schema-less
+    empties Ray's range sort produces on empty boundary partitions,
+    keeping every output bundle of one operator schema-identical
+    (otherwise the streaming executor logs a mixed-schema warning per
+    empty block)."""
+    try:
+        s = ds.schema(fetch_if_missing=False)
+    except Exception:
+        return None
+    if s is None:
+        return None
+    base = getattr(s, "base_schema", s)
+    return base if isinstance(base, pa.Schema) else None
+
+
 def sorted_groupby_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
     """Grouped reduction via sort + vectorized per-block sweep.
 
@@ -73,20 +91,28 @@ def sorted_groupby_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
         if op not in _OPS:
             raise ValueError(f"unsupported agg op: {op}")
 
+    in_schema = static_schema(ds)
+
+    def _in_type(t: pa.Table, col: str) -> pa.DataType | None:
+        if col in t.column_names:
+            return t.schema.field(col).type
+        if in_schema is not None and col in in_schema.names:
+            return in_schema.field(col).type
+        return None
+
     def sweep(t: pa.Table) -> pa.Table:
         cols: dict[str, pa.Array] = {}
-        if t.num_rows == 0 and t.num_columns == 0:
-            # schema-less empty block from the sort boundary: pass it
-            # through rather than inventing (possibly wrong-typed) columns
+        if t.num_rows == 0 and t.num_columns == 0 and in_schema is None:
+            # schema-less empty block from the sort boundary and no
+            # static input schema: pass it through rather than
+            # inventing (possibly wrong-typed) columns
             return t
         if t.num_rows == 0:
             for k in keys:
-                cols[k] = pa.array([], t.schema.field(k).type if k in t.column_names
-                                   else pa.int64())
+                cols[k] = pa.array([], _in_type(t, k) or pa.int64())
             for src, op, alias in aggs:
-                st = (t.schema.field(src).type
-                      if src in t.column_names else pa.int64())
-                cols[alias] = pa.array([], _agg_out_type(op, st))
+                cols[alias] = pa.array(
+                    [], _agg_out_type(op, _in_type(t, src) or pa.int64()))
             return pa.table(cols)
         n = t.num_rows
         key_arrs = []
@@ -194,7 +220,8 @@ def count_distinct_per_group(ds, keys: list[str], value_col: str, *,
 
 
 def topk_per_group(ds, keys: list[str], order_col: str, k: int, *,
-                   descending: bool = True, tiebreak: str | None = None):
+                   descending: bool = True, tiebreak: str | None = None,
+                   in_schema: pa.Schema | None = None):
     """Top-k rows per key group, whole rows preserved.
 
     One range sort on the KEY columns alone (so key runs never
@@ -205,10 +232,19 @@ def topk_per_group(ds, keys: list[str], order_col: str, k: int, *,
     per-group Python, no global collect; the only shuffle is the
     sort. `order_col` (and `tiebreak`) must be numeric. Pass
     `tiebreak` (ascending) to make the kept set deterministic under
-    order-value ties."""
+    order-value ties.  ``in_schema``: the row schema, for callers whose
+    input is a derived Dataset without a statically-known schema —
+    lets the sweep emit TYPED empty blocks for the sort's schema-less
+    empties instead of mixed-schema bundles."""
+    if in_schema is None:
+        in_schema = static_schema(ds)
 
     def sweep(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
+            if t.num_columns == 0 and in_schema is not None:
+                # typed empty: keeps every output bundle schema-equal
+                return pa.table(
+                    {f.name: pa.array([], f.type) for f in in_schema})
             return t
         n = t.num_rows
         run_of = np.cumsum(np.r_[0, key_run_breaks(t, keys).astype(np.int64)])

@@ -280,94 +280,131 @@ def verify_pairs_jaccard(
 ):
     """EXACT k-shingle Jaccard for candidate pairs — the verification
     stage after LSH — as a DISTRIBUTED shingle-equality join (the same
-    join the `dedup_near_jaccard` SQL oracle models):
+    join the `dedup_near_jaccard` SQL oracle models), with NO
+    driver-side materialization anywhere (on a mirrored-dump corpus
+    LSH candidates can be O(N * degree), so even the pair list must
+    stay a Dataset):
 
-      1. map_batches over the corpus, filtered to involved docs: emit
-         one (pair_id, sh) row per (candidate pair, DISTINCT shingle
-         of either member). A doc in several pairs replicates its
-         shingles per pair (bounded by its LSH candidate degree).
-      2. groupby(pair_id, sh).count(): a (pair, shingle) appears twice
-         iff BOTH members hold it (members are distinct docs and
-         per-doc shingles are distinct) -> intersection marker.
-      3. groupby(pair_id).aggregate(Count -> |union|, Sum(marker) ->
-         |intersection|) — all native aggregates, no per-group Python.
+      1. explode pairs to (jdoc, a, b) member rows — 2 per pair.
+      2. shingle the corpus into DISTINCT (doc, sh) rows (one
+         vectorized pass; docs in no pair die in the join sweep).
+      3. ``sort_merge_join`` member rows against shingle rows on the
+         doc id -> (a, b, sh): one narrow int64 range sort is the only
+         corpus-sized shuffle.  A doc in several pairs replicates its
+         shingles per pair inside the join block (bounded by its LSH
+         candidate degree — inherent to per-pair verification).
+      4. sorted reduceat reductions keyed by the PAIR (a, b):
+         count(a,b,sh) == 2 iff BOTH members hold the shingle
+         (members are distinct docs with distinct per-doc shingles)
+         -> |intersection|; count per (a,b) -> |union|.
+      5. LEFT-join pairs back so pairs absent from the reductions
+         (both members shingle-less) surface with jaccard = 1.0
+         (empty-vs-empty parity with `exact_jaccard_tokens`).
 
-    Only the final per-pair (union, inter) rows — output-sized, like
-    `pairs` itself — reach the driver; per-doc shingle data never does.
-
-    `pairs`: Dataset or DataFrame with columns a, b. Returns a
-    pa.Table (a, b, jaccard) in pairs order. Empty-vs-empty sets
-    define jaccard = 1.0 (parity with `exact_jaccard_tokens`).
+    `pairs`: Dataset (or small Table/DataFrame) with columns a, b —
+    rows must be DISTINCT (a, b) combinations with a != b, which the
+    LSH candidate stage guarantees (`_dedup_sorted_pairs`); a repeated
+    pair would double its shingles' counts and corrupt the cnt == 2
+    intersection marker.  Returns a DATASET with columns (a, b,
+    jaccard) — consume it streaming; nothing pair-sized ever lands on
+    the driver.
     """
-    import ray
+    import ray.data as rd
     import pyarrow.compute as pc
 
-    if hasattr(pairs, "to_pandas"):
-        pairs = pairs.to_pandas()
-    if len(pairs) == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    a_arr = pairs["a"].to_numpy().astype(np.int64)
-    b_arr = pairs["b"].to_numpy().astype(np.int64)
-    n_pairs = len(a_arr)
-    # doc -> [pair_id, ...] (a doc may sit in many pairs); broadcast ONCE
-    doc_pairs: dict[int, list[int]] = {}
-    for pid in range(n_pairs):
-        doc_pairs.setdefault(int(a_arr[pid]), []).append(pid)
-        doc_pairs.setdefault(int(b_arr[pid]), []).append(pid)
-    dp_ref = ray.put({d: np.asarray(ps, dtype=np.int64) for d, ps in doc_pairs.items()})
-    inv_ref = ray.put(pa.array(np.fromiter(doc_pairs, dtype=np.int64, count=len(doc_pairs))))
+    from .aggregates import sorted_groupby_agg
+    from .join import sort_merge_join
 
-    def pair_shingle_rows(t: pa.Table) -> pa.Table:
-        dp = ray.get(dp_ref)
-        t = t.filter(pc.is_in(t[id_col], value_set=ray.get(inv_ref)))
-        empty = pa.table({"pair_id": pa.array([], pa.int64()),
+    if hasattr(pairs, "to_pandas") and not isinstance(pairs, rd.Dataset):
+        pairs = pa.Table.from_pandas(pairs.to_pandas(), preserve_index=False)
+    if isinstance(pairs, pa.Table):
+        pairs = rd.from_arrow(pairs.select(["a", "b"]))
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    empty_out = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"jdoc": pa.array([], pa.int64())}).append_column(
+                "a", pa.array([], pa.int64())).append_column(
+                "b", pa.array([], pa.int64()))
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"jdoc": pa.array(np.r_[a, b]),
+                         "a": pa.array(np.r_[a, a]),
+                         "b": pa.array(np.r_[b, b])})
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc": pa.array([], pa.int64()),
                           "sh": pa.array([], pa.int64())})
         if t.num_rows == 0:
             return empty
         flat, off = _doc_shingles_flat(t, text_col, k)
-        ids = t[id_col].to_numpy(zero_copy_only=False)
-        out_pid, out_sh = [], []
-        for i in range(t.num_rows):
-            sh_u = np.unique(flat[off[i] : off[i + 1]]).view(np.int64)
-            if len(sh_u) == 0:
-                continue
-            pids = dp[int(ids[i])]
-            out_pid.append(np.repeat(pids, len(sh_u)))
-            out_sh.append(np.tile(sh_u, len(pids)))
-        if not out_pid:
+        if len(flat) == 0:
             return empty
-        return pa.table({"pair_id": pa.array(np.concatenate(out_pid)),
-                         "sh": pa.array(np.concatenate(out_sh))})
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-doc DISTINCT shingles, vectorized: lexsort (doc, sh) and
+        # keep the first of each adjacent-equal run
+        doc_idx = np.repeat(np.arange(t.num_rows), np.diff(off))
+        sh = flat.view(np.int64)
+        order = np.lexsort((sh, doc_idx))
+        d, s = doc_idx[order], sh[order]
+        keep = np.r_[True, (d[1:] != d[:-1]) | (s[1:] != s[:-1])]
+        return pa.table({"doc": pa.array(ids[d[keep]]),
+                         "sh": pa.array(s[keep])})
 
-    from .aggregates import sorted_groupby_agg
+    members = pairs.map_batches(explode, batch_format="pyarrow")
+    shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    joined = sort_merge_join(
+        members, shingles, on="jdoc", right_on="doc", how="inner",
+        left_schema=pa.schema([("jdoc", pa.int64()), ("a", pa.int64()),
+                               ("b", pa.int64())]),
+        right_schema=pa.schema([("doc", pa.int64()), ("sh", pa.int64())]),
+    ).select_columns(["a", "b", "sh"])
 
-    rows_ds = ds.map_batches(pair_shingle_rows, batch_format="pyarrow")
-    # sorted reduceat reductions, NOT native groupby().aggregate():
-    # (pair, shingle) cardinality is data-sized and the native combine
-    # is per-row Python (see stages/aggregates.py)
-    per_sh = sorted_groupby_agg(rows_ds, ["pair_id", "sh"],
+    per_sh = sorted_groupby_agg(joined, ["a", "b", "sh"],
                                 [("sh", "count", "cnt")])
 
     def flags(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "pair_id" not in t.column_names:
-            return pa.table({"pair_id": pa.array([], pa.int64()),
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
                              "is_inter": pa.array([], pa.int64())})
         return pa.table({
-            "pair_id": t["pair_id"],
+            "a": t["a"], "b": t["b"],
             "is_inter": pc.cast(pc.equal(t["cnt"], 2), pa.int64()),
         })
 
     agg = sorted_groupby_agg(
-        per_sh.map_batches(flags, batch_format="pyarrow"),
-        ["pair_id"],
-        [("pair_id", "count", "union_n"), ("is_inter", "sum", "inter_n")],
+        per_sh.map_batches(flags, batch_size=None, batch_format="pyarrow"),
+        ["a", "b"],
+        [("a", "count", "union_n"), ("is_inter", "sum", "inter_n")],
     )
-    jac = np.ones(n_pairs, dtype=np.float64)  # absent pair = empty-vs-empty = 1.0
-    for r in agg.take_all():  # output-sized: one row per pair with any shingles
-        jac[int(r["pair_id"])] = float(r["inter_n"] or 0) / float(r["union_n"])
-    return pa.table({"a": pa.array(a_arr), "b": pa.array(b_arr),
-                     "jaccard": pa.array(jac)})
+    # LEFT join so shingle-less pairs surface (jaccard = 1.0); both
+    # sides of this join are pair-sized
+    back = sort_merge_join(
+        pairs, agg, on=["a", "b"], how="left",
+        left_schema=pair_schema,
+        right_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("union_n", pa.int64()),
+                                ("inter_n", pa.int64())]),
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return empty_out
+        u = pc.fill_null(t["union_n"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        i = pc.fill_null(t["inter_n"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        # union_n is a count (>= 1) wherever the pair matched; 0 means
+        # the left join found no shingles on either side -> 1.0
+        jac = np.where(u > 0, i / np.maximum(u, 1), 1.0)
+        return pa.table({"a": t["a"], "b": t["b"], "jaccard": pa.array(jac)})
+
+    return back.map_batches(finish, batch_size=None, batch_format="pyarrow")
 
 
 def exact_jaccard_tokens(text_a: str, text_b: str, k: int = 3) -> float:
@@ -605,14 +642,21 @@ def near_dup_clusters(ds, *, text_col: str = "text", id_col: str = "doc_id",
     component" — one survivor per transitive cluster, not per pair
     (pairs over-keep on chained mirrors A~B~C where (A, C) was never
     an LSH candidate)."""
-    import ray.data as rd
-
     pairs, _ = minhash_candidate_pairs(
         ds.select_columns([id_col, text_col]),
         text_col=text_col, id_col=id_col, **lsh_kwargs,
     )
     verified = verify_pairs_jaccard(ds, pairs, text_col=text_col, id_col=id_col)
-    keep = verified.filter(
-        pc.greater_equal(verified["jaccard"], pa.scalar(float(threshold)))
-    )
-    return connected_components(rd.from_arrow(keep.select(["a", "b"])))
+
+    thr = float(threshold)
+
+    def keep_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return empty
+        return t.filter(pc.greater_equal(t["jaccard"], pa.scalar(thr))) \
+            .select(["a", "b"])
+
+    return connected_components(
+        verified.map_batches(keep_pairs, batch_size=None, batch_format="pyarrow"))

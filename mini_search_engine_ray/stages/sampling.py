@@ -67,20 +67,31 @@ def cap_per_group(ds, keys: list[str], cap: int, *,
 
     One range sort on ``keys`` (the only shuffle) + per-block
     vectorized rank filter; the hash column is uint64 end to end."""
-    from .aggregates import topk_per_group
+    from .aggregates import static_schema, topk_per_group
 
     out_cols = list(out_cols or ([id_col] + [k for k in keys if k != id_col]))
+    kept = list(dict.fromkeys(out_cols + keys + [id_col]))
 
     def prep(t: pa.Table) -> pa.Table:
         content = t[hash_col]
         content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
-        cols = {c: t[c] for c in dict.fromkeys(out_cols + keys + [id_col])}
+        cols = {c: t[c] for c in kept}
         cols["_h64"] = pa.array(md5_low64(content.to_pylist()),
                                 type=pa.uint64())
         return pa.table(cols)
 
+    # the sweep's input schema is prep's output — derive it from the
+    # source so the sort's schema-less empty blocks come out typed
+    src_schema = static_schema(ds)
+    prep_schema = None
+    if src_schema is not None and all(c in src_schema.names for c in kept):
+        prep_schema = pa.schema(
+            [(c, src_schema.field(c).type) for c in kept]
+            + [("_h64", pa.uint64())])
+
     capped = topk_per_group(
         ds.map_batches(prep, batch_format="pyarrow"),
         keys, "_h64", cap, descending=False, tiebreak=id_col,
+        in_schema=prep_schema,
     )
     return capped.select_columns(out_cols)

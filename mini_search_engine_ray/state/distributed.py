@@ -113,6 +113,11 @@ def build_partitioned_index(
 
     from ..pipelines.build import build_index
 
+    # partition-local docstores (one per sub-index) enable hydrated
+    # serving — each partition can look up ITS OWN docs' content in the
+    # same scatter that scores them; off by default (serving ids+scores
+    # needs no content copy)
+    write_docstore = bool(build_kwargs.pop("write_docstore", False))
     metas = []
     for p in range(P):
         pdir = os.path.join(part_root, f"part={p}")
@@ -130,8 +135,14 @@ def build_partitioned_index(
                 pds,
                 partition_dir(root_dir, p),
                 n_docs=n_local,
-                fingerprint=f"{fingerprint}:part{p}",
-                write_docstore=False,
+                # docstore presence is part of the build product: keep
+                # it out of the default fingerprint (existing caches
+                # stay valid) but distinguish hydratable builds so a
+                # cached docstore-less build is never resumed-skipped
+                # when hydration was requested
+                fingerprint=f"{fingerprint}:part{p}"
+                + (":docstore" if write_docstore else ""),
+                write_docstore=write_docstore,
                 **build_kwargs,
             )
         )
@@ -190,6 +201,21 @@ class PartitionSearcher:
 
     def search_tfidf_weighted(self, term_weights, top_k):
         return self.s.search_tfidf_weighted(term_weights, top_k)
+
+    def search_bm25_weighted_hydrated(self, term_weights, k, prune: bool,
+                                      method: str):
+        """Local top-k PLUS the matching documents from THIS partition's
+        docstore, in one remote call (the J4 docID->Document lookup of
+        `InvertedIndexManager.java:912-914`, done scatter-side so the
+        coordinator never runs a second round trip).  Returns
+        (doc_ids, scores, contents) aligned by position."""
+        ids, scores = self.s.search_bm25_weighted(
+            term_weights, k, prune=prune, method=method)
+        if len(ids) == 0:
+            return ids, scores, []
+        tbl = self.s.get_documents(ids)
+        by_id = dict(zip(tbl["doc_id"].to_pylist(), tbl["content"].to_pylist()))
+        return ids, scores, [by_id.get(int(i)) for i in ids]
 
     def search_boolean(self, kind: str, arg):
         """Partition-local boolean search. Doc-partitioning means a
@@ -285,15 +311,25 @@ class DistributedSearcher:
         *,
         prune: bool = True,
         method: str = "maxscore",
+        hydrate: bool = False,
     ):
         """Distributed BM25 top-k: df exchange -> partition-local
-        scoring with global idf -> top-k merge."""
+        scoring with global idf -> top-k merge.
+
+        ``hydrate=True`` additionally returns the result documents'
+        content as a third element, looked up from each partition's
+        LOCAL docstore inside the same scoring scatter (one round trip;
+        requires `build_partitioned_index(..., write_docstore=True)`).
+        Each partition hydrates its local top-k — a superset of its
+        contribution to the global top-k — so the merge step has every
+        winner's content already in hand."""
         import ray
 
+        empty = (np.empty(0, dtype=np.int64), np.empty(0))
         toks = self._analyze(query)
         qtf = Counter(toks)
         if not qtf:
-            return np.empty(0, dtype=np.int64), np.empty(0)
+            return (*empty, []) if hydrate else empty
         gdf = self._global_dfs(list(qtf))
         tw = [
             (t, qw, bm25_idf(gdf[t], self.n_docs))
@@ -301,7 +337,18 @@ class DistributedSearcher:
             if gdf[t] > 0
         ]
         if not tw:
-            return np.empty(0, dtype=np.int64), np.empty(0)
+            return (*empty, []) if hydrate else empty
+        if hydrate:
+            results = ray.get([
+                a.search_bm25_weighted_hydrated.remote(tw, k, prune, method)
+                for a in self.actors
+            ])
+            ids, scores = self._gather_topk(
+                [(r[0], r[1]) for r in results], k)
+            content = {}
+            for r_ids, _, r_docs in results:
+                content.update(zip((int(i) for i in r_ids), r_docs))
+            return ids, scores, [content[int(i)] for i in ids]
         results = ray.get(
             [a.search_bm25_weighted.remote(tw, k, prune, method) for a in self.actors]
         )

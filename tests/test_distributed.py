@@ -192,3 +192,42 @@ def test_local_df_differs_but_global_scores_match(indexes):
     single = IndexSearcher(str(indexes / "single"))
     assert sum(locals_) == single.df("table")
     assert any(x != single.df("table") for x in locals_)
+
+
+def test_hydrated_results_parity(ray_session, tmp_path):
+    """hydrate=True returns the winners' CONTENT from the partition-
+    local docstores, identical to single-index J4 hydration — and the
+    (ids, scores) prefix stays bitwise-equal to the un-hydrated path."""
+    import ray.data as rd
+
+    t = _corpus_table(120, seed=5)
+    build_index(
+        rd.from_arrow(t), str(tmp_path / "single"), analyzer="punctuation",
+        num_buckets=4, n_docs=t.num_rows, write_docstore=True,
+    )
+    build_partitioned_index(
+        rd.from_arrow(t), str(tmp_path / "dist"), n_partitions=3,
+        analyzer="punctuation", num_buckets=4, fingerprint="hyd",
+        write_docstore=True,
+    )
+    single = IndexSearcher(str(tmp_path / "single"))
+    dist = DistributedSearcher(str(tmp_path / "dist"), num_cpus_per_actor=0.25)
+    try:
+        for q in (["spark", "window"], ["table", "scan"], ["nosuchterm"]):
+            ids_s, sc_s = single.search_bm25(q, 7)
+            ids_d, sc_d, docs_d = dist.search_bm25(q, 7, hydrate=True)
+            assert ids_d.tolist() == ids_s.tolist()
+            assert sc_d.tolist() == sc_s.tolist()
+            # single-index J4 lookup as the hydration oracle
+            tbl = single.get_documents(ids_s) if len(ids_s) else None
+            expected = (
+                {} if tbl is None
+                else dict(zip(tbl["doc_id"].to_pylist(),
+                              tbl["content"].to_pylist()))
+            )
+            assert docs_d == [expected[int(i)] for i in ids_d]
+            # the content matches the source corpus verbatim
+            for i, c in zip(ids_d, docs_d):
+                assert c == t["content"][int(i)].as_py()
+    finally:
+        dist.shutdown()

@@ -121,3 +121,41 @@ def test_wordbreak_index_end_to_end(ray_session, tmp_path):
     assert s.search_keyword("the").tolist() == []
     ids, _ = s.search_bm25("dog", 10)
     assert ids[0] == 3  # tf=3 wins
+
+
+def test_pagerank_size_dispatch_no_driver_collect(engine, monkeypatch, tmp_path):
+    """Above the edge threshold compute_page_rank must run the
+    distributed pagerank_dataset path: the driver never materializes
+    the edge list, and the scores match the numpy loop to float
+    reduction-order noise."""
+    import ray.data as rd
+
+    from mini_search_engine_ray.pipelines import ics_engine as mod
+    from mini_search_engine_ray.pipelines.pagerank import pagerank_numpy
+
+    eng, _ = engine
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 60, size=400).astype(np.int64)
+    dst = rng.integers(0, 60, size=400).astype(np.int64)
+    expected = pagerank_numpy(src, dst, 60, iterations=15)
+    edges = rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+
+    def boom(_edges):
+        raise AssertionError("driver collected the edge list above threshold")
+
+    monkeypatch.setattr(mod.IcsSearchEngine, "_collect_edges",
+                        staticmethod(boom))
+    got = eng.compute_page_rank(edges, 60, iterations=15, collect_threshold=100)
+    # distributed sums reduce in a different order -> 1-ulp-class noise
+    np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
+
+    # below the threshold the collect path runs (restore it first)
+    monkeypatch.undo()
+    got_small = eng.compute_page_rank(edges, 60, iterations=15,
+                                      collect_threshold=10**6)
+    np.testing.assert_array_equal(got_small, expected)
+    # leave the fixture's own pagerank state in place for other tests
+    eng.compute_page_rank(
+        rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                "dst": pa.array([], pa.int64())})), 80,
+        iterations=1)
