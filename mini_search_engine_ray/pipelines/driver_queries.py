@@ -226,8 +226,11 @@ def get_partitioned_index(sf_dir: str, *, analyzer: str = "punctuation",
 
     src = os.path.join(sf_dir, "documents.parquet")
     fp = f"{FORMAT_VERSION}:{corpus_fingerprint([src])}"
+    # ":hyd" — partitions carry LOCAL docstores so the serving scatter
+    # can hydrate winners (`bm25_topk_hydrated`); one shared build
+    # serves every distributed query, hydrating and not
     key = hashlib.sha256(
-        f"{src}:dist:{analyzer}:{n_parts}:{int(positional)}:{fp}".encode()
+        f"{src}:dist:{analyzer}:{n_parts}:{int(positional)}:hyd:{fp}".encode()
     ).hexdigest()[:16]
     root = os.path.join(_cache_root(), f"didx-{key}")
     try:
@@ -243,6 +246,7 @@ def get_partitioned_index(sf_dir: str, *, analyzer: str = "punctuation",
         analyzer=analyzer,
         num_buckets=4,
         positional=positional,
+        write_docstore=True,
     )
     return root
 
@@ -499,6 +503,27 @@ def q_tfidf_topk_distributed(sf_dir: str):
     pass-1/pass-2 of IIM:1351-1449 generalized to partitions)."""
     ids, sc = _dist_searcher(sf_dir).search_tfidf(TFIDF_TERMS, None)
     return _rounded_topk(ids, sc, TOPK)
+
+
+def q_bm25_topk_hydrated(sf_dir: str):
+    """BM25 top-k WITH the winners' document content, served by the
+    doc-partitioned scatter: each partition hydrates its local top
+    candidates from its OWN docstore inside the scoring round trip
+    (the J4 docID->Document lookup of `InvertedIndexManager.java:
+    912-914`, scatter-side), so the coordinator never issues a second
+    lookup round. Oracle: the `bm25_topk` SQL joined to documents."""
+    ids, sc, docs = _dist_searcher(sf_dir).search_bm25(
+        BM25_TERMS, None, prune=False, hydrate=True
+    )
+    r = _r4(sc)
+    order = np.lexsort((np.asarray(ids), -r))[:TOPK]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)[order]),
+            "score": pa.array(r[order]),
+            "text": pa.array([docs[i] for i in order], pa.string()),
+        }
+    )
 
 
 def q_dedup_exact(sf_dir: str):
@@ -1487,6 +1512,7 @@ QUERIES = {
     "search_wildcard_distributed": q_search_wildcard_distributed,
     "bm25_all_distributed": q_bm25_all_distributed,
     "tfidf_topk_distributed": q_tfidf_topk_distributed,
+    "bm25_topk_hydrated": q_bm25_topk_hydrated,
     "dedup_exact": q_dedup_exact,
     "sha256_docs": q_sha256_docs,
     "token_count_total": q_token_count_total,
@@ -2263,6 +2289,12 @@ GROUP BY term
     "bm25_topk_distributed": _bm25_sql(BM25_TERMS, TOPK),
     "bm25_all_distributed": _bm25_sql(BM25_TERMS, None),
     "tfidf_topk_distributed": _tfidf_sql(TFIDF_TERMS, TOPK),
+    # the bm25_topk ranking joined to each winner's document text —
+    # DuckDB allows a WITH inside a parenthesized subquery
+    "bm25_topk_hydrated": f"""
+SELECT b.doc_id, b.score, d.text
+FROM ({_bm25_sql(BM25_TERMS, TOPK)}) b JOIN documents d USING (doc_id)
+""",
     "dedup_exact": """
 SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_id,
        count(*)::BIGINT AS n_dups
