@@ -375,3 +375,81 @@ def _parquet_exchange(
 def load_meta(index_dir: str) -> dict:
     with open(os.path.join(index_dir, META_FILE)) as f:
         return json.load(f)
+
+
+def add_documents(
+    index_dir: str,
+    new_docs_ds,
+    *,
+    dest: str | None = None,
+    work_dir: str | None = None,
+    n_new_docs: int | None = None,
+    fingerprint: str = "",
+) -> dict:
+    """THE live-index update path — delta build + merge, in one call.
+
+    The reference updates an index by buffering `addDocument` calls
+    into an in-memory segment, flushing it, and compacting with
+    `mergeAllSegments` (`InvertedIndexManager.java:162-440`); the Ray
+    analogue is build-delta-then-merge, which this wrapper packages:
+
+      1. build a DELTA index from ``new_docs_ds`` into ``work_dir``
+         (default ``index_dir + ".delta"``) using the live index's own
+         analyzer / num_buckets / positional / codec / dictionary
+         settings — merge requires them equal;
+      2. ``merge_indexes([live, delta])`` — per-bucket stateless
+         tasks, byte-identical to having built once over the union;
+      3. swap the merged result into place (``dest=None``) or leave
+         it at ``dest``.
+
+    ``new_docs_ds`` rows follow the build corpus schema and MUST carry
+    doc_ids disjoint from the live index's (caller-assigned identity,
+    the same contract as `build_index`; an overlapping id would
+    double-count its postings, exactly like calling the reference's
+    addDocument twice with the same document).
+
+    Tombstone semantics follow `merge_indexes`: terms tombstoned on
+    the live index are PHYSICALLY dropped from the merged result —
+    including their occurrences in the new documents (the merge folds
+    the union of source tombstones).  To make a previously deleted
+    term searchable in new documents, `compact_index` the live index
+    first, then add.
+
+    Resumable: the delta build and every merge bucket checkpoint by
+    fingerprint, so re-running the same call after a crash completes
+    the same update without redoing finished work.  The in-place swap
+    is two directory renames at the very end (live -> ``.old``,
+    merged -> live); a crash between them leaves ``.old`` intact for
+    manual recovery.  Returns the merged meta dict.
+    """
+    import shutil
+
+    from ..stages.merge import merge_indexes
+
+    meta = load_meta(index_dir)
+    delta_dir = work_dir or index_dir + ".delta"
+    merged_dir = dest or index_dir + ".merged"
+    has_docstore = os.path.isdir(os.path.join(index_dir, "docstore"))
+    build_index(
+        new_docs_ds,
+        delta_dir,
+        analyzer=meta["analyzer"],
+        num_buckets=meta["num_buckets"],
+        positional=bool(meta.get("positional")),
+        codec=meta.get("codec", "varint"),
+        n_docs=n_new_docs,
+        fingerprint=f"delta:{fingerprint}:{meta['fingerprint']}",
+        write_docstore=has_docstore,
+        wordbreak_dict_path=meta.get("wordbreak_dict_path"),
+    )
+    merged = merge_indexes(
+        [index_dir, delta_dir], merged_dir, merge_docstore=has_docstore
+    )
+    if dest is None:
+        old = index_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(index_dir, old)
+        os.rename(merged_dir, index_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    shutil.rmtree(delta_dir, ignore_errors=True)
+    return merged

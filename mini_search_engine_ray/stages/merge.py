@@ -224,7 +224,12 @@ def merge_indexes(
             # existing dest would duplicate every document (build.py
             # guards its overlap case the same way)
             shutil.rmtree(dest_store, ignore_errors=True)
-            rd.read_parquet(stores).write_parquet(dest_store)
+            # one read per store, unioned: read_parquet accepts a LIST
+            # only of files, not of directories
+            merged_ds = rd.read_parquet(stores[0])
+            for st in stores[1:]:
+                merged_ds = merged_ds.union(rd.read_parquet(st))
+            merged_ds.write_parquet(dest_store)
 
     if clear_tombstones:
         save_tombstones(dest, set())

@@ -61,3 +61,58 @@ def test_incremental_lifecycle(ray_session, tmp_path):
     assert s2.search_phrase(["information", "retrieval"]).tolist() == o.search_phrase(
         ["information", "retrieval"]
     )
+
+
+def test_add_documents_wrapper(ray_session, tmp_path):
+    """`add_documents` — THE live-index update path (delta build +
+    merge packaged): in-place swap equals one build over the union,
+    docstore follows, scratch dirs are cleaned, dest= leaves the live
+    index untouched, and live tombstones stay dead through the add."""
+    import os
+
+    import ray.data as rd
+
+    from mini_search_engine_ray.pipelines.build import add_documents, load_meta
+
+    corpus = synth_corpus(120, seed=77)
+    docs = {i: corpus["content"][i].as_py() for i in range(120)}
+    sl = lambda lo, hi: rd.from_arrow(
+        corpus.select(["doc_id", "content"]).slice(lo, hi - lo))
+
+    live = str(tmp_path / "live")
+    build_index(sl(0, 60), live, num_buckets=4, positional=True, n_docs=60,
+                write_docstore=True, fingerprint="live")
+    meta = add_documents(live, sl(60, 90), n_new_docs=30)
+    assert meta["n_docs"] == 90
+
+    s = IndexSearcher(live)
+    o = BruteForceOracle({i: docs[i] for i in range(90)}, "composable")
+    for q in (["index", "merge"], ["needle"], ["information", "retrieval"]):
+        ids_e, sc_e = s.search_bm25(q, 10)
+        ids_o, sc_o = o.search_bm25(q, 10)
+        assert ids_e.tolist() == ids_o.tolist(), q
+        np.testing.assert_allclose(sc_e, sc_o, rtol=1e-9)
+    assert s.search_phrase(["information", "retrieval"]).tolist() == \
+        o.search_phrase(["information", "retrieval"])
+    # the docstore followed the merge (added doc hydrates)
+    got = s.get_documents([75])
+    assert got.num_rows == 1 and got["content"][0].as_py() == docs[75]
+    # scratch dirs cleaned
+    for suffix in (".delta", ".merged", ".old"):
+        assert not os.path.exists(live + suffix)
+
+    # delete a term on the live index, then add with dest=: the term
+    # stays dead (merge drops the union of tombstones physically) and
+    # the live index is untouched
+    s.delete_documents("index")
+    updated = str(tmp_path / "updated")
+    meta2 = add_documents(live, sl(90, 120), n_new_docs=30, dest=updated)
+    assert meta2["n_docs"] == 120
+    assert load_meta(live)["n_docs"] == 90  # live untouched by dest=
+    s2 = IndexSearcher(updated)
+    assert s2.search_keyword("index").tolist() == []
+    assert len(s2.tombstones) == 0  # dropped physically, not hidden
+    o2 = BruteForceOracle(docs, "composable")
+    ids_e, _ = s2.search_bm25(["needle"], 10)
+    ids_o, _ = o2.search_bm25(["needle"], 10)
+    assert ids_e.tolist() == ids_o.tolist()
