@@ -276,7 +276,8 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
 
 
 def verify_pairs_jaccard(
-    ds, pairs, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    ds, pairs, *, text_col: str = "text", id_col: str = "doc_id", k: int = 3,
+    join_partitions: int | None = None,
 ):
     """EXACT k-shingle Jaccard for candidate pairs — the verification
     stage after LSH — as a DISTRIBUTED shingle-equality join (the same
@@ -307,7 +308,9 @@ def verify_pairs_jaccard(
     pair would double its shingles' counts and corrupt the cnt == 2
     intersection marker.  Returns a DATASET with columns (a, b,
     jaccard) — consume it streaming; nothing pair-sized ever lands on
-    the driver.
+    the driver.  ``join_partitions`` forwards to the member-shingle
+    ``sort_merge_join``'s coalesce knob (size to rows/target-block-rows
+    when the corpus read produces many small blocks).
     """
     import ray.data as rd
     import pyarrow.compute as pc
@@ -362,6 +365,10 @@ def verify_pairs_jaccard(
         left_schema=pa.schema([("jdoc", pa.int64()), ("a", pa.int64()),
                                ("b", pa.int64())]),
         right_schema=pa.schema([("doc", pa.int64()), ("sh", pa.int64())]),
+        # the union's block count is corpus-blocks + pair-blocks; Ray's
+        # range sort makes #blocks^2 shuffle objects, so let callers
+        # size this to the data (see sort_merge_join's partitions doc)
+        partitions=join_partitions,
     ).select_columns(["a", "b", "sh"])
 
     per_sh = sorted_groupby_agg(joined, ["a", "b", "sh"],

@@ -441,3 +441,46 @@ class TestNearDupClusters:
         lab = dict(zip(out.node, out.component))
         assert {lab[x] for x in (0, 1, 2)} == {0}
         assert 3 not in lab  # FAR doc is in no surviving pair
+
+
+class TestVerifyPairsJaccard:
+    """The r4 fully-distributed verify join: exact values, member
+    replication across pairs, shingle-less edge semantics, empty
+    input — all on the streaming Dataset-in/Dataset-out path."""
+
+    def test_exact_values_replication_and_edges(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import (
+            exact_jaccard_tokens,
+            verify_pairs_jaccard,
+        )
+
+        # doc0 sits in THREE pairs (shingles replicated per pair);
+        # docs 3/4 tokenize to NOTHING -> zero shingles (note: docs
+        # with 0 < tokens < k keep raw-token shingles by design,
+        # parity with exact_jaccard_tokens)
+        texts = [BASE, NEAR, FAR, "", "   "]
+        ds = rd.from_arrow(_doc_table(texts))
+        pairs = rd.from_arrow(pa.table({
+            "a": pa.array([0, 0, 3, 0], pa.int64()),
+            "b": pa.array([1, 2, 4, 3], pa.int64()),
+        }))
+        out = verify_pairs_jaccard(ds, pairs).to_pandas()
+        got = {(int(r.a), int(r.b)): float(r.jaccard) for r in out.itertuples()}
+        assert set(got) == {(0, 1), (0, 2), (3, 4), (0, 3)}
+        assert got[(0, 1)] == pytest.approx(exact_jaccard_tokens(BASE, NEAR))
+        assert got[(0, 2)] == pytest.approx(exact_jaccard_tokens(BASE, FAR))
+        assert got[(3, 4)] == 1.0  # empty vs empty
+        assert got[(0, 3)] == 0.0  # empty vs non-empty
+
+    def test_empty_pairs(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import verify_pairs_jaccard
+
+        ds = rd.from_arrow(_doc_table([BASE, FAR]))
+        pairs = rd.from_arrow(pa.table({"a": pa.array([], pa.int64()),
+                                        "b": pa.array([], pa.int64())}))
+        out = verify_pairs_jaccard(ds, pairs).to_pandas()
+        assert len(out) == 0
