@@ -1241,6 +1241,50 @@ def q_parts_in_lineitem(sf_dir: str):
                            how="semi", partitions=8)
 
 
+def q_building_f_orders_full(sf_dir: str):
+    """Full outer join (SQL USING / coalesced-key semantics):
+    BUILDING-segment customers ⨝ per-customer count of finished ('F')
+    orders.  Exercises every sort_merge_join(how='full') path in one
+    query — matched runs, lonely-left (segment customers with no 'F'
+    order → n_f_orders −1), lonely-right (customers outside the
+    segment with 'F' orders → acctbal −1).  Nulls are coalesced to
+    sentinels on BOTH engines so the value hash never rides on
+    NaN-representation details."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_acctbal", "c_mktsegment"],
+    ).filter(expr="c_mktsegment == 'BUILDING'") \
+        .select_columns(["c_custkey", "c_acctbal"])
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderstatus"],
+    ).filter(expr="o_orderstatus == 'F'").select_columns(["o_custkey"])
+    agg = sorted_groupby_agg(orders, ["o_custkey"],
+                             [("o_custkey", "count", "n_f_orders")])
+    agg_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("n_f_orders", pa.int64())])
+    j = sort_merge_join(cust, agg, "c_custkey", "o_custkey", how="full",
+                        right_schema=agg_schema, partitions=4)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "acctbal": pc.cast(pc.fill_null(t["c_acctbal"], -1.0),
+                               pa.float64()),
+            "n_f_orders": pc.cast(pc.fill_null(t["n_f_orders"], -1),
+                                  pa.int64()),
+        })
+
+    return j.map_batches(fix, batch_format="pyarrow")
+
+
 RANGE_WINDOW_S = 300
 
 
@@ -1544,6 +1588,7 @@ QUERIES = {
     "value_quantiles_global": q_value_quantiles_global,
     "customers_without_orders": q_customers_without_orders,
     "parts_in_lineitem": q_parts_in_lineitem,
+    "building_f_orders_full": q_building_f_orders_full,
     "click_view_range_join": q_click_view_range_join,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
@@ -2354,6 +2399,16 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
     "parts_in_lineitem": """
 SELECT p_partkey FROM part
 WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+""",
+    "building_f_orders_full": """
+WITH b AS (SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_mktsegment = 'BUILDING'),
+     f AS (SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n_f_orders
+           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT c_custkey,
+       COALESCE(b.c_acctbal, -1.0)::DOUBLE AS acctbal,
+       COALESCE(f.n_f_orders, -1)::BIGINT AS n_f_orders
+FROM b FULL JOIN f USING (c_custkey)
 """,
     "click_view_range_join": f"""
 SELECT c.event_id AS click_id, v.event_id AS view_id

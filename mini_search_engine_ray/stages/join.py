@@ -52,15 +52,21 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
     """Distributed equi-join of two Datasets.
 
     ``on`` is the left key column (or list); ``right_on`` the right key
-    (defaults to ``on``).  ``how`` is ``inner``, ``left``, ``semi``
-    (left rows WITH a match, SQL EXISTS — emitted once each) or
-    ``anti`` (left rows WITHOUT a match, SQL NOT EXISTS — null-key
-    left rows included, matching NOT EXISTS, not NOT IN).  Output
-    columns: left columns (key included, left names) followed — for
-    inner/left — by the right payload columns, suffixed with
-    ``suffix`` on collision; semi/anti emit left columns only and
+    (defaults to ``on``).  ``how`` is ``inner``, ``left``, ``right``,
+    ``full``, ``semi`` (left rows WITH a match, SQL EXISTS — emitted
+    once each) or ``anti`` (left rows WITHOUT a match, SQL NOT EXISTS
+    — null-key left rows included, matching NOT EXISTS, not NOT IN).
+    Output columns: left columns (key included, left names) followed —
+    for inner/left/right/full — by the right payload columns, suffixed
+    with ``suffix`` on collision; semi/anti emit left columns only and
     never ship the right payload through the shuffle.  One range sort
     on the key is the only shuffle.
+
+    ``right``/``full`` use SQL ``USING`` key semantics: ONE key column
+    (left name) per key, holding the right side's value on unmatched
+    right rows — i.e. ``COALESCE(l.k, r.k)``, exactly what ``SELECT *``
+    of ``FULL/RIGHT JOIN ... USING (k)`` yields.  Unmatched right rows
+    carry a null left payload.
 
     Pass ``left_schema``/``right_schema`` when an input is a derived
     (lazy) Dataset whose schema is statically known to the caller —
@@ -79,7 +85,7 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
     data (rows / target block rows), not to the block count the reads
     happened to produce.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(f"unsupported how: {how}")
     lkeys = [on] if isinstance(on, str) else list(on)
     rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
@@ -188,11 +194,21 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
             right_base = np.repeat((starts + nl)[matched], nl[matched])
             l_parts.append(order[np.repeat(left_sel, per_left_nr)])
             r_parts.append(order[np.repeat(right_base, per_left_nr) + within])
-        if how == "left":
+        if how in ("left", "full"):
             lonely = np.flatnonzero((nl > 0) & (nr == 0))
             if len(lonely):
                 l_parts.append(order[_ranges(starts[lonely], nl[lonely])])
                 r_parts.append(np.full(int(nl[lonely].sum()), -1, dtype=np.int64))
+        if how in ("right", "full"):
+            # unmatched right rows: the aligned right row already holds
+            # the key under the LEFT name (USING/coalesce semantics) and
+            # nulls in the left payload, so the SAME row index serves
+            # both the left-column take and the right-payload take
+            lonely_r = np.flatnonzero((nl == 0) & (nr > 0))
+            if len(lonely_r):
+                rr = order[_ranges(starts[lonely_r], nr[lonely_r])]
+                l_parts.append(rr)
+                r_parts.append(rr)
         if not l_parts:
             return empty
         l_idx = np.concatenate(l_parts)
@@ -208,15 +224,15 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
 
     joined = both.sort(lkeys).map_batches(sweep, batch_size=None,
                                           batch_format="pyarrow")
-    if how not in ("left", "anti"):
+    if how not in ("left", "right", "full", "anti"):
         return joined
 
     out_schema = pa.schema(out_fields)
 
     def null_left(t: pa.Table) -> pa.Table:
         # rows with a null in ANY key: unmatched by definition, so
-        # 'left' emits them with a null right side and 'anti' (NOT
-        # EXISTS) keeps them — both shuffle-free
+        # 'left'/'full' emit them with a null right side and 'anti'
+        # (NOT EXISTS) keeps them — all shuffle-free
         import pyarrow.compute as pc
 
         mask = None
@@ -229,7 +245,32 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
             cols[rout[c]] = pa.nulls(t.num_rows, rschema.field(c).type)
         return pa.table(cols, schema=out_schema)
 
-    return joined.union(left.map_batches(null_left, batch_format="pyarrow"))
+    def null_right(t: pa.Table) -> pa.Table:
+        # right rows with a null in ANY key: unmatched, preserved by
+        # 'right'/'full' with a null left payload — shuffle-free
+        import pyarrow.compute as pc
+
+        mask = None
+        for k in rkeys:
+            v = pc.is_null(t[k])
+            mask = v if mask is None else pc.or_(mask, v)
+        t = t.filter(mask)
+        cols = {}
+        for lk, rk in zip(lkeys, rkeys):
+            cols[lk] = t[rk]
+        for c in lpay:
+            cols[c] = pa.nulls(t.num_rows, lschema.field(c).type)
+        for c in rpay:
+            cols[rout[c]] = t[c]
+        return pa.table(cols, schema=out_schema)
+
+    if how in ("left", "anti", "full"):
+        joined = joined.union(
+            left.map_batches(null_left, batch_format="pyarrow"))
+    if how in ("right", "full"):
+        joined = joined.union(
+            right.map_batches(null_right, batch_format="pyarrow"))
+    return joined
 
 
 def range_join(left, right, *, on, left_ts: str, right_lo: str,

@@ -180,6 +180,67 @@ class TestSemiAntiJoin:
         assert out.lv.tolist() == [1]
 
 
+class TestRightFullJoin:
+    """right/full outer joins with SQL USING key semantics: one key
+    column (left name) coalesced across sides — what pandas merge
+    on a shared column name produces too."""
+
+    def test_right_multi_match_vs_pandas(self, ray_session):
+        rng = np.random.default_rng(31)
+        lt = pa.table({"k": pa.array(rng.integers(0, 60, 400)),
+                       "lv": pa.array(np.arange(400))})
+        rt = pa.table({"k": pa.array(rng.integers(30, 90, 300)),
+                       "rv": pa.array(np.arange(300) * 3)})
+        out = sort_merge_join(_ds(lt), _ds(rt, parts=3), "k",
+                              how="right").to_pandas()
+        exp = lt.to_pandas().merge(rt.to_pandas(), on="k", how="right")
+        pd.testing.assert_frame_equal(_canon(out), _canon(exp),
+                                      check_dtype=False)
+        # right rows with no left match survive with null left payload
+        assert out.loc[out.k >= 60, "lv"].isna().all()
+        assert (out.k >= 60).any()
+
+    def test_full_outer_vs_pandas(self, ray_session):
+        rng = np.random.default_rng(37)
+        lt = pa.table({"k": pa.array(rng.integers(0, 50, 350)),
+                       "lv": pa.array(np.arange(350))})
+        rt = pa.table({"k": pa.array(rng.integers(25, 75, 250)),
+                       "rv": pa.array(np.arange(250) * 2)})
+        out = sort_merge_join(_ds(lt), _ds(rt, parts=4), "k",
+                              how="full").to_pandas()
+        exp = lt.to_pandas().merge(rt.to_pandas(), on="k", how="outer")
+        pd.testing.assert_frame_equal(_canon(out), _canon(exp),
+                                      check_dtype=False)
+        assert (out.k < 25).any() and (out.k >= 50).any()
+
+    def test_full_null_keys_preserved_both_sides(self, ray_session):
+        lt = pa.table({"k": pa.array(["x", None], type=pa.string()),
+                       "lv": pa.array([1, 2])})
+        rt = pa.table({"k": pa.array(["y", None], type=pa.string()),
+                       "rv": pa.array([10, 20])})
+        out = sort_merge_join(_ds(lt, parts=1), _ds(rt, parts=1), "k",
+                              how="full").to_pandas()
+        # x unmatched-left, y unmatched-right, two null-key rows kept
+        assert len(out) == 4
+        assert out.loc[out.k == "x", "rv"].isna().all()
+        assert out.loc[out.k == "y", "lv"].isna().all()
+        nulls = out[out.k.isna()]
+        assert len(nulls) == 2
+        assert sorted(x for x in nulls.lv.tolist() if pd.notna(x)) == [2]
+        assert sorted(x for x in nulls.rv.tolist() if pd.notna(x)) == [20]
+
+    def test_right_key_rename_and_collision(self, ray_session):
+        lt = pa.table({"ok": pa.array([1, 2]), "v": pa.array([1, 2])})
+        rt = pa.table({"rk": pa.array([2, 3, 3]), "v": pa.array([9, 8, 7])})
+        out = sort_merge_join(_ds(lt, parts=1), _ds(rt, parts=1),
+                              "ok", "rk", how="right").to_pandas()
+        assert sorted(out.columns) == ["ok", "v", "v_r"]
+        # unmatched right keys surface under the LEFT key name
+        assert sorted(out.ok.tolist()) == [2, 3, 3]
+        assert out.loc[out.ok == 3, "v"].isna().all()
+        assert sorted(out.loc[out.ok == 3, "v_r"].tolist()) == [7, 8]
+
+
 class TestRangeJoin:
     def test_vs_brute_force(self, ray_session):
         from mini_search_engine_ray.stages.join import range_join
