@@ -1285,6 +1285,71 @@ def q_building_f_orders_full(sf_dir: str):
     return j.map_batches(fix, batch_format="pyarrow")
 
 
+DOC_KEYWORDS_K = 3
+
+def q_doc_keywords(sf_dir: str):
+    """Per-document TF-IDF keyword extraction: top-3 terms per doc by
+    tf * (N/df) over the raw token stream, ties broken by ascending
+    md5-low-64 of the term (an unsigned total order both numpy and
+    DuckDB md5_number_lower reproduce bit-exactly).  Two range sorts:
+    term-sort (df attaches in the same sweep — term runs are
+    block-local, so the run length IS the global df) + the
+    topk-per-doc sort.  N from parquet footer metadata."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.textstats import doc_keywords
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    docs = rd.read_parquet(path, columns=["doc_id", "text"])
+    top = doc_keywords(docs, n_docs=n_docs, k=DOC_KEYWORDS_K)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "term": pc.cast(t["term"], pa.string()),
+            "score": pa.array(_r4(t["score"].to_numpy(zero_copy_only=False))),
+        })
+
+    return top.map_batches(fix, batch_format="pyarrow")
+
+
+# ordered scrub rules shared by the engine query and its oracle; the
+# second rule runs over the FIRST rule's output, like chained
+# regexp_replace
+SCRUB_RULES = [("[0-9]{3,}", "<NUM>"), ("Customer#", "cust:")]
+
+
+def q_scrub_pii(sf_dir: str):
+    """Streaming regex redaction (the PII-sweep shape): ordered RE2
+    rules applied globally per row plus a per-row hit count, as a pure
+    map over the customer table — no shuffle, no state.  Arrow
+    replace_substring_regex and DuckDB regexp_replace(...,'g') share
+    the RE2 dialect, which is exactly what this query proves."""
+    import ray.data as rd
+
+    from ..stages.scrub import scrub_text
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    out = scrub_text(cust, SCRUB_RULES, text_col="c_name",
+                     out_col="name_scrubbed", count_col="n_hits")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "name_scrubbed": pc.cast(t["name_scrubbed"], pa.string()),
+            "n_hits": pc.cast(t["n_hits"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 RANGE_WINDOW_S = 300
 
 
@@ -1589,6 +1654,8 @@ QUERIES = {
     "customers_without_orders": q_customers_without_orders,
     "parts_in_lineitem": q_parts_in_lineitem,
     "building_f_orders_full": q_building_f_orders_full,
+    "doc_keywords": q_doc_keywords,
+    "scrub_pii": q_scrub_pii,
     "click_view_range_join": q_click_view_range_join,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
@@ -2409,6 +2476,36 @@ SELECT c_custkey,
        COALESCE(b.c_acctbal, -1.0)::DOUBLE AS acctbal,
        COALESCE(f.n_f_orders, -1)::BIGINT AS n_f_orders
 FROM b FULL JOIN f USING (c_custkey)
+""",
+    "doc_keywords": f"""
+WITH {_TOK_CTE.strip()},
+tokpos AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tokpos GROUP BY 1, 2),
+dfx AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf::DOUBLE * (n.nd / dfx.df::DOUBLE) AS score
+  FROM tf JOIN dfx USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC,
+                                     md5_number_lower(term) ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, {_R4.format(expr='score')} AS score
+FROM ranked WHERE rn <= {DOC_KEYWORDS_K}
+""",
+    "scrub_pii": """
+SELECT c_custkey,
+       regexp_replace(regexp_replace(c_name, '[0-9]{3,}', '<NUM>', 'g'),
+                      'Customer#', 'cust:', 'g') AS name_scrubbed,
+       (len(regexp_extract_all(c_name, '[0-9]{3,}'))
+        + len(regexp_extract_all(
+              regexp_replace(c_name, '[0-9]{3,}', '<NUM>', 'g'),
+              'Customer#')))::BIGINT AS n_hits
+FROM customer
 """,
     "click_view_range_join": f"""
 SELECT c.event_id AS click_id, v.event_id AS view_id

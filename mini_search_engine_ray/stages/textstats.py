@@ -288,3 +288,95 @@ def hll_estimate(registers, *, precision_bits: int = 10) -> float:
     if e <= 2.5 * m and zeros:
         e = m * np.log(m / zeros)  # linear-counting small-range fix
     return float(e)
+
+
+def doc_term_tf_batch(t: pa.Table, *, text_col: str = "text",
+                      id_col: str = "doc_id") -> pa.Table:
+    """Exploded (doc_id, term, tf) rows for one batch — raw token
+    stream (Java trim + lower + punctuation split, stopwords kept,
+    mirroring `_TOK_CTE`), per-(doc, term) counts via Arrow's native
+    hash group-by (C++, no per-row Python).  A document's text lives
+    in ONE row, so the per-batch tf is already the document-global
+    tf; only the df side needs a shuffle downstream."""
+    out_schema = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                            ("tf", pa.int64())])
+    content = t[text_col]
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    parents, values = _split_tokens(content)
+    if len(parents) == 0:
+        return pa.table({f.name: pa.array([], f.type) for f in out_schema})
+    ids = t[id_col]
+    ids = (ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids) \
+        .to_numpy(zero_copy_only=False)[parents]
+    g = pa.table({id_col: pa.array(ids), "term": values}) \
+        .group_by([id_col, "term"]).aggregate([([], "count_all")])
+    return pa.table({id_col: g[id_col].cast(pa.int64()),
+                     "term": g["term"].cast(pa.string()),
+                     "tf": g["count_all"].cast(pa.int64())},
+                    schema=out_schema)
+
+
+def doc_keywords(docs_ds, *, n_docs: int, k: int = 3,
+                 text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document TF-IDF keyword extraction: the top-``k`` terms of
+    every document by ``tf * (N / df)`` (the reference's log-free idf,
+    `InvertedIndexManager` TF-IDF flavor), ties broken by ascending
+    md5-low-64 of the term — an unsigned total order both numpy and
+    DuckDB (`md5_number_lower`) reproduce bit-exactly, so the kept set
+    is deterministic across engines.
+
+    Two shuffles total, both range sorts: (1) sort the exploded
+    (doc, term, tf) rows by TERM — the sort invariant puts every
+    term's rows wholly inside one block, so the per-block run length
+    IS the global document frequency and the score attaches in the
+    same sweep with no separate df aggregate or join; (2)
+    ``topk_per_group`` by doc.  ``n_docs`` comes from parquet footer
+    metadata (no counting pass).  The shuffle carries (doc, term, tf)
+    rows — the corpus' distinct-pair stream, never positions or
+    content."""
+    from functools import partial
+
+    from ..functions.hashing import md5_low64_batch
+    from .aggregates import topk_per_group
+
+    tf = docs_ds.map_batches(
+        partial(doc_term_tf_batch, text_col=text_col, id_col=id_col),
+        batch_format="pyarrow")
+
+    scored_schema = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                               ("score", pa.float64()), ("_tb", pa.uint64())])
+
+    def score_sweep(t: pa.Table) -> pa.Table:
+        from .aggregates import key_run_breaks
+
+        if t.num_rows == 0:
+            return pa.table({f.name: pa.array([], f.type)
+                             for f in scored_schema})
+        n = t.num_rows
+        brk = key_run_breaks(t, ["term"])
+        run_of = np.cumsum(np.r_[0, brk.astype(np.int64)])
+        starts = np.flatnonzero(np.r_[True, brk])
+        lens = np.diff(np.r_[starts, n]).astype(np.int64)
+        df = lens[run_of]                       # global df: term runs are block-local
+        tfv = t["tf"]
+        tfv = (tfv.combine_chunks() if isinstance(tfv, pa.ChunkedArray)
+               else tfv).to_numpy(zero_copy_only=False)
+        score = tfv.astype(np.float64) * (float(n_docs) / df.astype(np.float64))
+        terms = t["term"]
+        terms = (terms.combine_chunks() if isinstance(terms, pa.ChunkedArray)
+                 else terms)
+        # one md5 per RUN (distinct term), repeated over the run — not
+        # one per row
+        tb = np.repeat(md5_low64_batch(terms.take(pa.array(starts)).to_pylist()),
+                       lens)
+        return pa.table({id_col: t[id_col], "term": terms,
+                         "score": pa.array(score), "_tb": pa.array(tb)},
+                        schema=scored_schema)
+
+    scored = tf.sort("term").map_batches(score_sweep, batch_size=None,
+                                         batch_format="pyarrow")
+    top = topk_per_group(scored, [id_col], "score", k, tiebreak="_tb",
+                         in_schema=scored_schema)
+    return top.map_batches(lambda t: t.drop_columns(["_tb"]),
+                           batch_format="pyarrow")
