@@ -1350,6 +1350,67 @@ def q_scrub_pii(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+# per-language keep rates out of 10000 buckets (en kept whole, es
+# downsampled 4x, everything else halved) — shared with the oracle
+STRAT_RATES = {"en": 10_000, "es": 2_500}
+STRAT_DEFAULT = 5_000
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic stratified downsampling (the over-represented-
+    language curation move): keep iff md5_low64(text) % 10000 < the
+    language's keep rate.  Pure map, no shuffle, no RNG state; the
+    oracle replays the assignment with md5_number_lower."""
+    import ray.data as rd
+
+    from ..stages.sampling import sample_fraction
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+    return sample_fraction(docs, STRAT_RATES, default=STRAT_DEFAULT,
+                           group_col="lang", hash_col="text",
+                           out_cols=["doc_id", "lang"])
+
+
+def q_label_centroids(sf_dir: str):
+    """Mean embedding per label (class prototypes): per-batch partial
+    (key, vector-sum, n) rows -> one range sort -> per-run combine.
+    Output exploded to (label, dim, mean, n) rows so the SQL oracle
+    (unnest + generate_subscripts + AVG) compares value by value;
+    means rounded 4dp on both engines (summation association
+    differs)."""
+    import ray.data as rd
+
+    from ..stages.similarity import group_centroids
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["label", "embedding"])
+    cents = group_centroids(emb, "label", emb_col="embedding")
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.similarity import _emb_matrix
+
+        if t.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "mean": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        m = _emb_matrix(t, "centroid")
+        r, d = m.shape
+        lab = pc.cast(t["label"], pa.int64()).to_numpy(zero_copy_only=False)
+        nv = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "label": pa.array(np.repeat(lab, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), r)),
+            "mean": pa.array(_r4(m.ravel())),
+            "n": pa.array(np.repeat(nv, d)),
+        })
+
+    return cents.map_batches(explode, batch_format="pyarrow")
+
+
 RANGE_WINDOW_S = 300
 
 
@@ -1656,6 +1717,8 @@ QUERIES = {
     "building_f_orders_full": q_building_f_orders_full,
     "doc_keywords": q_doc_keywords,
     "scrub_pii": q_scrub_pii,
+    "stratified_sample": q_stratified_sample,
+    "label_centroids": q_label_centroids,
     "click_view_range_join": q_click_view_range_join,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
@@ -2506,6 +2569,24 @@ SELECT c_custkey,
               regexp_replace(c_name, '[0-9]{3,}', '<NUM>', 'g'),
               'Customer#')))::BIGINT AS n_hits
 FROM customer
+""",
+    "stratified_sample": f"""
+SELECT doc_id, lang FROM documents
+WHERE md5_number_lower(text) % 10000 <
+      CASE lang WHEN 'en' THEN {STRAT_RATES['en']}
+                WHEN 'es' THEN {STRAT_RATES['es']}
+                ELSE {STRAT_DEFAULT} END
+""",
+    "label_centroids": f"""
+WITH x AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+)
+SELECT label::BIGINT AS label, dim::BIGINT AS dim,
+       {_R4.format(expr='(sum(v::DOUBLE) / count(*))')} AS mean,
+       count(*)::BIGINT AS n
+FROM x GROUP BY 1, 2
 """,
     "click_view_range_join": f"""
 SELECT c.event_id AS click_id, v.event_id AS view_id

@@ -95,3 +95,59 @@ def cap_per_group(ds, keys: list[str], cap: int, *,
         in_schema=prep_schema,
     )
     return capped.select_columns(out_cols)
+
+
+def sample_fraction(ds, rates, *, default: int | None = None,
+                    group_col: str | None = None, hash_col: str = "text",
+                    salt: str = "", buckets: int = SPLIT_BUCKETS,
+                    out_cols: list[str] | None = None):
+    """Deterministic content-addressed (stratified) downsampling: keep
+    a row iff ``md5_low64(hash_col || salt) % buckets < rate``, where
+    the rate is per-group (``rates`` a dict group-value → keep weight
+    out of ``buckets``, ``default`` for unlisted groups) or uniform
+    (``rates`` an int).  The classic curation move — downsample
+    over-represented languages/domains by fixed factors — as a pure
+    map: no shuffle, no RNG state, stable under re-sharding and corpus
+    growth, independent samples via ``salt``, and replicable in SQL as
+    ``md5_number_lower(col || salt) % buckets < rate``.  Null group
+    values take ``default``; a null hash column hashes like ''."""
+    if isinstance(rates, dict):
+        if group_col is None:
+            raise ValueError("dict rates require group_col")
+        if default is None:
+            raise ValueError("dict rates require a default rate")
+        bad = [v for v in list(rates.values()) + [default]
+               if not 0 <= int(v) <= buckets]
+        if bad:
+            raise ValueError(f"rates out of [0, {buckets}]: {bad}")
+    else:
+        rates = int(rates)
+        if not 0 <= rates <= buckets:
+            raise ValueError(f"rate out of [0, {buckets}]: {rates}")
+
+    def keep(t: pa.Table) -> pa.Table:
+        content = t[hash_col]
+        content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        strs = content.to_pylist()
+        if salt:
+            strs = [(s or "") + salt for s in strs]
+        h = (md5_low64(strs) % np.uint64(buckets)).astype(np.int64)
+        if isinstance(rates, dict):
+            g = t[group_col]
+            g = (g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g) \
+                .dictionary_encode()
+            per_value = np.asarray(
+                [int(rates.get(v, default)) for v in g.dictionary.to_pylist()],
+                dtype=np.int64)
+            codes = g.indices.to_numpy(zero_copy_only=False)
+            valid = ~np.isnan(codes) if codes.dtype.kind == "f" else \
+                np.ones(len(codes), dtype=bool)
+            rate_row = np.full(t.num_rows, int(default), dtype=np.int64)
+            if per_value.size:
+                rate_row[valid] = per_value[codes[valid].astype(np.int64)]
+        else:
+            rate_row = np.full(t.num_rows, rates, dtype=np.int64)
+        out = t.filter(pa.array(h < rate_row))
+        return out.select(out_cols) if out_cols is not None else out
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -436,3 +436,82 @@ def embedding_dup_pairs(
     return bucketed.sort("bucket").map_batches(
         in_bucket_pairs_block, batch_size=None, batch_format="pyarrow"
     )
+
+
+def group_centroids(ds, key_col: str, *, emb_col: str = "embedding"):
+    """Mean embedding per group — the k-means / class-prototype /
+    dataset-summary building block.
+
+    Scale shape: each batch collapses to ONE partial row per distinct
+    key (lexsort + ``np.add.reduceat`` over the embedding matrix), so
+    the shuffle carries (key, vector-sum, n) partials — bounded by
+    batches × keys-per-batch — never the per-row vectors.  One range
+    sort on the key then reduces partials per run (the sort invariant
+    keeps each key wholly inside one block) and divides by the count.
+    Returns a Dataset (key, centroid ``list<double>``, n).
+
+    Float note: partial sums accumulate in float64 in batch row order,
+    then combine in sorted-block order — a different association than
+    any single-pass sum, so compare centroids rounded (the driver
+    oracle rounds to 4 decimals), not bitwise."""
+    from .aggregates import static_schema
+
+    src = static_schema(ds)
+    key_type = src.field(key_col).type if src is not None \
+        and key_col in src.names else pa.int64()
+    partial_schema = pa.schema([(key_col, key_type),
+                                ("_vsum", pa.list_(pa.float64())),
+                                ("_n", pa.int64())])
+
+    def _list_array(mat: np.ndarray) -> pa.ListArray:
+        r, d = mat.shape
+        return pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (r + 1) * d, d, dtype=np.int32)),
+            pa.array(mat.ravel(), pa.float64()))
+
+    def _typed_empty(schema: pa.Schema) -> pa.Table:
+        return pa.table({f.name: pa.array([], f.type) for f in schema})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _typed_empty(partial_schema)
+        m = _emb_matrix(t, emb_col).astype(np.float64)
+        keys = t[key_col]
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        kv = keys.to_numpy(zero_copy_only=False)
+        order = np.argsort(kv, kind="stable")
+        sk = kv[order]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        sums = np.add.reduceat(m[order], starts, axis=0)
+        ns = np.diff(np.r_[starts, len(sk)]).astype(np.int64)
+        return pa.table({key_col: keys.take(pa.array(order[starts])),
+                         "_vsum": _list_array(sums),
+                         "_n": pa.array(ns)}, schema=partial_schema)
+
+    out_schema = pa.schema([(key_col, key_type),
+                            ("centroid", pa.list_(pa.float64())),
+                            ("n", pa.int64())])
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _typed_empty(out_schema)
+        from .aggregates import key_run_breaks
+
+        brk = key_run_breaks(t, [key_col])
+        starts = np.flatnonzero(np.r_[True, brk])
+        m = _emb_matrix(t, "_vsum")
+        sums = np.add.reduceat(m, starts, axis=0)
+        nv = t["_n"]
+        nv = (nv.combine_chunks() if isinstance(nv, pa.ChunkedArray) else nv) \
+            .to_numpy(zero_copy_only=False)
+        ns = np.add.reduceat(nv, starts)
+        keys = t[key_col]
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        return pa.table({key_col: keys.take(pa.array(starts)),
+                         "centroid": _list_array(sums / ns[:, None]),
+                         "n": pa.array(ns.astype(np.int64))},
+                        schema=out_schema)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.sort(key_col).map_batches(combine, batch_size=None,
+                                              batch_format="pyarrow")

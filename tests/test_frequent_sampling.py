@@ -174,3 +174,84 @@ class TestNullText:
         sigs = minhash_batch(t, num_perm=64)
         with pytest.raises(ValueError, match="bands"):
             lsh_band_batch(sigs, bands=8, rows=4)
+
+
+class TestSampleFraction:
+    def test_stratified_vs_brute_force(self, ray_session):
+        from mini_search_engine_ray.stages.sampling import sample_fraction
+
+        rng = np.random.default_rng(3)
+        langs = np.array(["en", "es", "de", None], dtype=object)
+        texts = [f"doc number {i} body" for i in range(400)]
+        t = pa.table({"doc_id": pa.array(np.arange(400)),
+                      "text": pa.array(texts),
+                      "lang": pa.array(langs[rng.integers(0, 4, 400)].tolist(),
+                                       pa.string())})
+        rates, default = {"en": 10_000, "es": 2_500}, 5_000
+        out = sample_fraction(_ds(t), rates, default=default,
+                              group_col="lang").to_pandas()
+        kept = set(out.doc_id)
+        for i, txt in enumerate(texts):
+            lang = t["lang"][i].as_py()
+            r = rates.get(lang, default)
+            h = int.from_bytes(hashlib.md5(txt.encode()).digest()[8:],
+                               "little") % 10_000
+            assert (i in kept) == (h < r), (i, lang, h, r)
+        # all columns pass through by default
+        assert sorted(out.columns) == ["doc_id", "lang", "text"]
+
+    def test_uniform_rate_and_salt_independence(self, ray_session):
+        from mini_search_engine_ray.stages.sampling import sample_fraction
+
+        t = pa.table({"doc_id": pa.array(np.arange(2000)),
+                      "text": pa.array([f"t{i}" for i in range(2000)])})
+        a = sample_fraction(_ds(t), 5_000, out_cols=["doc_id"]).to_pandas()
+        b = sample_fraction(_ds(t), 5_000, salt="2",
+                            out_cols=["doc_id"]).to_pandas()
+        # both near half, but different draws
+        assert 800 < len(a) < 1200 and 800 < len(b) < 1200
+        assert set(a.doc_id) != set(b.doc_id)
+        # rerun is bit-stable
+        a2 = sample_fraction(_ds(t), 5_000, out_cols=["doc_id"]).to_pandas()
+        assert set(a.doc_id) == set(a2.doc_id)
+
+    def test_rate_validation(self, ray_session):
+        from mini_search_engine_ray.stages.sampling import sample_fraction
+
+        t = pa.table({"text": pa.array(["x"])})
+        with pytest.raises(ValueError):
+            sample_fraction(_ds(t, parts=1), 20_000)
+        with pytest.raises(ValueError):
+            sample_fraction(_ds(t, parts=1), {"en": 1})  # no group_col
+        with pytest.raises(ValueError):
+            sample_fraction(_ds(t, parts=1), {"en": 1}, group_col="lang")
+
+
+class TestGroupCentroids:
+    def test_vs_numpy_means(self, ray_session):
+        from mini_search_engine_ray.stages.similarity import group_centroids
+
+        rng = np.random.default_rng(7)
+        n, d, g = 500, 16, 9
+        labels = rng.integers(0, g, n)
+        m = rng.normal(size=(n, d)).astype(np.float32)
+        t = pa.table({"label": pa.array(labels),
+                      "embedding": pa.array(list(m))})
+        out = group_centroids(_ds(t), "label").to_pandas()
+        assert len(out) == len(np.unique(labels))
+        for _, row in out.iterrows():
+            sel = m[labels == row.label].astype(np.float64)
+            np.testing.assert_allclose(np.asarray(row.centroid),
+                                       sel.mean(axis=0), rtol=1e-12)
+            assert row.n == len(sel)
+
+    def test_string_keys_and_empty_blocks(self, ray_session):
+        from mini_search_engine_ray.stages.similarity import group_centroids
+
+        t = pa.table({"k": pa.array(["b", "a", "b"]),
+                      "embedding": pa.array([[1.0, 2.0], [3.0, 4.0],
+                                             [5.0, 6.0]])})
+        out = group_centroids(_ds(t, parts=3), "k",
+                              emb_col="embedding").to_pandas()
+        got = {r.k: list(r.centroid) for _, r in out.iterrows()}
+        assert got == {"a": [3.0, 4.0], "b": [3.0, 4.0]}
