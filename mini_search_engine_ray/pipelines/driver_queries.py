@@ -1411,6 +1411,83 @@ def q_label_centroids(sf_dir: str):
     return cents.map_batches(explode, batch_format="pyarrow")
 
 
+KMEANS_K = 8
+
+
+def _kmeans_cent_ref(sf_dir: str):
+    """Deterministic k-means seed centroids: embeddings of the
+    KMEANS_K smallest vec_ids (what `kmeans_init` computes)."""
+    import ray.data as rd
+
+    from ..stages.similarity import kmeans_init
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return emb, kmeans_init(emb, KMEANS_K)
+
+
+def q_kmeans_assign(sf_dir: str):
+    """One k-means assignment step: every vector to its nearest of the
+    8 deterministic seed centroids (the k smallest vec_ids), distance
+    rounded 4dp BEFORE the argmin so ties are decided identically on
+    both engines (lowest centroid id — np.argmin's first-minimum rule
+    == ORDER BY dist, cid).  Broadcast centroids, one matmul per
+    batch, no shuffle."""
+    from functools import partial
+
+    import ray
+
+    from ..stages.similarity import kmeans_assign_batch
+
+    emb, cents = _kmeans_cent_ref(sf_dir)
+    ref = ray.put(cents)
+    return emb.map_batches(
+        partial(kmeans_assign_batch, cent_ref=ref, round_dist=True),
+        batch_format="pyarrow")
+
+
+def q_kmeans_step(sf_dir: str):
+    """One full Lloyd iteration through the engine's loop machinery:
+    the rounded assignment above, then the `group_centroids` update —
+    per-batch (cluster, vector-sum, n) partials, one small range sort
+    — exploded to (cluster, dim, mean, n) rows for the SQL oracle."""
+    from functools import partial
+
+    import ray
+
+    from ..stages.similarity import _emb_matrix, group_centroids, \
+        kmeans_assign_batch
+
+    emb, cents = _kmeans_cent_ref(sf_dir)
+    ref = ray.put(cents)
+    assigned = emb.map_batches(
+        partial(kmeans_assign_batch, cent_ref=ref, round_dist=True,
+                keep_emb=True),
+        batch_format="pyarrow")
+    upd = group_centroids(assigned, "cluster", emb_col="embedding")
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "mean": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        m = _emb_matrix(t, "centroid")
+        r, d = m.shape
+        cl = pc.cast(t["cluster"], pa.int64()).to_numpy(zero_copy_only=False)
+        nv = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "cluster": pa.array(np.repeat(cl, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), r)),
+            "mean": pa.array(_r4(m.ravel())),
+            "n": pa.array(np.repeat(nv, d)),
+        })
+
+    return upd.map_batches(explode, batch_format="pyarrow")
+
+
 RANGE_WINDOW_S = 300
 
 
@@ -1719,6 +1796,8 @@ QUERIES = {
     "scrub_pii": q_scrub_pii,
     "stratified_sample": q_stratified_sample,
     "label_centroids": q_label_centroids,
+    "kmeans_assign": q_kmeans_assign,
+    "kmeans_step": q_kmeans_step,
     "click_view_range_join": q_click_view_range_join,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
@@ -2585,6 +2664,49 @@ WITH x AS (
 )
 SELECT label::BIGINT AS label, dim::BIGINT AS dim,
        {_R4.format(expr='(sum(v::DOUBLE) / count(*))')} AS mean,
+       count(*)::BIGINT AS n
+FROM x GROUP BY 1, 2
+""",
+    "kmeans_assign": f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cemb
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+),
+d AS (
+  SELECT e.vec_id, c.cid,
+         {_R4.format(expr="list_distance(e.embedding::DOUBLE[], c.cemb::DOUBLE[])")} AS dist
+  FROM embeddings e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d
+)
+SELECT vec_id, cid::BIGINT AS cluster, dist FROM r WHERE rn = 1
+""",
+    "kmeans_step": f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cemb
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+),
+d AS (
+  SELECT e.vec_id, c.cid,
+         {_R4.format(expr="list_distance(e.embedding::DOUBLE[], c.cemb::DOUBLE[])")} AS dist
+  FROM embeddings e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d
+),
+a AS (SELECT vec_id, cid FROM r WHERE rn = 1),
+x AS (
+  SELECT a.cid AS cluster, generate_subscripts(e.embedding, 1) AS dim,
+         unnest(e.embedding) AS v
+  FROM embeddings e JOIN a USING (vec_id)
+)
+SELECT cluster::BIGINT AS cluster, dim::BIGINT AS dim,
+       {_R4.format(expr="(sum(v::DOUBLE) / count(*))")} AS mean,
        count(*)::BIGINT AS n
 FROM x GROUP BY 1, 2
 """,

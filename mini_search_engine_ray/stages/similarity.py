@@ -515,3 +515,122 @@ def group_centroids(ds, key_col: str, *, emb_col: str = "embedding"):
     partials = ds.map_batches(partial, batch_format="pyarrow")
     return partials.sort(key_col).map_batches(combine, batch_size=None,
                                               batch_format="pyarrow")
+
+
+def _assign_empty(id_col: str) -> pa.Table:
+    return pa.table({id_col: pa.array([], pa.int64()),
+                     "cluster": pa.array([], pa.int64()),
+                     "dist": pa.array([], pa.float64())})
+
+
+def kmeans_assign_batch(t: pa.Table, cent_ref, *, id_col: str = "vec_id",
+                        emb_col: str = "embedding", keep_emb: bool = False,
+                        round_dist: bool = False) -> pa.Table:
+    """Nearest-centroid assignment for one batch against the broadcast
+    (k, d) centroid matrix: one matmul via the ||x-c||² expansion,
+    ties (exact, or post-rounding when ``round_dist``) broken by the
+    LOWEST centroid index — np.argmin's first-minimum rule, which the
+    oracle replays as ORDER BY dist, cid."""
+    import ray
+
+    from .textstats import round4
+
+    if t.num_rows == 0:
+        out = _assign_empty(id_col)
+        if keep_emb:
+            out = out.append_column(emb_col, pa.array([], pa.list_(pa.float64())))
+        return out
+    c = cent_ref if isinstance(cent_ref, np.ndarray) else ray.get(cent_ref)
+    m = _emb_matrix(t, emb_col).astype(np.float64)
+    sq = (m * m).sum(axis=1, keepdims=True) + (c * c).sum(axis=1) \
+        - 2.0 * (m @ c.T)
+    d = np.sqrt(np.maximum(sq, 0.0))
+    if round_dist:
+        d = round4(d)
+    cluster = np.argmin(d, axis=1)
+    cols = {id_col: t[id_col].cast(pa.int64()),
+            "cluster": pa.array(cluster.astype(np.int64)),
+            "dist": pa.array(d[np.arange(len(cluster)), cluster])}
+    if keep_emb:
+        cols[emb_col] = t[emb_col]
+    return pa.table(cols)
+
+
+def kmeans_init(ds, k: int, *, id_col: str = "vec_id",
+                emb_col: str = "embedding") -> np.ndarray:
+    """Deterministic seeding: the embeddings of the k SMALLEST ids.
+    Each batch forwards only its k smallest rows, so the driver
+    collect is bounded by batches × k, never the dataset."""
+    def local_k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: pa.array([], pa.list_(pa.float64()))})
+        ids = t[id_col]
+        ids = (ids.combine_chunks() if isinstance(ids, pa.ChunkedArray)
+               else ids).to_numpy(zero_copy_only=False)
+        keep = np.sort(np.argsort(ids, kind="stable")[:k])
+        out = t.select([id_col, emb_col]).take(pa.array(keep))
+        return pa.table({id_col: out[id_col].cast(pa.int64()),
+                         emb_col: out[emb_col]})
+
+    cand = ds.map_batches(local_k, batch_format="pyarrow").to_arrow_refs()
+    import ray
+
+    tabs = [x for x in ray.get(cand)]
+    allc = pa.concat_tables([t.select([id_col, emb_col]) for t in tabs
+                             if t.num_rows], promote_options="permissive")
+    # centroid row i = the i-th SMALLEST id: take in id order, not
+    # position order
+    order = np.argsort(allc[id_col].to_numpy(zero_copy_only=False),
+                       kind="stable")[:k]
+    sel = allc.take(pa.array(order))
+    return _emb_matrix(sel, emb_col).astype(np.float64)
+
+
+def kmeans(ds, k: int, *, iters: int = 10, id_col: str = "vec_id",
+           emb_col: str = "embedding", tol: float = 0.0):
+    """Distributed Lloyd's k-means over an embedding Dataset.
+
+    Per iteration: centroids broadcast once (``ray.put``), every batch
+    assigns via one matmul (`kmeans_assign_batch`), and the update is
+    `group_centroids` on the cluster id — per-batch (cluster, sum, n)
+    partials, one small range sort, k result rows.  Driver traffic per
+    iteration is the k×d centroid matrix, independent of data size
+    (the same shape as PageRank's score-vector loop).  Empty clusters
+    keep their previous centroid.  Deterministic end to end: seeding
+    by smallest ids, first-minimum tie rule.  Stops early when the max
+    centroid shift is <= ``tol``.
+
+    Returns ``(centroids (k, d) ndarray, assignment Dataset
+    (id, cluster, dist))`` — the assignment is computed lazily against
+    the FINAL centroids."""
+    from functools import partial as _p
+
+    import ray
+
+    cents = kmeans_init(ds, k, id_col=id_col, emb_col=emb_col)
+    if len(cents) < k:
+        raise ValueError(f"kmeans: need >= {k} rows, got {len(cents)}")
+    for _ in range(iters):
+        ref = ray.put(cents)
+        assigned = ds.map_batches(
+            _p(kmeans_assign_batch, cent_ref=ref, id_col=id_col,
+               emb_col=emb_col, keep_emb=True),
+            batch_format="pyarrow")
+        upd = group_centroids(assigned, "cluster", emb_col=emb_col) \
+            .to_pandas()  # k rows
+        new = cents.copy()
+        if len(upd):
+            idx = np.asarray(upd["cluster"], dtype=np.int64)
+            new[idx] = np.stack([np.asarray(v, dtype=np.float64)
+                                 for v in upd["centroid"]])
+        shift = float(np.abs(new - cents).max()) if len(upd) else 0.0
+        cents = new
+        if shift <= tol:
+            break
+    ref = ray.put(cents)
+    assign = ds.map_batches(
+        _p(kmeans_assign_batch, cent_ref=ref, id_col=id_col,
+           emb_col=emb_col),
+        batch_format="pyarrow")
+    return cents, assign

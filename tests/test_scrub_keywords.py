@@ -110,3 +110,69 @@ class TestDocKeywords:
         assert sorted(out.term) == ["a", "b"]
         # tf=2 * (1/1) vs tf=1
         assert out.set_index("term").score["a"] == 2.0
+
+
+def _lloyd_reference(m: np.ndarray, ids: np.ndarray, k: int, iters: int):
+    order = np.argsort(ids, kind="stable")
+    cents = m[order[:k]].astype(np.float64)
+    x = m.astype(np.float64)
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            sel = x[assign == c]
+            if len(sel):
+                new[c] = sel.mean(axis=0)
+        cents = new
+    d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    return cents, np.argmin(d, axis=1)
+
+
+class TestKMeans:
+    def test_vs_numpy_lloyd(self, ray_session):
+        from mini_search_engine_ray.stages.similarity import kmeans
+
+        rng = np.random.default_rng(13)
+        n, d, k = 300, 8, 5
+        m = (rng.normal(size=(k, d))[rng.integers(0, k, n)]
+             + 0.1 * rng.normal(size=(n, d))).astype(np.float32)
+        ids = rng.permutation(n).astype(np.int64)
+        t = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(list(m))})
+        import ray.data as rd
+        ds = rd.from_arrow([t.slice(i, 60) for i in range(0, n, 60)])
+        cents, assign = kmeans(ds, k, iters=5)
+        ref_c, ref_a = _lloyd_reference(m, ids, k, iters=5)
+        np.testing.assert_allclose(cents, ref_c, rtol=1e-9, atol=1e-12)
+        out = assign.to_pandas().set_index("vec_id").sort_index()
+        ref = pd.Series(ref_a, index=ids).sort_index()
+        assert (out.cluster.values == ref.values).all()
+        # dist column is the distance to the assigned centroid
+        some = out.iloc[7]
+        x = m[np.flatnonzero(ids == out.index[7])[0]].astype(np.float64)
+        assert abs(some.dist
+                   - np.linalg.norm(x - cents[int(some.cluster)])) < 1e-9
+
+    def test_too_few_rows_raises(self, ray_session):
+        from mini_search_engine_ray.stages.similarity import kmeans
+
+        t = pa.table({"vec_id": pa.array([1, 2]),
+                      "embedding": pa.array([[0.0, 1.0], [1.0, 0.0]])})
+        import ray.data as rd
+        with pytest.raises(ValueError):
+            kmeans(rd.from_arrow(t), 5, iters=1)
+
+    def test_early_stop_on_converged(self, ray_session):
+        from mini_search_engine_ray.stages.similarity import kmeans
+
+        # two tight blobs, k=2: converges after one iteration
+        pts = np.array([[0.0, 0.0], [0.1, 0.0], [5.0, 5.0], [5.1, 5.0]])
+        t = pa.table({"vec_id": pa.array([0, 2, 1, 3]),
+                      "embedding": pa.array([pts[0], pts[2], pts[1], pts[3]])})
+        import ray.data as rd
+        cents, assign = kmeans(rd.from_arrow(t), 2, iters=50, tol=1e-12)
+        out = assign.to_pandas().sort_values("vec_id")
+        # seeds are ids 0 and 1 (both in blob A); Lloyd pulls c1 to
+        # blob B within two iterations
+        assert out.cluster.tolist() == [0, 0, 1, 1]
+        np.testing.assert_allclose(sorted(cents[:, 0]), [0.05, 5.05])
