@@ -590,10 +590,68 @@ def bench_connected_components(out: dict) -> None:
     assert n_nodes == cliques * 5
 
 
+def bench_kmeans(out: dict) -> None:
+    """Distributed Lloyd's k-means: 1M x 32 float32 synthetic vectors
+    (generated in parallel, MATERIALIZED before the clock starts so
+    only assign-matmul + centroid-partial + small-sort work is timed),
+    k=16, 3 iterations + the final assignment pass."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.similarity import kmeans
+
+    n, d = 1_000_000, 32
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(int(ids[0]) + 7)
+        m = rng.normal(size=(len(ids), d)).astype(np.float32)
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.ravel()), d),
+        })
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    _, assign = kmeans(ds, 16, iters=3)
+    n_assigned = assign.count()
+    dt = time.time() - t0
+    assert n_assigned == n
+    out["queries"]["kmeans_1m32d_3it"] = round(dt, 3)
+
+
+def bench_scrub(out: dict) -> None:
+    """Regex redaction throughput: the 3-rule PII sweep + hit count
+    over 1M synthetic ~70-char strings (generation untimed)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.scrub import scrub_text
+
+    n = 1_000_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        txt = [f"user{i} mail u{i}@ex-corp.io visit https://x.io/p/{i} "
+               f"acct {i * 7919 + 10_000_000}" for i in ids]
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "text": pa.array(txt)})
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    hits = scrub_text(ds, count_col="n_hits").sum("n_hits")
+    dt = time.time() - t0
+    assert hits == 3 * n  # one email, one url, one long digit run each
+    out["queries"]["scrub_pii_1m"] = round(dt, 3)
+
+
 _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",
               "dedup_verify_100k", "ann_cosine", "pagerank", "temporal",
-              "connected_components", "join", "curation")
+              "connected_components", "join", "curation", "kmeans", "scrub")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -665,6 +723,10 @@ def run_all(only: str | None = None) -> dict:
         bench_join(out)
     if only in (None, "curation"):
         bench_curation(out)
+    if only in (None, "kmeans"):
+        bench_kmeans(out)
+    if only in (None, "scrub"):
+        bench_scrub(out)
     out["value"] = round(sum(out["queries"].values()), 3)
     ray.shutdown()
     return out

@@ -1207,6 +1207,46 @@ def q_customer_order_counts(sf_dir: str):
     return agg.map_batches(fix, batch_format="pyarrow")
 
 
+def q_customer_order_counts_skew(sf_dir: str):
+    """The customer_order_counts LEFT join routed through skew_join
+    (salted hot keys): the first ten custkeys are declared hot, their
+    left rows spread over 4 salt buckets and their order rows
+    replicated 4x, everything else riding salt 0 — the result must be
+    row-identical to the plain sort-merge join, which is what sharing
+    customer_order_counts' oracle proves."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import skew_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    j = skew_join(cust, orders, "c_custkey", "o_custkey", how="left",
+                  hot_keys=list(range(10)), salt=4, partitions=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        matched = pc.cast(pc.is_valid(t["o_orderkey"]), pa.int64())
+        return pa.table({"c_custkey": t["c_custkey"], "matched": matched})
+
+    agg = sorted_groupby_agg(j.map_batches(prep, batch_format="pyarrow"),
+                             ["c_custkey"], [("matched", "sum", "n_orders")])
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "c_custkey" not in t.column_names:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "n_orders": pa.array([], pa.int64())})
+        return pa.table({"c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+                         "n_orders": pc.cast(t["n_orders"], pa.int64())})
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
 def q_customers_without_orders(sf_dir: str):
     """Anti join (SQL NOT EXISTS): customers with no PENDING ('P')
     order (the unrestricted version is empty at every sf — each
@@ -1787,6 +1827,7 @@ QUERIES = {
     "cap_per_source": q_cap_per_source,
     "revenue_per_nation": q_revenue_per_nation,
     "customer_order_counts": q_customer_order_counts,
+    "customer_order_counts_skew": q_customer_order_counts_skew,
     "user_event_diversity": q_user_event_diversity,
     "value_quantiles_global": q_value_quantiles_global,
     "customers_without_orders": q_customers_without_orders,
@@ -2770,3 +2811,7 @@ ORACLE_SQL["search_wildcard_distributed"] = ORACLE_SQL["search_wildcard"]
 # by ASSIGNMENT so the three sketches can never drift apart
 ORACLE_SQL["ann_ivf_topk"] = ORACLE_SQL["ann_cosine_topk"]
 ORACLE_SQL["ann_lsh_topk"] = ORACLE_SQL["ann_cosine_topk"]
+# the salted skew join answers the SAME question as the plain
+# sort-merge join — any divergence of the hot-key routing shows up as
+# a driver value mismatch
+ORACLE_SQL["customer_order_counts_skew"] = ORACLE_SQL["customer_order_counts"]

@@ -273,6 +273,130 @@ def sort_merge_join(left, right, on, right_on=None, *, how: str = "inner",
     return joined
 
 
+def skew_join(left, right, on, right_on=None, *, how: str = "inner",
+              salt: int = 16, hot_threshold: int = 500_000,
+              hot_keys=None, suffix: str = "_r",
+              left_schema: pa.Schema | None = None,
+              right_schema: pa.Schema | None = None,
+              partitions: int | None = None):
+    """``sort_merge_join`` with salted hot keys — the escape hatch for
+    the skew caveat documented at the top of this module.
+
+    A plain sort-merge join materializes each key's full match set
+    inside ONE sorted block; a web-corpus hot key (one domain with
+    10⁷ rows) makes that block a straggler or an OOM.  Here rows of
+    HOT keys get a salt column: each hot LEFT row lands in one of
+    ``salt`` buckets (any per-row assignment is correct — the right
+    side is replicated to every bucket, so the joined row set is
+    identical), each hot RIGHT row is replicated to all ``salt``
+    buckets, and the join key becomes (keys..., salt) — the hot key's
+    work spreads across ``salt`` blocks instead of one.  Cold keys
+    ride along with salt 0 and zero replication.
+
+    Hot-key detection (when ``hot_keys`` is None): one
+    ``sorted_groupby_agg`` count over the UNION of both sides' key
+    columns — the shuffle carries (key, 1) rows, the driver collects
+    only keys with combined count > ``hot_threshold`` (bounded by
+    total_rows / hot_threshold).  Pass ``hot_keys`` (an iterable of
+    key values, single-column keys only for the explicit form) to
+    skip the counting pass.
+
+    ``how``: inner / left / semi / anti.  NOT right / full — an
+    unmatched replicated right row would be emitted once per bucket.
+    Single- or multi-column keys with auto detection; the replication
+    factor is ``salt`` × (hot right rows) only."""
+    import ray
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"skew_join: unsupported how: {how}")
+    s = int(salt)
+    if s < 2:
+        raise ValueError("salt must be >= 2")
+    lkeys = [on] if isinstance(on, str) else list(on)
+    rkeys = ([right_on] if isinstance(right_on, str) else list(right_on)) \
+        if right_on is not None else lkeys
+
+    lschema = left_schema if left_schema is not None else left.schema().base_schema
+    rschema = right_schema if right_schema is not None else right.schema().base_schema
+
+    if hot_keys is None:
+        from .aggregates import sorted_groupby_agg
+
+        def lk(t: pa.Table) -> pa.Table:
+            return t.select(lkeys)
+
+        def rk(t: pa.Table) -> pa.Table:
+            out = t.select(rkeys)
+            return out.rename_columns(lkeys)
+
+        allk = left.map_batches(lk, batch_format="pyarrow").union(
+            right.map_batches(rk, batch_format="pyarrow"))
+        counts = sorted_groupby_agg(allk, lkeys,
+                                    [(lkeys[0], "count", "_cnt")])
+        hot_tab = counts.filter(
+            expr=f"_cnt > {int(hot_threshold)}").to_arrow_refs()
+        hot_tab = [x for x in ray.get(hot_tab) if x.num_rows]
+        hot_tab = pa.concat_tables(
+            [t.select(lkeys) for t in hot_tab]) if hot_tab else \
+            pa.table({k: pa.array([], lschema.field(k).type) for k in lkeys})
+    else:
+        if len(lkeys) != 1:
+            raise ValueError("explicit hot_keys requires a single key column")
+        hot_tab = pa.table({lkeys[0]: pa.array(
+            list(hot_keys), lschema.field(lkeys[0]).type)})
+    hot_ref = ray.put(hot_tab)
+
+    def _hot_mask(t: pa.Table, keycols: list[str]) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        hot = ray.get(hot_ref)
+        if hot.num_rows == 0:
+            return np.zeros(t.num_rows, dtype=bool)
+        # membership via arrow hash join on the key columns
+        probe = t.select(keycols)
+        if keycols != lkeys:
+            probe = probe.rename_columns(lkeys)
+        probe = probe.append_column("_row", pa.array(np.arange(t.num_rows)))
+        hit = probe.join(hot.append_column("_one", pa.nulls(hot.num_rows, pa.int8()).fill_null(1)),
+                         keys=lkeys, join_type="left outer")
+        mask = np.zeros(t.num_rows, dtype=bool)
+        rows = hit["_row"].to_numpy(zero_copy_only=False)
+        ones = pc.is_valid(hit["_one"]).to_numpy(zero_copy_only=False)
+        mask[rows[ones]] = True
+        return mask
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        hot = _hot_mask(t, lkeys)
+        sv = np.zeros(t.num_rows, dtype=np.int64)
+        nh = int(hot.sum())
+        if nh:
+            # any assignment is correct (right hot rows exist in every
+            # bucket) — a cycling counter spreads evenly
+            sv[hot] = np.arange(nh, dtype=np.int64) % s
+        return t.append_column("_salt", pa.array(sv))
+
+    def salt_right(t: pa.Table) -> pa.Table:
+        hot = _hot_mask(t, rkeys)
+        cold_idx = np.flatnonzero(~hot)
+        hot_idx = np.flatnonzero(hot)
+        # each hot row s consecutive times, paired with salts 0..s-1
+        idx = np.r_[cold_idx, np.repeat(hot_idx, s)]
+        sv = np.r_[np.zeros(len(cold_idx), dtype=np.int64),
+                   np.tile(np.arange(s, dtype=np.int64), len(hot_idx))]
+        out = t.take(pa.array(idx))
+        return out.append_column("_salt", pa.array(sv))
+
+    lb = left.map_batches(salt_left, batch_format="pyarrow")
+    rb = right.map_batches(salt_right, batch_format="pyarrow")
+    lb_schema = pa.schema(list(lschema) + [pa.field("_salt", pa.int64())])
+    rb_schema = pa.schema(list(rschema) + [pa.field("_salt", pa.int64())])
+    j = sort_merge_join(lb, rb, lkeys + ["_salt"], rkeys + ["_salt"],
+                        how=how, suffix=suffix, partitions=partitions,
+                        left_schema=lb_schema, right_schema=rb_schema)
+    return j.map_batches(lambda t: t.drop_columns(["_salt"]),
+                         batch_format="pyarrow")
+
+
 def range_join(left, right, *, on, left_ts: str, right_lo: str,
                right_hi: str, band_width: int,
                suffix: str = "_r", partitions: int | None = None,

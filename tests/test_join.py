@@ -277,3 +277,77 @@ class TestRangeJoin:
             range_join(_ds(lt, parts=1), _ds(rt, parts=1), on="u",
                        left_ts="ts", right_lo="lo", right_hi="hi",
                        band_width=10).to_pandas()
+
+
+class TestSkewJoin:
+    """skew_join == sort_merge_join row-for-row, with hot keys salted
+    across buckets instead of concentrated in one sorted block."""
+
+    def _skewed(self):
+        rng = np.random.default_rng(41)
+        # key 7 is hot on both sides; keys 0..29 are cold
+        lk = np.r_[np.full(500, 7), rng.integers(0, 30, 400)]
+        rk = np.r_[np.full(60, 7), rng.integers(0, 30, 200)]
+        lt = pa.table({"k": pa.array(lk), "lv": pa.array(np.arange(len(lk)))})
+        rt = pa.table({"k": pa.array(rk), "rv": pa.array(np.arange(len(rk)) * 2)})
+        return lt, rt
+
+    @pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+    def test_equals_plain_smj(self, ray_session, how):
+        from mini_search_engine_ray.stages.join import skew_join
+
+        lt, rt = self._skewed()
+        got = skew_join(_ds(lt), _ds(rt, parts=3), "k", how=how, salt=4,
+                        hot_threshold=100).to_pandas()
+        exp = sort_merge_join(_ds(lt), _ds(rt, parts=3), "k",
+                              how=how).to_pandas()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                      check_dtype=False)
+
+    def test_explicit_hot_keys_and_key_rename(self, ray_session):
+        from mini_search_engine_ray.stages.join import skew_join
+
+        lt = pa.table({"ok": pa.array([7] * 50 + [1, 2]),
+                       "v": pa.array(np.arange(52))})
+        rt = pa.table({"rk": pa.array([7, 7, 2]), "w": pa.array([9, 8, 5])})
+        got = skew_join(_ds(lt, parts=2), _ds(rt, parts=1), "ok", "rk",
+                        hot_keys=[7], salt=4).to_pandas()
+        exp = sort_merge_join(_ds(lt, parts=2), _ds(rt, parts=1), "ok",
+                              "rk").to_pandas()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                      check_dtype=False)
+        assert len(got) == 101  # 50 hot x 2 + key-2 match
+
+    def test_no_hot_keys_degenerates_cleanly(self, ray_session):
+        from mini_search_engine_ray.stages.join import skew_join
+
+        lt = pa.table({"k": pa.array([1, 2, 3]), "lv": pa.array([1, 2, 3])})
+        rt = pa.table({"k": pa.array([2, 3]), "rv": pa.array([5, 6])})
+        got = skew_join(_ds(lt, parts=1), _ds(rt, parts=1), "k",
+                        hot_threshold=10).to_pandas()
+        exp = lt.to_pandas().merge(rt.to_pandas(), on="k")
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                      check_dtype=False)
+
+    def test_null_keys_left_semantics(self, ray_session):
+        from mini_search_engine_ray.stages.join import skew_join
+
+        lt = pa.table({"k": pa.array([7] * 40 + [None, 3],
+                                     type=pa.int64()),
+                       "lv": pa.array(np.arange(42))})
+        rt = pa.table({"k": pa.array([7, 3], type=pa.int64()),
+                       "rv": pa.array([1, 2])})
+        got = skew_join(_ds(lt, parts=2), _ds(rt, parts=1), "k", how="left",
+                        hot_keys=[7], salt=3).to_pandas()
+        exp = sort_merge_join(_ds(lt, parts=2), _ds(rt, parts=1), "k",
+                              how="left").to_pandas()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                      check_dtype=False)
+
+    def test_rejects_right_full_and_bad_salt(self, ray_session):
+        from mini_search_engine_ray.stages.join import skew_join
+
+        lt = pa.table({"k": pa.array([1])})
+        for kw in (dict(how="right"), dict(how="full"), dict(salt=1)):
+            with pytest.raises(ValueError):
+                skew_join(_ds(lt, parts=1), _ds(lt, parts=1), "k", **kw)
