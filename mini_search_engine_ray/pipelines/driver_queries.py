@@ -1451,6 +1451,33 @@ def q_label_centroids(sf_dir: str):
     return cents.map_batches(explode, batch_format="pyarrow")
 
 
+EVENTS_VALUE_Q = 0.9
+
+
+def q_events_above_p90(sf_dir: str):
+    """Quality-threshold curation gate: events whose value is >= the
+    exact global p90 — threshold located via sorted-block row-count
+    metadata (one block fetched, no driver materialization), then one
+    streaming filter pass."""
+    import ray.data as rd
+
+    from ..stages.aggregates import filter_by_quantile
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    out = filter_by_quantile(ev, "value", EVENTS_VALUE_Q, keep="ge")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "value": pa.array(_r4(t["value"].to_numpy(zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 KMEANS_K = 8
 
 
@@ -1839,6 +1866,7 @@ QUERIES = {
     "label_centroids": q_label_centroids,
     "kmeans_assign": q_kmeans_assign,
     "kmeans_step": q_kmeans_step,
+    "events_above_p90": q_events_above_p90,
     "click_view_range_join": q_click_view_range_join,
     "embedding_dup_pairs": q_embedding_dup_pairs,
     "pagerank": q_pagerank,
@@ -2815,3 +2843,9 @@ ORACLE_SQL["ann_lsh_topk"] = ORACLE_SQL["ann_cosine_topk"]
 # sort-merge join — any divergence of the hot-key routing shows up as
 # a driver value mismatch
 ORACLE_SQL["customer_order_counts_skew"] = ORACLE_SQL["customer_order_counts"]
+ORACLE_SQL["events_above_p90"] = f"""
+SELECT event_id,
+       {_R4.format(expr='value')} AS value
+FROM events
+WHERE value >= (SELECT quantile_disc(value, {EVENTS_VALUE_Q}) FROM events)
+"""

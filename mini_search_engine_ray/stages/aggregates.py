@@ -326,3 +326,30 @@ def quantile_per_group(ds, keys: list[str], value_col: str, qs: list[float]):
     return ds.sort(list(keys)).map_batches(
         sweep, batch_size=None, batch_format="pyarrow"
     )
+
+
+def filter_by_quantile(ds, value_col: str, q: float, *, keep: str = "ge"):
+    """Quality-threshold curation gate: keep rows whose ``value_col``
+    is >= (``keep='ge'``) or < (``keep='lt'``) the dataset's exact
+    q-th discrete quantile.  The threshold comes from
+    ``global_quantiles`` (one range sort, one block fetched by
+    row-count metadata — never a driver materialization); the filter
+    itself is a pure streaming map over a SECOND pass of the input,
+    so the input Dataset must be re-readable (parquet reads are; wrap
+    a derived pipeline in ``materialize()`` first if recomputing it
+    twice is expensive).  SQL mirror:
+    ``WHERE value >= (SELECT quantile_disc(value, q) FROM t)``."""
+    if keep not in ("ge", "lt"):
+        raise ValueError(f"keep must be 'ge' or 'lt', got {keep!r}")
+    import pyarrow.compute as pc
+
+    thr_tab = global_quantiles(ds, value_col, [q])
+    if thr_tab.num_rows == 0:
+        return ds  # empty input: nothing to filter
+    thr = thr_tab["value"][0].as_py()
+    op = pc.greater_equal if keep == "ge" else pc.less
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(op(t[value_col], pa.scalar(thr)))
+
+    return ds.map_batches(flt, batch_format="pyarrow")

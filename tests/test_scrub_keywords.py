@@ -176,3 +176,61 @@ class TestKMeans:
         # blob B within two iterations
         assert out.cluster.tolist() == [0, 0, 1, 1]
         np.testing.assert_allclose(sorted(cents[:, 0]), [0.05, 5.05])
+
+
+class TestFilterByQuantile:
+    def test_vs_numpy(self, ray_session):
+        from mini_search_engine_ray.stages.aggregates import filter_by_quantile
+
+        rng = np.random.default_rng(19)
+        v = rng.uniform(size=1000)
+        t = pa.table({"id": pa.array(np.arange(1000)), "v": pa.array(v)})
+        out = filter_by_quantile(_ds(t, parts=6), "v", 0.9).to_pandas()
+        # duckdb quantile_disc rank: value at 0-based rank ceil(q*n)-1
+        thr = np.sort(v)[int(np.ceil(0.9 * len(v))) - 1]
+        exp = set(np.flatnonzero(v >= thr))
+        assert set(out.id) == exp
+        lo = filter_by_quantile(_ds(t, parts=6), "v", 0.9,
+                                keep="lt").to_pandas()
+        assert set(lo.id) == set(range(1000)) - exp
+
+    def test_empty_and_validation(self, ray_session):
+        from mini_search_engine_ray.stages.aggregates import filter_by_quantile
+
+        t = pa.table({"v": pa.array([], pa.float64())})
+        out = filter_by_quantile(_ds(t, parts=1), "v", 0.5)
+        assert out.count() == 0
+        with pytest.raises(ValueError):
+            filter_by_quantile(_ds(t, parts=1), "v", 0.5, keep="x")
+
+
+class TestEmptyInputsNewOps:
+    """Every round-4 second-wave operator on a zero-row input: schema-
+    stable empty out, no crash."""
+
+    def test_all(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.join import skew_join, \
+            sort_merge_join
+        from mini_search_engine_ray.stages.sampling import sample_fraction
+        from mini_search_engine_ray.stages.similarity import group_centroids
+
+        et = pa.table({"k": pa.array([], pa.int64()),
+                       "v": pa.array([], pa.float64())})
+        e = rd.from_arrow(et)
+        for how in ("right", "full"):
+            assert sort_merge_join(e, e, "k", how=how).count() == 0
+        assert skew_join(e, e, "k", hot_threshold=1).count() == 0
+
+        td = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "text": pa.array([], pa.string()),
+                       "lang": pa.array([], pa.string())})
+        assert sample_fraction(rd.from_arrow(td), {"en": 1}, default=0,
+                               group_col="lang").count() == 0
+        assert scrub_text(rd.from_arrow(td), count_col="n").count() == 0
+        assert doc_keywords(rd.from_arrow(td), n_docs=0, k=3).count() == 0
+
+        te = pa.table({"label": pa.array([], pa.int64()),
+                       "embedding": pa.array([], pa.list_(pa.float32()))})
+        assert group_centroids(rd.from_arrow(te), "label").count() == 0
