@@ -181,19 +181,60 @@ def train_ivf_centroids(
     return cent
 
 
+def train_ivf_centroids_distributed(
+    ds, *, emb_col: str = "embedding", id_col: str = "vec_id",
+    n_centroids: int = 16, iters: int = 10,
+) -> np.ndarray:
+    """Fully distributed IVF coarse quantizer: spherical k-means over
+    the WHOLE dataset via the Lloyd loop (`kmeans`) on per-batch
+    L2-normalized vectors — on the unit sphere, L2 argmin == cosine
+    argmax, so the raw-L2 assignment step is the cosine assignment.
+    Resulting centroids re-normalized.  Use instead of the driver
+    sample when the corpus is too skewed for a 4096-row sample to see
+    every cluster."""
+    def norm_batch(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             emb_col: pa.array([], pa.list_(pa.float64()))})
+        m = _normalize(_emb_matrix(t, emb_col).astype(np.float64))
+        r, d = m.shape
+        return pa.table({
+            id_col: t[id_col].cast(pa.int64()),
+            emb_col: pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (r + 1) * d, d, dtype=np.int32)),
+                pa.array(m.ravel())),
+        })
+
+    nds = ds.map_batches(norm_batch, batch_format="pyarrow")
+    cents, _ = kmeans(nds, n_centroids, iters=iters, id_col=id_col,
+                      emb_col=emb_col)
+    return _normalize(cents)
+
+
 def ivf_cosine_topk(
     ds, queries: np.ndarray, *, emb_col="embedding", id_col="vec_id",
-    k=10, n_centroids=16, nprobe=4, seed=5,
+    k=10, n_centroids=16, nprobe=4, seed=5, train: str = "sample",
 ):
     """IVF approximate cosine top-k — the scale path for ANN: vectors
     are bucketed by nearest centroid (one map_batches pass, centroids
     broadcast); each query scans only its `nprobe` closest buckets.
     Returns Dataset (query_id, rank, vec_id, score). Recall is tested
     against the brute-force baseline; raise nprobe toward n_centroids
-    for exact results."""
+    for exact results.  ``train``: 'sample' (driver k-means on a
+    ≤4096-row random sample — centroids are small, one cheap pass) or
+    'distributed' (spherical Lloyd over the whole dataset via
+    `kmeans`, deterministic smallest-id seeding — for corpora too
+    skewed for a sample to see every cluster)."""
     import ray
 
-    cent = train_ivf_centroids(ds, emb_col=emb_col, n_centroids=n_centroids, seed=seed)
+    if train == "sample":
+        cent = train_ivf_centroids(ds, emb_col=emb_col,
+                                   n_centroids=n_centroids, seed=seed)
+    elif train == "distributed":
+        cent = train_ivf_centroids_distributed(
+            ds, emb_col=emb_col, id_col=id_col, n_centroids=n_centroids)
+    else:
+        raise ValueError(f"train must be 'sample' or 'distributed', got {train!r}")
     cref = ray.put(cent)
     qn = _normalize(np.ascontiguousarray(queries).astype(np.float64))
     # per query: which buckets to probe

@@ -315,6 +315,59 @@ class TestIVF:
         key = lambda rows: sorted((r["query_id"], r["rank"], r["vec_id"]) for r in rows)
         assert key(ivf) == key(bf)  # probing every bucket == exact
 
+    def test_distributed_trainer_full_probe_equals_exact(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.similarity import (
+            ann_cosine_topk, ivf_cosine_topk)
+
+        rng = np.random.default_rng(7)
+        emb = rng.standard_normal((200, 8))
+        t = pa.table({
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in emb],
+                                  type=pa.list_(pa.float32())),
+        })
+        q = emb[:3]
+        ds = rd.from_arrow([t.slice(i, 50) for i in range(0, 200, 50)])
+        ivf = ivf_cosine_topk(ds, q, k=5, n_centroids=4, nprobe=4,
+                              train="distributed").take_all()
+        bf = ann_cosine_topk(rd.from_arrow(t), q, k=5).take_all()
+        key = lambda rows: sorted((r["query_id"], r["rank"], r["vec_id"])
+                                  for r in rows)
+        assert key(ivf) == key(bf)
+        with pytest.raises(ValueError):
+            ivf_cosine_topk(ds, q, k=5, train="bogus").take_all()
+
+    def test_distributed_trainer_recall(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.similarity import ivf_cosine_topk
+
+        rng = np.random.default_rng(2)
+        centers = rng.standard_normal((8, 16)) * 4
+        emb = np.concatenate([c + rng.standard_normal((60, 16))
+                              for c in centers])
+        ids = np.arange(len(emb), dtype=np.int64)
+        t = pa.table({
+            "vec_id": pa.array(ids),
+            "embedding": pa.array([list(map(float, r)) for r in emb],
+                                  type=pa.list_(pa.float32())),
+        })
+        queries = emb[::97][:5]
+        out = ivf_cosine_topk(rd.from_arrow(t), queries, k=10,
+                              n_centroids=8, nprobe=3,
+                              train="distributed").take_all()
+        mn = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        sims = mn.astype(np.float64) @ qn.astype(np.float64).T
+        recalls = []
+        for qi in range(len(queries)):
+            exact = set(np.lexsort((ids, -sims[:, qi]))[:10].tolist())
+            got = {r["vec_id"] for r in out if r["query_id"] == qi}
+            recalls.append(len(exact & got) / 10)
+        assert sum(recalls) / len(recalls) >= 0.8, recalls
+
 
 class TestLSHANN:
     def _table(self, emb):
