@@ -590,6 +590,52 @@ def bench_connected_components(out: dict) -> None:
     assert n_nodes == cliques * 5
 
 
+def bench_join_skew(out: dict) -> None:
+    """Hot-key join, plain vs salted: left 4M rows with 25% on ONE key,
+    right 200k rows with 24 on that key — the plain sort-merge join
+    materializes the hot key's 1M x 24 = 24M-row cross product inside
+    ONE sorted block (single straggler task); skew_join spreads it over
+    16 salt buckets.  Both joins must emit the same row count.
+    Inputs generated in parallel and MATERIALIZED before timing."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.join import skew_join, sort_merge_join
+
+    nl, nr, hot = 4_000_000, 200_000, 0
+
+    def gen_left(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(int(ids[0]) + 11)
+        k = rng.integers(1, 1_000_000, len(ids))
+        k[rng.random(len(ids)) < 0.25] = hot
+        return pa.table({"k": pa.array(k.astype(np.int64)),
+                         "lv": pa.array(ids.astype(np.int64))})
+
+    def gen_right(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(int(ids[0]) + 13)
+        k = rng.integers(1, 1_000_000, len(ids))
+        k[ids % (nr // 24) == 0] = hot
+        return pa.table({"k": pa.array(k.astype(np.int64)),
+                         "rv": pa.array(ids.astype(np.int64))})
+
+    left = rd.range(nl).map_batches(gen_left, batch_format="pyarrow").materialize()
+    right = rd.range(nr).map_batches(gen_right, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    n_plain = sort_merge_join(left, right, "k", partitions=32).count()
+    t_plain = time.time() - t0
+    t0 = time.time()
+    n_salted = skew_join(left, right, "k", hot_keys=[hot], salt=16,
+                         partitions=32).count()
+    t_salted = time.time() - t0
+    assert n_plain == n_salted, (n_plain, n_salted)
+    out["queries"]["join_skew_plain_4m"] = round(t_plain, 3)
+    out["queries"]["join_skew_salted_4m"] = round(t_salted, 3)
+    out["join_skew_rows"] = int(n_salted)
+
+
 def bench_kmeans(out: dict) -> None:
     """Distributed Lloyd's k-means: 1M x 32 float32 synthetic vectors
     (generated in parallel, MATERIALIZED before the clock starts so
@@ -651,7 +697,8 @@ def bench_scrub(out: dict) -> None:
 _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",
               "dedup_verify_100k", "ann_cosine", "pagerank", "temporal",
-              "connected_components", "join", "curation", "kmeans", "scrub")
+              "connected_components", "join", "join_skew", "curation", "kmeans",
+              "scrub")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -721,6 +768,8 @@ def run_all(only: str | None = None) -> dict:
         bench_connected_components(out)
     if only in (None, "join"):
         bench_join(out)
+    if only in (None, "join_skew"):
+        bench_join_skew(out)
     if only in (None, "curation"):
         bench_curation(out)
     if only in (None, "kmeans"):

@@ -484,3 +484,94 @@ def broadcast_join(ds, small: pa.Table, on, right_on=None, *,
                       right_suffix=suffix)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
+# Bloom-filter join prefilter
+# ---------------------------------------------------------------------
+
+_BLOOM_DEFAULT_BITS = 1 << 23  # 1 MiB of bits
+
+
+def _bloom_positions(keys, bits: int, k: int) -> np.ndarray:
+    """k bit positions per key via double hashing of md5-low-64:
+    h1 = low 32 bits, h2 = high 32 bits forced odd; pos_i =
+    (h1 + i*h2) mod bits.  Vectorized, deterministic."""
+    from ..functions.hashing import md5_low64_batch
+
+    h = md5_low64_batch(keys)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + i * h2[:, None]) % np.uint64(bits))
+
+
+def bloom_from_keys(ds, col: str, *, bits: int = _BLOOM_DEFAULT_BITS,
+                    k: int = 4) -> np.ndarray:
+    """Build a Bloom filter (packed uint64 bitmap, ``bits`` bits) over
+    a key column.  Each block reduces to ONE bitmap row (bits/8
+    bytes), OR-combined on the driver — so build it over the SMALLER
+    join side: driver traffic is blocks × bits/8, independent of row
+    count.  Null keys are skipped (they never join)."""
+    import ray
+
+    nwords = (bits + 63) // 64
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col_a = t[col]
+        col_a = col_a.combine_chunks() if isinstance(col_a, pa.ChunkedArray) else col_a
+        if col_a.null_count:
+            col_a = col_a.filter(pc.is_valid(col_a))
+        bm = np.zeros(nwords, dtype=np.uint64)
+        if len(col_a):
+            pos = _bloom_positions(
+                [str(x) for x in col_a.to_pylist()], bits, k).ravel()
+            np.bitwise_or.at(bm, (pos >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.large_binary())})
+
+    bm = np.zeros(nwords, dtype=np.uint64)
+    for ref in ds.map_batches(partial, batch_size=None,
+                              batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        for row in range(t.num_rows):
+            bm |= np.frombuffer(t["bm"][row].as_py(), dtype=np.uint64)
+    return bm
+
+
+def bloom_prefilter(left, bloom: np.ndarray, on, *, k: int = 4):
+    """Keep only left rows whose key MIGHT be in the Bloom filter —
+    no false negatives (the subsequent join still decides exactly),
+    tunable false positives.  Compose before a semi/inner
+    ``sort_merge_join`` when most left keys have no match: the rows a
+    bloom of the right side rejects never enter the shuffle.  The
+    bitmap is ``ray.put`` once; each batch tests k bits per key.
+    Null-key rows are dropped (SQL: they never match)."""
+    import ray
+
+    bits = len(bloom) * 64
+    bref = ray.put(bloom)
+    keycol = on if isinstance(on, str) else on[0]
+    if not isinstance(on, str) and len(on) != 1:
+        raise ValueError("bloom_prefilter supports a single key column")
+
+    def flt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t[keycol]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if col.null_count:
+            t = t.filter(pc.is_valid(col))
+            col = t[keycol]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if t.num_rows == 0:
+            return t
+        bm = ray.get(bref)  # zero-copy from shared memory
+        pos = _bloom_positions([str(x) for x in col.to_pylist()], bits, k)
+        word = bm[(pos >> np.uint64(6)).astype(np.int64)]
+        hit = (word >> (pos & np.uint64(63))) & np.uint64(1)
+        return t.filter(pa.array(hit.all(axis=1)))
+
+    return left.map_batches(flt, batch_format="pyarrow")

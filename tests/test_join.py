@@ -351,3 +351,45 @@ class TestSkewJoin:
         for kw in (dict(how="right"), dict(how="full"), dict(salt=1)):
             with pytest.raises(ValueError):
                 skew_join(_ds(lt, parts=1), _ds(lt, parts=1), "k", **kw)
+
+
+class TestBloomPrefilter:
+    def test_no_false_negatives_and_join_equality(self, ray_session):
+        from mini_search_engine_ray.stages.join import (bloom_from_keys,
+                                                        bloom_prefilter)
+
+        rng = np.random.default_rng(47)
+        # left keys 0..9999, right keys only 0..99: most left rows prune
+        lt = pa.table({"k": pa.array(rng.integers(0, 10_000, 5000)),
+                       "lv": pa.array(np.arange(5000))})
+        rt = pa.table({"k": pa.array(rng.integers(0, 100, 300)),
+                       "rv": pa.array(np.arange(300))})
+        bloom = bloom_from_keys(_ds(rt, parts=3), "k", bits=1 << 16)
+        pre = bloom_prefilter(_ds(lt), bloom, "k")
+        got = sort_merge_join(pre, _ds(rt, parts=3), "k",
+                              how="semi").to_pandas()
+        exp = sort_merge_join(_ds(lt), _ds(rt, parts=3), "k",
+                              how="semi").to_pandas()
+        pd.testing.assert_frame_equal(_canon(got), _canon(exp),
+                                      check_dtype=False)
+        # the prefilter really pruned (most keys >= 100 rejected)
+        n_pre = pre.count()
+        assert n_pre < 2500, n_pre
+        # no false negatives by construction: every true-match row kept
+        keys_r = set(rt["k"].to_pylist())
+        kept = set(pre.to_pandas().lv)
+        for i, kv in enumerate(lt["k"].to_pylist()):
+            if kv in keys_r:
+                assert i in kept
+
+    def test_string_keys_and_null_drop(self, ray_session):
+        from mini_search_engine_ray.stages.join import (bloom_from_keys,
+                                                        bloom_prefilter)
+
+        rt = pa.table({"k": pa.array(["a", "b", None])})
+        bloom = bloom_from_keys(_ds(rt, parts=1), "k", bits=1 << 12)
+        lt = pa.table({"k": pa.array(["a", "zzz", None]),
+                       "lv": pa.array([1, 2, 3])})
+        out = bloom_prefilter(_ds(lt, parts=1), bloom, "k").to_pandas()
+        assert 1 in set(out.lv)      # true member kept
+        assert 3 not in set(out.lv)  # null key dropped
