@@ -1357,6 +1357,97 @@ def q_doc_keywords(sf_dir: str):
     return top.map_batches(fix, batch_format="pyarrow")
 
 
+CHUNK_WINDOW, CHUNK_STRIDE = 8, 5     # overlapping context windows
+DECONTAM_N = 3                        # trigram overlap (small corpus)
+DECONTAM_BENCH_MOD = 23               # doc_id % 23 == 0 -> "benchmark"
+REPETITION_N = 2                      # bigram repetition signals
+
+
+def q_chunk_docs(sf_dir: str):
+    """Token-window chunking (the training-sequence / RAG-passage
+    split): each doc expands to ceil(T/stride) chunks of up to
+    `window` analyzed tokens re-joined with single spaces.  Pure
+    per-batch map that EXPANDS rows — no shuffle, no state."""
+    import ray.data as rd
+
+    from ..stages.chunking import chunk_documents
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = chunk_documents(docs, window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "chunk_id": pc.cast(t["chunk_id"], pa.int64()),
+            "chunk_text": pc.cast(t["chunk_text"], pa.string()),
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_decontam_drop(sf_dir: str):
+    """Benchmark decontamination: documents whose doc_id % 23 == 0
+    play the eval set; every doc sharing a token trigram with them is
+    dropped.  The benchmark's distinct trigrams collect on the driver
+    (benchmark-sized by contract), broadcast once via ray.put, and the
+    corpus streams through one vectorized is_in membership map — no
+    shuffle anywhere."""
+    import ray.data as rd
+
+    from ..stages.decontam import decontaminate, ngram_set
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    grams = ngram_set(bench, n=DECONTAM_N)
+    clean = decontaminate(docs, grams, n=DECONTAM_N)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "lang": pc.cast(t["lang"], pa.string()),
+        })
+
+    return clean.map_batches(fix, batch_format="pyarrow")
+
+
+def q_doc_repetition(sf_dir: str):
+    """Per-doc bigram repetition quality signals (the Gopher-style
+    repetitious-text gate): duplicate-gram occurrence fraction and
+    top-gram fraction per doc, 4dp half-up on both engines.  Pure
+    per-batch map (dictionary-encode + one np.unique per batch)."""
+    import ray.data as rd
+
+    from ..stages.textstats import doc_repetition_stats
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = doc_repetition_stats(docs, n=REPETITION_N)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_ngrams": pc.cast(t["n_ngrams"], pa.int64()),
+            "dup_ngram_frac": pc.cast(t["dup_ngram_frac"], pa.float64()),
+            "top_ngram_frac": pc.cast(t["top_ngram_frac"], pa.float64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 # ordered scrub rules shared by the engine query and its oracle; the
 # second rule runs over the FIRST rule's output, like chained
 # regexp_replace
@@ -1861,6 +1952,9 @@ QUERIES = {
     "parts_in_lineitem": q_parts_in_lineitem,
     "building_f_orders_full": q_building_f_orders_full,
     "doc_keywords": q_doc_keywords,
+    "chunk_docs": q_chunk_docs,
+    "decontam_drop": q_decontam_drop,
+    "doc_repetition": q_doc_repetition,
     "scrub_pii": q_scrub_pii,
     "stratified_sample": q_stratified_sample,
     "label_centroids": q_label_centroids,
@@ -2707,6 +2801,50 @@ ranked AS (
 )
 SELECT doc_id, term, {_R4.format(expr='score')} AS score
 FROM ranked WHERE rn <= {DOC_KEYWORDS_K}
+""",
+    "chunk_docs": f"""
+WITH {_TOK_CTE},
+s AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks)-1, {CHUNK_STRIDE})) AS start
+  FROM tok WHERE len(toks) > 0
+)
+SELECT doc_id, (start // {CHUNK_STRIDE})::BIGINT AS chunk_id,
+       array_to_string(toks[start+1:start+{CHUNK_WINDOW}], ' ') AS chunk_text,
+       least({CHUNK_WINDOW}, len(toks) - start)::BIGINT AS n_tokens
+FROM s
+""",
+    "decontam_drop": f"""
+WITH {_TOK_CTE},
+g AS (
+  SELECT doc_id,
+         toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks)-2)) AS p
+        FROM tok WHERE len(toks) >= {DECONTAM_N})
+),
+bad AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE gram IN (SELECT gram FROM g
+                 WHERE doc_id % {DECONTAM_BENCH_MOD} = 0)
+)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+    "doc_repetition": f"""
+WITH {_TOK_CTE},
+g AS (
+  SELECT doc_id, toks[p] || ' ' || toks[p+1] AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks)-1)) AS p
+        FROM tok WHERE len(toks) >= {REPETITION_N})
+),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
+       {_R4.format(expr="sum(CASE WHEN c>1 THEN c ELSE 0 END) / sum(c)")}
+         AS dup_ngram_frac,
+       {_R4.format(expr="max(c)::DOUBLE / sum(c)")} AS top_ngram_frac
+FROM cnt GROUP BY doc_id
 """,
     "scrub_pii": """
 SELECT c_custkey,

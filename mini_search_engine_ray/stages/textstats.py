@@ -60,6 +60,96 @@ def _split_tokens(content: pa.Array):
     return parents[keep], values.filter(mask)
 
 
+def ngram_strings(parents: np.ndarray, values: pa.Array, n: int):
+    """Flat (parents, grams) of every n-token gram over a
+    ``_split_tokens`` stream: the gram at flat token position p joins
+    tokens p..p+n-1 with spaces (a split-class char, so the join is
+    injective) and is valid iff all n tokens belong to the same
+    document — parents is sorted, so equality of the two ENDPOINTS
+    implies equality throughout.  Fully vectorized: n shifted
+    zero-copy slices + one ``binary_join_element_wise``.  Shared by
+    decontamination and the repetition stats below."""
+    total = len(parents)
+    if total < n:
+        return parents[:0], pa.array([], pa.string())
+    m = total - n + 1
+    shifted = [values.slice(i, m) for i in range(n)]
+    grams = pc.binary_join_element_wise(*shifted, " ")
+    ok = parents[:m] == parents[n - 1:]
+    return parents[:m][ok], grams.filter(pa.array(ok))
+
+
+def repetition_stats_batch(t: pa.Table, *, n: int, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
+    """Per-doc n-gram repetition quality signals (the Gopher-style
+    repetitious-text gate): over each document's n-gram multiset,
+
+    - ``dup_ngram_frac`` — fraction of n-gram occurrences whose gram
+      occurs more than once in the doc,
+    - ``top_ngram_frac`` — occurrences of the doc's most frequent
+      gram / total grams,
+    - ``n_ngrams`` — total gram count.
+
+    Docs with fewer than ``n`` tokens emit no row (they have no
+    grams), matching the SQL oracle's GROUP BY.  Pure per-batch map:
+    dictionary-encode the grams once, count (doc, gram) pairs with one
+    ``np.unique``, reduce per doc with ``bincount`` — no shuffle, no
+    per-row Python."""
+    ids = t[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    content = t[text_col]
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    empty = pa.table({
+        id_col: pa.array([], ids.type if t.num_rows else pa.int64()),
+        "n_ngrams": pa.array([], pa.int64()),
+        "dup_ngram_frac": pa.array([], pa.float64()),
+        "top_ngram_frac": pa.array([], pa.float64()),
+    })
+    if t.num_rows == 0:
+        return empty
+    parents, values = _split_tokens(content)
+    gpar, grams = ngram_strings(parents, values, n)
+    if len(gpar) == 0:
+        return empty
+    codes = grams.dictionary_encode().indices.to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    k = int(codes.max()) + 1
+    # count each (doc, gram) pair once via the packed-key unique
+    pair_keys, pair_counts = np.unique(gpar.astype(np.int64) * k + codes,
+                                       return_counts=True)
+    pair_doc = pair_keys // k
+    rows = np.unique(pair_doc)
+    total = np.bincount(gpar, minlength=t.num_rows)[rows]
+    dup = np.bincount(pair_doc[pair_counts > 1],
+                      weights=pair_counts[pair_counts > 1],
+                      minlength=t.num_rows)[rows]
+    top = np.zeros(t.num_rows, dtype=np.int64)
+    np.maximum.at(top, pair_doc, pair_counts)
+    top = top[rows]
+    return pa.table({
+        id_col: ids.take(pa.array(rows)),
+        "n_ngrams": pa.array(total.astype(np.int64)),
+        "dup_ngram_frac": pa.array(round4(dup / total)),
+        "top_ngram_frac": pa.array(round4(top / total)),
+    })
+
+
+def doc_repetition_stats(ds, *, n: int = 2, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Streaming per-doc n-gram repetition stats (see
+    :func:`repetition_stats_batch`) — pure map, no shuffle."""
+    from functools import partial
+
+    if not (isinstance(n, int) and n >= 1):
+        raise ValueError(f"n must be a positive int, got {n!r}")
+    return ds.map_batches(
+        partial(repetition_stats_batch, n=n, text_col=text_col,
+                id_col=id_col),
+        batch_format="pyarrow")
+
+
 def token_stats_batch(t: pa.Table, *, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
     """Per-doc token counts + quality metrics."""
     content = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]

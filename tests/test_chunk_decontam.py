@@ -1,0 +1,204 @@
+"""Token-window chunking, benchmark decontamination, and n-gram
+repetition stats — brute-force parity, edge semantics, multi-block."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mini_search_engine_ray.stages.chunking import chunk_batch, chunk_documents
+from mini_search_engine_ray.stages.decontam import decontaminate, ngram_set
+from mini_search_engine_ray.stages.textstats import (
+    doc_repetition_stats,
+    ngram_strings,
+    repetition_stats_batch,
+)
+
+SPLIT = re.compile(r"[,.;?! ^\f\n\r\t\x0b\x85  ]+")
+
+
+def _toks(s: str) -> list[str]:
+    return [t for t in SPLIT.split(s.strip().lower()) if t]
+
+
+def _brute_chunks(doc_id, text, window, stride):
+    toks = _toks(text)
+    out = []
+    for ci, start in enumerate(range(0, len(toks), stride)):
+        sl = toks[start:start + window]
+        out.append((doc_id, ci, " ".join(sl), len(sl)))
+    return out
+
+
+def _rand_text(rng, vocab=12, lo=0, hi=30):
+    n = rng.integers(lo, hi)
+    return " ".join(f"w{rng.integers(vocab)}" for _ in range(n))
+
+
+class TestChunking:
+    def test_brute_force_parity(self):
+        rng = np.random.default_rng(7)
+        texts = [_rand_text(rng) for _ in range(200)] + ["", "  . , ", "one"]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        for window, stride in [(4, 4), (8, 5), (3, 7), (1, 1)]:
+            got = chunk_batch(t, window=window, stride=stride).to_pylist()
+            exp = [c for i, s in enumerate(texts)
+                   for c in _brute_chunks(i, s, window, stride)]
+            assert [tuple(r.values()) for r in got] == exp
+
+    def test_dataset_multi_block(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        texts = [_rand_text(rng) for _ in range(97)]
+        ds = rd.from_arrow(pa.table({"doc_id": list(range(97)),
+                                     "text": texts})).repartition(7)
+        got = chunk_documents(ds, window=5, stride=3).to_pandas()
+        got = got.sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+        exp = pd.DataFrame(
+            [c for i, s in enumerate(texts) for c in _brute_chunks(i, s, 5, 3)],
+            columns=["doc_id", "chunk_id", "chunk_text", "n_tokens"])
+        pd.testing.assert_frame_equal(got, exp)
+
+    def test_default_stride_is_window(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["a b c d e"]}))
+        out = chunk_documents(ds, window=2).to_pandas()
+        assert out["chunk_text"].tolist() == ["a b", "c d", "e"]
+
+    def test_empty_input_schema_stable(self):
+        t = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+        out = chunk_batch(t, window=4, stride=4)
+        assert out.num_rows == 0
+        assert out.column_names == ["doc_id", "chunk_id", "chunk_text",
+                                    "n_tokens"]
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]}))
+        with pytest.raises(ValueError):
+            chunk_documents(ds, window=0)
+        with pytest.raises(ValueError):
+            chunk_documents(ds, window=4, stride=-1)
+
+
+class TestNgramStrings:
+    def test_boundaries_masked(self):
+        t = pa.table({"doc_id": [0, 1], "text": ["a b c", "d e"]})
+        from mini_search_engine_ray.stages.textstats import _split_tokens
+        parents, values = _split_tokens(t["text"].combine_chunks()
+                                        if isinstance(t["text"], pa.ChunkedArray)
+                                        else t["text"])
+        par, grams = ngram_strings(parents, values, 2)
+        assert grams.to_pylist() == ["a b", "b c", "d e"]  # no "c d"
+        assert par.tolist() == [0, 0, 1]
+
+    def test_n_longer_than_stream(self):
+        par, grams = ngram_strings(np.array([0]), pa.array(["x"]), 3)
+        assert len(par) == 0 and len(grams) == 0
+
+
+class TestDecontaminate:
+    def _corpus(self):
+        return pa.table({
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": ["the quick brown fox jumps",
+                     "lazy dog sleeps all day",
+                     "quick brown fox elsewhere",   # shares "quick brown fox"
+                     "tiny",                        # < n tokens: never dropped
+                     "the quick red fox jumps"],    # no shared trigram
+        })
+
+    def test_drop_and_flag(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(self._corpus())
+        bench = pa.array(["quick brown fox"])
+        kept = decontaminate(ds, bench, n=3).to_pandas()
+        assert sorted(kept["doc_id"]) == [1, 3, 4]
+        flagged = decontaminate(ds, bench, n=3, mode="flag").to_pandas()
+        assert flagged.set_index("doc_id")["contaminated"].to_dict() == {
+            0: True, 1: False, 2: True, 3: False, 4: False}
+
+    def test_ngram_set_and_self_decontam(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(self._corpus()).repartition(3)
+        grams = ngram_set(ds.filter(lambda r: r["doc_id"] == 0), n=3)
+        assert sorted(grams.to_pylist()) == [
+            "brown fox jumps", "quick brown fox", "the quick brown"]
+        kept = decontaminate(ds, grams, n=3).to_pandas()
+        # docs 0 (itself) and 2 share a trigram; 4 shares none
+        assert sorted(kept["doc_id"]) == [1, 3, 4]
+
+    def test_empty_benchmark_keeps_everything(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(self._corpus())
+        kept = decontaminate(ds, pa.array([], pa.string()), n=3).to_pandas()
+        assert len(kept) == 5
+
+    def test_mode_validation(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(self._corpus())
+        with pytest.raises(ValueError):
+            decontaminate(ds, pa.array(["x y z"]), n=3, mode="bogus")
+
+
+class TestRepetitionStats:
+    def test_brute_force_parity(self):
+        rng = np.random.default_rng(11)
+        texts = [_rand_text(rng, vocab=5) for _ in range(300)]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        for n in (1, 2, 3):
+            got = repetition_stats_batch(t, n=n).to_pylist()
+            exp = []
+            for i, s in enumerate(texts):
+                toks = _toks(s)
+                grams = [" ".join(toks[j:j + n])
+                         for j in range(len(toks) - n + 1)]
+                if not grams:
+                    continue
+                from collections import Counter
+                c = Counter(grams)
+                tot = len(grams)
+                dup = sum(v for v in c.values() if v > 1)
+                top = max(c.values())
+                r4 = lambda x: np.floor(x * 1e4 + 0.5) / 1e4
+                exp.append({"doc_id": i, "n_ngrams": tot,
+                            "dup_ngram_frac": r4(dup / tot),
+                            "top_ngram_frac": r4(top / tot)})
+            assert got == exp
+
+    def test_short_docs_emit_no_row(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"doc_id": [0, 1, 2],
+                                     "text": ["", "one", "a a a a"]}))
+        out = doc_repetition_stats(ds, n=2).to_pandas()
+        assert out["doc_id"].tolist() == [2]
+        assert out["dup_ngram_frac"].tolist() == [1.0]
+        assert out["top_ngram_frac"].tolist() == [1.0]
+
+    def test_empty_input_schema_stable(self):
+        t = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+        out = repetition_stats_batch(t, n=2)
+        assert out.num_rows == 0
+        assert out.column_names == ["doc_id", "n_ngrams", "dup_ngram_frac",
+                                    "top_ngram_frac"]
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]}))
+        with pytest.raises(ValueError):
+            doc_repetition_stats(ds, n=0)
