@@ -1448,6 +1448,74 @@ def q_doc_repetition(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+TOKEN_SHARD_BUDGET = 500
+
+
+def q_running_user_value(sf_dir: str):
+    """Per-user running total (the distributed prefix scan): sum of
+    floor(value*100) cents over (ts, event_id) order within each user
+    — integer cents so both engines accumulate exactly.  One range
+    sort, O(num_blocks) edge summaries + driver carry thread, one
+    vectorized cumsum per block; uniqueness of the sort tuple is
+    enforced (event_id is the tiebreaker)."""
+    import ray.data as rd
+
+    from ..stages.scan import running_sum
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "user_id": t["user_id"],
+            "cents": pa.array(np.floor(v * 100).astype(np.int64)),
+        })
+
+    scanned = running_sum(ev.map_batches(prep, batch_format="pyarrow"),
+                          value_col="cents", order_by=["ts", "event_id"],
+                          key_col="user_id", out_col="running_cents")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "cents": pc.cast(t["cents"], pa.int64()),
+            "running_cents": pc.cast(t["running_cents"], pa.int64()),
+        })
+
+    return scanned.map_batches(fix, batch_format="pyarrow")
+
+
+def q_token_shards(sf_dir: str):
+    """Token-budget sharding: pack documents into ~500-token training
+    shards by global cumulative token position in doc_id order
+    (shard_id = exclusive_prefix_sum // budget) — the deterministic
+    sequence-sharding step, built on the same prefix scan."""
+    import ray.data as rd
+
+    from ..stages.scan import token_budget_shards
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = token_budget_shards(docs, budget=TOKEN_SHARD_BUDGET)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "shard_id": pc.cast(t["shard_id"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 # ordered scrub rules shared by the engine query and its oracle; the
 # second rule runs over the FIRST rule's output, like chained
 # regexp_replace
@@ -1955,6 +2023,8 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "decontam_drop": q_decontam_drop,
     "doc_repetition": q_doc_repetition,
+    "running_user_value": q_running_user_value,
+    "token_shards": q_token_shards,
     "scrub_pii": q_scrub_pii,
     "stratified_sample": q_stratified_sample,
     "label_centroids": q_label_centroids,
@@ -2845,6 +2915,21 @@ SELECT doc_id, sum(c)::BIGINT AS n_ngrams,
          AS dup_ngram_frac,
        {_R4.format(expr="max(c)::DOUBLE / sum(c)")} AS top_ngram_frac
 FROM cnt GROUP BY doc_id
+""",
+    "running_user_value": """
+SELECT event_id, user_id, floor(value*100)::BIGINT AS cents,
+       (sum(floor(value*100)::BIGINT)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS running_cents
+FROM events
+""",
+    "token_shards": f"""
+WITH {_TOK_CTE},
+n AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tok)
+SELECT doc_id, n_tokens,
+       ((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         - n_tokens) // {TOKEN_SHARD_BUDGET})::BIGINT AS shard_id
+FROM n
 """,
     "scrub_pii": """
 SELECT c_custkey,

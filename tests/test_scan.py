@@ -1,0 +1,128 @@
+"""Distributed prefix scan (running_sum) + token-budget sharding."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from mini_search_engine_ray.stages.scan import running_sum, token_budget_shards
+
+
+def _brute(df, value, order, key=None):
+    df = df.sort_values(([key] if key else []) + order).copy()
+    if key is None:
+        df["running_sum"] = df[value].cumsum()
+    else:
+        df["running_sum"] = df.groupby(key)[value].cumsum()
+    return df
+
+
+def _canon(df, cols):
+    return df.sort_values(cols).reset_index(drop=True).astype("int64")
+
+
+class TestRunningSum:
+    def test_keyed_multiblock_vs_brute(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(1)
+        n = 3000
+        t = pa.table({"k": rng.integers(0, 5, n),
+                      "o": rng.permutation(n),
+                      "v": rng.integers(-10, 100, n)})
+        ds = rd.from_arrow(t).repartition(11)
+        got = running_sum(ds, value_col="v", order_by="o",
+                          key_col="k").to_pandas()
+        exp = _brute(t.to_pandas(), "v", ["o"], "k")
+        pd.testing.assert_frame_equal(_canon(got, ["k", "o"]),
+                                      _canon(exp, ["k", "o"]))
+
+    def test_global_and_single_key_span_all_blocks(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"o": np.arange(500), "v": np.full(500, 3)})
+        ds = rd.from_arrow(t).repartition(9)
+        got = running_sum(ds, value_col="v", order_by="o").to_pandas()
+        got = got.sort_values("o").reset_index(drop=True)
+        assert got["running_sum"].tolist() == [3 * (i + 1) for i in range(500)]
+
+    def test_float_values(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(2)
+        t = pa.table({"o": np.arange(64), "v": rng.normal(size=64)})
+        got = running_sum(rd.from_arrow(t).repartition(4), value_col="v",
+                          order_by="o").to_pandas().sort_values("o")
+        exp = np.cumsum(t["v"].to_numpy())
+        np.testing.assert_allclose(got["running_sum"].to_numpy(), exp,
+                                   rtol=1e-12)
+
+    def test_multi_column_order(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"k": [1, 1, 1, 1], "a": [2, 2, 1, 1],
+                      "b": [1, 0, 1, 0], "v": [10, 20, 30, 40]})
+        got = running_sum(rd.from_arrow(t), value_col="v",
+                          order_by=["a", "b"], key_col="k").to_pandas()
+        got = got.sort_values(["a", "b"])
+        # order: (1,0)=40, (1,1)=30, (2,0)=20, (2,1)=10
+        assert got["running_sum"].tolist() == [40, 70, 90, 100]
+
+    def test_duplicate_sort_tuple_in_block_raises(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"k": [1, 1], "o": [7, 7], "v": [1, 2]})
+        with pytest.raises(Exception, match="unique"):
+            running_sum(rd.from_arrow(t), value_col="v", order_by="o",
+                        key_col="k").materialize()
+
+    def test_duplicate_across_blocks_raises(self, ray_session):
+        import ray.data as rd
+
+        # many equal tuples guarantee a straddle at some block boundary
+        t = pa.table({"o": np.full(200, 5), "v": np.ones(200, np.int64)})
+        with pytest.raises(Exception, match="unique"):
+            running_sum(rd.from_arrow(t).repartition(8), value_col="v",
+                        order_by="o").materialize()
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"o": [1], "v": [1]}))
+        with pytest.raises(ValueError):
+            running_sum(ds, value_col="v", order_by=[])
+
+    def test_string_keys(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"k": ["b", "a", "b", "a"], "o": [1, 2, 3, 4],
+                      "v": [1, 2, 3, 4]})
+        got = running_sum(rd.from_arrow(t).repartition(2), value_col="v",
+                          order_by="o", key_col="k").to_pandas()
+        m = got.set_index("o")["running_sum"].to_dict()
+        assert m == {1: 1, 2: 2, 3: 4, 4: 6}
+
+
+class TestTokenBudgetShards:
+    def test_vs_brute(self, ray_session):
+        import ray.data as rd
+
+        texts = ["a b c", "", "d e f g h", "i", "j k l m n o p q"]
+        t = pa.table({"doc_id": list(range(5)), "text": texts})
+        got = token_budget_shards(rd.from_arrow(t).repartition(3),
+                                  budget=4).to_pandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        ntok = [3, 0, 5, 1, 8]
+        cum = np.cumsum(ntok)
+        shard = [(c - n) // 4 for c, n in zip(cum, ntok)]
+        assert got["n_tokens"].tolist() == ntok
+        assert got["shard_id"].tolist() == shard
+
+    def test_budget_validation(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]}))
+        with pytest.raises(ValueError):
+            token_budget_shards(ds, budget=0)
