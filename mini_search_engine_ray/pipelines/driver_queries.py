@@ -1003,6 +1003,63 @@ def q_distinct_hll(sf_dir: str):
                               precision_bits=HLL_PRECISION_BITS)
 
 
+CMS_DEPTH, CMS_WIDTH_BITS, CMS_SEED = 4, 9, 4242
+CMS_PROBES = ["data", "the", "merge", "join", "window", "batch",
+              "stream", "customer", "zzz_absent"]
+
+
+def q_cms_token_counts(sf_dir: str):
+    """Count-Min Sketch point queries: build the (depth x 2^w) sketch
+    over the token occurrence stream (per-batch partial registers ->
+    one grouped sum over sketch-sized keys; the shuffle never carries
+    tokens), then estimate a fixed probe list on the driver.  The
+    sketch is DETERMINISTIC given the md5-low-64 hash and the shared
+    (a, b) mix constants, so the oracle replicates the full register
+    arithmetic in UHUGEINT SQL — estimates match exactly, collisions
+    and all."""
+    import ray.data as rd
+
+    from ..stages.textstats import cms_estimate, count_min_sketch
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    reg = count_min_sketch(docs, depth=CMS_DEPTH,
+                           width_bits=CMS_WIDTH_BITS, seed=CMS_SEED)
+    est = cms_estimate(reg, CMS_PROBES, depth=CMS_DEPTH,
+                       width_bits=CMS_WIDTH_BITS, seed=CMS_SEED)
+    return pa.table({"tok": pa.array(CMS_PROBES),
+                     "est": pa.array(est.astype(np.int64))})
+
+
+def _cms_sql() -> str:
+    shift = 1 << (64 - CMS_WIDTH_BITS)
+    probes = ",".join(f"('{p}')" for p in CMS_PROBES)
+    return f"""
+WITH {_TOK_CTE},
+occ AS (SELECT md5_number_lower(unnest(toks)) AS h FROM tok),
+rws AS (SELECT * FROM (VALUES {_perm_values_sql(CMS_DEPTH, CMS_SEED)})
+        v(r, a, b)),
+reg AS (
+  SELECT r.r AS rw,
+         (((r.a * occ.h) % {_M64} + r.b) % {_M64}
+          // {shift}::UHUGEINT)::BIGINT AS bucket,
+         count(*)::BIGINT AS c
+  FROM rws r CROSS JOIN occ GROUP BY 1, 2
+),
+probes AS (SELECT tok, md5_number_lower(tok) AS h
+           FROM (VALUES {probes}) p(tok)),
+pb AS (
+  SELECT p.tok, r.r AS rw,
+         (((r.a * p.h) % {_M64} + r.b) % {_M64}
+          // {shift}::UHUGEINT)::BIGINT AS bucket
+  FROM rws r CROSS JOIN probes p
+)
+SELECT pb.tok, min(coalesce(reg.c, 0))::BIGINT AS est
+FROM pb LEFT JOIN reg ON reg.rw = pb.rw AND reg.bucket = pb.bucket
+GROUP BY pb.tok
+"""
+
+
 CAP_PER_SOURCE = 10
 
 
@@ -2007,6 +2064,7 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "user_value_quantiles": q_user_value_quantiles,
     "distinct_hll": q_distinct_hll,
+    "cms_token_counts": q_cms_token_counts,
     "heavy_hitters": q_heavy_hitters,
     "bigram_pmi": q_bigram_pmi,
     "hash_split": q_hash_split,
@@ -2820,6 +2878,7 @@ FROM r WHERE rn <= {ANN_K}
     "top_events_per_user": _top_events_per_user_sql(),
     "user_value_quantiles": _USER_VALUE_QUANTILES_SQL,
     "distinct_hll": _distinct_hll_sql(),
+    "cms_token_counts": _cms_sql(),
     "heavy_hitters": _heavy_hitters_sql(),
     "bigram_pmi": _bigram_pmi_sql(),
     "hash_split": _HASH_SPLIT_SQL,

@@ -470,3 +470,94 @@ def doc_keywords(docs_ds, *, n_docs: int, k: int = 3,
                          in_schema=scored_schema)
     return top.map_batches(lambda t: t.drop_columns(["_tb"]),
                            batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
+# Count-Min Sketch — approximate token frequencies in fixed memory
+# ---------------------------------------------------------------------
+
+def _cms_buckets(h: np.ndarray, a: np.ndarray, b: np.ndarray,
+                 width_bits: int) -> np.ndarray:
+    """(depth, len(h)) bucket ids: the TOP ``width_bits`` bits of the
+    universal mix ``(a_r * h + b_r) mod 2^64`` (multiply-shift hashing
+    — high bits, where an odd multiplier mixes best).  Replicated
+    verbatim by the oracle's UHUGEINT arithmetic."""
+    shift = np.uint64(64 - width_bits)
+    with np.errstate(over="ignore"):
+        return ((a[:, None] * h[None, :] + b[:, None]) >> shift) \
+            .astype(np.int64)
+
+
+def cms_register_batch(t: pa.Table, *, depth: int = 4,
+                       width_bits: int = 9, seed: int = 4242,
+                       text_col: str = "text") -> pa.Table:
+    """Per-batch Count-Min partial registers over the token OCCURRENCE
+    stream: for each of ``depth`` hash rows, count occurrences per
+    bucket.  Addition commutes, so partials combine by a plain grouped
+    sum — each batch emits at most ``depth * 2**width_bits`` register
+    rows regardless of batch size."""
+    from .dedup import _perm_params, _token_hashes
+
+    content = t[text_col].combine_chunks() \
+        if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+    _, values = _split_tokens(content)
+    empty = pa.table({"row": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64()),
+                      "cnt": pa.array([], pa.int64())})
+    if len(values) == 0:
+        return empty
+    a, b = _perm_params(depth, seed)
+    buckets = _cms_buckets(_token_hashes(values), a, b, width_bits)
+    w = 1 << width_bits
+    reg = np.zeros((depth, w), dtype=np.int64)
+    for r in range(depth):
+        np.add.at(reg[r], buckets[r], 1)
+    rows, nz = np.nonzero(reg)
+    return pa.table({"row": pa.array(rows.astype(np.int64)),
+                     "bucket": pa.array(nz.astype(np.int64)),
+                     "cnt": pa.array(reg[rows, nz])})
+
+
+def count_min_sketch(ds, *, depth: int = 4, width_bits: int = 9,
+                     seed: int = 4242, text_col: str = "text"):
+    """Distributed Count-Min Sketch of token occurrence frequencies:
+    per-batch partial registers (bounded rows/batch) -> one grouped
+    sum over at most ``depth * 2**width_bits`` keys.  Like the HLL
+    sketch, the shuffle carries register rows only — never tokens.
+    Returns a Dataset (row, bucket, cnt) of non-empty registers; feed
+    to :func:`cms_estimate` for point queries.  Guarantees (classic
+    CMS): estimate >= true count always; estimate <= true count +
+    eps*N with probability 1-delta for eps=e/width, delta=e^-depth."""
+    from functools import partial as _p
+
+    from .aggregates import sorted_groupby_agg
+
+    return sorted_groupby_agg(
+        ds.map_batches(_p(cms_register_batch, depth=depth,
+                          width_bits=width_bits, seed=seed,
+                          text_col=text_col),
+                       batch_format="pyarrow"),
+        ["row", "bucket"], [("cnt", "sum", "cnt")],
+    )
+
+
+def cms_estimate(registers, tokens, *, depth: int = 4, width_bits: int = 9,
+                 seed: int = 4242) -> np.ndarray:
+    """Point-query a CMS register table/Dataset for each token string:
+    min over hash rows of the bucket count (absent bucket = 0).
+    Driver-side over the register table (<= depth * 2**width_bits
+    rows — sketch-sized by construction)."""
+    from .dedup import _perm_params
+    from ..functions.hashing import md5_low64_batch
+
+    if hasattr(registers, "to_pandas"):
+        registers = registers.to_pandas()
+    reg = np.zeros((depth, 1 << width_bits), dtype=np.int64)
+    if len(registers):
+        reg[np.asarray(registers["row"], dtype=np.int64),
+            np.asarray(registers["bucket"], dtype=np.int64)] = \
+            np.asarray(registers["cnt"], dtype=np.int64)
+    a, b = _perm_params(depth, seed)
+    buckets = _cms_buckets(md5_low64_batch(list(tokens)), a, b, width_bits)
+    ests = reg[np.arange(depth)[:, None], buckets]
+    return ests.min(axis=0)

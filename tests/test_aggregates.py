@@ -166,6 +166,86 @@ class TestHLL:
         assert (got == exp).all()
 
 
+class TestCMS:
+    """Count-Min Sketch: deterministic register parity vs a single-
+    machine brute-force replay, the classic overestimate guarantee,
+    and block-count invariance (partials combine by sum)."""
+
+    def _brute_registers(self, texts, depth, width_bits, seed):
+        from mini_search_engine_ray.stages.dedup import _perm_params
+        from mini_search_engine_ray.stages.textstats import (
+            _cms_buckets,
+            _split_tokens,
+        )
+
+        _, values = _split_tokens(pa.array(texts, pa.large_string()))
+        reg = np.zeros((depth, 1 << width_bits), dtype=np.int64)
+        if len(values):
+            a, b = _perm_params(depth, seed)
+            from mini_search_engine_ray.stages.dedup import _token_hashes
+            buckets = _cms_buckets(_token_hashes(values), a, b, width_bits)
+            for r in range(depth):
+                np.add.at(reg[r], buckets[r], 1)
+        return reg
+
+    def test_registers_match_brute_force(self, ray_session):
+        from mini_search_engine_ray.stages.textstats import count_min_sketch
+
+        rng = np.random.default_rng(11)
+        vocab = [f"w{i:04d}" for i in range(300)]
+        docs = [" ".join(rng.choice(vocab, size=40)) for _ in range(500)]
+        t = pa.table({"text": pa.array(docs, pa.large_string())})
+        got = count_min_sketch(_ds(t, parts=7), depth=4, width_bits=8,
+                               seed=99).to_pandas()
+        exp = self._brute_registers(docs, 4, 8, 99)
+        reg = np.zeros_like(exp)
+        reg[got["row"].to_numpy(), got["bucket"].to_numpy()] = \
+            got["cnt"].to_numpy()
+        assert (reg == exp).all()
+
+    def test_overestimate_and_exact_when_wide(self, ray_session):
+        from mini_search_engine_ray.stages.textstats import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        rng = np.random.default_rng(5)
+        vocab = [f"tok{i:03d}" for i in range(50)]
+        docs = [" ".join(rng.choice(vocab, size=30)) for _ in range(400)]
+        t = pa.table({"text": pa.array(docs, pa.large_string())})
+        reg = count_min_sketch(_ds(t, parts=5), depth=4, width_bits=12,
+                               seed=7)
+        est = cms_estimate(reg, vocab + ["absent_tok"], depth=4,
+                           width_bits=12, seed=7)
+        true = {}
+        for d in docs:
+            for w in d.split():
+                true[w] = true.get(w, 0) + 1
+        truth = np.array([true.get(v, 0) for v in vocab] + [0])
+        assert (est >= truth).all()          # CMS never underestimates
+        # 50 tokens into 4x4096 buckets: collisions vanish -> exact
+        assert (est == truth).all()
+
+    def test_block_count_invariance_and_empty(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.textstats import (
+            cms_estimate,
+            count_min_sketch,
+        )
+
+        docs = ["alpha beta beta", "gamma alpha", "", "beta"]
+        t = pa.table({"text": pa.array(docs, pa.large_string())})
+        e1 = cms_estimate(count_min_sketch(_ds(t, parts=1)),
+                          ["alpha", "beta", "gamma"])
+        e4 = cms_estimate(count_min_sketch(_ds(t, parts=4)),
+                          ["alpha", "beta", "gamma"])
+        assert (e1 == e4).all() and (e1 >= np.array([2, 3, 1])).all()
+        empty = pa.table({"text": pa.array([], pa.large_string())})
+        est = cms_estimate(count_min_sketch(rd.from_arrow(empty)), ["x"])
+        assert (est == 0).all()
+
+
 class TestQuantilePerGroup:
     def test_vs_duckdb_semantics(self, ray_session):
         import duckdb
