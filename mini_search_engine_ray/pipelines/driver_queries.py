@@ -1548,6 +1548,70 @@ def q_running_user_value(sf_dir: str):
     return scanned.map_batches(fix, batch_format="pyarrow")
 
 
+def q_event_row_number(sf_dir: str):
+    """Per-user ROW_NUMBER over (ts, event_id) — the running COUNT
+    through the same one-sort + carry-thread prefix-scan plan as
+    running_user_value (unique tuple enforced, so the numbering is
+    deterministic on both engines)."""
+    import ray.data as rd
+
+    from ..stages.scan import row_number
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id"])
+    rn = row_number(ev, order_by=["ts", "event_id"], key_col="user_id",
+                    out_col="rn")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "rn": pc.cast(t["rn"], pa.int64()),
+        })
+
+    return rn.map_batches(fix, batch_format="pyarrow")
+
+
+def q_running_max_value(sf_dir: str):
+    """Per-user running MAX of integer cents over (ts, event_id) —
+    the extremum fold through the carry thread (a carried maximum
+    must WIN inside later blocks of a key that spans blocks)."""
+    import ray.data as rd
+
+    from ..stages.scan import running_agg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "user_id": t["user_id"],
+            "cents": pa.array(np.floor(v * 100).astype(np.int64)),
+        })
+
+    scanned = running_agg(ev.map_batches(prep, batch_format="pyarrow"),
+                          order_by=["ts", "event_id"], op="max",
+                          value_col="cents", key_col="user_id",
+                          out_col="max_cents")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "cents": pc.cast(t["cents"], pa.int64()),
+            "max_cents": pc.cast(t["max_cents"], pa.int64()),
+        })
+
+    return scanned.map_batches(fix, batch_format="pyarrow")
+
+
 def q_token_shards(sf_dir: str):
     """Token-budget sharding: pack documents into ~500-token training
     shards by global cumulative token position in doc_id order
@@ -2082,6 +2146,8 @@ QUERIES = {
     "decontam_drop": q_decontam_drop,
     "doc_repetition": q_doc_repetition,
     "running_user_value": q_running_user_value,
+    "event_row_number": q_event_row_number,
+    "running_max_value": q_running_max_value,
     "token_shards": q_token_shards,
     "scrub_pii": q_scrub_pii,
     "stratified_sample": q_stratified_sample,
@@ -2980,6 +3046,19 @@ SELECT event_id, user_id, floor(value*100)::BIGINT AS cents,
        (sum(floor(value*100)::BIGINT)
           OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING))::BIGINT AS running_cents
+FROM events
+""",
+    "event_row_number": """
+SELECT event_id, user_id,
+       row_number() OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id)::BIGINT AS rn
+FROM events
+""",
+    "running_max_value": """
+SELECT event_id, user_id, floor(value*100)::BIGINT AS cents,
+       (max(floor(value*100)::BIGINT)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING))::BIGINT AS max_cents
 FROM events
 """,
     "token_shards": f"""

@@ -48,16 +48,31 @@ def _key_breaks(keys: np.ndarray | None, n: int) -> np.ndarray:
     return keys[1:] != keys[:-1]
 
 
-def running_sum(ds, *, value_col: str, order_by: list[str] | str,
+_RUNNING_OPS = ("sum", "count", "min", "max")
+
+
+def running_agg(ds, *, order_by: list[str] | str, op: str = "sum",
+                value_col: str | None = None,
                 key_col: str | None = None,
-                out_col: str = "running_sum"):
-    """Append ``out_col`` = cumulative sum of ``value_col`` in
-    ``order_by`` order, restarting per ``key_col`` when given.
-    ``(key_col, *order_by)`` must be unique per row (enforced).
-    Returns a Dataset of the sorted rows plus the scan column."""
+                out_col: str | None = None):
+    """Append ``out_col`` = the running (cumulative) aggregate of
+    ``value_col`` in ``order_by`` order, restarting per ``key_col``
+    when given — SQL's ``<op>(v) OVER (PARTITION BY key ORDER BY
+    order_by ROWS UNBOUNDED PRECEDING)``.  ``op`` is one of ``sum``,
+    ``count`` (value_col-less: ROW_NUMBER), ``min``, ``max``; every
+    op shares the same one-sort + O(num_blocks) carry-thread plan
+    because each is an associative fold whose block partial is a
+    single scalar per edge key.  ``(key_col, *order_by)`` must be
+    unique per row (enforced).  Returns a Dataset of the sorted rows
+    plus the scan column."""
     import ray
     import ray.data as rd
 
+    if op not in _RUNNING_OPS:
+        raise ValueError(f"op must be one of {_RUNNING_OPS}, got {op!r}")
+    if op != "count" and value_col is None:
+        raise ValueError(f"op={op!r} requires value_col")
+    out_col = out_col or f"running_{op}"
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
     if not order_by:
         raise ValueError("order_by must name at least one column")
@@ -65,17 +80,21 @@ def running_sum(ds, *, value_col: str, order_by: list[str] | str,
     sorted_ds = ds.sort(sort_cols).materialize()
     refs = sorted_ds.to_arrow_refs()
     schema = sorted_ds.schema().base_schema
-    as_int = pa.types.is_integer(schema.field(value_col).type)
+    as_int = op == "count" or \
+        pa.types.is_integer(schema.field(value_col).type)
     dtype = np.int64 if as_int else np.float64
+    reduce_fn = {"sum": np.sum, "count": len,
+                 "min": np.min, "max": np.max}[op]
+    combine = {"sum": lambda a, b: a + b, "count": lambda a, b: a + b,
+               "min": min, "max": max}[op]
 
     @ray.remote
     def summarize(t: pa.Table):
-        """(first_key, last_key, sum_first, sum_last, first_tuple,
-        last_tuple, n_rows) — edge keys' totals only."""
+        """(first_key, last_key, part_first, part_last, first_tuple,
+        last_tuple) — the edge keys' fold partials only."""
         n = t.num_rows
         if n == 0:
             return None
-        v = _col_np(t, value_col, dtype)
         keys = _col_np(t, key_col) if key_col else None
         brk = _key_breaks(keys, n)
         if np.any(brk):
@@ -92,40 +111,48 @@ def running_sum(ds, *, value_col: str, order_by: list[str] | str,
         if np.any(dup):
             i = int(np.flatnonzero(dup)[0])
             raise ValueError(
-                f"running_sum requires unique {sort_cols} per row; "
+                f"running_agg requires unique {sort_cols} per row; "
                 f"duplicate sort tuple {tup(i)!r} — add a unique "
                 f"tiebreaker column to order_by")
+        if op == "count":
+            pf, pl = dtype(first_end), dtype(n - last_start)
+        else:
+            v = _col_np(t, value_col, dtype)
+            pf = dtype(reduce_fn(v[:first_end]))
+            pl = dtype(reduce_fn(v[last_start:]))
         return (keys[0] if keys is not None else None,
                 keys[-1] if keys is not None else None,
-                dtype(v[:first_end].sum()), dtype(v[last_start:].sum()),
-                tup(0), tup(n - 1), n)
+                pf, pl, tup(0), tup(n - 1))
 
     summaries = ray.get([summarize.remote(r) for r in refs])
 
-    # O(num_blocks) carry thread + cross-boundary uniqueness check
+    # O(num_blocks) carry thread + cross-boundary uniqueness check.
+    # carry=None means "no preceding rows of this block's first key"
+    # — the fold identity, kept symbolic so min/max never touch a
+    # float infinity (int64 stays exact).
     carries: list = []
-    cur_key, acc = object(), dtype(0)   # sentinel: matches no key
+    cur_key, acc = object(), None      # sentinel: matches no key
     prev_last_tuple = None
     for s in summaries:
         if s is None:
-            carries.append(dtype(0))
+            carries.append(None)
             continue
-        first_key, last_key, sum_first, sum_last, tfirst, tlast, n = s
+        first_key, last_key, part_first, part_last, tfirst, tlast = s
         if prev_last_tuple is not None and tfirst == prev_last_tuple:
             raise ValueError(
-                f"running_sum requires unique {sort_cols} per row; "
+                f"running_agg requires unique {sort_cols} per row; "
                 f"duplicate sort tuple {tfirst!r} across sorted blocks")
         prev_last_tuple = tlast
         same_key = (key_col is None) or (first_key == cur_key)
-        carry = acc if same_key else dtype(0)
+        carry = acc if same_key else None
         carries.append(carry)
         if key_col is None or last_key == first_key:
-            acc = carry + sum_last if (key_col is None or same_key) \
-                else sum_last
-            if key_col is not None:
-                cur_key = last_key
+            # single-key block: part_last folds the WHOLE block
+            acc = combine(carry, part_last) if carry is not None \
+                else part_last
         else:
-            acc = sum_last
+            acc = part_last   # last key starts fresh inside this block
+        if key_col is not None:
             cur_key = last_key
     carry_it = iter(carries)
 
@@ -135,26 +162,63 @@ def running_sum(ds, *, value_col: str, order_by: list[str] | str,
         if n == 0:
             out = pa.array([], pa.int64() if as_int else pa.float64())
             return t.append_column(out_col, out)
-        v = _col_np(t, value_col, dtype)
-        cs = np.cumsum(v, dtype=dtype)
         keys = _col_np(t, key_col) if key_col else None
         brk = _key_breaks(keys, n)
         starts = np.flatnonzero(brk) + 1
-        if len(starts):
-            # reset at key breaks: subtract each run's preceding total
-            seg = np.zeros(n, dtype=np.int64)
-            seg[starts] = 1
-            run_id = np.cumsum(seg)
-            run_base = np.concatenate(([dtype(0)], cs[starts - 1]))
-            cs = cs - run_base[run_id]
-            first_run = run_id == 0
+        seg = np.zeros(n, dtype=np.int64)
+        seg[starts] = 1
+        run_id = np.cumsum(seg)
+        first_run = run_id == 0
+        if op == "count":
+            run_start = np.concatenate(([0], starts))[run_id]
+            cs = np.arange(n, dtype=np.int64) - run_start + 1
+        elif op == "sum":
+            v = _col_np(t, value_col, dtype)
+            cs = np.cumsum(v, dtype=dtype)
+            if len(starts):
+                # reset at key breaks: subtract the run's preceding total
+                run_base = np.concatenate(([dtype(0)], cs[starts - 1]))
+                cs = cs - run_base[run_id]
         else:
-            first_run = np.ones(n, dtype=bool)
-        cs = cs + np.where(first_run, dtype(carry), dtype(0))
+            v = _col_np(t, value_col, dtype)
+            acc_fn = np.minimum if op == "min" else np.maximum
+            if len(starts):
+                import pandas as pd
+                g = pd.Series(v).groupby(run_id)
+                cs = (g.cummin() if op == "min" else g.cummax()) \
+                    .to_numpy()
+            else:
+                cs = acc_fn.accumulate(v)
+        if carry is not None:
+            if op in ("sum", "count"):
+                cs = cs + np.where(first_run, dtype(carry), dtype(0))
+            else:
+                acc_fn = np.minimum if op == "min" else np.maximum
+                cs = np.where(first_run, acc_fn(cs, dtype(carry)), cs)
         return t.append_column(out_col, pa.array(cs))
 
     out_refs = [apply.remote(r, next(carry_it)) for r in refs]
     return rd.from_arrow_refs(out_refs)
+
+
+def running_sum(ds, *, value_col: str, order_by: list[str] | str,
+                key_col: str | None = None,
+                out_col: str = "running_sum"):
+    """SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)`` — see :func:`running_agg`."""
+    return running_agg(ds, order_by=order_by, op="sum",
+                       value_col=value_col, key_col=key_col,
+                       out_col=out_col)
+
+
+def row_number(ds, *, order_by: list[str] | str,
+               key_col: str | None = None,
+               out_col: str = "row_number"):
+    """SQL ``ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...)`` —
+    the running count, well-defined because :func:`running_agg`
+    enforces a unique sort tuple per row."""
+    return running_agg(ds, order_by=order_by, op="count",
+                       key_col=key_col, out_col=out_col)
 
 
 def token_budget_shards(docs_ds, *, budget: int, text_col: str = "text",

@@ -1,4 +1,5 @@
-"""Distributed prefix scan (running_sum) + token-budget sharding."""
+"""Distributed prefix scan (running_sum/running_agg) + token-budget
+sharding."""
 
 from __future__ import annotations
 
@@ -7,7 +8,12 @@ import pandas as pd
 import pyarrow as pa
 import pytest
 
-from mini_search_engine_ray.stages.scan import running_sum, token_budget_shards
+from mini_search_engine_ray.stages.scan import (
+    row_number,
+    running_agg,
+    running_sum,
+    token_budget_shards,
+)
 
 
 def _brute(df, value, order, key=None):
@@ -103,6 +109,79 @@ class TestRunningSum:
                           order_by="o", key_col="k").to_pandas()
         m = got.set_index("o")["running_sum"].to_dict()
         assert m == {1: 1, 2: 2, 3: 4, 4: 6}
+
+
+class TestRunningAgg:
+    """count/min/max through the same one-sort carry-thread plan."""
+
+    def _corpus(self, seed=3, n=4000, nkeys=7):
+        rng = np.random.default_rng(seed)
+        return pa.table({"k": rng.integers(0, nkeys, n),
+                         "o": rng.permutation(n),
+                         "v": rng.integers(-50, 50, n)})
+
+    def test_row_number_vs_brute(self, ray_session):
+        import ray.data as rd
+
+        t = self._corpus()
+        got = row_number(rd.from_arrow(t).repartition(13), order_by="o",
+                         key_col="k").to_pandas()
+        exp = t.to_pandas().sort_values(["k", "o"])
+        exp["row_number"] = exp.groupby("k").cumcount() + 1
+        pd.testing.assert_frame_equal(_canon(got, ["k", "o"]),
+                                      _canon(exp, ["k", "o"]))
+
+    def test_running_min_max_vs_brute(self, ray_session):
+        import ray.data as rd
+
+        t = self._corpus(seed=4)
+        for op, pdop in (("min", "cummin"), ("max", "cummax")):
+            got = running_agg(rd.from_arrow(t).repartition(11),
+                              order_by="o", op=op, value_col="v",
+                              key_col="k").to_pandas()
+            exp = t.to_pandas().sort_values(["k", "o"])
+            exp[f"running_{op}"] = getattr(exp.groupby("k")["v"], pdop)()
+            pd.testing.assert_frame_equal(_canon(got, ["k", "o"]),
+                                          _canon(exp, ["k", "o"]))
+
+    def test_min_carry_single_key_spans_blocks(self, ray_session):
+        import ray.data as rd
+
+        # strictly decreasing values, one key, 9 blocks: every block's
+        # running_min depends on the carry from ALL earlier blocks
+        t = pa.table({"o": np.arange(450), "v": 1000 - np.arange(450)})
+        got = running_agg(rd.from_arrow(t).repartition(9), order_by="o",
+                          op="min", value_col="v").to_pandas()
+        got = got.sort_values("o").reset_index(drop=True)
+        assert got["running_min"].tolist() == (1000 - np.arange(450)).tolist()
+        # and with increasing values the carry must WIN in later blocks
+        t2 = pa.table({"o": np.arange(450), "v": np.arange(450) + 7})
+        got2 = running_agg(rd.from_arrow(t2).repartition(9), order_by="o",
+                           op="min", value_col="v").to_pandas()
+        assert set(got2["running_min"]) == {7}
+
+    def test_float_min_and_global_row_number(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(5)
+        t = pa.table({"o": np.arange(128), "v": rng.normal(size=128)})
+        ds = rd.from_arrow(t).repartition(5)
+        gmin = running_agg(ds, order_by="o", op="min",
+                           value_col="v").to_pandas().sort_values("o")
+        np.testing.assert_allclose(
+            gmin["running_min"].to_numpy(),
+            np.minimum.accumulate(t["v"].to_numpy()))
+        rn = row_number(ds, order_by="o").to_pandas().sort_values("o")
+        assert rn["row_number"].tolist() == list(range(1, 129))
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table({"o": [1], "v": [1]}))
+        with pytest.raises(ValueError, match="op must be"):
+            running_agg(ds, order_by="o", op="median", value_col="v")
+        with pytest.raises(ValueError, match="requires value_col"):
+            running_agg(ds, order_by="o", op="min")
 
 
 class TestTokenBudgetShards:
