@@ -1548,6 +1548,54 @@ def q_running_user_value(sf_dir: str):
     return scanned.map_batches(fix, batch_format="pyarrow")
 
 
+UNIGRAM_TOP_V = 400
+
+
+def q_unigram_quality(sf_dir: str):
+    """Unigram-LM quality score (perplexity-style filtering): mean ln
+    p(token) per document under the corpus's own unigram model with a
+    top-V vocabulary and an OOV floor.  Pass 1 counts tokens
+    (vocabulary-sized shuffle), the V-row head broadcasts once, pass 2
+    is a pure vectorized map."""
+    import ray.data as rd
+
+    from ..stages.textstats import unigram_logprob
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = unigram_logprob(docs, top_v=UNIGRAM_TOP_V, oov_count=0.5)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "logprob": pa.array(_r4(t["logprob"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def _unigram_quality_sql() -> str:
+    return f"""
+WITH {_TOK_CTE},
+occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+cnt AS (SELECT t, count(*)::BIGINT AS c FROM occ GROUP BY t),
+n AS (SELECT sum(c)::DOUBLE AS n FROM cnt),
+topv AS (SELECT t, c FROM cnt ORDER BY c DESC, t LIMIT {UNIGRAM_TOP_V}),
+sc AS (
+  SELECT o.doc_id, count(*)::BIGINT AS n_tokens,
+         avg(ln(coalesce(v.c::DOUBLE, 0.5) / n.n)) AS lp
+  FROM occ o LEFT JOIN topv v ON o.t = v.t CROSS JOIN n
+  GROUP BY o.doc_id)
+SELECT d.doc_id, coalesce(sc.n_tokens, 0)::BIGINT AS n_tokens,
+       {_R4.format(expr="coalesce(sc.lp, 0.0)")} AS logprob
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 def q_event_row_number(sf_dir: str):
     """Per-user ROW_NUMBER over (ts, event_id) — the running COUNT
     through the same one-sort + carry-thread prefix-scan plan as
@@ -2146,6 +2194,7 @@ QUERIES = {
     "decontam_drop": q_decontam_drop,
     "doc_repetition": q_doc_repetition,
     "running_user_value": q_running_user_value,
+    "unigram_quality": q_unigram_quality,
     "event_row_number": q_event_row_number,
     "running_max_value": q_running_max_value,
     "token_shards": q_token_shards,
@@ -3048,6 +3097,7 @@ SELECT event_id, user_id, floor(value*100)::BIGINT AS cents,
                 ROWS UNBOUNDED PRECEDING))::BIGINT AS running_cents
 FROM events
 """,
+    "unigram_quality": _unigram_quality_sql(),
     "event_row_number": """
 SELECT event_id, user_id,
        row_number() OVER (PARTITION BY user_id

@@ -78,7 +78,8 @@ def static_schema(ds) -> pa.Schema | None:
     return base if isinstance(base, pa.Schema) else None
 
 
-def sorted_groupby_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
+def sorted_groupby_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+                       *, in_schema: pa.Schema | None = None):
     """Grouped reduction via sort + vectorized per-block sweep.
 
     ``aggs``: list of (source_col, op, alias) with op in
@@ -86,12 +87,18 @@ def sorted_groupby_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
     a Dataset with columns ``keys + [alias, ...]``, one row per
     distinct key combination. The only shuffle is the range sort; the
     sweep is O(rows) numpy with no per-group Python calls.
+
+    ``in_schema``: callers whose input is a ``map_batches`` output (so
+    Ray can't know the schema statically) but whose batch fn emits a
+    FIXED schema by construction can pass it here, keeping empty-input
+    results fully typed instead of schema-less.
     """
     for _, op, _ in aggs:
         if op not in _OPS:
             raise ValueError(f"unsupported agg op: {op}")
 
-    in_schema = static_schema(ds)
+    if in_schema is None:
+        in_schema = static_schema(ds)
 
     def _in_type(t: pa.Table, col: str) -> pa.DataType | None:
         if col in t.column_names:

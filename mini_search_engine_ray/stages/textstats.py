@@ -561,3 +561,88 @@ def cms_estimate(registers, tokens, *, depth: int = 4, width_bits: int = 9,
     buckets = _cms_buckets(md5_low64_batch(list(tokens)), a, b, width_bits)
     ests = reg[np.arange(depth)[:, None], buckets]
     return ests.min(axis=0)
+
+
+# ---------------------------------------------------------------------
+# Unigram-LM quality scoring — perplexity-style filtering
+# ---------------------------------------------------------------------
+
+def corpus_token_counts(ds, *, text_col: str = "text"):
+    """(token, cnt) over the whole corpus.  Per-batch Arrow
+    ``value_counts`` partials mean the shuffle carries batch-DISTINCT
+    tokens, never the occurrence stream; one sorted grouped sum
+    combines them.  Returns a Dataset sized by the vocabulary."""
+    from .aggregates import sorted_groupby_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        _, values = _split_tokens(content)
+        if len(values) == 0:
+            return pa.table({"token": pa.array([], pa.large_string()),
+                             "cnt": pa.array([], pa.int64())})
+        vc = values.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    return sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["token"], [("cnt", "sum", "cnt")],
+        in_schema=pa.schema([("token", pa.large_string()),
+                             ("cnt", pa.int64())]))
+
+
+def unigram_logprob(ds, *, top_v: int, oov_count: float = 0.5,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean unigram log-likelihood — the CCNet/Gopher
+    perplexity-filtering signal, with the LM trained on the corpus
+    itself: p(tok) = cnt/N for the ``top_v`` most frequent tokens
+    (ties broken by ascending token, the binary order DuckDB and
+    Arrow share), p(oov) = ``oov_count``/N otherwise, score = mean of
+    ln p over the doc's tokens (0.0 for token-less docs).
+
+    Scale shape: pass 1 is :func:`corpus_token_counts` (vocabulary-
+    sized shuffle); the top-V head is selected by one sort+limit and
+    broadcast ONCE via ``ray.put`` (V-bounded, never per batch);
+    pass 2 is a pure vectorized map — ``pc.index_in`` against the
+    broadcast vocab, one ``np.bincount`` pair per batch.  Returns
+    (id_col, n_tokens, logprob)."""
+    import ray
+
+    if not (isinstance(top_v, int) and top_v >= 1):
+        raise ValueError(f"top_v must be a positive int, got {top_v!r}")
+    if not oov_count > 0:
+        raise ValueError("oov_count must be > 0 (ln of a zero "
+                         "probability is undefined)")
+    counts = corpus_token_counts(ds, text_col=text_col).materialize()
+    n_total = counts.sum("cnt") or 0
+    head = counts.sort(["cnt", "token"],
+                       descending=[True, False]).limit(top_v).take_all()
+    vocab = pa.array([r["token"] for r in head], pa.large_string())
+    logp = np.log(np.array([r["cnt"] for r in head], dtype=np.float64)
+                  / max(n_total, 1))
+    log_floor = float(np.log(oov_count / max(n_total, 1)))
+    shared = ray.put((vocab, logp))
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, lp = ray.get(shared)
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        n = t.num_rows
+        ntok = np.bincount(parents, minlength=n).astype(np.int64)
+        idx = pc.index_in(values, value_set=voc) \
+            .to_numpy(zero_copy_only=False)
+        oov = np.isnan(idx) if idx.dtype.kind == "f" else (idx < 0)
+        tok_lp = np.where(oov, log_floor,
+                          lp[np.where(oov, 0, idx).astype(np.int64)])
+        sums = np.bincount(parents, weights=tok_lp, minlength=n)
+        mean = np.divide(sums, ntok, out=np.zeros(n, dtype=np.float64),
+                         where=ntok > 0)
+        return pa.table({id_col: t[id_col],
+                         "n_tokens": pa.array(ntok),
+                         "logprob": pa.array(mean)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
