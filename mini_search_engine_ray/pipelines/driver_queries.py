@@ -1548,6 +1548,107 @@ def q_running_user_value(sf_dir: str):
     return scanned.map_batches(fix, batch_format="pyarrow")
 
 
+def _events_cents(sf_dir: str):
+    """(event_id, ts, user_id, cents) — integer cents so every window
+    engine accumulates exactly; shared by the bounded-frame queries."""
+    import ray.data as rd
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts": t["ts"],
+            "user_id": t["user_id"],
+            "cents": pa.array(np.floor(v * 100).astype(np.int64)),
+        })
+
+    return ev.map_batches(prep, batch_format="pyarrow")
+
+
+def _fix_event_window(t: pa.Table, out_col: str,
+                      sentinel: int | None = None) -> pa.Table:
+    import pyarrow.compute as pc
+
+    col = t[out_col]
+    if sentinel is not None:
+        col = pc.fill_null(col, sentinel)
+    return pa.table({
+        "event_id": pc.cast(t["event_id"], pa.int64()),
+        "user_id": pc.cast(t["user_id"], pa.int64()),
+        "cents": pc.cast(t["cents"], pa.int64()),
+        out_col: pc.cast(col, pa.int64()),
+    })
+
+
+def q_rolling_sum_w3(sf_dir: str):
+    """Per-user 3-row rolling sum of cents over (ts, event_id) — SQL's
+    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW through the bounded-frame
+    row-carry plan (one sort, O(blocks*window) driver bytes)."""
+    from functools import partial
+
+    from ..stages.scan import rolling_agg
+
+    out = rolling_agg(_events_cents(sf_dir), order_by=["ts", "event_id"],
+                      window=3, op="sum", value_col="cents",
+                      key_col="user_id", out_col="rolling_cents")
+    return out.map_batches(partial(_fix_event_window,
+                                   out_col="rolling_cents"),
+                           batch_format="pyarrow")
+
+
+def q_rolling_min_w4(sf_dir: str):
+    """Per-user 4-row rolling MIN of cents — the exact-dtype min path
+    (segmented cummin for run-clamped frames composed with the chunked
+    prefix/suffix two-array trick for full frames)."""
+    from functools import partial
+
+    from ..stages.scan import rolling_agg
+
+    out = rolling_agg(_events_cents(sf_dir), order_by=["ts", "event_id"],
+                      window=4, op="min", value_col="cents",
+                      key_col="user_id", out_col="rolling_min_cents")
+    return out.map_batches(partial(_fix_event_window,
+                                   out_col="rolling_min_cents"),
+                           batch_format="pyarrow")
+
+
+LAG_SENTINEL = -(10 ** 12)
+
+
+def q_event_lag_value(sf_dir: str):
+    """Per-user LAG(cents) over (ts, event_id), NULLs coalesced to a
+    sentinel on BOTH sides so the value hash never rides on NaN
+    representation.  Type-generic Arrow take with null indices."""
+    from functools import partial
+
+    from ..stages.scan import lag_column
+
+    out = lag_column(_events_cents(sf_dir), value_col="cents",
+                     order_by=["ts", "event_id"], key_col="user_id",
+                     out_col="prev_cents")
+    return out.map_batches(partial(_fix_event_window, out_col="prev_cents",
+                                   sentinel=LAG_SENTINEL),
+                           batch_format="pyarrow")
+
+
+def q_event_lead2_value(sf_dir: str):
+    """Per-user LEAD(cents, 2) — the forward row carry."""
+    from functools import partial
+
+    from ..stages.scan import lead_column
+
+    out = lead_column(_events_cents(sf_dir), value_col="cents",
+                      order_by=["ts", "event_id"], key_col="user_id",
+                      offset=2, out_col="next2_cents")
+    return out.map_batches(partial(_fix_event_window,
+                                   out_col="next2_cents",
+                                   sentinel=LAG_SENTINEL),
+                           batch_format="pyarrow")
+
+
 UNIGRAM_TOP_V = 400
 
 
@@ -2194,6 +2295,10 @@ QUERIES = {
     "decontam_drop": q_decontam_drop,
     "doc_repetition": q_doc_repetition,
     "running_user_value": q_running_user_value,
+    "rolling_sum_w3": q_rolling_sum_w3,
+    "rolling_min_w4": q_rolling_min_w4,
+    "event_lag_value": q_event_lag_value,
+    "event_lead2_value": q_event_lead2_value,
     "unigram_quality": q_unigram_quality,
     "event_row_number": q_event_row_number,
     "running_max_value": q_running_max_value,
@@ -3095,6 +3200,36 @@ SELECT event_id, user_id, floor(value*100)::BIGINT AS cents,
        (sum(floor(value*100)::BIGINT)
           OVER (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS UNBOUNDED PRECEDING))::BIGINT AS running_cents
+FROM events
+""",
+    "rolling_sum_w3": """
+SELECT event_id, user_id, floor(value*100)::BIGINT AS cents,
+       (sum(floor(value*100)::BIGINT)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT
+         AS rolling_cents
+FROM events
+""",
+    "rolling_min_w4": """
+SELECT event_id, user_id, floor(value*100)::BIGINT AS cents,
+       (min(floor(value*100)::BIGINT)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))::BIGINT
+         AS rolling_min_cents
+FROM events
+""",
+    "event_lag_value": f"""
+SELECT event_id, user_id, floor(value*100)::BIGINT AS cents,
+       coalesce(lag(floor(value*100)::BIGINT)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id),
+          {LAG_SENTINEL})::BIGINT AS prev_cents
+FROM events
+""",
+    "event_lead2_value": f"""
+SELECT event_id, user_id, floor(value*100)::BIGINT AS cents,
+       coalesce(lead(floor(value*100)::BIGINT, 2)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id),
+          {LAG_SENTINEL})::BIGINT AS next2_cents
 FROM events
 """,
     "unigram_quality": _unigram_quality_sql(),

@@ -259,3 +259,317 @@ def token_budget_shards(docs_ds, *, budget: int, text_col: str = "text",
         })
 
     return scanned.map_batches(shard, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
+# Bounded-frame windows: rolling aggregates, lag/lead
+# ---------------------------------------------------------------------
+#
+# SQL's ROWS BETWEEN w-1 PRECEDING AND CURRENT ROW (and LAG/LEAD k)
+# share the prefix scan's distribution shape with ONE difference: a
+# bounded frame needs at most the w-1 (or k) rows immediately before
+# (after) each block boundary, never a fold over the whole prefix.  So
+# the driver threads a ROW carry — tail(carry ++ block_tail, w-1) —
+# instead of a scalar carry: O(num_blocks * w) driver bytes, fine for
+# the frame lengths these clauses are used with.  Everything else is
+# identical: one range sort, the unique-(key, *order_by) contract
+# (bounded frames are as order-dependent under ties as running ones,
+# enforced in-block and across boundaries), and one vectorized apply
+# per block.
+
+
+def _edge_check_tuples(t: pa.Table, sort_cols: list[str], op_name: str):
+    """(first_tuple, last_tuple) of the block's sort key, raising on a
+    duplicate adjacent sort tuple (the uniqueness contract every
+    order-dependent window op shares)."""
+    n = t.num_rows
+    tup = lambda i: tuple(t[c][i].as_py() for c in sort_cols)
+    dup = np.ones(n - 1, dtype=bool) if n > 1 else np.zeros(0, bool)
+    for c in sort_cols:
+        col = _col_np(t, c)
+        dup &= col[1:] == col[:-1]
+    if np.any(dup):
+        i = int(np.flatnonzero(dup)[0])
+        raise ValueError(
+            f"{op_name} requires unique {sort_cols} per row; duplicate "
+            f"sort tuple {tup(i)!r} — add a unique tiebreaker column "
+            f"to order_by")
+    return tup(0), tup(n - 1)
+
+
+_ROLLING_OPS = ("sum", "count", "min", "max", "avg")
+
+
+def rolling_agg(ds, *, order_by: list[str] | str, window: int,
+                op: str = "sum", value_col: str | None = None,
+                key_col: str | None = None, out_col: str | None = None):
+    """Append ``out_col`` = SQL's ``<op>(v) OVER (PARTITION BY key
+    ORDER BY order_by ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)``.  ``op`` in {sum, count, avg, min, max}; sum/count are
+    int64-exact on integer columns, ``avg`` is float64 (SQL AVG), and
+    min/max preserve the input dtype exactly (the full-window part
+    uses the classic chunked prefix/suffix two-array trick — O(rows),
+    no per-row Python — and the run-clamped part a segmented
+    cummin/cummax, composed by frame width).  ``(key, *order_by)``
+    must be unique per row (enforced in-block and across sorted block
+    boundaries).  Returns the sorted rows plus the window column."""
+    import ray
+    import ray.data as rd
+
+    if op not in _ROLLING_OPS:
+        raise ValueError(f"op must be one of {_ROLLING_OPS}, got {op!r}")
+    if op != "count" and value_col is None:
+        raise ValueError(f"op={op!r} requires value_col")
+    if not (isinstance(window, int) and window >= 1):
+        raise ValueError(f"window must be a positive int, got {window!r}")
+    out_col = out_col or f"rolling_{op}"
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    sort_cols = ([key_col] if key_col else []) + order_by
+    sorted_ds = ds.sort(sort_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    schema = sorted_ds.schema().base_schema
+    as_int = op == "count" or (
+        op != "avg" and pa.types.is_integer(schema.field(value_col).type))
+    dtype = np.int64 if as_int else np.float64
+    out_type = pa.int64() if as_int else pa.float64()
+    carry_n = window - 1
+    need_vals = op != "count"
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        """(first_tuple, last_tuple, tail_keys, tail_vals, n) — the
+        last min(window-1, n) rows' keys/values plus the boundary
+        tuples for the uniqueness check."""
+        n = t.num_rows
+        if n == 0:
+            return None
+        tfirst, tlast = _edge_check_tuples(t, sort_cols, "rolling_agg")
+        lo = max(n - carry_n, 0)
+        tk = _col_np(t, key_col)[lo:] if key_col else None
+        tv = _col_np(t, value_col, dtype)[lo:] if need_vals else None
+        return (tfirst, tlast, tk, tv, n)
+
+    summaries = ray.get([summarize.remote(r) for r in refs])
+
+    # Thread the row carry: carry_i = tail(carry ++ block_tail, w-1).
+    carries: list[tuple] = []
+    ck = np.empty(0, dtype=object) if key_col else None
+    cv = np.empty(0, dtype=dtype) if need_vals else None
+    clen = 0
+    prev_last_tuple = None
+    for s in summaries:
+        if s is None:
+            carries.append((ck, cv, clen))
+            continue
+        tfirst, tlast, tk, tv, nblk = s
+        if prev_last_tuple is not None and tfirst == prev_last_tuple:
+            raise ValueError(
+                f"rolling_agg requires unique {sort_cols} per row; "
+                f"duplicate sort tuple {tfirst!r} across sorted blocks")
+        prev_last_tuple = tlast
+        carries.append((ck, cv, clen))
+        if carry_n:
+            if key_col:
+                ck = np.concatenate([ck, tk.astype(object)])[-carry_n:]
+            if need_vals:
+                cv = np.concatenate([cv, tv])[-carry_n:]
+            clen = min(clen + nblk, carry_n)
+    carry_it = iter(carries)
+
+    def _seg_cumsum(v: np.ndarray, starts: np.ndarray,
+                    run_id: np.ndarray) -> np.ndarray:
+        cs = np.cumsum(v, dtype=v.dtype)
+        if len(starts):
+            base = np.concatenate(([v.dtype.type(0)], cs[starts - 1]))
+            cs = cs - base[run_id]
+        return cs
+
+    @ray.remote
+    def apply(t: pa.Table, carry):
+        carry_keys, carry_vals, c = carry
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], out_type))
+        if key_col:
+            keys = _col_np(t, key_col)
+            allk = np.concatenate([carry_keys, keys.astype(object)]) \
+                if c else keys
+        else:
+            allk = None
+        if need_vals:
+            v = _col_np(t, value_col, dtype)
+            allv = np.concatenate([carry_vals, v]) if c else v
+        N = c + n
+        brk = _key_breaks(allk, N)
+        starts = np.flatnonzero(brk) + 1
+        seg = np.zeros(N, dtype=np.int64)
+        seg[starts] = 1
+        run_id = np.cumsum(seg)
+        run_start = np.concatenate(([0], starts))[run_id]
+        pos = np.arange(N, dtype=np.int64) - run_start
+        if op == "count":
+            out = np.minimum(pos + 1, window)
+        elif op in ("sum", "avg"):
+            cs = _seg_cumsum(allv, starts, run_id)
+            idx = np.arange(N, dtype=np.int64) - window
+            prev = np.where(pos >= window, cs[np.maximum(idx, 0)],
+                            dtype(0))
+            s = cs - prev
+            out = s if op == "sum" else \
+                s.astype(np.float64) / np.minimum(pos + 1, window)
+        else:
+            import pandas as pd
+
+            g = pd.Series(allv).groupby(run_id)
+            clamped = (g.cummin() if op == "min" else g.cummax()) \
+                .to_numpy()
+            pad = (-N) % window
+            padv = (np.iinfo(np.int64).max if as_int else np.inf) \
+                if op == "min" else \
+                (np.iinfo(np.int64).min if as_int else -np.inf)
+            arr = np.concatenate([allv, np.full(pad, padv, dtype)]) \
+                if pad else allv
+            m = arr.reshape(-1, window)
+            acc = np.minimum if op == "min" else np.maximum
+            prefix = acc.accumulate(m, axis=1).ravel()[:N]
+            suffix = acc.accumulate(m[:, ::-1], axis=1)[:, ::-1] \
+                .ravel()[:N]
+            i = np.arange(N, dtype=np.int64)
+            fixed = acc(suffix[np.maximum(i - window + 1, 0)], prefix)
+            out = np.where(pos <= window - 1, clamped, fixed)
+        return t.append_column(out_col, pa.array(out[c:], out_type))
+
+    out_refs = [apply.remote(r, next(carry_it)) for r in refs]
+    return rd.from_arrow_refs(out_refs)
+
+
+def _shift_column(ds, *, value_col: str, order_by: list[str] | str,
+                  key_col: str | None, offset: int, out_col: str,
+                  op_name: str):
+    """Shared LAG (offset>0 looks back) / LEAD (driven by op_name with
+    a forward carry) core — see :func:`lag_column` / :func:`lead_column`."""
+    import ray
+    import ray.data as rd
+
+    if not (isinstance(offset, int) and offset >= 1):
+        raise ValueError(f"offset must be a positive int, got {offset!r}")
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    lead = op_name == "lead_column"
+    sort_cols = ([key_col] if key_col else []) + order_by
+    sorted_ds = ds.sort(sort_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    schema = sorted_ds.schema().base_schema
+    val_type = schema.field(value_col).type
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        """Boundary tuples + the edge slice (head for LEAD, tail for
+        LAG) of (keys, values): at most ``offset`` rows."""
+        n = t.num_rows
+        if n == 0:
+            return None
+        tfirst, tlast = _edge_check_tuples(t, sort_cols, op_name)
+        sl = slice(0, min(offset, n)) if lead else \
+            slice(max(n - offset, 0), n)
+        ek = _col_np(t, key_col)[sl].astype(object) if key_col else None
+        col = t[value_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        ev = col.slice(sl.start, sl.stop - sl.start)
+        return (tfirst, tlast, ek, ev, n)
+
+    summaries = ray.get([summarize.remote(r) for r in refs])
+    # cross-boundary uniqueness check in forward order
+    prev_last = None
+    for s in summaries:
+        if s is None:
+            continue
+        if prev_last is not None and s[0] == prev_last:
+            raise ValueError(
+                f"{op_name} requires unique {sort_cols} per row; "
+                f"duplicate sort tuple {s[0]!r} across sorted blocks")
+        prev_last = s[1]
+
+    empty_k = np.empty(0, dtype=object) if key_col else None
+    empty_v = pa.array([], val_type)
+    carries: list[tuple] = []
+    ck, cv = empty_k, empty_v
+    it = reversed(summaries) if lead else iter(summaries)
+    for s in it:
+        carries.append((ck, cv))
+        if s is None:
+            continue
+        _, _, ek, ev, _ = s
+        if lead:
+            # carry = head(block_head ++ carry, offset)
+            if key_col:
+                ck = np.concatenate([ek, ck])[:offset]
+            cv = pa.concat_arrays([ev, cv])[:offset]
+        else:
+            if key_col:
+                ck = np.concatenate([ck, ek])[-offset:]
+            cv = pa.concat_arrays([cv, ev])[-offset:]
+    if lead:
+        carries.reverse()
+    carry_it = iter(carries)
+
+    @ray.remote
+    def apply(t: pa.Table, carry):
+        carry_keys, carry_vals, = carry
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], val_type))
+        c = len(carry_vals)
+        col = t[value_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        if lead:
+            allv = pa.concat_arrays([col, carry_vals])
+            src = np.arange(n, dtype=np.int64) + offset
+            valid = src < n + c
+        else:
+            allv = pa.concat_arrays([carry_vals, col])
+            src = np.arange(c, c + n, dtype=np.int64) - offset
+            valid = src >= 0
+        if key_col:
+            keys = _col_np(t, key_col).astype(object)
+            allk = np.concatenate([keys, carry_keys]) if lead \
+                else np.concatenate([carry_keys, keys])
+            here = np.arange(n) if lead else np.arange(c, c + n)
+            valid &= allk[np.clip(src, 0, len(allk) - 1)] == allk[here]
+        idx = pa.array(np.clip(src, 0, len(allv) - 1), pa.int64(),
+                       mask=~valid)
+        return t.append_column(out_col, allv.take(idx))
+
+    out_refs = [apply.remote(r, next(carry_it)) for r in refs]
+    return rd.from_arrow_refs(out_refs)
+
+
+def lag_column(ds, *, value_col: str, order_by: list[str] | str,
+               key_col: str | None = None, offset: int = 1,
+               out_col: str | None = None):
+    """Append SQL's ``LAG(value, offset) OVER (PARTITION BY key ORDER
+    BY order_by)`` (NULL where no such row).  Type-generic — the
+    shifted column is built by one Arrow ``take`` with null indices,
+    so strings/timestamps shift as exactly as ints.  One range sort;
+    the driver threads an O(offset)-row carry per block; ``(key,
+    *order_by)`` must be unique per row (enforced)."""
+    return _shift_column(ds, value_col=value_col, order_by=order_by,
+                         key_col=key_col, offset=offset,
+                         out_col=out_col or f"lag_{value_col}",
+                         op_name="lag_column")
+
+
+def lead_column(ds, *, value_col: str, order_by: list[str] | str,
+                key_col: str | None = None, offset: int = 1,
+                out_col: str | None = None):
+    """Append SQL's ``LEAD(value, offset) OVER (PARTITION BY key ORDER
+    BY order_by)`` — :func:`lag_column` with a forward row carry."""
+    return _shift_column(ds, value_col=value_col, order_by=order_by,
+                         key_col=key_col, offset=offset,
+                         out_col=out_col or f"lead_{value_col}",
+                         op_name="lead_column")
