@@ -1160,6 +1160,54 @@ def q_value_quantiles_global(sf_dir: str):
     return global_quantiles(ds, "value", GLOBAL_QS)
 
 
+HIST_BINS = 512
+
+
+def q_value_quantiles_hist(sf_dir: str):
+    """APPROXIMATE whole-table quantiles via the fixed-bin histogram —
+    the 100-TB scale path beside the exact sorted operator: two
+    streaming passes, a bins-sized shuffle, an O(bins) driver table.
+    Deterministic bucket arithmetic (IEEE double floor((v-mn)/w),
+    clipped to the last bin) lets the SQL oracle replay the estimate
+    EXACTLY, not just within the error bound."""
+    from ..stages.aggregates import histogram_quantiles
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"value": pc.cast(t["value"], pa.float64())})
+
+    ds = _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow")
+    out = histogram_quantiles(ds, "value", GLOBAL_QS, bins=HIST_BINS)
+    return pa.table({"q": out["q"],
+                     "value": pa.array(_r4(out["value"].to_numpy(
+                         zero_copy_only=False)))})
+
+
+def _value_quantiles_hist_sql() -> str:
+    qvals = ", ".join(f"({q}::DOUBLE)" for q in GLOBAL_QS)
+    return f"""
+WITH b AS (SELECT min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx
+           FROM events),
+w AS (SELECT mn, mx,
+             CASE WHEN mx = mn THEN 1.0
+                  ELSE (mx - mn) / {HIST_BINS} END AS w FROM b),
+bk AS (SELECT least(floor((value - w.mn) / w.w),
+                    {HIST_BINS - 1})::BIGINT AS bucket,
+              count(*)::BIGINT AS c
+       FROM events, w GROUP BY 1),
+cum AS (SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cumc,
+               (SELECT sum(c) FROM bk) AS n FROM bk),
+qs(q) AS (VALUES {qvals})
+SELECT q,
+       {_R4.format(expr="CASE WHEN w.mx = w.mn THEN w.mn "
+                        "ELSE w.mn + (sel.b + 1) * w.w END")} AS value
+FROM qs, w,
+     LATERAL (SELECT min(bucket) AS b FROM cum
+              WHERE cumc >= greatest(ceil(q * n), 1)) sel
+"""
+
+
 def q_revenue_per_nation(sf_dir: str):
     """Generic distributed equi-join demo over the relational tables
     (TPC-H Q5 flavor): lineitem ⨝ orders ⨝ customer via two sort-merge
@@ -2287,6 +2335,7 @@ QUERIES = {
     "customer_order_counts_skew": q_customer_order_counts_skew,
     "user_event_diversity": q_user_event_diversity,
     "value_quantiles_global": q_value_quantiles_global,
+    "value_quantiles_hist": q_value_quantiles_hist,
     "customers_without_orders": q_customers_without_orders,
     "parts_in_lineitem": q_parts_in_lineitem,
     "building_f_orders_full": q_building_f_orders_full,
@@ -3112,6 +3161,7 @@ FROM events GROUP BY user_id
     "value_quantiles_global": "\nUNION ALL\n".join(
         f"SELECT {q}::DOUBLE AS q, quantile_disc(value, {q}) AS value FROM events"
         for q in GLOBAL_QS),
+    "value_quantiles_hist": _value_quantiles_hist_sql(),
     "customers_without_orders": """
 SELECT c_custkey FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders

@@ -360,3 +360,70 @@ def filter_by_quantile(ds, value_col: str, q: float, *, keep: str = "ge"):
         return t.filter(op(t[value_col], pa.scalar(thr)))
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def histogram_quantiles(ds, value_col: str, qs: list[float], *,
+                        bins: int = 512) -> pa.Table:
+    """APPROXIMATE whole-dataset quantiles via a fixed-bin histogram —
+    the scale path beside exact :func:`global_quantiles`: the exact
+    operator range-sorts the whole dataset, while this one does two
+    streaming passes whose shuffle is BINS-sized regardless of data
+    size (per-batch ``np.bincount`` partials, one grouped sum over at
+    most ``bins`` keys, an O(bins) driver table).  Deterministic by
+    construction: bucket = min(floor((v-mn)/w), bins-1) in IEEE double
+    exactly as SQL computes it, estimate = the upper edge of the first
+    bucket whose cumulative count reaches ceil(q*n) — error bounded by
+    one bucket width (mx-mn)/bins.  NULL values are ignored like SQL
+    aggregates.  Returns a pyarrow Table (q, value)."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile out of range: {q}")
+    if not (isinstance(bins, int) and bins >= 1):
+        raise ValueError(f"bins must be a positive int, got {bins!r}")
+
+    def minmax(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        v = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+             else col).drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"mn": [float(v.min())], "mx": [float(v.max())]})
+
+    edges = ds.map_batches(minmax, batch_format="pyarrow").take_all()
+    if not edges:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+    mn = min(r["mn"] for r in edges)
+    mx = max(r["mx"] for r in edges)
+    width = 1.0 if mx == mn else (mx - mn) / bins
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        v = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+             else col).drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        b = np.minimum(np.floor((v - mn) / width), bins - 1) \
+            .astype(np.int64)
+        cnt = np.bincount(b, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz),
+                         "cnt": pa.array(cnt[nz])})
+
+    hist = sorted_groupby_agg(
+        ds.map_batches(bucket_counts, batch_format="pyarrow"),
+        ["bucket"], [("cnt", "sum", "cnt")],
+        in_schema=pa.schema([("bucket", pa.int64()),
+                             ("cnt", pa.int64())])).take_all()
+    hist.sort(key=lambda r: r["bucket"])
+    buckets = np.array([r["bucket"] for r in hist], dtype=np.int64)
+    cum = np.cumsum(np.array([r["cnt"] for r in hist], dtype=np.int64))
+    n = int(cum[-1])
+    out = []
+    for q in qs:
+        rank = max(int(np.ceil(q * n)), 1)
+        b = int(buckets[int(np.searchsorted(cum, rank, side="left"))])
+        out.append(mn if mx == mn else mn + (b + 1) * width)
+    return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
+                     "value": pa.array(out, pa.float64())})

@@ -365,3 +365,62 @@ class TestGlobalQuantiles:
         assert out.num_rows == 0
         with pytest.raises(ValueError):
             global_quantiles(rd.from_arrow(t), "v", [0.0])
+
+
+class TestHistogramQuantiles:
+    def _hq(self, ray_session, vals, qs, bins, parts=7):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import (
+            histogram_quantiles,
+        )
+
+        t = pa.table({"v": np.asarray(vals, dtype=np.float64)})
+        return histogram_quantiles(rd.from_arrow(t).repartition(parts),
+                                   "v", qs, bins=bins).to_pandas()
+
+    def test_error_bounded_by_width(self, ray_session):
+        rng = np.random.default_rng(17)
+        vals = rng.uniform(-3.0, 11.0, 20_000)
+        qs = [0.1, 0.5, 0.9, 0.99]
+        got = self._hq(ray_session, vals, qs, bins=256)
+        width = (vals.max() - vals.min()) / 256
+        exact = np.quantile(vals, qs)
+        assert np.all(np.abs(got["value"].to_numpy() - exact) <= 2 * width)
+
+    def test_block_count_invariance(self, ray_session):
+        rng = np.random.default_rng(19)
+        vals = rng.standard_normal(5000)
+        a = self._hq(ray_session, vals, [0.5, 0.9], 128, parts=1)
+        b = self._hq(ray_session, vals, [0.5, 0.9], 128, parts=13)
+        np.testing.assert_array_equal(a["value"].to_numpy(),
+                                      b["value"].to_numpy())
+
+    def test_all_equal_and_empty(self, ray_session):
+        got = self._hq(ray_session, np.full(100, 4.25), [0.5, 0.99], 64)
+        np.testing.assert_array_equal(got["value"].to_numpy(),
+                                      [4.25, 4.25])
+        got2 = self._hq(ray_session, [], [0.5], 64, parts=1)
+        assert len(got2) == 0
+
+    def test_wide_histogram_is_near_exact_on_ints(self, ray_session):
+        # integer values 0..99, bins so wide each int has its own bucket:
+        # the q-th estimate is the exact value's bucket upper edge
+        vals = np.repeat(np.arange(100), 10).astype(np.float64)
+        got = self._hq(ray_session, vals, [0.5], bins=10_000)
+        exact = np.quantile(vals, 0.5)
+        width = 99.0 / 10_000
+        assert abs(got["value"][0] - exact) <= 1.0 + width
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import (
+            histogram_quantiles,
+        )
+
+        ds = rd.from_arrow(pa.table({"v": [1.0]}))
+        with pytest.raises(ValueError, match="quantile"):
+            histogram_quantiles(ds, "v", [1.5])
+        with pytest.raises(ValueError, match="bins"):
+            histogram_quantiles(ds, "v", [0.5], bins=0)
