@@ -782,11 +782,46 @@ def bench_prefix_scan(out: dict) -> None:
     assert total > 0
 
 
+def bench_bounded_window(out: dict) -> None:
+    """Bounded-frame windows over the prefix-scan table shape: per-key
+    16-row rolling MAX (segmented cummax + chunked two-array trick)
+    and LAG(1) (Arrow take with null indices) over 5M rows / 10k keys
+    — one range sort + O(blocks*window) row carries each."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.scan import lag_column, rolling_agg
+
+    n = 5_000_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user": pa.array(ids % 10_000),
+                         "seq": pa.array(ids),
+                         "v": pa.array(ids % 97)})
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    rolled = rolling_agg(ds, order_by="seq", window=16, op="max",
+                         value_col="v", key_col="user")
+    mx = rolled.max("rolling_max")
+    out["queries"]["rolling_max_5m_w16"] = round(time.time() - t0, 3)
+    assert mx == 96
+    t0 = time.time()
+    lagged = lag_column(ds, value_col="v", order_by="seq", key_col="user")
+    n_null = lagged.count() - lagged.map_batches(
+        lambda t: pa.table({"n": [len(t["lag_v"].drop_null())]}),
+        batch_format="pyarrow").sum("n")
+    out["queries"]["lag_5m"] = round(time.time() - t0, 3)
+    assert n_null == 10_000  # exactly one frameless first row per key
+
+
 _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",
               "dedup_verify_100k", "ann_cosine", "pagerank", "temporal",
               "connected_components", "join", "join_skew", "curation", "kmeans",
-              "scrub", "chunk_decontam", "prefix_scan")
+              "scrub", "chunk_decontam", "prefix_scan", "bounded_window")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -868,6 +903,8 @@ def run_all(only: str | None = None) -> dict:
         bench_chunk_decontam(out)
     if only in (None, "prefix_scan"):
         bench_prefix_scan(out)
+    if only in (None, "bounded_window"):
+        bench_bounded_window(out)
     out["value"] = round(sum(out["queries"].values()), 3)
     ray.shutdown()
     return out
