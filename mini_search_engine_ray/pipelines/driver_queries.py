@@ -1386,6 +1386,59 @@ def q_parts_in_lineitem(sf_dir: str):
                            how="semi", partitions=8)
 
 
+def q_custkeys_intersect(sf_dir: str):
+    """SQL INTERSECT (distinct set semantics): BUILDING-segment
+    customer keys that also placed at least one order — through the
+    null-aware tagged sorted sweep, not an EXISTS composition."""
+    import ray.data as rd
+
+    from ..stages.aggregates import set_op
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(t["c_mktsegment"], "BUILDING")
+        return pa.table({"custkey": t.filter(keep)["c_custkey"]})
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    return set_op(cust.map_batches(flt, batch_format="pyarrow"),
+                  orders.map_batches(
+                      lambda t: pa.table({"custkey": t["o_custkey"]}),
+                      batch_format="pyarrow"),
+                  "intersect")
+
+
+def q_partkeys_except(sf_dir: str):
+    """SQL EXCEPT: part keys never shipped in a bulk (quantity > 45)
+    lineitem — the quantity restriction keeps the difference non-empty
+    at every scale factor (an unrestricted EXCEPT is empty: every part
+    is referenced)."""
+    import ray.data as rd
+
+    from ..stages.aggregates import set_op
+
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey"])
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_partkey", "l_quantity"])
+
+    def bulk(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater(t["l_quantity"], 45)
+        return pa.table({"partkey": t.filter(keep)["l_partkey"]})
+
+    return set_op(part.map_batches(
+                      lambda t: pa.table({"partkey": t["p_partkey"]}),
+                      batch_format="pyarrow"),
+                  li.map_batches(bulk, batch_format="pyarrow"),
+                  "except")
+
+
 def q_building_f_orders_full(sf_dir: str):
     """Full outer join (SQL USING / coalesced-key semantics):
     BUILDING-segment customers ⨝ per-customer count of finished ('F')
@@ -2338,6 +2391,8 @@ QUERIES = {
     "value_quantiles_hist": q_value_quantiles_hist,
     "customers_without_orders": q_customers_without_orders,
     "parts_in_lineitem": q_parts_in_lineitem,
+    "custkeys_intersect": q_custkeys_intersect,
+    "partkeys_except": q_partkeys_except,
     "building_f_orders_full": q_building_f_orders_full,
     "doc_keywords": q_doc_keywords,
     "chunk_docs": q_chunk_docs,
@@ -3170,6 +3225,16 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
     "parts_in_lineitem": """
 SELECT p_partkey FROM part
 WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+""",
+    "custkeys_intersect": """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders
+""",
+    "partkeys_except": """
+SELECT p_partkey AS partkey FROM part
+EXCEPT
+SELECT l_partkey AS partkey FROM lineitem WHERE l_quantity > 45
 """,
     "building_f_orders_full": """
 WITH b AS (SELECT c_custkey, c_acctbal FROM customer

@@ -427,3 +427,54 @@ def histogram_quantiles(ds, value_col: str, qs: list[float], *,
         out.append(mn if mx == mn else mn + (b + 1) * width)
     return pa.table({"q": pa.array([float(q) for q in qs], pa.float64()),
                      "value": pa.array(out, pa.float64())})
+
+
+def set_op(left, right, how: str):
+    """SQL set operations with DISTINCT semantics: ``intersect``,
+    ``except`` (left minus right) and ``union`` over the datasets'
+    full rows (schemas must match by column name).  One pass each
+    side tags row provenance (two 0/1 columns), then a single
+    null-aware sorted sweep per distinct row decides membership —
+    importantly this gives SQL's set-operation NULL handling (NULL
+    matches NULL, unlike EXISTS/IN), which a semi/anti join
+    composition would get wrong.  Returns a Dataset of the distinct
+    qualifying rows."""
+    hows = ("intersect", "except", "union")
+    if how not in hows:
+        raise ValueError(f"how must be one of {hows}, got {how!r}")
+    l_schema = static_schema(left)
+    cols = list(l_schema.names) if l_schema is not None else None
+
+    def tag(is_left: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            nonlocal cols
+            use = cols or t.column_names
+            t = t.select(use)
+            one = np.ones(t.num_rows, np.int64)
+            zero = np.zeros(t.num_rows, np.int64)
+            return t.append_column("_l", pa.array(one if is_left else zero)) \
+                    .append_column("_r", pa.array(zero if is_left else one))
+        return fn
+
+    if cols is None:
+        # resolve the column list once so both sides align
+        cols = list(left.schema().base_schema.names)
+    tagged = left.map_batches(tag(True), batch_format="pyarrow").union(
+        right.map_batches(tag(False), batch_format="pyarrow"))
+    agg = sorted_groupby_agg(tagged, cols,
+                             [("_l", "max", "_l"), ("_r", "max", "_r")])
+
+    def flt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select(cols) if set(cols) <= set(t.column_names) else t
+        keep_l = t["_l"].to_numpy(zero_copy_only=False).astype(bool)
+        keep_r = t["_r"].to_numpy(zero_copy_only=False).astype(bool)
+        if how == "intersect":
+            keep = keep_l & keep_r
+        elif how == "except":
+            keep = keep_l & ~keep_r
+        else:
+            keep = np.ones(t.num_rows, bool)
+        return t.filter(pa.array(keep)).select(cols)
+
+    return agg.map_batches(flt, batch_format="pyarrow")

@@ -424,3 +424,55 @@ class TestHistogramQuantiles:
             histogram_quantiles(ds, "v", [1.5])
         with pytest.raises(ValueError, match="bins"):
             histogram_quantiles(ds, "v", [0.5], bins=0)
+
+
+class TestSetOp:
+    def _mk(self, ray_session, seed, nulls=True, y_hi=4):
+        import ray.data as rd
+
+        rng = np.random.default_rng(seed)
+        n = 800
+        a = rng.integers(0, 12, n).astype(float)
+        if nulls:
+            a[rng.random(n) < 0.1] = np.nan
+        t = pa.table({"x": pa.array([None if np.isnan(v) else int(v)
+                                     for v in a], pa.int64()),
+                      "y": rng.integers(0, y_hi, n)})
+        return t, rd.from_arrow(t).repartition(5)
+
+    def _brute(self, tl, tr, how):
+        import duckdb
+
+        kw = {"intersect": "INTERSECT", "except": "EXCEPT",
+              "union": "UNION"}[how]
+        con = duckdb.connect()
+        con.register("l", tl.to_pandas())
+        con.register("r", tr.to_pandas())
+        return con.sql(f"SELECT * FROM l {kw} SELECT * FROM r").df()
+
+    @pytest.mark.parametrize("how", ["intersect", "except", "union"])
+    def test_vs_duckdb_with_null_rows(self, ray_session, how):
+        from mini_search_engine_ray.stages.aggregates import set_op
+
+        # left has y values the right never produces, so EXCEPT is
+        # non-empty (and null-x rows appear on both sides)
+        tl, dl = self._mk(ray_session, 31, y_hi=6)
+        tr, dr = self._mk(ray_session, 32, y_hi=4)
+        got = set_op(dl, dr, how).to_pandas()
+        exp = self._brute(tl, tr, how)
+        canon = lambda df: df.sort_values(["x", "y"]) \
+            .reset_index(drop=True).astype("float64")
+        pd.testing.assert_frame_equal(canon(got), canon(exp))
+
+    def test_distinct_output_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import set_op
+
+        l = rd.from_arrow(pa.table({"x": [1, 1, 2, 2, 3]}))
+        r = rd.from_arrow(pa.table({"x": [2, 2, 9]}))
+        assert sorted(set_op(l, r, "intersect").to_pandas()["x"]) == [2]
+        assert sorted(set_op(l, r, "except").to_pandas()["x"]) == [1, 3]
+        assert sorted(set_op(l, r, "union").to_pandas()["x"]) == [1, 2, 3, 9]
+        with pytest.raises(ValueError, match="how"):
+            set_op(l, r, "minus")
