@@ -592,6 +592,40 @@ def q_ann_cosine_topk(sf_dir: str):
     return out.drop_columns(["rank"]).map_batches(_ann_fix, batch_format="pyarrow")
 
 
+def q_ann_hydrated(sf_dir: str):
+    """Retrieve-then-hydrate composition: brute-force cosine top-k
+    winners (Q·k rows — small by contract) broadcast ONCE via
+    ``ray.put``; the documents table STREAMS through one Arrow hash
+    join per batch (``broadcast_join``) to attach the winning docs'
+    text — retrieval + hydration with no data-sized shuffle (the
+    vec_id ↔ doc_id identity is the synthetic tables' link)."""
+    import ray.data as rd
+
+    from ..stages.join import broadcast_join
+    from ..stages.similarity import ann_cosine_topk
+
+    ds, qm = _ann_inputs(sf_dir)
+    winners = ann_cosine_topk(ds, qm, k=ANN_K).drop_columns(["rank"]) \
+        .map_batches(_ann_fix, batch_format="pyarrow").to_pandas()
+    small = pa.Table.from_pandas(winners, preserve_index=False)
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = broadcast_join(docs, small, on="doc_id", right_on="vec_id",
+                         how="inner")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "query_id": pc.cast(t["query_id"], pa.int64()),
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "score": t["score"],
+            "text": t["text"],
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_search_phrase3(sf_dir: str):
     return _ids_table(_searcher(sf_dir).search_phrase(PHRASE3))
 
@@ -1750,6 +1784,66 @@ def q_event_lead2_value(sf_dir: str):
                            batch_format="pyarrow")
 
 
+SAMPLE_N = 50
+
+
+def q_sample_exact_n(sf_dir: str):
+    """Deterministic exact-size corpus sample: the SAMPLE_N docs with
+    the globally smallest md5-low-64(text) — per-batch local top-n
+    prefilter bounds the global sort at n*batches rows."""
+    import ray.data as rd
+
+    from ..stages.sampling import sample_exact_n
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "source"])
+    out = sample_exact_n(docs, SAMPLE_N)
+    return out.select_columns(["doc_id", "source"])
+
+
+def q_events_zscore_filter(sf_dir: str):
+    """Outlier gate: events whose value is within 1.5 population
+    standard deviations of the whole-table mean — two streaming
+    moment passes (three scalars per batch to the driver), one
+    broadcast-threshold filter, no shuffle."""
+    from ..stages.sampling import filter_by_zscore
+
+    out = filter_by_zscore(_events_ds(sf_dir), "value", max_abs_z=1.5)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "value": pa.array(_r4(t["value"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+NTILE_K = 7
+
+
+def q_event_ntile(sf_dir: str):
+    """Global NTILE(7) over (ts, event_id) — balanced-bucket sharding
+    by rank through the row_number plan + one closed-form map."""
+    from ..stages.scan import ntile
+
+    out = ntile(_events_cents(sf_dir), k=NTILE_K,
+                order_by=["ts", "event_id"])
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "ntile": pc.cast(t["ntile"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 UNIGRAM_TOP_V = 400
 
 
@@ -2361,6 +2455,7 @@ QUERIES = {
     "sha256_docs": q_sha256_docs,
     "token_count_total": q_token_count_total,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_hydrated": q_ann_hydrated,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "compression_ratio": q_compression_ratio,
@@ -2404,6 +2499,9 @@ QUERIES = {
     "event_lag_value": q_event_lag_value,
     "event_lead2_value": q_event_lead2_value,
     "unigram_quality": q_unigram_quality,
+    "sample_exact_n": q_sample_exact_n,
+    "events_zscore_filter": q_events_zscore_filter,
+    "event_ntile": q_event_ntile,
     "event_row_number": q_event_row_number,
     "running_max_value": q_running_max_value,
     "token_shards": q_token_shards,
@@ -3190,6 +3288,20 @@ r AS (SELECT query_id, vec_id, sim,
 SELECT query_id, vec_id, {_R4.format(expr="sim")} AS score
 FROM r WHERE rn <= {ANN_K}
 """,
+    "ann_hydrated": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+           FROM embeddings WHERE vec_id < {ANN_QUERY_IDS}),
+s AS (SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS sim
+      FROM q CROSS JOIN embeddings e),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM s)
+SELECT r.query_id, d.doc_id, {_R4.format(expr="r.sim")} AS score, d.text
+FROM r JOIN documents d ON d.doc_id = r.vec_id
+WHERE r.rn <= {ANN_K}
+""",
     "minhash_signatures": _minhash_signatures_sql(),
     "minhash_near_pairs": _minhash_near_pairs_sql(),
     "dedup_near_jaccard": _dedup_near_jaccard_sql(),
@@ -3348,6 +3460,22 @@ SELECT event_id, user_id, floor(value*100)::BIGINT AS cents,
 FROM events
 """,
     "unigram_quality": _unigram_quality_sql(),
+    "sample_exact_n": f"""
+SELECT doc_id, source FROM documents
+ORDER BY md5_number_lower(text), doc_id
+LIMIT {SAMPLE_N}
+""",
+    "events_zscore_filter": """
+WITH m AS (SELECT avg(value) AS mu, stddev_pop(value) AS sd FROM events)
+SELECT event_id, floor(value * 10000 + 0.5) / 10000 AS value
+FROM events, m
+WHERE value BETWEEN mu - 1.5 * sd AND mu + 1.5 * sd
+""",
+    "event_ntile": f"""
+SELECT event_id,
+       ntile({NTILE_K}) OVER (ORDER BY ts, event_id)::BIGINT AS ntile
+FROM events
+""",
     "event_row_number": """
 SELECT event_id, user_id,
        row_number() OVER (PARTITION BY user_id

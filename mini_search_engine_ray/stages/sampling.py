@@ -151,3 +151,86 @@ def sample_fraction(ds, rates, *, default: int | None = None,
         return out.select(out_cols) if out_cols is not None else out
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def sample_exact_n(ds, n: int, *, text_col: str = "text",
+                   id_col: str = "doc_id", salt: str = ""):
+    """Deterministic EXACT-SIZE corpus sample: the ``n`` rows with the
+    globally smallest md5-low-64(text‖salt), ties by ``id_col`` — the
+    fixed-size eval-subset / pilot-corpus draw.  Content-addressed like
+    :func:`sample_fraction` (stable under re-sharding, independent
+    draws via ``salt``) but with an exact row count instead of an
+    expected rate.
+
+    Scale shape: a per-batch local top-n PREFILTER (one lexsort per
+    batch) bounds the global sort at n·num_batches rows regardless of
+    corpus size; then one range sort of that bounded set + ``limit(n)``.
+    Returns the sampled rows (hash column dropped)."""
+    from ..functions.hashing import md5_low64_batch
+
+    if not (isinstance(n, int) and n >= 1):
+        raise ValueError(f"n must be a positive int, got {n!r}")
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_h", pa.array([], pa.uint64()))
+        strs = t[text_col].to_pylist()
+        if salt:
+            strs = [(s or "") + salt for s in strs]
+        h = md5_low64_batch(strs)
+        ids = t[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
+        order = np.lexsort((ids.to_numpy(zero_copy_only=False), h))[:n]
+        keep = pa.array(np.sort(order))
+        return t.take(keep).append_column("_h", pa.array(h[np.sort(order)]))
+
+    bounded = ds.map_batches(prefilter, batch_format="pyarrow")
+    return bounded.sort(["_h", id_col]).limit(n).drop_columns(["_h"])
+
+
+def filter_by_zscore(ds, value_col: str, *, max_abs_z: float,
+                     keep_nulls: bool = False):
+    """Outlier gate: keep rows with |v - mean| <= max_abs_z * stddev
+    over the WHOLE dataset (population stddev) — the remove-length/
+    score-outliers curation move.  Two streaming passes: per-batch
+    (n, sum, sumsq) partials (three scalars per batch to the driver),
+    then one broadcast-threshold filter map; no shuffle, no sort.
+    Degenerate inputs (empty, all-null, zero variance) keep every
+    non-null row."""
+    if not max_abs_z > 0:
+        raise ValueError(f"max_abs_z must be > 0, got {max_abs_z!r}")
+
+    def moments(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        v = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+             else col).drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"n": [np.int64(len(v))],
+                         "s": [float(v.sum())],
+                         "ss": [float((v * v).sum())]})
+
+    parts = ds.map_batches(moments, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    if n == 0:
+        lo, hi = -np.inf, np.inf
+    else:
+        s = sum(r["s"] for r in parts)
+        ss = sum(r["ss"] for r in parts)
+        mean = s / n
+        var = max(ss / n - mean * mean, 0.0)
+        sd = float(np.sqrt(var))
+        lo, hi = mean - max_abs_z * sd, mean + max_abs_z * sd
+
+    def flt(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        import pyarrow.compute as _pc
+
+        ok = _pc.and_(_pc.greater_equal(col, pa.scalar(lo)),
+                      _pc.less_equal(col, pa.scalar(hi)))
+        ok = _pc.fill_null(ok, keep_nulls)
+        return t.filter(ok)
+
+    return ds.map_batches(flt, batch_format="pyarrow")

@@ -573,3 +573,32 @@ def lead_column(ds, *, value_col: str, order_by: list[str] | str,
                          key_col=key_col, offset=offset,
                          out_col=out_col or f"lead_{value_col}",
                          op_name="lead_column")
+
+
+def ntile(ds, *, k: int, order_by: list[str] | str,
+          out_col: str = "ntile"):
+    """SQL ``NTILE(k) OVER (ORDER BY ...)`` — global frames: big tiles
+    first (the first n%k tiles hold n//k+1 rows), 1-based tile ids.
+    Built on :func:`row_number` (same one-sort + O(num_blocks) carry
+    plan, same unique-sort-tuple contract); the total row count comes
+    from the materialized blocks' metadata, then the tile id is one
+    closed-form vectorized map.  A keyed NTILE composes row_number
+    with per-key counts via a join instead."""
+    if not (isinstance(k, int) and k >= 1):
+        raise ValueError(f"k must be a positive int, got {k!r}")
+    rn = row_number(ds, order_by=order_by, out_col="_rn")
+    n = rn.count()
+    s, rem = divmod(n, k)
+    big = rem * (s + 1)
+
+    def tile(t: pa.Table) -> pa.Table:
+        r0 = _col_np(t, "_rn", np.int64) - 1
+        if s == 0:
+            tl = r0
+        else:
+            tl = np.where(r0 < big, r0 // (s + 1),
+                          rem + (r0 - big) // s)
+        return t.drop_columns(["_rn"]) \
+            .append_column(out_col, pa.array(tl + 1))
+
+    return rn.map_batches(tile, batch_format="pyarrow")

@@ -255,3 +255,120 @@ class TestGroupCentroids:
                               emb_col="embedding").to_pandas()
         got = {r.k: list(r.centroid) for _, r in out.iterrows()}
         assert got == {"a": [3.0, 4.0], "b": [3.0, 4.0]}
+
+
+class TestSampleExactN:
+    def _docs(self, n=400, seed=41):
+        rng = np.random.default_rng(seed)
+        return pa.table({
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": ["txt-%d-%d" % (i, rng.integers(0, 9)) for i in
+                     range(n)]})
+
+    def test_exact_size_and_smallest_hashes(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.functions.hashing import (
+            md5_low64_batch,
+        )
+        from mini_search_engine_ray.stages.sampling import sample_exact_n
+
+        t = self._docs()
+        got = sample_exact_n(rd.from_arrow(t).repartition(9), 37) \
+            .to_pandas()
+        assert len(got) == 37
+        h = md5_low64_batch(t["text"].to_pylist())
+        order = np.lexsort((np.arange(len(h)), h))[:37]
+        assert sorted(got["doc_id"]) == sorted(
+            t["doc_id"].to_numpy()[order].tolist())
+
+    def test_partition_invariance_and_salt(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.sampling import sample_exact_n
+
+        t = self._docs(seed=43)
+        a = set(sample_exact_n(rd.from_arrow(t).repartition(2), 25)
+                .to_pandas()["doc_id"])
+        b = set(sample_exact_n(rd.from_arrow(t).repartition(13), 25)
+                .to_pandas()["doc_id"])
+        assert a == b
+        c = set(sample_exact_n(rd.from_arrow(t).repartition(13), 25,
+                               salt="x").to_pandas()["doc_id"])
+        assert c != a  # independent draw
+
+    def test_n_beyond_corpus_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.sampling import sample_exact_n
+
+        t = self._docs(n=10)
+        assert sample_exact_n(rd.from_arrow(t), 999).count() == 10
+        with pytest.raises(ValueError, match="n must"):
+            sample_exact_n(rd.from_arrow(t), 0)
+
+
+class TestFilterByZscore:
+    def test_vs_numpy(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.sampling import filter_by_zscore
+
+        rng = np.random.default_rng(47)
+        v = rng.standard_normal(5000) * 3 + 10
+        t = pa.table({"i": np.arange(5000), "v": v})
+        got = filter_by_zscore(rd.from_arrow(t).repartition(7), "v",
+                               max_abs_z=2.0).to_pandas()
+        mu, sd = v.mean(), v.std()
+        exp = np.flatnonzero(np.abs(v - mu) <= 2.0 * sd)
+        assert sorted(got["i"]) == exp.tolist()
+
+    def test_nulls_and_degenerate(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.sampling import filter_by_zscore
+
+        t = pa.table({"v": pa.array([1.0, None, 1.0, 50.0])})
+        got = filter_by_zscore(rd.from_arrow(t), "v", max_abs_z=1.0) \
+            .to_pandas()
+        assert (got["v"] == 1.0).all()  # null dropped by default
+        kept = filter_by_zscore(rd.from_arrow(t), "v", max_abs_z=1.0,
+                                keep_nulls=True).count()
+        assert kept == 3
+        # zero variance keeps every non-null row
+        t2 = pa.table({"v": [5.0] * 8})
+        assert filter_by_zscore(rd.from_arrow(t2), "v",
+                                max_abs_z=0.1).count() == 8
+        with pytest.raises(ValueError, match="max_abs_z"):
+            filter_by_zscore(rd.from_arrow(t2), "v", max_abs_z=0)
+
+
+class TestNtile:
+    @pytest.mark.parametrize("n,k", [(100, 7), (10, 10), (5, 9),
+                                     (1000, 3)])
+    def test_vs_duckdb(self, ray_session, n, k):
+        import duckdb
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import ntile
+
+        rng = np.random.default_rng(n + k)
+        t = pa.table({"o": rng.permutation(n),
+                      "v": rng.integers(0, 5, n)})
+        got = ntile(rd.from_arrow(t).repartition(6), k=k,
+                    order_by="o").to_pandas().sort_values("o")
+        con = duckdb.connect()
+        con.register("tt", t.to_pandas())
+        exp = con.sql(f"SELECT o, ntile({k}) OVER (ORDER BY o) AS nt "
+                      f"FROM tt ORDER BY o").df()
+        np.testing.assert_array_equal(got["ntile"].to_numpy(),
+                                      exp["nt"].to_numpy())
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import ntile
+
+        ds = rd.from_arrow(pa.table({"o": [1]}))
+        with pytest.raises(ValueError, match="k must"):
+            ntile(ds, k=0, order_by="o")
