@@ -911,6 +911,39 @@ def q_window_tumbling(sf_dir: str):
     return out.map_batches(_window_fix(), batch_format="pyarrow")
 
 
+def q_window_distinct_users(sf_dir: str):
+    """Windowed EXACT distinct counts by pure composition: assign each
+    event its tumbling bucket with one vectorized map, then
+    count_distinct_per_group keyed on the bucket — per-batch Arrow
+    hash dedup so the shuffle carries batch-distinct (window, user)
+    pairs, never the raw stream."""
+    from ..stages.aggregates import count_distinct_per_group
+    from ..stages.windows import _ts_us
+
+    w = WINDOW_WIDTH_S * 1_000_000
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = _ts_us(t, "ts")
+        return pa.table({
+            "window_start_us": pa.array((us // w) * w),
+            "user_id": t["user_id"],
+        })
+
+    ds = _events_ds(sf_dir).map_batches(bucket, batch_format="pyarrow")
+    out = count_distinct_per_group(ds, ["window_start_us"], "user_id",
+                                   alias="n_users")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "window_start_us": pc.cast(t["window_start_us"], pa.int64()),
+            "n_users": pc.cast(t["n_users"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_window_sliding(sf_dir: str):
     """Hopping 1-hour/15-min window aggregate: hop-granular partials
     replicated x4 AFTER collapse, then the same tiny groupby."""
@@ -2466,6 +2499,7 @@ QUERIES = {
     "dedup_near_jaccard": q_dedup_near_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "window_tumbling": q_window_tumbling,
+    "window_distinct_users": q_window_distinct_users,
     "window_sliding": q_window_sliding,
     "sessionize": q_sessionize,
     "asof_attribution": q_asof_attribution,
@@ -3307,6 +3341,12 @@ WHERE r.rn <= {ANN_K}
     "dedup_near_jaccard": _dedup_near_jaccard_sql(),
     "dedup_clusters": _dedup_clusters_sql(),
     "window_tumbling": _window_tumbling_sql(),
+    "window_distinct_users": f"""
+SELECT (epoch_us(ts) // {WINDOW_WIDTH_S * 1_000_000})
+         * {WINDOW_WIDTH_S * 1_000_000} AS window_start_us,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1
+""",
     "window_sliding": _window_sliding_sql(),
     "sessionize": _sessionize_sql(),
     "asof_attribution": _ASOF_ATTRIBUTION_SQL,
