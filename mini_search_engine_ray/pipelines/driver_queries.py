@@ -1855,6 +1855,68 @@ def q_events_zscore_filter(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_event_value_ranks(sf_dir: str):
+    """Tie-aware global rank family over integer cents (ties are real
+    at every sf): RANK / DENSE_RANK / PERCENT_RANK through the
+    three-scalar carry thread — equal values share a rank, so the
+    result is deterministic for any tie order (no uniqueness
+    contract)."""
+    from ..stages.scan import add_ranks
+
+    out = add_ranks(_events_cents(sf_dir), order_by="cents")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "cents": pc.cast(t["cents"], pa.int64()),
+            "rnk": pc.cast(t["rank"], pa.int64()),
+            "dense_rnk": pc.cast(t["dense_rank"], pa.int64()),
+            "pct_rnk": pa.array(_r4(t["percent_rank"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_user_value_stats(sf_dir: str):
+    """Grouped mean + population variance by composition: one
+    sorted_groupby_agg pass sums exact INTEGER moments (cents,
+    cents², count) so the float division afterwards is the identical
+    IEEE expression in both engines — no float-association hazard."""
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ev = _events_cents(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "c": pa.array(c), "c2": pa.array(c * c)})
+
+    agg = sorted_groupby_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [("c", "sum", "s"), ("c2", "sum", "ss"), ("c", "count", "n")])
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ss = t["ss"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mean = s / n
+        var = ss / n - mean * mean
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+            "avg_cents": pa.array(_r4(mean)),
+            "var_cents": pa.array(_r4(var)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
 NTILE_K = 7
 
 
@@ -2536,6 +2598,8 @@ QUERIES = {
     "sample_exact_n": q_sample_exact_n,
     "events_zscore_filter": q_events_zscore_filter,
     "event_ntile": q_event_ntile,
+    "user_value_stats": q_user_value_stats,
+    "event_value_ranks": q_event_value_ranks,
     "event_row_number": q_event_row_number,
     "running_max_value": q_running_max_value,
     "token_shards": q_token_shards,
@@ -3515,6 +3579,25 @@ WHERE value BETWEEN mu - 1.5 * sd AND mu + 1.5 * sd
 SELECT event_id,
        ntile({NTILE_K}) OVER (ORDER BY ts, event_id)::BIGINT AS ntile
 FROM events
+""",
+    "event_value_ranks": f"""
+WITH c AS (SELECT event_id, floor(value*100)::BIGINT AS cents FROM events)
+SELECT event_id, cents,
+       rank() OVER (ORDER BY cents)::BIGINT AS rnk,
+       dense_rank() OVER (ORDER BY cents)::BIGINT AS dense_rnk,
+       {_R4.format(expr="(percent_rank() OVER (ORDER BY cents))")}
+         AS pct_rnk
+FROM c
+""",
+    "user_value_stats": f"""
+WITH c AS (SELECT user_id, floor(value*100)::BIGINT AS c FROM events),
+m AS (SELECT user_id, count(*)::BIGINT AS n,
+             sum(c)::DOUBLE AS s, sum(c*c)::DOUBLE AS ss
+      FROM c GROUP BY user_id)
+SELECT user_id, n,
+       {_R4.format(expr="s / n")} AS avg_cents,
+       {_R4.format(expr="(ss / n - (s / n) * (s / n))")} AS var_cents
+FROM m
 """,
     "event_row_number": """
 SELECT event_id, user_id,

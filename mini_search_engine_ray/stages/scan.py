@@ -602,3 +602,101 @@ def ntile(ds, *, k: int, order_by: list[str] | str,
             .append_column(out_col, pa.array(tl + 1))
 
     return rn.map_batches(tile, batch_format="pyarrow")
+
+
+def add_ranks(ds, *, order_by: list[str] | str,
+              rank_col: str = "rank", dense_col: str = "dense_rank",
+              pct_col: str = "percent_rank"):
+    """Append SQL's tie-aware GLOBAL rank family — ``RANK()``,
+    ``DENSE_RANK()`` and ``PERCENT_RANK()`` ``OVER (ORDER BY ...)``.
+    Unlike the running/bounded frames, ties are the POINT here (equal
+    order tuples share a rank), so there is no uniqueness contract:
+    the result is deterministic for any tie order.  One range sort;
+    the driver threads THREE scalars per block (row offset, the rank
+    at the last value-run's start, the dense rank so far) because a
+    run spanning blocks inherits the rank fixed at its first row; one
+    vectorized run-break apply per block.  ``percent_rank`` =
+    (rank-1)/(N-1), 0.0 when N==1 (SQL).  A PARTITION BY variant
+    composes this with per-key totals via a join."""
+    import ray
+    import ray.data as rd
+
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    sorted_ds = ds.sort(order_by).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    def _breaks(t: pa.Table) -> np.ndarray:
+        n = t.num_rows
+        brk = np.zeros(max(n - 1, 0), dtype=bool)
+        for c in order_by:
+            v = _col_np(t, c)
+            brk |= v[1:] != v[:-1]
+        return brk
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        n = t.num_rows
+        if n == 0:
+            return None
+        brk = _breaks(t)
+        starts = np.flatnonzero(brk) + 1
+        tup = lambda i: tuple(t[c][i].as_py() for c in order_by)
+        last_run_start = int(starts[-1]) if len(starts) else 0
+        return (tup(0), tup(n - 1), n, len(starts) + 1, last_run_start)
+
+    summaries = ray.get([summarize.remote(r) for r in refs])
+
+    # thread (offset, continuation rank, dense base) — O(blocks) scalars
+    carries: list[tuple] = []
+    offset = 0               # rows before this block
+    prev_last = None         # last order tuple seen
+    last_rank = 0            # rank at the last run's start (1-based)
+    dense_so_far = 0         # dense rank of the last run
+    total = 0
+    for s in summaries:
+        if s is None:
+            carries.append((offset, None, dense_so_far))
+            continue
+        tfirst, tlast, n, n_runs, last_run_start = s
+        cont = prev_last is not None and tfirst == prev_last
+        carries.append((offset, last_rank if cont else None,
+                        dense_so_far))
+        dense_first = dense_so_far if cont else dense_so_far + 1
+        dense_so_far = dense_first + (n_runs - 1)
+        if n_runs == 1 and cont:
+            pass  # the whole block continues the carried run
+        else:
+            last_rank = offset + last_run_start + 1
+        offset += n
+        prev_last = tlast
+        total += n
+    carry_it = iter(carries)
+    denom = float(total - 1) if total > 1 else 1.0
+
+    @ray.remote
+    def apply(t: pa.Table, carry):
+        off, cont_rank, dense_base = carry
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(rank_col, pa.array([], pa.int64())) \
+                .append_column(dense_col, pa.array([], pa.int64())) \
+                .append_column(pct_col, pa.array([], pa.float64()))
+        brk = _breaks(t)
+        starts = np.flatnonzero(brk) + 1
+        seg = np.zeros(n, dtype=np.int64)
+        seg[starts] = 1
+        run_id = np.cumsum(seg)
+        run_start = np.concatenate(([0], starts))[run_id]
+        rank = off + run_start + 1
+        dense = dense_base + run_id + (0 if cont_rank is not None else 1)
+        if cont_rank is not None:
+            rank = np.where(run_id == 0, cont_rank, rank)
+        pct = (rank - 1) / denom
+        return t.append_column(rank_col, pa.array(rank.astype(np.int64))) \
+            .append_column(dense_col, pa.array(dense.astype(np.int64))) \
+            .append_column(pct_col, pa.array(pct))
+
+    out_refs = [apply.remote(r, next(carry_it)) for r in refs]
+    return rd.from_arrow_refs(out_refs)

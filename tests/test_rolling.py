@@ -216,3 +216,57 @@ class TestLagLead:
         with pytest.raises(ValueError, match="offset"):
             lag_column(rd.from_arrow(t), value_col="v", order_by="o",
                        offset=0)
+
+
+class TestAddRanks:
+    @pytest.mark.parametrize("vals,parts", [
+        (np.array([5, 5, 5, 5, 5]), 3),           # one giant tie run
+        (np.arange(100), 7),                       # all distinct
+        (None, 9),                                 # random heavy ties
+    ])
+    def test_vs_duckdb(self, ray_session, vals, parts):
+        import duckdb
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import add_ranks
+
+        if vals is None:
+            vals = np.random.default_rng(61).integers(0, 12, 2000)
+        t = pa.table({"i": np.arange(len(vals), dtype=np.int64),
+                      "v": vals.astype(np.int64)})
+        got = add_ranks(rd.from_arrow(t).repartition(parts),
+                        order_by="v").to_pandas().sort_values("i")
+        con = duckdb.connect()
+        con.register("tt", t.to_pandas())
+        exp = con.sql(
+            "SELECT i, rank() OVER (ORDER BY v) r, "
+            "dense_rank() OVER (ORDER BY v) d, "
+            "percent_rank() OVER (ORDER BY v) p FROM tt ORDER BY i").df()
+        np.testing.assert_array_equal(got["rank"].to_numpy(),
+                                      exp["r"].to_numpy())
+        np.testing.assert_array_equal(got["dense_rank"].to_numpy(),
+                                      exp["d"].to_numpy())
+        np.testing.assert_allclose(got["percent_rank"].to_numpy(),
+                                   exp["p"].to_numpy(), rtol=1e-12)
+
+    def test_multi_column_order_and_single_row(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import add_ranks
+
+        rng = np.random.default_rng(67)
+        t = pa.table({"i": np.arange(500, dtype=np.int64),
+                      "a": rng.integers(0, 4, 500),
+                      "b": rng.integers(0, 3, 500)})
+        got = add_ranks(rd.from_arrow(t).repartition(6),
+                        order_by=["a", "b"]).to_pandas().sort_values("i")
+        con = duckdb.connect()
+        con.register("tt", t.to_pandas())
+        exp = con.sql("SELECT i, rank() OVER (ORDER BY a, b) r FROM tt "
+                      "ORDER BY i").df()
+        np.testing.assert_array_equal(got["rank"].to_numpy(),
+                                      exp["r"].to_numpy())
+        one = add_ranks(rd.from_arrow(pa.table({"v": [9]})), order_by="v") \
+            .to_pandas()
+        assert one["rank"][0] == 1 and one["percent_rank"][0] == 0.0
