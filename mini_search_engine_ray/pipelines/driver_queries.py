@@ -1647,6 +1647,38 @@ def q_decontam_drop(sf_dir: str):
     return clean.map_batches(fix, batch_format="pyarrow")
 
 
+DUP_PASSAGE_N = 3
+
+
+def q_dup_passages(sf_dir: str):
+    """Cross-document duplicate-passage stats (Lee et al. dedup
+    signal): per doc, occurrences of token trigrams that also appear
+    in ANOTHER doc.  The occurrence shuffle carries one uint64 gram
+    hash per row (md5-low-64 of the space-joined gram — DuckDB's
+    md5_number_lower replays it exactly); one hash sort + one
+    doc-keyed grouped sum."""
+    import ray.data as rd
+
+    from ..stages.dedup import dup_passage_stats
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = dup_passage_stats(docs, n=DUP_PASSAGE_N)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_grams": pc.cast(t["n_grams"], pa.int64()),
+            "n_dup": pc.cast(t["n_dup"], pa.int64()),
+            "dup_frac": pa.array(_r4(t["dup_frac"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_doc_repetition(sf_dir: str):
     """Per-doc bigram repetition quality signals (the Gopher-style
     repetitious-text gate): duplicate-gram occurrence fraction and
@@ -2589,6 +2621,7 @@ QUERIES = {
     "chunk_docs": q_chunk_docs,
     "decontam_drop": q_decontam_drop,
     "doc_repetition": q_doc_repetition,
+    "dup_passages": q_dup_passages,
     "running_user_value": q_running_user_value,
     "rolling_sum_w3": q_rolling_sum_w3,
     "rolling_min_w4": q_rolling_min_w4,
@@ -3510,6 +3543,29 @@ bad AS (
 )
 SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+    "dup_passages": f"""
+WITH {_TOK_CTE},
+g AS (
+  SELECT doc_id,
+         md5_number_lower(toks[p] || ' ' || toks[p+1] || ' ' ||
+                          toks[p+2]) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks)-2)) AS p
+        FROM tok WHERE len(toks) >= {DUP_PASSAGE_N})
+),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+dd AS (SELECT doc_id, count(*)::BIGINT AS n_dup FROM g
+       WHERE h IN (SELECT h FROM dup) GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM g GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(tot.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(dd.n_dup, 0)::BIGINT AS n_dup,
+       {_R4.format(expr="CASE WHEN coalesce(tot.n_grams, 0) = 0 THEN 0.0 "
+                        "ELSE coalesce(dd.n_dup, 0) / tot.n_grams END")}
+         AS dup_frac
+FROM documents d
+LEFT JOIN tot USING (doc_id) LEFT JOIN dd USING (doc_id)
 """,
     "doc_repetition": f"""
 WITH {_TOK_CTE},

@@ -667,3 +667,110 @@ def near_dup_clusters(ds, *, text_col: str = "text", id_col: str = "doc_id",
 
     return connected_components(
         verified.map_batches(keep_pairs, batch_size=None, batch_format="pyarrow"))
+
+
+def dup_passage_stats(ds, *, n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id"):
+    """CROSS-document duplicate-passage signal (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): per
+    document, the count and fraction of its token n-gram occurrences
+    whose gram also appears in at least one OTHER document — the
+    remove-duplicated-passages gate, complementing the WITHIN-doc
+    `doc_repetition_stats`.
+
+    Scale shape: each batch explodes to (doc_id, gram-HASH) rows where
+    the hash is md5-low-64 of the space-joined gram — the occurrence
+    shuffle carries one uint64 per gram, never gram text, and DuckDB's
+    ``md5_number_lower`` replays it exactly, collisions included.  ONE
+    range sort by hash groups equal grams (Ray's sort invariant keeps
+    equal keys in one block); a per-block lexsort sweep flags runs
+    spanning ≥2 distinct docs and reduces to per-(block, doc) dup
+    counts.  Those partials UNION with per-batch total-gram partials
+    (one bincount per batch) into a single doc-keyed grouped sum — so
+    the only data-sized exchanges are the hash sort and nothing else.
+    Docs with fewer than ``n`` tokens emit (0, 0, 0.0).  Returns
+    (id_col, n_grams, n_dup, dup_frac)."""
+    from ..functions.hashing import md5_low64_batch
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.textstats import _split_tokens, ngram_strings
+
+    if not (isinstance(n, int) and n >= 1):
+        raise ValueError(f"n must be a positive int, got {n!r}")
+
+    def _doc_ids(t: pa.Table) -> np.ndarray:
+        ids = t[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
+        return ids.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        gp, grams = ngram_strings(parents, values, n)
+        if len(gp) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64())})
+        ids = _doc_ids(t)
+        h = md5_low64_batch(grams.to_pylist())
+        return pa.table({id_col: pa.array(ids[gp]), "h": pa.array(h)})
+
+    def totals(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        gp, _ = ngram_strings(parents, values, n)
+        cnt = np.bincount(gp, minlength=t.num_rows).astype(np.int64)
+        return pa.table({id_col: pa.array(_doc_ids(t)),
+                         "g": pa.array(cnt),
+                         "d": pa.array(np.zeros(t.num_rows, np.int64))})
+
+    def dup_sweep(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "g": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        ids = _doc_ids(t)
+        order = np.lexsort((ids, h))
+        hs, ds_ = h[order], ids[order]
+        m = len(hs)
+        run_brk = hs[1:] != hs[:-1]
+        run_id = np.cumsum(np.r_[0, run_brk.astype(np.int64)])
+        # a run is "duplicated" iff it spans >= 2 distinct docs: count
+        # doc-change boundaries inside each run
+        doc_chg = np.r_[False, (~run_brk) & (ds_[1:] != ds_[:-1])]
+        n_runs = run_id[-1] + 1
+        chg_per_run = np.bincount(run_id, weights=doc_chg,
+                                  minlength=n_runs)
+        dup_row = chg_per_run[run_id] > 0
+        if not dup_row.any():
+            return empty
+        vc = pa.array(ds_[dup_row]).value_counts()
+        docs = vc.field("values")
+        return pa.table({id_col: docs,
+                         "g": pa.array(np.zeros(len(docs), np.int64)),
+                         "d": vc.field("counts").cast(pa.int64())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    dup_partials = exploded.sort("h").map_batches(
+        dup_sweep, batch_size=None, batch_format="pyarrow")
+    tot_partials = ds.map_batches(totals, batch_format="pyarrow")
+    agg = sorted_groupby_agg(
+        tot_partials.union(dup_partials), [id_col],
+        [("g", "sum", "n_grams"), ("d", "sum", "n_dup")],
+        in_schema=pa.schema([(id_col, pa.int64()), ("g", pa.int64()),
+                             ("d", pa.int64())]))
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("dup_frac", pa.array([], pa.float64()))
+        g = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["n_dup"].to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.divide(d, g, out=np.zeros_like(d), where=g > 0)
+        return t.append_column("dup_frac", pa.array(frac))
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -202,3 +202,66 @@ class TestRepetitionStats:
         ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]}))
         with pytest.raises(ValueError):
             doc_repetition_stats(ds, n=0)
+
+
+class TestDupPassageStats:
+    def _run(self, ray_session, docs, n=2, parts=5):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import dup_passage_stats
+
+        t = pa.table({"doc_id": np.arange(len(docs), dtype=np.int64),
+                      "text": docs})
+        return dup_passage_stats(rd.from_arrow(t).repartition(parts),
+                                 n=n).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    def _brute(self, docs, n):
+        grams = []
+        for i, s in enumerate(docs):
+            ts = _toks(s)
+            grams.append([" ".join(ts[j:j + n])
+                          for j in range(len(ts) - n + 1)])
+        out = []
+        for i, gs in enumerate(grams):
+            dup = sum(1 for g in gs
+                      if any(g in o for j, o in enumerate(grams) if j != i))
+            out.append((len(gs), dup,
+                        dup / len(gs) if gs else 0.0))
+        return out
+
+    def test_brute_force_parity(self, ray_session):
+        rng = np.random.default_rng(71)
+        vocab = [f"w{i}" for i in range(12)]
+        docs = [" ".join(rng.choice(vocab, rng.integers(0, 18)))
+                for _ in range(120)]
+        got = self._run(ray_session, docs, n=2, parts=7)
+        exp = self._brute(docs, 2)
+        assert got["n_grams"].tolist() == [g for g, _, _ in exp]
+        assert got["n_dup"].tolist() == [d for _, d, _ in exp]
+        np.testing.assert_allclose(got["dup_frac"].to_numpy(),
+                                   [f for _, _, f in exp], rtol=1e-12)
+
+    def test_within_doc_repeat_is_not_cross_doc(self, ray_session):
+        # 'a b' repeats INSIDE doc 0 only -> not duplicated; 'c d'
+        # appears in docs 1 and 2 -> every occurrence counts
+        docs = ["a b a b", "c d x", "y c d"]
+        got = self._run(ray_session, docs, n=2, parts=3)
+        assert got["n_dup"].tolist() == [0, 1, 1]
+        assert got["n_grams"].tolist() == [3, 2, 2]
+
+    def test_short_docs_and_empty(self, ray_session):
+        docs = ["", "one", "shared gram here", "shared gram there"]
+        got = self._run(ray_session, docs, n=2, parts=2)
+        assert got["n_grams"].tolist() == [0, 0, 2, 2]
+        assert got["n_dup"].tolist() == [0, 0, 1, 1]
+        assert got["dup_frac"][0] == 0.0
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import dup_passage_stats
+
+        ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]}))
+        with pytest.raises(ValueError, match="n must"):
+            dup_passage_stats(ds, n=0)
