@@ -753,6 +753,24 @@ def bench_chunk_decontam(out: dict) -> None:
     assert 0 <= survivors <= n
 
 
+def bench_dup_passages(out: dict) -> None:
+    """Cross-doc duplicate-passage stats over 200k 30-token docs
+    (5.6M trigram occurrences, each md5-hashed; one uint64 hash sort
+    + one doc-keyed grouped sum; generation untimed).  With a 500-word
+    vocab ~4%% of trigrams collide across docs, so some but not all
+    occurrences are duplicated — both bounds asserted."""
+    from mini_search_engine_ray.stages.dedup import dup_passage_stats
+
+    n = 200_000
+    ds = _wordy_corpus(n)
+    t0 = time.time()
+    stats = dup_passage_stats(ds, n=3).materialize()
+    total_dup = stats.sum("n_dup")
+    total = stats.sum("n_grams")
+    out["queries"]["dup_passages_200k"] = round(time.time() - t0, 3)
+    assert total == n * 28 and 0 < total_dup < total
+
+
 def bench_prefix_scan(out: dict) -> None:
     """Distributed prefix scan: per-key running sum over 5M rows /
     10k keys (one range sort + O(num_blocks) carry + per-block
@@ -821,7 +839,8 @@ _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",
               "dedup_verify_100k", "ann_cosine", "pagerank", "temporal",
               "connected_components", "join", "join_skew", "curation", "kmeans",
-              "scrub", "chunk_decontam", "prefix_scan", "bounded_window")
+              "scrub", "chunk_decontam", "prefix_scan", "bounded_window",
+              "dup_passages")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -905,6 +924,8 @@ def run_all(only: str | None = None) -> dict:
         bench_prefix_scan(out)
     if only in (None, "bounded_window"):
         bench_bounded_window(out)
+    if only in (None, "dup_passages"):
+        bench_dup_passages(out)
     out["value"] = round(sum(out["queries"].values()), 3)
     ray.shutdown()
     return out
