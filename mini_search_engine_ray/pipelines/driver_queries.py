@@ -1912,6 +1912,45 @@ def q_event_value_ranks(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_user_event_quartile(sf_dir: str):
+    """Keyed NTILE by composition — the PARTITION BY variant the
+    ntile/add_ranks docstrings promise: per-user ROW_NUMBER (one scan
+    sort), per-user counts (one grouped reduction), one sort-merge
+    join to attach n, then SQL's big-tiles-first closed form as a
+    pure map."""
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+    from ..stages.scan import row_number
+
+    K = 4
+    ev = _events_cents(sf_dir)
+    rn = row_number(ev, order_by=["ts", "event_id"], key_col="user_id",
+                    out_col="rn")
+    counts = sorted_groupby_agg(
+        ev.select_columns(["user_id"]), ["user_id"],
+        [("user_id", "count", "n")])
+    joined = sort_merge_join(rn, counts, "user_id", partitions=8)
+
+    def tile(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "quartile": pa.array([], pa.int64())})
+        r0 = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64) - 1
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s, rem = np.divmod(n, K)
+        big = rem * (s + 1)
+        small = np.maximum(s, 1)  # guard n<K rows: s==0 never divides
+        tl = np.where(r0 < big, r0 // (s + 1), rem + (r0 - big) // small)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "quartile": pa.array(tl + 1),
+        })
+
+    return joined.map_batches(tile, batch_format="pyarrow")
+
+
 def q_user_value_stats(sf_dir: str):
     """Grouped mean + population variance by composition: one
     sorted_groupby_agg pass sums exact INTEGER moments (cents,
@@ -2633,6 +2672,7 @@ QUERIES = {
     "event_ntile": q_event_ntile,
     "user_value_stats": q_user_value_stats,
     "event_value_ranks": q_event_value_ranks,
+    "user_event_quartile": q_user_event_quartile,
     "event_row_number": q_event_row_number,
     "running_max_value": q_running_max_value,
     "token_shards": q_token_shards,
@@ -3634,6 +3674,12 @@ WHERE value BETWEEN mu - 1.5 * sd AND mu + 1.5 * sd
     "event_ntile": f"""
 SELECT event_id,
        ntile({NTILE_K}) OVER (ORDER BY ts, event_id)::BIGINT AS ntile
+FROM events
+""",
+    "user_event_quartile": """
+SELECT event_id,
+       ntile(4) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id)::BIGINT AS quartile
 FROM events
 """,
     "event_value_ranks": f"""
