@@ -1920,7 +1920,7 @@ def q_user_event_quartile(sf_dir: str):
     pure map."""
     from ..stages.aggregates import sorted_groupby_agg
     from ..stages.join import sort_merge_join
-    from ..stages.scan import row_number
+    from ..stages.scan import ntile_ids, row_number
 
     K = 4
     ev = _events_cents(sf_dir)
@@ -1929,7 +1929,10 @@ def q_user_event_quartile(sf_dir: str):
     counts = sorted_groupby_agg(
         ev.select_columns(["user_id"]), ["user_id"],
         [("user_id", "count", "n")])
-    joined = sort_merge_join(rn, counts, "user_id", partitions=8)
+    joined = sort_merge_join(
+        rn, counts, "user_id", partitions=8,
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("n", pa.int64())]))
 
     def tile(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -1939,13 +1942,9 @@ def q_user_event_quartile(sf_dir: str):
                              "quartile": pa.array([], pa.int64())})
         r0 = t["rn"].to_numpy(zero_copy_only=False).astype(np.int64) - 1
         n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s, rem = np.divmod(n, K)
-        big = rem * (s + 1)
-        small = np.maximum(s, 1)  # guard n<K rows: s==0 never divides
-        tl = np.where(r0 < big, r0 // (s + 1), rem + (r0 - big) // small)
         return pa.table({
             "event_id": pc.cast(t["event_id"], pa.int64()),
-            "quartile": pa.array(tl + 1),
+            "quartile": pa.array(ntile_ids(r0, n, K)),
         })
 
     return joined.map_batches(tile, batch_format="pyarrow")

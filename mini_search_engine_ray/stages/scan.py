@@ -575,6 +575,19 @@ def lead_column(ds, *, value_col: str, order_by: list[str] | str,
                          op_name="lead_column")
 
 
+def ntile_ids(r0: np.ndarray, n, k: int) -> np.ndarray:
+    """SQL NTILE's big-tiles-first closed form, 1-based: over ``n``
+    rows (scalar or per-row array — a scalar broadcasts) the first
+    ``n % k`` tiles hold ``n//k + 1`` rows.  ``r0`` is the 0-based
+    rank within the frame.  Shared by the global operator below and
+    the keyed composition (row_number + counts + join)."""
+    s, rem = np.divmod(np.asarray(n, dtype=np.int64), k)
+    big = rem * (s + 1)
+    small = np.maximum(s, 1)  # s==0 (n<k): every row takes the first
+    tl = np.where(r0 < big, r0 // (s + 1), rem + (r0 - big) // small)
+    return (tl + 1).astype(np.int64)
+
+
 def ntile(ds, *, k: int, order_by: list[str] | str,
           out_col: str = "ntile"):
     """SQL ``NTILE(k) OVER (ORDER BY ...)`` — global frames: big tiles
@@ -582,24 +595,17 @@ def ntile(ds, *, k: int, order_by: list[str] | str,
     Built on :func:`row_number` (same one-sort + O(num_blocks) carry
     plan, same unique-sort-tuple contract); the total row count comes
     from the materialized blocks' metadata, then the tile id is one
-    closed-form vectorized map.  A keyed NTILE composes row_number
-    with per-key counts via a join instead."""
+    closed-form vectorized map (:func:`ntile_ids`).  A keyed NTILE
+    composes row_number with per-key counts via a join instead."""
     if not (isinstance(k, int) and k >= 1):
         raise ValueError(f"k must be a positive int, got {k!r}")
     rn = row_number(ds, order_by=order_by, out_col="_rn")
     n = rn.count()
-    s, rem = divmod(n, k)
-    big = rem * (s + 1)
 
     def tile(t: pa.Table) -> pa.Table:
         r0 = _col_np(t, "_rn", np.int64) - 1
-        if s == 0:
-            tl = r0
-        else:
-            tl = np.where(r0 < big, r0 // (s + 1),
-                          rem + (r0 - big) // s)
         return t.drop_columns(["_rn"]) \
-            .append_column(out_col, pa.array(tl + 1))
+            .append_column(out_col, pa.array(ntile_ids(r0, n, k)))
 
     return rn.map_batches(tile, batch_format="pyarrow")
 
