@@ -1070,6 +1070,34 @@ def q_distinct_hll(sf_dir: str):
                               precision_bits=HLL_PRECISION_BITS)
 
 
+def q_source_distinct_hll(sf_dir: str):
+    """GROUPED HyperLogLog: per-source distinct-token register table —
+    the per-domain distinct-count scale path (one maximum.at over a
+    keys × 2^p plane per batch; the shuffle carries register rows,
+    never tokens).  Registers are deterministic given md5-low-64, so
+    the grouped SKETCH itself is value-checked in SQL."""
+    import ray.data as rd
+
+    from ..stages.textstats import hll_registers_per_group
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["source", "text"])
+    out = hll_registers_per_group(docs, "source",
+                                  precision_bits=HLL_PRECISION_BITS)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "source": pc.cast(t["source"], pa.large_string()),
+            "bucket": pc.cast(t["bucket"], pa.int64()),
+            "rho": pc.cast(t["rho"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+
 CMS_DEPTH, CMS_WIDTH_BITS, CMS_SEED = 4, 9, 4242
 CMS_PROBES = ["data", "the", "merge", "join", "window", "batch",
               "stream", "customer", "zzz_absent"]
@@ -2639,6 +2667,7 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "user_value_quantiles": q_user_value_quantiles,
     "distinct_hll": q_distinct_hll,
+    "source_distinct_hll": q_source_distinct_hll,
     "cms_token_counts": q_cms_token_counts,
     "heavy_hitters": q_heavy_hitters,
     "bigram_pmi": q_bigram_pmi,
@@ -2913,6 +2942,24 @@ r AS (
   FROM hh
 )
 SELECT bucket, max(rho)::BIGINT AS rho FROM r GROUP BY bucket
+"""
+
+
+def _source_distinct_hll_sql(b: int = HLL_PRECISION_BITS) -> str:
+    w = 64 - b
+    suffix = f"(h & ((1::UBIGINT << {w}) - 1))"
+    return f"""
+WITH {_TOK_CTE},
+tv AS (SELECT d.source, unnest(t.toks) AS token
+       FROM tok t JOIN documents d USING (doc_id)),
+hh AS (SELECT source, md5_number_lower(token) AS h FROM tv),
+r AS (
+  SELECT source, (h >> {w})::BIGINT AS bucket,
+         CASE WHEN {suffix} = 0 THEN {w + 1}
+              ELSE {w} - length(bin({suffix}::UBIGINT)) + 1 END AS rho
+  FROM hh
+)
+SELECT source, bucket, max(rho)::BIGINT AS rho FROM r GROUP BY 1, 2
 """
 
 
@@ -3490,6 +3537,7 @@ FROM events GROUP BY 1
     "top_events_per_user": _top_events_per_user_sql(),
     "user_value_quantiles": _USER_VALUE_QUANTILES_SQL,
     "distinct_hll": _distinct_hll_sql(),
+    "source_distinct_hll": _source_distinct_hll_sql(),
     "cms_token_counts": _cms_sql(),
     "heavy_hitters": _heavy_hitters_sql(),
     "bigram_pmi": _bigram_pmi_sql(),

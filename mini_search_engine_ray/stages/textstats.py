@@ -646,3 +646,104 @@ def unigram_logprob(ds, *, top_v: int, oov_count: float = 0.5,
                          "logprob": pa.array(mean)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def hll_registers_per_group(ds, key_col: str, *, text_col: str = "text",
+                            precision_bits: int = 10):
+    """GROUPED HyperLogLog distinct-token sketch — the scale path for
+    per-domain/per-language distinct counts: per batch, one
+    ``np.maximum.at`` over a (batch-keys × 2^p) register plane bounds
+    the partial at distinct-(key, bucket) rows regardless of batch
+    size; one grouped max over (key, bucket) combines them — the
+    shuffle carries register rows, never tokens, exactly like the
+    global :func:`distinct_count_hll` but keyed.  Registers stay
+    deterministic given md5-low-64, so the grouped SKETCH (not just
+    its estimate) is SQL-value-checkable.  Returns a Dataset
+    (key_col, bucket, rho)."""
+    from .aggregates import sorted_groupby_agg
+    from .dedup import _token_hashes
+
+    b = precision_bits
+    w = 64 - b
+    m = 1 << b
+
+    def partial(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        keys = t[key_col]
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) \
+            else keys
+        empty = pa.table({key_col: pa.array([], keys.type),
+                          "bucket": pa.array([], pa.int64()),
+                          "rho": pa.array([], pa.int64())})
+        parents, values = _split_tokens(content)
+        if len(values) == 0:
+            return empty
+        h = _token_hashes(values)
+        bucket = (h >> np.uint64(w)).astype(np.int64)
+        suffix = h & ((np.uint64(1) << np.uint64(w)) - np.uint64(1))
+        rho = w - _bit_length_u64(suffix) + 1
+        # dictionary-encode the per-token key so one maximum.at over a
+        # (n_keys x m) plane collapses the batch
+        dkeys = keys.dictionary_encode()
+        codes = dkeys.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[parents]
+        n_keys = len(dkeys.dictionary)
+        plane = np.zeros(n_keys * m, dtype=np.int64)
+        np.maximum.at(plane, codes * m + bucket, rho)
+        nz = np.flatnonzero(plane)
+        return pa.table({
+            key_col: dkeys.dictionary.take(pa.array(nz // m)),
+            "bucket": pa.array(nz % m),
+            "rho": pa.array(plane[nz]),
+        })
+
+    return sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col, "bucket"], [("rho", "max", "rho")])
+
+
+def hll_estimate_per_group(registers, *, key_col: str,
+                           precision_bits: int = 10):
+    """Per-key bias-corrected HLL estimates from a grouped register
+    Dataset (:func:`hll_registers_per_group` output) — one register-
+    sized sort on the KEY ALONE first (the grouped-agg output is
+    (key, bucket)-sorted, under which one key's rows CAN straddle a
+    block boundary; sorting by the key makes every key's ≤2^p rows
+    equal-keyed, so Ray's sort invariant puts them in one block), then
+    one vectorized run sweep per block applying the same Flajolet
+    alpha + linear-counting small-range fix as the global
+    :func:`hll_estimate`.  Returns (key_col, estimate)."""
+    m = 1 << precision_bits
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        kt = t.schema.field(key_col).type if key_col in t.column_names \
+            else pa.large_string()
+        if t.num_rows == 0:
+            return pa.table({key_col: pa.array([], kt),
+                             "estimate": pa.array([], pa.float64())})
+        from .aggregates import key_run_breaks
+
+        keys = t[key_col]
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) \
+            else keys
+        n = t.num_rows
+        brk = key_run_breaks(t, [key_col])
+        starts = np.flatnonzero(np.r_[True, brk])
+        lens = np.diff(np.r_[starts, n]).astype(np.int64)
+        rho = t["rho"].to_numpy(zero_copy_only=False).astype(np.float64)
+        inv_sum = np.add.reduceat(np.exp2(-rho), starts)
+        zeros = m - lens                       # empty buckets, rho=0
+        denom = inv_sum + zeros                # 2^-0 per empty bucket
+        e = alpha * m * m / denom
+        small = (e <= 2.5 * m) & (zeros > 0)
+        with np.errstate(divide="ignore"):
+            lc = m * np.log(m / np.maximum(zeros, 1))
+        est = np.where(small, lc, e)
+        return pa.table({key_col: keys.take(pa.array(starts)),
+                         "estimate": pa.array(est)})
+
+    return registers.sort(key_col).map_batches(sweep, batch_size=None,
+                                               batch_format="pyarrow")

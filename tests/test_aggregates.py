@@ -476,3 +476,60 @@ class TestSetOp:
         assert sorted(set_op(l, r, "union").to_pandas()["x"]) == [1, 2, 3, 9]
         with pytest.raises(ValueError, match="how"):
             set_op(l, r, "minus")
+
+
+class TestGroupedHLL:
+    def _corpus(self, n_docs=1200, n_keys=4, seed=9):
+        rng = np.random.default_rng(seed)
+        # per-key vocab sizes differ so the estimates must too
+        vocabs = [[f"k{k}tok{i:05d}" for i in range(1000 * (k + 1))]
+                  for k in range(n_keys)]
+        keys = rng.integers(0, n_keys, n_docs)
+        docs = [" ".join(rng.choice(vocabs[k], size=50)) for k in keys]
+        return pa.table({
+            "source": pa.array([f"s{k}" for k in keys]),
+            "text": pa.array(docs, pa.large_string())})
+
+    def test_registers_match_global_per_key_and_estimates(self,
+                                                          ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.textstats import (
+            _split_tokens,
+            distinct_count_hll,
+            hll_estimate_per_group,
+            hll_registers_per_group,
+        )
+
+        t = self._corpus()
+        regs = hll_registers_per_group(_ds(t, parts=7), "source",
+                                       precision_bits=10)
+        regs_pd = regs.to_pandas()
+        # grouped registers == the global sketch run on each key alone
+        for k in sorted(set(regs_pd["source"])):
+            sub = t.filter(pa.compute.equal(t["source"], k))
+            solo = distinct_count_hll(_ds(sub, parts=3),
+                                      precision_bits=10).to_pandas()
+            mine = regs_pd[regs_pd["source"] == k]
+            assert dict(zip(mine["bucket"], mine["rho"])) == \
+                dict(zip(solo["bucket"], solo["rho"]))
+        # per-key estimates within HLL error of the true distincts
+        est = hll_estimate_per_group(regs, key_col="source",
+                                     precision_bits=10).to_pandas()
+        for k, e in zip(est["source"], est["estimate"]):
+            sub = t.filter(pa.compute.equal(t["source"], k))
+            _, vals = _split_tokens(sub["text"].combine_chunks())
+            true = len(set(vals.to_pylist()))
+            assert abs(e - true) / true < 0.15
+
+    def test_empty_and_single_key(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.textstats import (
+            hll_registers_per_group,
+        )
+
+        t = pa.table({"source": pa.array([], pa.string()),
+                      "text": pa.array([], pa.string())})
+        assert hll_registers_per_group(_ds(t, parts=1),
+                                       "source").count() == 0
