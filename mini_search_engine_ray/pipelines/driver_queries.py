@@ -1894,6 +1894,28 @@ def q_sample_exact_n(sf_dir: str):
     return out.select_columns(["doc_id", "source"])
 
 
+def q_weighted_sample(sf_dir: str):
+    """Score-proportional sampling: keep probability = min(n_chars /
+    1000, 1) — longer docs survive with higher probability, junk-short
+    ones rarely; content-addressed (md5), so the SQL oracle replays
+    every individual keep/drop decision."""
+    import ray.data as rd
+
+    from ..stages.sampling import sample_by_rate
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "n_chars"])
+
+    def rate(t: pa.Table) -> pa.Table:
+        n = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("keep_rate",
+                               pa.array(np.minimum(n / 1000.0, 1.0)))
+
+    out = sample_by_rate(docs.map_batches(rate, batch_format="pyarrow"),
+                         "keep_rate")
+    return out.select_columns(["doc_id", "n_chars"])
+
+
 def q_events_zscore_filter(sf_dir: str):
     """Outlier gate: events whose value is within 1.5 population
     standard deviations of the whole-table mean — two streaming
@@ -2697,6 +2719,7 @@ QUERIES = {
     "unigram_quality": q_unigram_quality,
     "sample_exact_n": q_sample_exact_n,
     "events_zscore_filter": q_events_zscore_filter,
+    "weighted_sample": q_weighted_sample,
     "event_ntile": q_event_ntile,
     "user_value_stats": q_user_value_stats,
     "event_value_ranks": q_event_value_ranks,
@@ -3711,6 +3734,11 @@ FROM events
 SELECT doc_id, source FROM documents
 ORDER BY md5_number_lower(text), doc_id
 LIMIT {SAMPLE_N}
+""",
+    "weighted_sample": """
+SELECT doc_id, n_chars FROM documents
+WHERE md5_number_lower(text) % 10000
+      < floor(least(n_chars / 1000.0, 1.0) * 10000)
 """,
     "events_zscore_filter": """
 WITH m AS (SELECT avg(value) AS mu, stddev_pop(value) AS sd FROM events)

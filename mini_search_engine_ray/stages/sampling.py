@@ -234,3 +234,33 @@ def filter_by_zscore(ds, value_col: str, *, max_abs_z: float,
         return t.filter(ok)
 
     return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def sample_by_rate(ds, rate_col: str, *, hash_col: str = "text",
+                   salt: str = "", buckets: int = SPLIT_BUCKETS):
+    """Score-proportional content-addressed sampling — the
+    quality-weighted curation draw (keep high-quality docs with high
+    probability, junk with low): keep a row iff ``md5_low64(hash_col ‖
+    salt) % buckets < floor(rate * buckets)`` where ``rate`` is the
+    row's OWN [0, 1] keep probability from ``rate_col``.  The
+    continuous-rate sibling of :func:`sample_fraction`: pure map, no
+    shuffle, no RNG state, stable under re-sharding, independent draws
+    via ``salt``, SQL-replicable.  Rates are clipped to [0, 1]; null
+    rates drop the row."""
+
+    def keep(t: pa.Table) -> pa.Table:
+        content = t[hash_col]
+        content = content.combine_chunks() \
+            if isinstance(content, pa.ChunkedArray) else content
+        strs = content.to_pylist()
+        if salt:
+            strs = [(s or "") + salt for s in strs]
+        h = (md5_low64(strs) % np.uint64(buckets)).astype(np.int64)
+        r = t[rate_col]
+        r = r.combine_chunks() if isinstance(r, pa.ChunkedArray) else r
+        rv = r.to_numpy(zero_copy_only=False).astype(np.float64)
+        thresh = np.floor(np.clip(np.nan_to_num(rv, nan=0.0), 0.0, 1.0)
+                          * buckets).astype(np.int64)
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

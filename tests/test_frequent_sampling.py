@@ -372,3 +372,46 @@ class TestNtile:
         ds = rd.from_arrow(pa.table({"o": [1]}))
         with pytest.raises(ValueError, match="k must"):
             ntile(ds, k=0, order_by="o")
+
+
+class TestSampleByRate:
+    def test_row_level_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.functions.hashing import (
+            md5_low64_batch,
+        )
+        from mini_search_engine_ray.stages.sampling import sample_by_rate
+
+        rng = np.random.default_rng(83)
+        n = 600
+        texts = [f"doc-{i}-{rng.integers(0, 9)}" for i in range(n)]
+        rates = rng.uniform(-0.2, 1.3, n)  # deliberately out of range
+        t = pa.table({"doc_id": np.arange(n, dtype=np.int64),
+                      "text": texts, "r": rates})
+        got = set(sample_by_rate(rd.from_arrow(t).repartition(7), "r")
+                  .to_pandas()["doc_id"])
+        h = md5_low64_batch(texts) % np.uint64(10_000)
+        thresh = np.floor(np.clip(rates, 0, 1) * 10_000).astype(np.int64)
+        exp = set(np.flatnonzero(h.astype(np.int64) < thresh).tolist())
+        assert got == exp
+
+    def test_null_rate_drops_and_salt(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.sampling import sample_by_rate
+
+        t = pa.table({"doc_id": [0, 1, 2],
+                      "text": ["a", "b", "c"],
+                      "r": pa.array([1.0, None, 1.0], pa.float64())})
+        got = sample_by_rate(rd.from_arrow(t), "r").to_pandas()
+        assert sorted(got["doc_id"]) == [0, 2]
+        # rate 0.5 with different salts gives different draws
+        n = 400
+        t2 = pa.table({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": [f"x{i}" for i in range(n)],
+                       "r": np.full(n, 0.5)})
+        a = set(sample_by_rate(rd.from_arrow(t2), "r").to_pandas()["doc_id"])
+        b = set(sample_by_rate(rd.from_arrow(t2), "r", salt="s")
+                .to_pandas()["doc_id"])
+        assert a != b and 100 < len(a) < 300 and 100 < len(b) < 300
