@@ -2000,6 +2000,35 @@ def q_user_event_quartile(sf_dir: str):
     return joined.map_batches(tile, batch_format="pyarrow")
 
 
+def q_doc_rank_by_len(sf_dir: str):
+    """Rank documents by length DESCENDING (the quality-score-rank
+    curation direction): tie-aware RANK/DENSE_RANK/PERCENT_RANK over
+    n_chars with descending=True — the carry thread only needs
+    contiguous equal runs, which any consistent sort direction
+    gives."""
+    import ray.data as rd
+
+    from ..stages.scan import add_ranks
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "n_chars"])
+    out = add_ranks(docs, order_by="n_chars", descending=True)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "rnk": pc.cast(t["rank"], pa.int64()),
+            "dense_rnk": pc.cast(t["dense_rank"], pa.int64()),
+            "pct_rnk": pa.array(_r4(t["percent_rank"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 def q_user_value_stats(sf_dir: str):
     """Grouped mean + population variance by composition: one
     sorted_groupby_agg pass sums exact INTEGER moments (cents,
@@ -2724,6 +2753,7 @@ QUERIES = {
     "user_value_stats": q_user_value_stats,
     "event_value_ranks": q_event_value_ranks,
     "user_event_quartile": q_user_event_quartile,
+    "doc_rank_by_len": q_doc_rank_by_len,
     "event_row_number": q_event_row_number,
     "running_max_value": q_running_max_value,
     "token_shards": q_token_shards,
@@ -3750,6 +3780,14 @@ WHERE value BETWEEN mu - 1.5 * sd AND mu + 1.5 * sd
 SELECT event_id,
        ntile({NTILE_K}) OVER (ORDER BY ts, event_id)::BIGINT AS ntile
 FROM events
+""",
+    "doc_rank_by_len": f"""
+SELECT doc_id, n_chars,
+       rank() OVER (ORDER BY n_chars DESC)::BIGINT AS rnk,
+       dense_rank() OVER (ORDER BY n_chars DESC)::BIGINT AS dense_rnk,
+       {_R4.format(expr="(percent_rank() OVER (ORDER BY n_chars DESC))")}
+         AS pct_rnk
+FROM documents
 """,
     "user_event_quartile": """
 SELECT event_id,

@@ -611,6 +611,7 @@ def ntile(ds, *, k: int, order_by: list[str] | str,
 
 
 def add_ranks(ds, *, order_by: list[str] | str,
+              descending: bool | list[bool] = False,
               rank_col: str = "rank", dense_col: str = "dense_rank",
               pct_col: str = "percent_rank"):
     """Append SQL's tie-aware GLOBAL rank family — ``RANK()``,
@@ -622,15 +623,23 @@ def add_ranks(ds, *, order_by: list[str] | str,
     at the last value-run's start, the dense rank so far) because a
     run spanning blocks inherits the rank fixed at its first row; one
     vectorized run-break apply per block.  ``percent_rank`` =
-    (rank-1)/(N-1), 0.0 when N==1 (SQL).  A PARTITION BY variant
-    composes this with per-key totals via a join."""
+    (rank-1)/(N-1), 0.0 when N==1 (SQL).  ``descending`` mirrors SQL's
+    per-column ASC/DESC (rank-by-score-descending is the common
+    curation direction) — the carry thread only needs CONTIGUOUS equal
+    runs, which any consistent sort direction gives, so nothing else
+    changes.  A PARTITION BY variant composes this with per-key totals
+    via a join."""
     import ray
     import ray.data as rd
 
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
     if not order_by:
         raise ValueError("order_by must name at least one column")
-    sorted_ds = ds.sort(order_by).materialize()
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_by)
+    if len(descending) != len(order_by):
+        raise ValueError("descending must match order_by length")
+    sorted_ds = ds.sort(order_by, descending=descending).materialize()
     refs = sorted_ds.to_arrow_refs()
 
     def _breaks(t: pa.Table) -> np.ndarray:

@@ -270,3 +270,53 @@ class TestAddRanks:
         one = add_ranks(rd.from_arrow(pa.table({"v": [9]})), order_by="v") \
             .to_pandas()
         assert one["rank"][0] == 1 and one["percent_rank"][0] == 0.0
+
+
+class TestAddRanksDescending:
+    def test_desc_vs_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import add_ranks
+
+        rng = np.random.default_rng(73)
+        t = pa.table({"i": np.arange(1500, dtype=np.int64),
+                      "v": rng.integers(0, 9, 1500)})
+        got = add_ranks(rd.from_arrow(t).repartition(8), order_by="v",
+                        descending=True).to_pandas().sort_values("i")
+        con = duckdb.connect()
+        con.register("tt", t.to_pandas())
+        exp = con.sql("SELECT i, rank() OVER (ORDER BY v DESC) r, "
+                      "dense_rank() OVER (ORDER BY v DESC) d, "
+                      "percent_rank() OVER (ORDER BY v DESC) p "
+                      "FROM tt ORDER BY i").df()
+        np.testing.assert_array_equal(got["rank"].to_numpy(),
+                                      exp["r"].to_numpy())
+        np.testing.assert_array_equal(got["dense_rank"].to_numpy(),
+                                      exp["d"].to_numpy())
+        np.testing.assert_allclose(got["percent_rank"].to_numpy(),
+                                   exp["p"].to_numpy(), rtol=1e-12)
+
+    def test_mixed_direction_and_validation(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import add_ranks
+
+        rng = np.random.default_rng(79)
+        t = pa.table({"i": np.arange(600, dtype=np.int64),
+                      "a": rng.integers(0, 4, 600),
+                      "b": rng.integers(0, 5, 600)})
+        got = add_ranks(rd.from_arrow(t).repartition(5),
+                        order_by=["a", "b"],
+                        descending=[False, True]) \
+            .to_pandas().sort_values("i")
+        con = duckdb.connect()
+        con.register("tt", t.to_pandas())
+        exp = con.sql("SELECT i, rank() OVER (ORDER BY a ASC, b DESC) r "
+                      "FROM tt ORDER BY i").df()
+        np.testing.assert_array_equal(got["rank"].to_numpy(),
+                                      exp["r"].to_numpy())
+        with pytest.raises(ValueError, match="descending"):
+            add_ranks(rd.from_arrow(t), order_by=["a", "b"],
+                      descending=[True])
