@@ -1675,6 +1675,42 @@ def q_decontam_drop(sf_dir: str):
     return clean.map_batches(fix, batch_format="pyarrow")
 
 
+def q_decontam_frac(sf_dir: str):
+    """FUZZY decontamination (the PaLM/GPT-3 dirtiness rule): per doc,
+    the fraction of its trigrams present in the benchmark set (doc_id
+    % 23 == 0 plays the eval set) — callers drop above a threshold
+    instead of on a single shared gram.  Same broadcast-membership
+    scale shape as decontam_drop; per-doc counts are exact, so the
+    oracle replays every fraction."""
+    import ray.data as rd
+
+    from ..stages.decontam import contamination_fraction, ngram_set
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def is_bench(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % DECONTAM_BENCH_MOD == 0))
+
+    bench = docs.map_batches(is_bench, batch_format="pyarrow")
+    grams = ngram_set(bench, n=DECONTAM_N)
+    out = contamination_fraction(docs, grams, n=DECONTAM_N)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_grams": pc.cast(t["n_grams"], pa.int64()),
+            "n_contaminated": pc.cast(t["n_contaminated"], pa.int64()),
+            "contam_frac": pa.array(_r4(t["contam_frac"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
 DUP_PASSAGE_N = 3
 
 
@@ -2738,6 +2774,7 @@ QUERIES = {
     "doc_keywords": q_doc_keywords,
     "chunk_docs": q_chunk_docs,
     "decontam_drop": q_decontam_drop,
+    "decontam_frac": q_decontam_frac,
     "doc_repetition": q_doc_repetition,
     "dup_passages": q_dup_passages,
     "running_user_value": q_running_user_value,
@@ -3683,6 +3720,30 @@ bad AS (
 )
 SELECT d.doc_id, d.lang FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
+""",
+    "decontam_frac": f"""
+WITH {_TOK_CTE},
+g AS (
+  SELECT doc_id,
+         toks[p] || ' ' || toks[p+1] || ' ' || toks[p+2] AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks)-2)) AS p
+        FROM tok WHERE len(toks) >= {DECONTAM_N})
+),
+bench AS (SELECT DISTINCT gram FROM g
+          WHERE doc_id % {DECONTAM_BENCH_MOD} = 0),
+st AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN gram IN (SELECT gram FROM bench)
+                  THEN 1 ELSE 0 END)::BIGINT AS n_contaminated
+  FROM g GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(st.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(st.n_contaminated, 0)::BIGINT AS n_contaminated,
+       {_R4.format(expr="CASE WHEN coalesce(st.n_grams, 0) = 0 THEN 0.0 "
+                        "ELSE coalesce(st.n_contaminated, 0) / st.n_grams END")}
+         AS contam_frac
+FROM documents d LEFT JOIN st USING (doc_id)
 """,
     "dup_passages": f"""
 WITH {_TOK_CTE},

@@ -102,3 +102,41 @@ def decontaminate(ds, benchmark_ngrams, *, n: int, text_col: str = "text",
 
     return ds.map_batches(partial(apply, bench=bench_ref),
                           batch_format="pyarrow")
+
+
+def contamination_fraction(ds, benchmark_ngrams, *, n: int,
+                           text_col: str = "text",
+                           id_col: str = "doc_id"):
+    """FUZZY decontamination signal (the PaLM/GPT-3 'dirtiness' rule:
+    drop a doc only when a substantial FRACTION of its n-grams is
+    contaminated, not on a single shared gram): per doc, the count and
+    fraction of its n-gram occurrences present in the benchmark set.
+    Same broadcast-membership scale shape as :func:`decontaminate` —
+    one ``is_in`` + two bincounts per batch, no shuffle; docs with
+    fewer than ``n`` tokens emit (0, 0, 0.0).  Callers threshold the
+    returned ``contam_frac`` themselves (keep < θ)."""
+    if not isinstance(benchmark_ngrams, (pa.Array, pa.ChunkedArray)):
+        benchmark_ngrams = pa.array(list(benchmark_ngrams), pa.string())
+    import ray
+    bench_ref = ray.put(benchmark_ngrams)
+
+    def apply(t: pa.Table, *, bench) -> pa.Table:
+        if not isinstance(bench, (pa.Array, pa.ChunkedArray)):
+            bench = ray.get(bench)
+        parents, grams = _batch_ngrams(t, n=n, text_col=text_col)
+        m = t.num_rows
+        total = np.bincount(parents, minlength=m).astype(np.int64)
+        hits = np.zeros(m, dtype=np.int64)
+        if len(parents) and len(bench):
+            hit = pc.is_in(grams, value_set=bench) \
+                .to_numpy(zero_copy_only=False)
+            hits = np.bincount(parents[hit], minlength=m).astype(np.int64)
+        frac = np.divide(hits, total, out=np.zeros(m, dtype=np.float64),
+                         where=total > 0)
+        return pa.table({id_col: t[id_col],
+                         "n_grams": pa.array(total),
+                         "n_contaminated": pa.array(hits),
+                         "contam_frac": pa.array(frac)})
+
+    return ds.map_batches(partial(apply, bench=bench_ref),
+                          batch_format="pyarrow")

@@ -265,3 +265,53 @@ class TestDupPassageStats:
         ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]}))
         with pytest.raises(ValueError, match="n must"):
             dup_passage_stats(ds, n=0)
+
+
+class TestContaminationFraction:
+    def test_brute_force_and_drop_consistency(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.decontam import (
+            contamination_fraction,
+            decontaminate,
+            ngram_set,
+        )
+
+        rng = np.random.default_rng(91)
+        vocab = [f"w{i}" for i in range(15)]
+        docs = [" ".join(rng.choice(vocab, rng.integers(0, 16)))
+                for _ in range(150)]
+        t = pa.table({"doc_id": np.arange(150, dtype=np.int64),
+                      "text": docs})
+        ds = rd.from_arrow(t).repartition(5)
+        bench_t = pa.table({"doc_id": [0], "text": [docs[7]]})
+        grams = ngram_set(rd.from_arrow(bench_t), n=2)
+        out = contamination_fraction(ds, grams, n=2) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+        gset = set(grams.to_pylist())
+        for i, s in enumerate(docs):
+            ts = _toks(s)
+            gs = [" ".join(ts[j:j + 2]) for j in range(len(ts) - 1)]
+            hits = sum(1 for g in gs if g in gset)
+            assert out["n_grams"][i] == len(gs)
+            assert out["n_contaminated"][i] == hits
+            exp = hits / len(gs) if gs else 0.0
+            np.testing.assert_allclose(out["contam_frac"][i], exp)
+        # frac == 0 <-> survives decontaminate (any-hit rule)
+        survivors = set(decontaminate(ds, grams, n=2)
+                        .to_pandas()["doc_id"])
+        zero = set(out[out["contam_frac"] == 0.0]["doc_id"])
+        assert survivors == zero
+
+    def test_empty_benchmark_all_zero(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.decontam import (
+            contamination_fraction,
+        )
+
+        t = pa.table({"doc_id": [0, 1], "text": ["a b c", "d e"]})
+        out = contamination_fraction(rd.from_arrow(t), [], n=2) \
+            .to_pandas()
+        assert (out["n_contaminated"] == 0).all()
+        assert (out["contam_frac"] == 0.0).all()
