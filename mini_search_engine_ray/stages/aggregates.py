@@ -226,25 +226,91 @@ def count_distinct_per_group(ds, keys: list[str], value_col: str, *,
                               [(value_col, "count", alias)])
 
 
+def _topk_keep_indices(t: pa.Table, group_ids: np.ndarray, order_col: str,
+                       k: int, descending: bool,
+                       tiebreak: str | None) -> np.ndarray:
+    """Row indices of each group's top-k under (order_col [, tiebreak]),
+    given arbitrary int group ids — one lexsort, no per-group Python."""
+    n = t.num_rows
+    ov = t[order_col]
+    ov = (ov.combine_chunks() if isinstance(ov, pa.ChunkedArray) else ov) \
+        .to_numpy(zero_copy_only=False)
+    if descending:
+        # negation needs float; exact only below 2^53 for int orders
+        key = -ov.astype(np.float64)
+    else:
+        # ascending keeps the native dtype: int64/uint64 orders
+        # (e.g. md5-low-64 caps) stay bit-exact
+        key = ov
+    lex = [key, group_ids]
+    if tiebreak is not None:
+        tb = t[tiebreak]
+        tb = (tb.combine_chunks() if isinstance(tb, pa.ChunkedArray) else tb) \
+            .to_numpy(zero_copy_only=False)
+        lex.insert(0, tb)
+    order = np.lexsort(lex)  # primary: group, then order_col, then tiebreak
+    sg = group_ids[order]
+    brk = sg[1:] != sg[:-1]
+    starts = np.flatnonzero(np.r_[True, brk])
+    rank = np.arange(n, dtype=np.int64) - starts[
+        np.cumsum(np.r_[0, brk.astype(np.int64)])]
+    return np.sort(order[rank < k])
+
+
+def _batch_group_codes(t: pa.Table, keys: list[str]) -> np.ndarray:
+    """Dense per-batch int group codes over arbitrary key columns
+    (nulls form their own group, SQL GROUP BY semantics); re-encoded
+    after each column so the combined code never overflows."""
+    n = t.num_rows
+    code = np.zeros(n, dtype=np.int64)
+    for kcol in keys:
+        col = t[kcol]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        d = col.dictionary_encode()
+        c = d.indices.to_numpy(zero_copy_only=False)
+        card = len(d.dictionary)
+        cc = np.where(np.isnan(c), card, c).astype(np.int64) \
+            if c.dtype.kind == "f" else c.astype(np.int64)
+        code = np.unique(code * (card + 1) + cc, return_inverse=True)[1]
+    return code
+
+
 def topk_per_group(ds, keys: list[str], order_col: str, k: int, *,
                    descending: bool = True, tiebreak: str | None = None,
                    in_schema: pa.Schema | None = None):
     """Top-k rows per key group, whole rows preserved.
 
-    One range sort on the KEY columns alone (so key runs never
+    A per-batch local top-k PREFILTER runs first (the global top-k of
+    a group is a subset of the union of its per-batch top-k's), so the
+    shuffle carries at most k rows per (batch, group) instead of the
+    whole dataset — at 100 TB with bounded group counts this is the
+    difference between a data-sized and an output-shaped exchange.
+    Then one range sort on the KEY columns alone (so key runs never
     straddle sorted blocks — the invariant holds only for the full
     sort key, which is why the order column must NOT be part of the
-    shuffle key), then a vectorized per-block lexsort of (run,
-    order_col [, tiebreak]) and a rank-in-run < k filter. No
-    per-group Python, no global collect; the only shuffle is the
-    sort. `order_col` (and `tiebreak`) must be numeric. Pass
-    `tiebreak` (ascending) to make the kept set deterministic under
-    order-value ties.  ``in_schema``: the row schema, for callers whose
-    input is a derived Dataset without a statically-known schema —
-    lets the sweep emit TYPED empty blocks for the sort's schema-less
-    empties instead of mixed-schema bundles."""
+    shuffle key) and a vectorized per-block rank-in-run < k filter.
+    No per-group Python, no global collect. `order_col` (and
+    `tiebreak`) must be numeric. Pass `tiebreak` (ascending) to make
+    the kept set deterministic under order-value ties — without one,
+    ties at the k boundary are kept arbitrarily (same contract as
+    before, though the arbitrary choice may differ).  ``in_schema``:
+    the row schema, for callers whose input is a derived Dataset
+    without a statically-known schema — lets the sweep emit TYPED
+    empty blocks for the sort's schema-less empties instead of
+    mixed-schema bundles."""
     if in_schema is None:
         in_schema = static_schema(ds)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        if t.num_rows <= k:
+            return t
+        codes = _batch_group_codes(t, keys)
+        keep = _topk_keep_indices(t, codes, order_col, k, descending,
+                                  tiebreak)
+        if len(keep) == t.num_rows:
+            return t
+        return t.take(pa.array(keep))
 
     def sweep(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -253,35 +319,14 @@ def topk_per_group(ds, keys: list[str], order_col: str, k: int, *,
                 return pa.table(
                     {f.name: pa.array([], f.type) for f in in_schema})
             return t
-        n = t.num_rows
         run_of = np.cumsum(np.r_[0, key_run_breaks(t, keys).astype(np.int64)])
-        ov = t[order_col]
-        ov = (ov.combine_chunks() if isinstance(ov, pa.ChunkedArray) else ov) \
-            .to_numpy(zero_copy_only=False)
-        if descending:
-            # negation needs float; exact only below 2^53 for int orders
-            key = -ov.astype(np.float64)
-        else:
-            # ascending keeps the native dtype: int64/uint64 orders
-            # (e.g. md5-low-64 caps) stay bit-exact
-            key = ov
-        lex = [key, run_of]
-        if tiebreak is not None:
-            tb = t[tiebreak]
-            tb = (tb.combine_chunks() if isinstance(tb, pa.ChunkedArray) else tb) \
-                .to_numpy(zero_copy_only=False)
-            lex.insert(0, tb)
-        order = np.lexsort(lex)  # primary: run, then order_col, then tiebreak
-        srun = run_of[order]
-        starts = np.flatnonzero(np.r_[True, srun[1:] != srun[:-1]])
-        rank = np.arange(n, dtype=np.int64) - starts[
-            np.cumsum(np.r_[0, (srun[1:] != srun[:-1]).astype(np.int64)])
-        ]
-        return t.take(pa.array(np.sort(order[rank < k])))
+        keep = _topk_keep_indices(t, run_of, order_col, k, descending,
+                                  tiebreak)
+        return t.take(pa.array(keep))
 
-    return ds.sort(list(keys)).map_batches(
-        sweep, batch_size=None, batch_format="pyarrow"
-    )
+    return ds.map_batches(prefilter, batch_format="pyarrow") \
+        .sort(list(keys)).map_batches(
+            sweep, batch_size=None, batch_format="pyarrow")
 
 
 def quantile_per_group(ds, keys: list[str], value_col: str, qs: list[float]):
