@@ -1303,6 +1303,68 @@ FROM qs, w,
 """
 
 
+def q_user_quantiles_hist(sf_dir: str):
+    """APPROXIMATE per-user quantiles via the grouped fixed-bin
+    histogram — the giant-group scale path the exact per-group
+    operator documents (registers ≤ keys × bins regardless of group
+    size; global IEEE bucket arithmetic, so the oracle replays the
+    estimates exactly)."""
+    from ..stages.aggregates import histogram_quantiles_per_group
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"user_id": t["user_id"],
+                         "value": pc.cast(t["value"], pa.float64())})
+
+    ds = _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow")
+    out = histogram_quantiles_per_group(ds, "user_id", "value",
+                                        GLOBAL_QS, bins=HIST_BINS)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.float64()),
+                             "value": pa.array([], pa.float64())})
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "q": t["q"],
+            "value": pa.array(_r4(t["value"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def _user_quantiles_hist_sql() -> str:
+    qvals = ", ".join(f"({q}::DOUBLE)" for q in GLOBAL_QS)
+    return f"""
+WITH b AS (SELECT min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx
+           FROM events),
+w AS (SELECT mn, mx,
+             CASE WHEN mx = mn THEN 1.0
+                  ELSE (mx - mn) / {HIST_BINS} END AS w FROM b),
+bk AS (SELECT user_id,
+              least(floor((value - w.mn) / w.w),
+                    {HIST_BINS - 1})::BIGINT AS bucket,
+              count(*)::BIGINT AS c
+       FROM events, w GROUP BY 1, 2),
+cum AS (SELECT user_id, bucket,
+               sum(c) OVER (PARTITION BY user_id ORDER BY bucket) AS cumc,
+               sum(c) OVER (PARTITION BY user_id) AS n FROM bk),
+qs(q) AS (VALUES {qvals}),
+sel AS (SELECT user_id, q, min(bucket) AS bb
+        FROM cum, qs WHERE cumc >= greatest(ceil(q * n), 1)
+        GROUP BY 1, 2)
+SELECT sel.user_id, sel.q,
+       {_R4.format(expr="CASE WHEN w.mx = w.mn THEN w.mn "
+                        "ELSE w.mn + (sel.bb + 1) * w.w END")} AS value
+FROM sel, w
+"""
+
+
 def q_revenue_per_nation(sf_dir: str):
     """Generic distributed equi-join demo over the relational tables
     (TPC-H Q5 flavor): lineitem ⨝ orders ⨝ customer via two sort-merge
@@ -2766,6 +2828,7 @@ QUERIES = {
     "user_event_diversity": q_user_event_diversity,
     "value_quantiles_global": q_value_quantiles_global,
     "value_quantiles_hist": q_value_quantiles_hist,
+    "user_quantiles_hist": q_user_quantiles_hist,
     "customers_without_orders": q_customers_without_orders,
     "parts_in_lineitem": q_parts_in_lineitem,
     "custkeys_intersect": q_custkeys_intersect,
@@ -3643,6 +3706,7 @@ FROM events GROUP BY user_id
         f"SELECT {q}::DOUBLE AS q, quantile_disc(value, {q}) AS value FROM events"
         for q in GLOBAL_QS),
     "value_quantiles_hist": _value_quantiles_hist_sql(),
+    "user_quantiles_hist": _user_quantiles_hist_sql(),
     "customers_without_orders": """
 SELECT c_custkey FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders

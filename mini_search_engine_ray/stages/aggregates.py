@@ -523,3 +523,128 @@ def set_op(left, right, how: str):
         return t.filter(pa.array(keep)).select(cols)
 
     return agg.map_batches(flt, batch_format="pyarrow")
+
+
+def histogram_quantiles_per_group(ds, key_col: str, value_col: str,
+                                  qs: list[float], *, bins: int = 512):
+    """APPROXIMATE per-group quantiles via a fixed-bin histogram — the
+    giant-group scale path that :func:`quantile_per_group`'s docstring
+    promises (the exact operator needs each group inside one sorted
+    block; this one handles groups of ANY size because the shuffle
+    carries at most keys × bins register rows).  Bin edges are GLOBAL
+    (one min/max pass) so the bucket arithmetic stays deterministic
+    and SQL-replayable exactly, like :func:`histogram_quantiles`;
+    error per estimate ≤ one global bucket width.  Per batch, one
+    ``np.bincount`` over a (batch-keys × bins) plane; one grouped sum;
+    then a key-only register sort and a vectorized per-run sweep.
+    NULL values are ignored.  Returns a Dataset (key_col, q, value)."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantile out of range: {q}")
+    if not (isinstance(bins, int) and bins >= 1):
+        raise ValueError(f"bins must be a positive int, got {bins!r}")
+
+    def minmax(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        v = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+             else col).drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"mn": [float(v.min())], "mx": [float(v.max())]})
+
+    edges = ds.map_batches(minmax, batch_format="pyarrow").take_all()
+    key_type_holder = {}
+
+    def empty_out(kt):
+        return pa.table({key_col: pa.array([], kt),
+                         "q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.float64())})
+
+    if not edges:
+        import ray.data as rd
+
+        return rd.from_arrow(empty_out(pa.int64()))
+    mn = min(r["mn"] for r in edges)
+    mx = max(r["mx"] for r in edges)
+    width = 1.0 if mx == mn else (mx - mn) / bins
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = t[key_col]
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) \
+            else keys
+        col = t[value_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        ok = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        empty = pa.table({key_col: pa.array([], keys.type),
+                          "bucket": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        if not ok.any():
+            return empty
+        v = col.to_numpy(zero_copy_only=False).astype(np.float64)[ok]
+        b = np.minimum(np.floor((v - mn) / width), bins - 1) \
+            .astype(np.int64)
+        d = keys.filter(pa.array(ok)).dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        plane = np.bincount(codes * bins + b,
+                            minlength=len(d.dictionary) * bins)
+        nz = np.flatnonzero(plane)
+        return pa.table({key_col: d.dictionary.take(pa.array(nz // bins)),
+                         "bucket": pa.array(nz % bins),
+                         "cnt": pa.array(plane[nz].astype(np.int64))})
+
+    regs = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col, "bucket"], [("cnt", "sum", "cnt")])
+    qarr = np.array([float(q) for q in qs], dtype=np.float64)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        kt = t.schema.field(key_col).type if key_col in t.column_names \
+            else pa.int64()
+        if t.num_rows == 0:
+            return empty_out(kt)
+        keys = t[key_col]
+        keys = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) \
+            else keys
+        n = t.num_rows
+        brk = key_run_breaks(t, [key_col])
+        run_id = np.cumsum(np.r_[0, brk.astype(np.int64)])
+        # order buckets within each key run
+        bkt = t["bucket"].to_numpy(zero_copy_only=False)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((bkt, run_id))
+        srun, sbkt, scnt = run_id[order], bkt[order], cnt[order]
+        starts = np.flatnonzero(np.r_[True, srun[1:] != srun[:-1]])
+        ends = np.r_[starts[1:], n]
+        cs = np.cumsum(scnt)
+        base = np.concatenate(([0], cs[starts[1:] - 1]))
+        cum = cs - base[srun]                  # cumulative within run
+        totals = cs[ends - 1] - np.r_[0, cs[starts[1:] - 1]]
+        out_k, out_q, out_v = [], [], []
+        first_keys = keys.take(pa.array(order[starts]))
+        # one GLOBAL searchsorted per q via the composite-key trick:
+        # cum is ascending within each run and totals < M, so
+        # cum + run*M is globally non-decreasing and rank_r + r*M
+        # lands inside run r
+        M = int(totals.max()) + 1
+        comp = cum + srun * M
+        run_ids = np.arange(len(starts), dtype=np.int64)
+        for q in qarr:
+            rank = np.maximum(np.ceil(q * totals).astype(np.int64), 1)
+            sel = np.searchsorted(comp, rank + run_ids * M, side="left")
+            b = sbkt[sel]
+            out_k.append(first_keys)
+            out_q.append(np.full(len(starts), q))
+            out_v.append(np.where(mx == mn, mn, mn + (b + 1) * width))
+        return pa.table({
+            key_col: pa.concat_arrays([a.combine_chunks()
+                                       if isinstance(a, pa.ChunkedArray)
+                                       else a for a in out_k]),
+            "q": pa.array(np.concatenate(out_q)),
+            "value": pa.array(np.concatenate(out_v)),
+        })
+
+    return regs.sort(key_col).map_batches(sweep, batch_size=None,
+                                          batch_format="pyarrow")

@@ -533,3 +533,79 @@ class TestGroupedHLL:
                       "text": pa.array([], pa.string())})
         assert hll_registers_per_group(_ds(t, parts=1),
                                        "source").count() == 0
+
+
+class TestHistogramQuantilesPerGroup:
+    def _brute(self, keys, vals, qs, bins):
+        mn, mx = vals.min(), vals.max()
+        w = 1.0 if mx == mn else (mx - mn) / bins
+        out = {}
+        for k in np.unique(keys):
+            v = vals[keys == k]
+            b = np.minimum(np.floor((v - mn) / w), bins - 1).astype(int)
+            cnt = np.bincount(b, minlength=bins)
+            cum = np.cumsum(cnt)
+            for q in qs:
+                rank = max(int(np.ceil(q * len(v))), 1)
+                bb = int(np.searchsorted(cum, rank, side="left"))
+                out[(k, q)] = mn if mx == mn else mn + (bb + 1) * w
+        return out
+
+    def test_vs_brute_force_multiblock(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import (
+            histogram_quantiles_per_group,
+        )
+
+        rng = np.random.default_rng(97)
+        n = 8000
+        keys = rng.integers(0, 9, n)
+        vals = rng.standard_normal(n) * (keys + 1)  # per-key spreads
+        t = pa.table({"k": keys, "v": vals})
+        qs = [0.5, 0.9]
+        got = histogram_quantiles_per_group(
+            rd.from_arrow(t).repartition(7), "k", "v", qs, bins=64) \
+            .to_pandas()
+        exp = self._brute(keys, vals, qs, 64)
+        assert len(got) == len(exp)
+        for r in got.itertuples():
+            np.testing.assert_allclose(r.value, exp[(r.k, r.q)],
+                                       rtol=1e-12)
+
+    def test_error_bound_and_giant_group(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import (
+            histogram_quantiles_per_group,
+        )
+
+        rng = np.random.default_rng(101)
+        # one giant group far larger than any single block
+        vals = rng.uniform(0, 100, 50_000)
+        t = pa.table({"k": np.zeros(50_000, np.int64), "v": vals})
+        got = histogram_quantiles_per_group(
+            rd.from_arrow(t).repartition(17), "k", "v", [0.5, 0.99],
+            bins=256).to_pandas()
+        width = (vals.max() - vals.min()) / 256
+        for r in got.itertuples():
+            assert abs(r.value - np.quantile(vals, r.q)) <= 2 * width
+
+    def test_empty_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import (
+            histogram_quantiles_per_group,
+        )
+
+        t = pa.table({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.float64())})
+        assert histogram_quantiles_per_group(
+            rd.from_arrow(t), "k", "v", [0.5]).count() == 0
+        t2 = pa.table({"k": [1], "v": [1.0]})
+        with pytest.raises(ValueError, match="quantile"):
+            histogram_quantiles_per_group(rd.from_arrow(t2), "k", "v",
+                                          [2.0])
+        with pytest.raises(ValueError, match="bins"):
+            histogram_quantiles_per_group(rd.from_arrow(t2), "k", "v",
+                                          [0.5], bins=0)
