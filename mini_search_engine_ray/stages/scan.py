@@ -48,13 +48,26 @@ def _key_breaks(keys: np.ndarray | None, n: int) -> np.ndarray:
     return keys[1:] != keys[:-1]
 
 
+
+def _resolve_descending(descending, order_by, key_col):
+    """Full per-column descending list for ds.sort: partition keys
+    always ascend (grouping only needs contiguity), order_by columns
+    follow the caller's SQL ASC/DESC."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(order_by)
+    if len(descending) != len(order_by):
+        raise ValueError("descending must match order_by length")
+    return ([False] if key_col else []) + list(descending)
+
+
 _RUNNING_OPS = ("sum", "count", "min", "max")
 
 
 def running_agg(ds, *, order_by: list[str] | str, op: str = "sum",
                 value_col: str | None = None,
                 key_col: str | None = None,
-                out_col: str | None = None):
+                out_col: str | None = None,
+                descending: bool | list[bool] = False):
     """Append ``out_col`` = the running (cumulative) aggregate of
     ``value_col`` in ``order_by`` order, restarting per ``key_col``
     when given — SQL's ``<op>(v) OVER (PARTITION BY key ORDER BY
@@ -77,7 +90,8 @@ def running_agg(ds, *, order_by: list[str] | str, op: str = "sum",
     if not order_by:
         raise ValueError("order_by must name at least one column")
     sort_cols = ([key_col] if key_col else []) + order_by
-    sorted_ds = ds.sort(sort_cols).materialize()
+    desc = _resolve_descending(descending, order_by, key_col)
+    sorted_ds = ds.sort(sort_cols, descending=desc).materialize()
     refs = sorted_ds.to_arrow_refs()
     schema = sorted_ds.schema().base_schema
     as_int = op == "count" or \
@@ -203,12 +217,13 @@ def running_agg(ds, *, order_by: list[str] | str, op: str = "sum",
 
 def running_sum(ds, *, value_col: str, order_by: list[str] | str,
                 key_col: str | None = None,
-                out_col: str = "running_sum"):
+                out_col: str = "running_sum",
+                descending: bool | list[bool] = False):
     """SQL ``SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
     PRECEDING)`` — see :func:`running_agg`."""
     return running_agg(ds, order_by=order_by, op="sum",
                        value_col=value_col, key_col=key_col,
-                       out_col=out_col)
+                       out_col=out_col, descending=descending)
 
 
 def row_number(ds, *, order_by: list[str] | str,
@@ -302,7 +317,8 @@ _ROLLING_OPS = ("sum", "count", "min", "max", "avg")
 
 def rolling_agg(ds, *, order_by: list[str] | str, window: int,
                 op: str = "sum", value_col: str | None = None,
-                key_col: str | None = None, out_col: str | None = None):
+                key_col: str | None = None, out_col: str | None = None,
+                descending: bool | list[bool] = False):
     """Append ``out_col`` = SQL's ``<op>(v) OVER (PARTITION BY key
     ORDER BY order_by ROWS BETWEEN window-1 PRECEDING AND CURRENT
     ROW)``.  ``op`` in {sum, count, avg, min, max}; sum/count are
@@ -327,7 +343,8 @@ def rolling_agg(ds, *, order_by: list[str] | str, window: int,
     if not order_by:
         raise ValueError("order_by must name at least one column")
     sort_cols = ([key_col] if key_col else []) + order_by
-    sorted_ds = ds.sort(sort_cols).materialize()
+    desc = _resolve_descending(descending, order_by, key_col)
+    sorted_ds = ds.sort(sort_cols, descending=desc).materialize()
     refs = sorted_ds.to_arrow_refs()
     schema = sorted_ds.schema().base_schema
     as_int = op == "count" or (
@@ -447,7 +464,7 @@ def rolling_agg(ds, *, order_by: list[str] | str, window: int,
 
 def _shift_column(ds, *, value_col: str, order_by: list[str] | str,
                   key_col: str | None, offset: int, out_col: str,
-                  op_name: str):
+                  op_name: str, descending: bool | list[bool] = False):
     """Shared LAG (offset>0 looks back) / LEAD (driven by op_name with
     a forward carry) core — see :func:`lag_column` / :func:`lead_column`."""
     import ray
@@ -460,7 +477,8 @@ def _shift_column(ds, *, value_col: str, order_by: list[str] | str,
         raise ValueError("order_by must name at least one column")
     lead = op_name == "lead_column"
     sort_cols = ([key_col] if key_col else []) + order_by
-    sorted_ds = ds.sort(sort_cols).materialize()
+    desc = _resolve_descending(descending, order_by, key_col)
+    sorted_ds = ds.sort(sort_cols, descending=desc).materialize()
     refs = sorted_ds.to_arrow_refs()
     schema = sorted_ds.schema().base_schema
     val_type = schema.field(value_col).type
@@ -551,7 +569,8 @@ def _shift_column(ds, *, value_col: str, order_by: list[str] | str,
 
 def lag_column(ds, *, value_col: str, order_by: list[str] | str,
                key_col: str | None = None, offset: int = 1,
-               out_col: str | None = None):
+               out_col: str | None = None,
+               descending: bool | list[bool] = False):
     """Append SQL's ``LAG(value, offset) OVER (PARTITION BY key ORDER
     BY order_by)`` (NULL where no such row).  Type-generic — the
     shifted column is built by one Arrow ``take`` with null indices,
@@ -561,18 +580,19 @@ def lag_column(ds, *, value_col: str, order_by: list[str] | str,
     return _shift_column(ds, value_col=value_col, order_by=order_by,
                          key_col=key_col, offset=offset,
                          out_col=out_col or f"lag_{value_col}",
-                         op_name="lag_column")
+                         op_name="lag_column", descending=descending)
 
 
 def lead_column(ds, *, value_col: str, order_by: list[str] | str,
                 key_col: str | None = None, offset: int = 1,
-                out_col: str | None = None):
+                out_col: str | None = None,
+                descending: bool | list[bool] = False):
     """Append SQL's ``LEAD(value, offset) OVER (PARTITION BY key ORDER
     BY order_by)`` — :func:`lag_column` with a forward row carry."""
     return _shift_column(ds, value_col=value_col, order_by=order_by,
                          key_col=key_col, offset=offset,
                          out_col=out_col or f"lead_{value_col}",
-                         op_name="lead_column")
+                         op_name="lead_column", descending=descending)
 
 
 def ntile_ids(r0: np.ndarray, n, k: int) -> np.ndarray:

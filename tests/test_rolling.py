@@ -320,3 +320,71 @@ class TestAddRanksDescending:
         with pytest.raises(ValueError, match="descending"):
             add_ranks(rd.from_arrow(t), order_by=["a", "b"],
                       descending=[True])
+
+
+class TestScanFamilyDescending:
+    def test_running_sum_desc_vs_sql_frame(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import running_sum
+
+        rng = np.random.default_rng(83)
+        t = pa.table({"k": rng.integers(0, 5, 900),
+                      "o": rng.permutation(900),
+                      "v": rng.integers(-5, 50, 900)})
+        got = running_sum(rd.from_arrow(t).repartition(7), value_col="v",
+                          order_by="o", key_col="k", descending=True) \
+            .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("tt", t.to_pandas())
+        exp = con.sql(
+            "SELECT k, o, sum(v) OVER (PARTITION BY k ORDER BY o DESC "
+            "ROWS UNBOUNDED PRECEDING) AS s FROM tt ORDER BY k, o").df()
+        np.testing.assert_array_equal(got["running_sum"].to_numpy(),
+                                      exp["s"].to_numpy())
+
+    def test_rolling_and_lag_desc(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import (
+            lag_column,
+            rolling_agg,
+        )
+
+        rng = np.random.default_rng(89)
+        t = pa.table({"k": rng.integers(0, 4, 700),
+                      "o": rng.permutation(700),
+                      "v": rng.integers(0, 99, 700)})
+        con = duckdb.connect()
+        con.register("tt", t.to_pandas())
+        ds = rd.from_arrow(t).repartition(6)
+        got = rolling_agg(ds, order_by="o", window=3, op="sum",
+                          value_col="v", key_col="k", descending=True) \
+            .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+        exp = con.sql(
+            "SELECT k, o, sum(v) OVER (PARTITION BY k ORDER BY o DESC "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s FROM tt "
+            "ORDER BY k, o").df()
+        np.testing.assert_array_equal(got["rolling_sum"].to_numpy(),
+                                      exp["s"].to_numpy())
+        got2 = lag_column(ds, value_col="v", order_by="o", key_col="k",
+                          descending=True).to_pandas() \
+            .sort_values(["k", "o"]).reset_index(drop=True)
+        exp2 = con.sql(
+            "SELECT k, o, lag(v) OVER (PARTITION BY k ORDER BY o DESC) "
+            "AS s FROM tt ORDER BY k, o").df()
+        pd.testing.assert_series_equal(
+            got2["lag_v"].astype("float64"), exp2["s"].astype("float64"),
+            check_names=False)
+
+    def test_descending_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import running_sum
+
+        t = pa.table({"o": [1], "p": [1], "v": [1]})
+        with pytest.raises(ValueError, match="descending"):
+            running_sum(rd.from_arrow(t), value_col="v",
+                        order_by=["o", "p"], descending=[True])
