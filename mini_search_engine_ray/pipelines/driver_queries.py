@@ -626,6 +626,28 @@ def q_ann_hydrated(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def q_embedding_cov(sf_dir: str):
+    """Embedding covariance matrix — the sufficient-statistics
+    reduction behind PCA/whitening: one (d, d) matmul partial per
+    batch, a d²-bounded driver combine (never the data), exploded to
+    (i, j, cov) upper-triangle rows; the ``covar_pop`` oracle computes
+    the identical population formula per pair."""
+    import ray.data as rd
+
+    from ..stages.similarity import embedding_covariance
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["embedding"])
+    cov = embedding_covariance(emb)
+    d = cov.shape[0]
+    iu, ju = np.triu_indices(d)
+    return pa.table({
+        "i": pa.array(iu + 1, pa.int64()),   # 1-based like SQL subscripts
+        "j": pa.array(ju + 1, pa.int64()),
+        "cov": pa.array(_r4(cov[iu, ju])),
+    })
+
+
 def q_search_phrase3(sf_dir: str):
     return _ids_table(_searcher(sf_dir).search_phrase(PHRASE3))
 
@@ -2798,6 +2820,7 @@ QUERIES = {
     "token_count_total": q_token_count_total,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_hydrated": q_ann_hydrated,
+    "embedding_cov": q_embedding_cov,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "compression_ratio": q_compression_ratio,
@@ -3671,6 +3694,20 @@ r AS (SELECT query_id, vec_id, sim,
 SELECT r.query_id, d.doc_id, {_R4.format(expr="r.sim")} AS score, d.text
 FROM r JOIN documents d ON d.doc_id = r.vec_id
 WHERE r.rn <= {ANN_K}
+""",
+    "embedding_cov": f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.i, b.j, a.x, b.y
+  FROM e,
+       LATERAL (SELECT generate_subscripts(e.v, 1) AS i,
+                       unnest(e.v) AS x) a,
+       LATERAL (SELECT generate_subscripts(e.v, 1) AS j,
+                       unnest(e.v) AS y) b
+  WHERE a.i <= b.j)
+SELECT i::BIGINT AS i, j::BIGINT AS j,
+       {_R4.format(expr="covar_pop(x, y)")} AS cov
+FROM p GROUP BY i, j
 """,
     "minhash_signatures": _minhash_signatures_sql(),
     "minhash_near_pairs": _minhash_near_pairs_sql(),

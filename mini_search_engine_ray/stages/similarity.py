@@ -675,3 +675,94 @@ def kmeans(ds, k: int, *, iters: int = 10, id_col: str = "vec_id",
            emb_col=emb_col),
         batch_format="pyarrow")
     return cents, assign
+
+
+# ---------------------------------------------------------------------
+# PCA over an embedding column
+# ---------------------------------------------------------------------
+
+def embedding_moments(ds, *, emb_col: str = "embedding"):
+    """(n, sum vector, X^T X) over the whole embedding column — the
+    sufficient statistics for mean/covariance/PCA: one matmul per
+    batch produces a (d, d) partial regardless of batch size, and the
+    driver combines num_batches small matrices (d is an embedding
+    width, so d² is KBs).  Returns (n, s[d], xtx[d, d]) float64."""
+    def partial(t: pa.Table) -> pa.Table:
+        x = _emb_matrix(t, emb_col).astype(np.float64)
+        if x.size == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "xtx": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({
+            "n": [np.int64(len(x))],
+            "s": [x.sum(axis=0).tolist()],
+            "xtx": [(x.T @ x).ravel().tolist()],
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    if not parts:
+        return 0, None, None
+    n = sum(int(r["n"]) for r in parts)
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    d = len(s)
+    xtx = np.sum([np.asarray(r["xtx"]).reshape(d, d) for r in parts],
+                 axis=0)
+    return n, s, xtx
+
+
+def embedding_covariance(ds, *, emb_col: str = "embedding") -> np.ndarray:
+    """Population covariance matrix of the embedding column:
+    cov = XᵀX/n − mean meanᵀ from :func:`embedding_moments` — exactly
+    the arithmetic a SQL ``covar_pop`` per (i, j) computes (up to
+    float association), which is what the driver oracle checks."""
+    n, s, xtx = embedding_moments(ds, emb_col=emb_col)
+    if n == 0:
+        return np.zeros((0, 0))
+    mean = s / n
+    return xtx / n - np.outer(mean, mean)
+
+
+def pca_fit(ds, *, k: int, emb_col: str = "embedding"):
+    """Top-k principal components of the embedding column: covariance
+    from the d×d moment partials (never materializing the data), then
+    one driver-side symmetric eigendecomposition (d×d — embedding
+    widths, not data sizes).  Deterministic up to eigenvector sign,
+    fixed here by making each component's largest-|coefficient| entry
+    positive.  Returns (mean[d], components[k, d], explained_var[k])."""
+    if not (isinstance(k, int) and k >= 1):
+        raise ValueError(f"k must be a positive int, got {k!r}")
+    n, s, xtx = embedding_moments(ds, emb_col=emb_col)
+    if n == 0:
+        raise ValueError("pca_fit on an empty dataset")
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T               # (k, d)
+    # sign convention: largest-|coef| entry of each component positive
+    flip = comps[np.arange(len(comps)),
+                 np.abs(comps).argmax(axis=1)] < 0
+    comps[flip] *= -1.0
+    return mean, comps, w[order]
+
+
+def pca_transform(ds, mean: np.ndarray, components: np.ndarray, *,
+                  emb_col: str = "embedding", out_col: str = "pca"):
+    """Project each embedding onto the fitted components — the mean
+    and (k, d) matrix broadcast ONCE via ``ray.put``, one matmul per
+    batch; appends ``out_col`` as list<double>."""
+    import ray
+
+    shared = ray.put((np.asarray(mean, dtype=np.float64),
+                      np.asarray(components, dtype=np.float64)))
+
+    def apply(t: pa.Table) -> pa.Table:
+        mu, comps = ray.get(shared)
+        x = _emb_matrix(t, emb_col).astype(np.float64)
+        if x.size == 0:
+            return t.append_column(out_col,
+                                   pa.array([], pa.list_(pa.float64())))
+        proj = (x - mu) @ comps.T
+        return t.append_column(out_col, pa.array(list(proj)))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -537,3 +537,67 @@ class TestVerifyPairsJaccard:
                                         "b": pa.array([], pa.int64())}))
         out = verify_pairs_jaccard(ds, pairs).to_pandas()
         assert len(out) == 0
+
+
+class TestPCA:
+    def _data(self, n=2000, d=8, seed=7):
+        rng = np.random.default_rng(seed)
+        # anisotropic cloud so components are well separated
+        scales = np.linspace(5, 0.5, d)
+        x = rng.standard_normal((n, d)) * scales + rng.uniform(-2, 2, d)
+        return x.astype(np.float32)
+
+    def _ds(self, x, parts=7):
+        import ray.data as rd
+
+        t = pa.table({"vec_id": np.arange(len(x), dtype=np.int64),
+                      "embedding": pa.array([r.tolist() for r in x],
+                                            pa.list_(pa.float32()))})
+        return rd.from_arrow(t).repartition(parts)
+
+    def test_covariance_vs_numpy(self, ray_session):
+        from mini_search_engine_ray.stages.similarity import (
+            embedding_covariance,
+        )
+
+        x = self._data()
+        got = embedding_covariance(self._ds(x))
+        exp = np.cov(x.astype(np.float64).T, bias=True)
+        np.testing.assert_allclose(got, exp, rtol=1e-9, atol=1e-12)
+
+    def test_fit_transform_vs_numpy_eigh(self, ray_session):
+        from mini_search_engine_ray.stages.similarity import (
+            pca_fit,
+            pca_transform,
+        )
+
+        x = self._data(seed=11)
+        mean, comps, ev = pca_fit(self._ds(x), k=3)
+        xf = x.astype(np.float64)
+        cov = np.cov(xf.T, bias=True)
+        w, v = np.linalg.eigh(cov)
+        order = np.argsort(w)[::-1][:3]
+        expc = v[:, order].T
+        flip = expc[np.arange(3), np.abs(expc).argmax(axis=1)] < 0
+        expc[flip] *= -1
+        np.testing.assert_allclose(comps, expc, rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(ev, w[order], rtol=1e-9)
+        # explained variance ordering and dominance
+        assert ev[0] > ev[1] > ev[2] > 0
+        proj = pca_transform(self._ds(x), mean, comps).to_pandas()
+        got0 = np.array([p[0] for p in proj.sort_values("vec_id")["pca"]])
+        exp0 = (xf - xf.mean(axis=0)) @ expc[0]
+        np.testing.assert_allclose(got0, exp0, rtol=1e-6, atol=1e-8)
+        # projected variance along component 0 == its eigenvalue
+        np.testing.assert_allclose(got0.var(), ev[0], rtol=1e-6)
+
+    def test_block_invariance_and_validation(self, ray_session):
+        from mini_search_engine_ray.stages.similarity import pca_fit
+
+        x = self._data(n=500, seed=13)
+        m1, c1, e1 = pca_fit(self._ds(x, parts=1), k=2)
+        m2, c2, e2 = pca_fit(self._ds(x, parts=11), k=2)
+        np.testing.assert_allclose(c1, c2, rtol=1e-9)
+        np.testing.assert_allclose(e1, e2, rtol=1e-9)
+        with pytest.raises(ValueError, match="k must"):
+            pca_fit(self._ds(x), k=0)
