@@ -1372,7 +1372,7 @@ bk AS (SELECT user_id,
               least(floor((value - w.mn) / w.w),
                     {HIST_BINS - 1})::BIGINT AS bucket,
               count(*)::BIGINT AS c
-       FROM events, w GROUP BY 1, 2),
+       FROM events, w WHERE value IS NOT NULL GROUP BY 1, 2),
 cum AS (SELECT user_id, bucket,
                sum(c) OVER (PARTITION BY user_id ORDER BY bucket) AS cumc,
                sum(c) OVER (PARTITION BY user_id) AS n FROM bk),

@@ -261,8 +261,7 @@ def _batch_group_codes(t: pa.Table, keys: list[str]) -> np.ndarray:
     """Dense per-batch int group codes over arbitrary key columns
     (nulls form their own group, SQL GROUP BY semantics); re-encoded
     after each column so the combined code never overflows."""
-    n = t.num_rows
-    code = np.zeros(n, dtype=np.int64)
+    code = None
     for kcol in keys:
         col = t[kcol]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
@@ -272,7 +271,13 @@ def _batch_group_codes(t: pa.Table, keys: list[str]) -> np.ndarray:
         card = len(d.dictionary)
         cc = np.where(np.isnan(c), card, c).astype(np.int64) \
             if c.dtype.kind == "f" else c.astype(np.int64)
-        code = np.unique(code * (card + 1) + cc, return_inverse=True)[1]
+        if code is None:
+            # first column's dictionary codes are already dense —
+            # skip the O(n log n) re-encode
+            code = cc
+        else:
+            code = np.unique(code * (card + 1) + cc,
+                             return_inverse=True)[1]
     return code
 
 
@@ -407,6 +412,31 @@ def filter_by_quantile(ds, value_col: str, q: float, *, keep: str = "ge"):
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
+def _global_bin_edges(ds, value_col: str, bins: int):
+    """Shared global bin-edge pass for the histogram-quantile
+    operators: per-batch null-ignoring min/max partials, a driver
+    fold, and the mx==mn width rule — ONE definition, because the
+    estimates are SQL-replayable only while operators and oracles
+    share this exact IEEE arithmetic.  Returns (found, mn, mx, width);
+    ``found`` False means no non-null value exists."""
+    def minmax(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        v = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+             else col).drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64())})
+        return pa.table({"mn": [float(v.min())], "mx": [float(v.max())]})
+
+    edges = ds.map_batches(minmax, batch_format="pyarrow").take_all()
+    if not edges:
+        return False, 0.0, 0.0, 1.0
+    mn = min(r["mn"] for r in edges)
+    mx = max(r["mx"] for r in edges)
+    return True, mn, mx, (1.0 if mx == mn else (mx - mn) / bins)
+
+
 def histogram_quantiles(ds, value_col: str, qs: list[float], *,
                         bins: int = 512) -> pa.Table:
     """APPROXIMATE whole-dataset quantiles via a fixed-bin histogram —
@@ -426,23 +456,10 @@ def histogram_quantiles(ds, value_col: str, qs: list[float], *,
     if not (isinstance(bins, int) and bins >= 1):
         raise ValueError(f"bins must be a positive int, got {bins!r}")
 
-    def minmax(t: pa.Table) -> pa.Table:
-        col = t[value_col]
-        v = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-             else col).drop_null().to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        if len(v) == 0:
-            return pa.table({"mn": pa.array([], pa.float64()),
-                             "mx": pa.array([], pa.float64())})
-        return pa.table({"mn": [float(v.min())], "mx": [float(v.max())]})
-
-    edges = ds.map_batches(minmax, batch_format="pyarrow").take_all()
-    if not edges:
+    found, mn, mx, width = _global_bin_edges(ds, value_col, bins)
+    if not found:
         return pa.table({"q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.float64())})
-    mn = min(r["mn"] for r in edges)
-    mx = max(r["mx"] for r in edges)
-    width = 1.0 if mx == mn else (mx - mn) / bins
 
     def bucket_counts(t: pa.Table) -> pa.Table:
         col = t[value_col]
@@ -544,31 +561,20 @@ def histogram_quantiles_per_group(ds, key_col: str, value_col: str,
     if not (isinstance(bins, int) and bins >= 1):
         raise ValueError(f"bins must be a positive int, got {bins!r}")
 
-    def minmax(t: pa.Table) -> pa.Table:
-        col = t[value_col]
-        v = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
-             else col).drop_null().to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        if len(v) == 0:
-            return pa.table({"mn": pa.array([], pa.float64()),
-                             "mx": pa.array([], pa.float64())})
-        return pa.table({"mn": [float(v.min())], "mx": [float(v.max())]})
-
-    edges = ds.map_batches(minmax, batch_format="pyarrow").take_all()
-    key_type_holder = {}
+    src = static_schema(ds)
+    kt_static = src.field(key_col).type \
+        if src is not None and key_col in src.names else None
 
     def empty_out(kt):
         return pa.table({key_col: pa.array([], kt),
                          "q": pa.array([], pa.float64()),
                          "value": pa.array([], pa.float64())})
 
-    if not edges:
+    found, mn, mx, width = _global_bin_edges(ds, value_col, bins)
+    if not found:
         import ray.data as rd
 
-        return rd.from_arrow(empty_out(pa.int64()))
-    mn = min(r["mn"] for r in edges)
-    mx = max(r["mx"] for r in edges)
-    width = 1.0 if mx == mn else (mx - mn) / bins
+        return rd.from_arrow(empty_out(kt_static or pa.int64()))
 
     def partial(t: pa.Table) -> pa.Table:
         keys = t[key_col]
@@ -587,22 +593,37 @@ def histogram_quantiles_per_group(ds, key_col: str, value_col: str,
         b = np.minimum(np.floor((v - mn) / width), bins - 1) \
             .astype(np.int64)
         d = keys.filter(pa.array(ok)).dictionary_encode()
-        codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        card = len(d.dictionary)
+        raw = d.indices.to_numpy(zero_copy_only=False)
+        # NULL keys form their own group (SQL GROUP BY): null indices
+        # surface as NaN — route them to the extra plane row `card`
+        # instead of letting the int cast wrap into another key's rows
+        codes = (np.where(np.isnan(raw), card, raw).astype(np.int64)
+                 if raw.dtype.kind == "f" else raw.astype(np.int64))
         plane = np.bincount(codes * bins + b,
-                            minlength=len(d.dictionary) * bins)
+                            minlength=(card + 1) * bins)
         nz = np.flatnonzero(plane)
-        return pa.table({key_col: d.dictionary.take(pa.array(nz // bins)),
+        idx = nz // bins
+        key_vals = d.dictionary.take(
+            pa.array(np.where(idx == card, 0, idx),
+                     mask=(idx == card))) if card else \
+            pa.array([None] * len(nz), keys.type)
+        return pa.table({key_col: key_vals,
                          "bucket": pa.array(nz % bins),
                          "cnt": pa.array(plane[nz].astype(np.int64))})
 
+    reg_schema = pa.schema([(key_col, kt_static), ("bucket", pa.int64()),
+                            ("cnt", pa.int64())]) \
+        if kt_static is not None else None
     regs = sorted_groupby_agg(
         ds.map_batches(partial, batch_format="pyarrow"),
-        [key_col, "bucket"], [("cnt", "sum", "cnt")])
+        [key_col, "bucket"], [("cnt", "sum", "cnt")],
+        in_schema=reg_schema)
     qarr = np.array([float(q) for q in qs], dtype=np.float64)
 
     def sweep(t: pa.Table) -> pa.Table:
         kt = t.schema.field(key_col).type if key_col in t.column_names \
-            else pa.int64()
+            else (kt_static or pa.int64())
         if t.num_rows == 0:
             return empty_out(kt)
         keys = t[key_col]

@@ -734,6 +734,9 @@ def pca_fit(ds, *, k: int, emb_col: str = "embedding"):
     n, s, xtx = embedding_moments(ds, emb_col=emb_col)
     if n == 0:
         raise ValueError("pca_fit on an empty dataset")
+    if k > len(s):
+        raise ValueError(
+            f"k={k} exceeds the embedding dimensionality {len(s)}")
     mean = s / n
     cov = xtx / n - np.outer(mean, mean)
     w, v = np.linalg.eigh(cov)          # ascending eigenvalues

@@ -609,3 +609,27 @@ class TestHistogramQuantilesPerGroup:
         with pytest.raises(ValueError, match="bins"):
             histogram_quantiles_per_group(rd.from_arrow(t2), "k", "v",
                                           [0.5], bins=0)
+
+
+class TestHistogramQuantilesPerGroupNullKeys:
+    def test_null_key_is_own_group(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import (
+            histogram_quantiles_per_group,
+        )
+
+        # power-of-two bins: the regression where a null key's NaN
+        # index wrapped into key 0's histogram
+        t = pa.table({"k": pa.array([1, None, 2, None, 1], pa.int64()),
+                      "v": pa.array([1.0, 100.0, 2.0, 100.0, 3.0])})
+        got = histogram_quantiles_per_group(
+            rd.from_arrow(t).repartition(2), "k", "v", [0.5],
+            bins=64).to_pandas()
+        by_k = {(None if pd.isna(r.k) else int(r.k)): r.value
+                for r in got.itertuples()}
+        assert set(by_k) == {1, 2, None}
+        width = 99.0 / 64
+        # key 1's median estimate must be near 2, NOT dragged to 100
+        assert abs(by_k[1] - 2.0) <= 2 * width
+        assert abs(by_k[None] - 100.0) <= 2 * width
