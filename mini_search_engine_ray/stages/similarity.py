@@ -750,14 +750,24 @@ def pca_fit(ds, *, k: int, emb_col: str = "embedding"):
 
 
 def pca_transform(ds, mean: np.ndarray, components: np.ndarray, *,
-                  emb_col: str = "embedding", out_col: str = "pca"):
+                  emb_col: str = "embedding", out_col: str = "pca",
+                  explained_var: np.ndarray | None = None):
     """Project each embedding onto the fitted components — the mean
     and (k, d) matrix broadcast ONCE via ``ray.put``, one matmul per
-    batch; appends ``out_col`` as list<double>."""
+    batch; appends ``out_col`` as list<double>.  Pass the fit's
+    ``explained_var`` to WHITEN: each projected coordinate is divided
+    by its component's standard deviation, giving unit variance per
+    axis (the usual pre-clustering normalization)."""
     import ray
 
-    shared = ray.put((np.asarray(mean, dtype=np.float64),
-                      np.asarray(components, dtype=np.float64)))
+    comps = np.asarray(components, dtype=np.float64)
+    if explained_var is not None:
+        ev = np.asarray(explained_var, dtype=np.float64)
+        if ev.shape != (len(comps),):
+            raise ValueError("explained_var must have one entry per "
+                             "component")
+        comps = comps / np.sqrt(np.maximum(ev, 1e-30))[:, None]
+    shared = ray.put((np.asarray(mean, dtype=np.float64), comps))
 
     def apply(t: pa.Table) -> pa.Table:
         mu, comps = ray.get(shared)

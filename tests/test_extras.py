@@ -601,3 +601,29 @@ class TestPCA:
         np.testing.assert_allclose(e1, e2, rtol=1e-9)
         with pytest.raises(ValueError, match="k must"):
             pca_fit(self._ds(x), k=0)
+
+
+class TestPCAWhiten:
+    def test_unit_variance_per_axis(self, ray_session):
+        from mini_search_engine_ray.stages.similarity import (
+            pca_fit,
+            pca_transform,
+        )
+
+        rng = np.random.default_rng(17)
+        x = (rng.standard_normal((3000, 6)) *
+             np.linspace(9, 1, 6)).astype(np.float32)
+        import ray.data as rd
+
+        t = pa.table({"vec_id": np.arange(3000, dtype=np.int64),
+                      "embedding": pa.array([r.tolist() for r in x],
+                                            pa.list_(pa.float32()))})
+        ds = rd.from_arrow(t).repartition(5)
+        mean, comps, ev = pca_fit(ds, k=3)
+        out = pca_transform(ds, mean, comps, explained_var=ev) \
+            .to_pandas()
+        proj = np.array([list(p) for p in out["pca"]])
+        np.testing.assert_allclose(proj.var(axis=0), np.ones(3),
+                                   rtol=1e-6)
+        with pytest.raises(ValueError, match="explained_var"):
+            pca_transform(ds, mean, comps, explained_var=ev[:1])
