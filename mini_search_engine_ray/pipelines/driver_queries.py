@@ -1312,7 +1312,7 @@ w AS (SELECT mn, mx,
 bk AS (SELECT least(floor((value - w.mn) / w.w),
                     {HIST_BINS - 1})::BIGINT AS bucket,
               count(*)::BIGINT AS c
-       FROM events, w GROUP BY 1),
+       FROM events, w WHERE value IS NOT NULL GROUP BY 1),
 cum AS (SELECT bucket, sum(c) OVER (ORDER BY bucket) AS cumc,
                (SELECT sum(c) FROM bk) AS n FROM bk),
 qs(q) AS (VALUES {qvals})

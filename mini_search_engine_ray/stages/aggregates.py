@@ -505,30 +505,37 @@ def set_op(left, right, how: str):
     if how not in hows:
         raise ValueError(f"how must be one of {hows}, got {how!r}")
     l_schema = static_schema(left)
-    cols = list(l_schema.names) if l_schema is not None else None
+    if l_schema is None:
+        # resolve the column list + types once so both sides align
+        l_schema = left.schema().base_schema
+    cols = list(l_schema.names)
+    # tag() emits a fixed schema by construction (cols + int64 _l/_r):
+    # declare it so empty sort-boundary blocks stay typed through both
+    # the agg sweep and flt (the mixed-schema empty-bundle hazard the
+    # histogram/topk operators were hardened against)
+    tagged_schema = pa.schema(
+        [(n, l_schema.field(n).type) for n in cols]
+        + [("_l", pa.int64()), ("_r", pa.int64())])
+    out_schema = pa.schema([(n, l_schema.field(n).type) for n in cols])
 
     def tag(is_left: bool):
         def fn(t: pa.Table) -> pa.Table:
-            nonlocal cols
-            use = cols or t.column_names
-            t = t.select(use)
+            t = t.select(cols)
             one = np.ones(t.num_rows, np.int64)
             zero = np.zeros(t.num_rows, np.int64)
             return t.append_column("_l", pa.array(one if is_left else zero)) \
                     .append_column("_r", pa.array(zero if is_left else one))
         return fn
 
-    if cols is None:
-        # resolve the column list once so both sides align
-        cols = list(left.schema().base_schema.names)
     tagged = left.map_batches(tag(True), batch_format="pyarrow").union(
         right.map_batches(tag(False), batch_format="pyarrow"))
     agg = sorted_groupby_agg(tagged, cols,
-                             [("_l", "max", "_l"), ("_r", "max", "_r")])
+                             [("_l", "max", "_l"), ("_r", "max", "_r")],
+                             in_schema=tagged_schema)
 
     def flt(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return t.select(cols) if set(cols) <= set(t.column_names) else t
+            return out_schema.empty_table()
         keep_l = t["_l"].to_numpy(zero_copy_only=False).astype(bool)
         keep_r = t["_r"].to_numpy(zero_copy_only=False).astype(bool)
         if how == "intersect":

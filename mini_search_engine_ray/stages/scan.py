@@ -48,6 +48,29 @@ def _key_breaks(keys: np.ndarray | None, n: int) -> np.ndarray:
     return keys[1:] != keys[:-1]
 
 
+def _keys_np(t: pa.Table, key_col: str) -> np.ndarray:
+    """Partition-key column as numpy, REJECTING nulls loudly: every
+    carry/break comparison in this module uses ``==``, and a null key
+    surfaces as None/NaN where NaN != NaN — the running aggregate
+    would silently restart at every row instead of forming SQL's
+    single NULL partition.  Same contract style as
+    ``sorted_groupby_agg``'s null-source check."""
+    col = t[key_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            f"scan partition key {key_col!r} contains NULLs; SQL forms "
+            "one NULL partition but this operator's ==-based carry "
+            "cannot — filter or fill the key first")
+    arr = col.to_numpy(zero_copy_only=False)
+    if arr.dtype.kind == "f" and np.isnan(arr).any():
+        raise ValueError(
+            f"scan partition key {key_col!r} contains NaN; NaN != NaN "
+            "breaks the carry — filter or fill the key first")
+    return arr
+
+
 
 def _resolve_descending(descending, order_by, key_col):
     """Full per-column descending list for ds.sort: partition keys
@@ -109,7 +132,7 @@ def running_agg(ds, *, order_by: list[str] | str, op: str = "sum",
         n = t.num_rows
         if n == 0:
             return None
-        keys = _col_np(t, key_col) if key_col else None
+        keys = _keys_np(t, key_col) if key_col else None
         brk = _key_breaks(keys, n)
         if np.any(brk):
             first_end = int(np.flatnonzero(brk)[0]) + 1
@@ -176,7 +199,7 @@ def running_agg(ds, *, order_by: list[str] | str, op: str = "sum",
         if n == 0:
             out = pa.array([], pa.int64() if as_int else pa.float64())
             return t.append_column(out_col, out)
-        keys = _col_np(t, key_col) if key_col else None
+        keys = _keys_np(t, key_col) if key_col else None
         brk = _key_breaks(keys, n)
         starts = np.flatnonzero(brk) + 1
         seg = np.zeros(n, dtype=np.int64)
@@ -364,7 +387,7 @@ def rolling_agg(ds, *, order_by: list[str] | str, window: int,
             return None
         tfirst, tlast = _edge_check_tuples(t, sort_cols, "rolling_agg")
         lo = max(n - carry_n, 0)
-        tk = _col_np(t, key_col)[lo:] if key_col else None
+        tk = _keys_np(t, key_col)[lo:] if key_col else None
         tv = _col_np(t, value_col, dtype)[lo:] if need_vals else None
         return (tfirst, tlast, tk, tv, n)
 
@@ -410,7 +433,7 @@ def rolling_agg(ds, *, order_by: list[str] | str, window: int,
         if n == 0:
             return t.append_column(out_col, pa.array([], out_type))
         if key_col:
-            keys = _col_np(t, key_col)
+            keys = _keys_np(t, key_col)
             allk = np.concatenate([carry_keys, keys.astype(object)]) \
                 if c else keys
         else:
@@ -493,7 +516,7 @@ def _shift_column(ds, *, value_col: str, order_by: list[str] | str,
         tfirst, tlast = _edge_check_tuples(t, sort_cols, op_name)
         sl = slice(0, min(offset, n)) if lead else \
             slice(max(n - offset, 0), n)
-        ek = _col_np(t, key_col)[sl].astype(object) if key_col else None
+        ek = _keys_np(t, key_col)[sl].astype(object) if key_col else None
         col = t[value_col]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
             else col
@@ -554,7 +577,7 @@ def _shift_column(ds, *, value_col: str, order_by: list[str] | str,
             src = np.arange(c, c + n, dtype=np.int64) - offset
             valid = src >= 0
         if key_col:
-            keys = _col_np(t, key_col).astype(object)
+            keys = _keys_np(t, key_col).astype(object)
             allk = np.concatenate([keys, carry_keys]) if lead \
                 else np.concatenate([carry_keys, keys])
             here = np.arange(n) if lead else np.arange(c, c + n)

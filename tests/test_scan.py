@@ -183,6 +183,21 @@ class TestRunningAgg:
         with pytest.raises(ValueError, match="requires value_col"):
             running_agg(ds, order_by="o", op="min")
 
+    def test_null_partition_key_raises(self, ray_session):
+        """A NULL partition key would silently restart the ==-based
+        carry at every row (NaN != NaN) instead of forming SQL's
+        single NULL partition — the contract is to fail loudly."""
+        import ray
+        import ray.data as rd
+
+        t = pa.table({"k": pa.array([1, None, 2], pa.int64()),
+                      "o": [1, 2, 3], "v": [1, 1, 1]})
+        ds = rd.from_arrow(t)
+        with pytest.raises((ValueError, ray.exceptions.RayTaskError),
+                           match="NULL"):
+            running_agg(ds, order_by="o", value_col="v",
+                        key_col="k").materialize()
+
 
 class TestTokenBudgetShards:
     def test_vs_brute(self, ray_session):
