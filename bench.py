@@ -771,6 +771,25 @@ def bench_dup_passages(out: dict) -> None:
     assert total == n * 28 and 0 < total_dup < total
 
 
+def bench_dedup_rewrite(out: dict) -> None:
+    """Duplicate-passage REMOVAL over the same 200k 30-token corpus as
+    dup_passages_200k: hash sort -> removal starts -> pack -> one
+    doc-keyed sort-merge join -> vectorized rewrite.  keep_first
+    policy; asserts every doc returns, token totals reconcile, and
+    some-but-not-all tokens were removed."""
+    from mini_search_engine_ray.stages.dedup import remove_dup_passages
+
+    n = 200_000
+    ds = _wordy_corpus(n)
+    t0 = time.time()
+    clean = remove_dup_passages(ds, n=3, policy="keep_first").materialize()
+    rows = clean.count()
+    removed = clean.sum("n_removed")
+    total = clean.sum("n_tokens")
+    out["queries"]["dedup_rewrite_200k"] = round(time.time() - t0, 3)
+    assert rows == n and total == n * 30 and 0 < removed < total
+
+
 def bench_prefix_scan(out: dict) -> None:
     """Distributed prefix scan: per-key running sum over 5M rows /
     10k keys (one range sort + O(num_blocks) carry + per-block
@@ -840,7 +859,7 @@ _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "dedup_verify_100k", "ann_cosine", "pagerank", "temporal",
               "connected_components", "join", "join_skew", "curation", "kmeans",
               "scrub", "chunk_decontam", "prefix_scan", "bounded_window",
-              "dup_passages")
+              "dup_passages", "dedup_rewrite")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -926,6 +945,8 @@ def run_all(only: str | None = None) -> dict:
         bench_bounded_window(out)
     if only in (None, "dup_passages"):
         bench_dup_passages(out)
+    if only in (None, "dedup_rewrite"):
+        bench_dedup_rewrite(out)
     out["value"] = round(sum(out["queries"].values()), 3)
     ray.shutdown()
     return out

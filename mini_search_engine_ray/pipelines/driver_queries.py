@@ -1827,6 +1827,68 @@ def q_dup_passages(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow")
 
 
+def _q_dedup_passages_rewrite(sf_dir: str, policy: str):
+    """Duplicate-passage REMOVAL (Lee et al. 2022 action step): rewrite
+    each document's normalized token stream dropping every token
+    covered by a cross-doc duplicated trigram occurrence —
+    ``keep_first`` keeps the globally first (doc_id, position)
+    occurrence, ``drop_all`` removes every occurrence.  Same gram
+    hashing as `dup_passages` (md5-low-64, DuckDB-replayable); one
+    narrow hash sort + one narrow removal sort + one doc-keyed
+    sort-merge join."""
+    import ray.data as rd
+
+    from ..stages.dedup import remove_dup_passages
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    return remove_dup_passages(docs, n=DUP_PASSAGE_N, policy=policy)
+
+
+def q_dedup_passages_rewrite(sf_dir: str):
+    return _q_dedup_passages_rewrite(sf_dir, "keep_first")
+
+
+def q_dedup_passages_drop_all(sf_dir: str):
+    return _q_dedup_passages_rewrite(sf_dir, "drop_all")
+
+
+def _dedup_passages_rewrite_sql(keep_first: bool) -> str:
+    rn_filter = "WHERE rn > 1" if keep_first else ""
+    return f"""
+WITH {_TOK_CTE},
+pos AS (SELECT doc_id, p, toks[p] AS tokval
+        FROM (SELECT doc_id, toks,
+                     unnest(generate_series(1, len(toks))) AS p FROM tok)),
+g AS (SELECT doc_id, p,
+             md5_number_lower(toks[p] || ' ' || toks[p+1] || ' ' ||
+                              toks[p+2]) AS h
+      FROM (SELECT doc_id, toks,
+                   unnest(generate_series(1, len(toks)-2)) AS p
+            FROM tok WHERE len(toks) >= {DUP_PASSAGE_N})),
+dup AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+occ AS (SELECT doc_id, p,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        FROM g WHERE h IN (SELECT h FROM dup)),
+rem AS (SELECT doc_id, p FROM occ {rn_filter}),
+cov AS (SELECT DISTINCT pos.doc_id, pos.p
+        FROM pos JOIN rem ON rem.doc_id = pos.doc_id
+                         AND pos.p BETWEEN rem.p
+                                       AND rem.p + {DUP_PASSAGE_N - 1}),
+kept AS (SELECT pos.doc_id, pos.p, pos.tokval
+         FROM pos LEFT JOIN cov
+           ON cov.doc_id = pos.doc_id AND cov.p = pos.p
+         WHERE cov.p IS NULL),
+agg AS (SELECT doc_id, string_agg(tokval, ' ' ORDER BY p) AS text_clean,
+               count(*)::BIGINT AS kept FROM kept GROUP BY doc_id),
+nt AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens FROM tok)
+SELECT nt.doc_id, coalesce(agg.text_clean, '') AS text_clean,
+       nt.n_tokens,
+       (nt.n_tokens - coalesce(agg.kept, 0))::BIGINT AS n_removed
+FROM nt LEFT JOIN agg USING (doc_id)
+"""
+
+
 def q_doc_repetition(sf_dir: str):
     """Per-doc bigram repetition quality signals (the Gopher-style
     repetitious-text gate): duplicate-gram occurrence fraction and
@@ -2863,6 +2925,8 @@ QUERIES = {
     "decontam_frac": q_decontam_frac,
     "doc_repetition": q_doc_repetition,
     "dup_passages": q_dup_passages,
+    "dedup_passages_rewrite": q_dedup_passages_rewrite,
+    "dedup_passages_drop_all": q_dedup_passages_drop_all,
     "running_user_value": q_running_user_value,
     "rolling_sum_w3": q_rolling_sum_w3,
     "rolling_min_w4": q_rolling_min_w4,
@@ -4116,6 +4180,8 @@ SELECT * FROM (VALUES
 # single-index twins — reuse those oracles verbatim so any divergence
 # between the scatter path and the single index shows up as a driver
 # value mismatch
+ORACLE_SQL["dedup_passages_rewrite"] = _dedup_passages_rewrite_sql(True)
+ORACLE_SQL["dedup_passages_drop_all"] = _dedup_passages_rewrite_sql(False)
 ORACLE_SQL["search_and_distributed"] = ORACLE_SQL["search_and"]
 ORACLE_SQL["search_phrase_distributed"] = ORACLE_SQL["search_phrase"]
 ORACLE_SQL["search_prefix_distributed"] = ORACLE_SQL["search_prefix"]

@@ -774,3 +774,186 @@ def dup_passage_stats(ds, *, n: int = 3, text_col: str = "text",
         return t.append_column("dup_frac", pa.array(frac))
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def remove_dup_passages(ds, *, n: int = 3, policy: str = "keep_first",
+                        text_col: str = "text", id_col: str = "doc_id",
+                        join_partitions: int | None = None):
+    """Duplicate-passage REMOVAL — the action step of the Lee et al.
+    2022 family whose signal ``dup_passage_stats`` measures: rewrite
+    each document's token stream dropping every token covered by a
+    cross-document duplicated n-gram occurrence.
+
+    Policies (both SQL-replayable):
+      ``keep_first``  the globally first occurrence of each duplicated
+                      gram — lexicographic min (doc_id, position) —
+                      keeps its tokens (unless covered by ANOTHER
+                      removed occurrence); all later occurrences are
+                      removed.  SQL: ``row_number() OVER (PARTITION BY
+                      h ORDER BY doc_id, p) > 1``.
+      ``drop_all``    every occurrence of a duplicated gram is removed
+                      everywhere.
+
+    The rewrite is over the NORMALIZED token stream (Java-trim +
+    lower + punctuation split, the same ``_split_tokens`` every text
+    operator shares): ``text_clean`` is the space-join of the kept
+    tokens, '' when nothing survives.  Returns
+    (id_col, text_clean, n_tokens, n_removed) — one row per input doc.
+
+    Scale shape: three exchanges total.  (1) the same narrow
+    (doc_id, position, uint64-gram-hash) sort ``dup_passage_stats``
+    uses — equal hashes land in one block (Ray's sort invariant), a
+    per-block lexsort sweep emits removal starts; (2) removal starts
+    (two int64s/row) sort by doc and pack into one (doc, starts-list)
+    row per doc; (3) one ``sort_merge_join`` co-locates each document
+    with its packed starts — the only corpus-sized exchange, the same
+    class as every other doc-keyed join here.  The rewrite itself is a
+    pure vectorized map: one difference-array coverage pass + one
+    Arrow filter/list-join per batch, no per-row Python."""
+    from ..functions.hashing import md5_low64_batch
+    from ..stages.aggregates import static_schema
+    from ..stages.join import sort_merge_join
+    from ..stages.textstats import _split_tokens, ngram_strings
+
+    if not (isinstance(n, int) and n >= 1):
+        raise ValueError(f"n must be a positive int, got {n!r}")
+    if policy not in ("keep_first", "drop_all"):
+        raise ValueError(f"policy must be keep_first|drop_all, got {policy!r}")
+
+    docs = ds.select_columns([id_col, text_col]) \
+        if set(ds.schema().base_schema.names) - {id_col, text_col} else ds
+    keep_first = policy == "keep_first"
+
+    def _ids_np(t: pa.Table) -> np.ndarray:
+        ids = t[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) else ids
+        return ids.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    _occ_schema = pa.schema([(id_col, pa.int64()), ("p", pa.int64()),
+                             ("h", pa.uint64())])
+    _rem_schema = pa.schema([(id_col, pa.int64()), ("p", pa.int64())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        gp, grams = ngram_strings(parents, values, n)
+        if len(gp) == 0:
+            return _occ_schema.empty_table()
+        # 0-based gram start WITHIN its doc: flat position minus the
+        # doc's first flat token position
+        counts = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
+        doc_off = np.r_[np.int64(0), np.cumsum(counts)]
+        # ngram_strings keeps the gram at flat position q iff tokens
+        # q..q+n-1 share a parent, so q indexes the flat token stream
+        total = len(parents)
+        flat_q = np.flatnonzero(parents[:total - n + 1] ==
+                                parents[n - 1:]) if total >= n \
+            else np.empty(0, np.int64)
+        ids = _ids_np(t)
+        h = md5_low64_batch(grams.to_pylist())
+        return pa.table({id_col: pa.array(ids[gp]),
+                         "p": pa.array(flat_q - doc_off[gp]),
+                         "h": pa.array(h)}, schema=_occ_schema)
+
+    def rem_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _rem_schema.empty_table()
+        h = t["h"].to_numpy(zero_copy_only=False)
+        ids = _ids_np(t)
+        ps = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ps, ids, h))
+        hs, ds_, ps_ = h[order], ids[order], ps[order]
+        run_brk = hs[1:] != hs[:-1]
+        run_id = np.cumsum(np.r_[0, run_brk.astype(np.int64)])
+        doc_chg = np.r_[False, (~run_brk) & (ds_[1:] != ds_[:-1])]
+        chg_per_run = np.bincount(run_id, weights=doc_chg,
+                                  minlength=run_id[-1] + 1)
+        remove = chg_per_run[run_id] > 0
+        if keep_first:
+            remove &= ~np.r_[True, run_brk]       # run's (doc,p)-min stays
+        if not remove.any():
+            return _rem_schema.empty_table()
+        return pa.table({id_col: pa.array(ds_[remove]),
+                         "p": pa.array(ps_[remove])}, schema=_rem_schema)
+
+    def pack(t: pa.Table) -> pa.Table:
+        packed = pa.schema([(id_col, pa.int64()),
+                            ("starts", pa.list_(pa.int64()))])
+        if t.num_rows == 0:
+            return packed.empty_table()
+        ids = _ids_np(t)
+        ps = t["p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ps, ids))
+        ids, ps = ids[order], ps[order]
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        offs = np.r_[starts, len(ids)].astype(np.int64)
+        return pa.table({
+            id_col: pa.array(ids[starts]),
+            "starts": pa.ListArray.from_arrays(
+                pa.array(offs).cast(pa.int32()), pa.array(ps)),
+        }, schema=packed)
+
+    removals = (docs.map_batches(explode, batch_format="pyarrow")
+                .sort("h")
+                .map_batches(rem_sweep, batch_size=None,
+                             batch_format="pyarrow")
+                .sort(id_col)
+                .map_batches(pack, batch_size=None, batch_format="pyarrow"))
+
+    d_schema = static_schema(docs) or docs.schema().base_schema
+    joined = sort_merge_join(
+        docs, removals, id_col, how="left",
+        left_schema=pa.schema([(id_col, d_schema.field(id_col).type),
+                               (text_col, d_schema.field(text_col).type)]),
+        right_schema=pa.schema([(id_col, pa.int64()),
+                                ("starts", pa.list_(pa.int64()))]),
+        partitions=join_partitions)
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("text_clean", pa.string()),
+                            ("n_tokens", pa.int64()),
+                            ("n_removed", pa.int64())])
+
+    def rewrite(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        counts = np.bincount(parents, minlength=t.num_rows).astype(np.int64)
+        doc_off = np.r_[np.int64(0), np.cumsum(counts)]
+        total = int(doc_off[-1])
+        scol = t["starts"]
+        scol = scol.combine_chunks() if isinstance(scol, pa.ChunkedArray) \
+            else scol
+        sparents = pc.list_parent_indices(scol).to_numpy(zero_copy_only=False)
+        svals = pc.list_flatten(scol).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        covered = np.zeros(total, dtype=bool)
+        if len(svals):
+            buf = np.zeros(total + 1, dtype=np.int64)
+            gpos = doc_off[sparents] + svals
+            np.add.at(buf, gpos, 1)
+            np.add.at(buf, np.minimum(gpos + n, total), -1)
+            covered = np.cumsum(buf[:total]) > 0
+        keep = ~covered
+        kept_counts = np.bincount(parents[keep],
+                                  minlength=t.num_rows).astype(np.int64)
+        kept_vals = values.filter(pa.array(keep))
+        offs = np.r_[np.int64(0), np.cumsum(kept_counts)]
+        clean = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs).cast(pa.int32()),
+                                     kept_vals),
+            pa.scalar(" "))
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "text_clean": clean,
+            "n_tokens": pa.array(counts),
+            "n_removed": pa.array(counts - kept_counts),
+        }, schema=out_schema)
+
+    return joined.map_batches(rewrite, batch_size=None,
+                              batch_format="pyarrow")

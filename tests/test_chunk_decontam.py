@@ -267,6 +267,97 @@ class TestDupPassageStats:
             dup_passage_stats(ds, n=0)
 
 
+class TestRemoveDupPassages:
+    def _run(self, docs, n=2, policy="keep_first", parts=5):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import remove_dup_passages
+
+        t = pa.table({"doc_id": np.arange(len(docs), dtype=np.int64),
+                      "text": docs})
+        return remove_dup_passages(rd.from_arrow(t).repartition(parts),
+                                   n=n, policy=policy).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    def _brute(self, docs, n, policy):
+        from collections import defaultdict
+
+        byg: dict[str, list[tuple[int, int]]] = defaultdict(list)
+        toks = [_toks(s) for s in docs]
+        for i, ts in enumerate(toks):
+            for p in range(len(ts) - n + 1):
+                byg[" ".join(ts[p:p + n])].append((i, p))
+        rem: dict[int, set[int]] = defaultdict(set)
+        for occ in byg.values():
+            if len({i for i, _ in occ}) < 2:
+                continue
+            victims = sorted(occ)[1:] if policy == "keep_first" \
+                else occ
+            for i, p in victims:
+                rem[i].update(range(p, p + n))
+        out = []
+        for i, ts in enumerate(toks):
+            kept = [t for j, t in enumerate(ts) if j not in rem[i]]
+            out.append((" ".join(kept), len(ts), len(ts) - len(kept)))
+        return out
+
+    @pytest.mark.parametrize("policy", ["keep_first", "drop_all"])
+    def test_brute_force_parity(self, ray_session, policy):
+        rng = np.random.default_rng(37)
+        vocab = [f"w{i}" for i in range(10)]
+        docs = [" ".join(rng.choice(vocab, rng.integers(0, 20)))
+                for _ in range(100)]
+        shared = "p q r s t u"
+        docs[4] += " " + shared
+        docs[9] = shared + " " + docs[9]
+        docs[13] = "zz " + shared
+        docs.append("")
+        got = self._run(docs, n=2, policy=policy, parts=7)
+        exp = self._brute(docs, 2, policy)
+        assert got["text_clean"].tolist() == [c for c, _, _ in exp]
+        assert got["n_tokens"].tolist() == [t for _, t, _ in exp]
+        assert got["n_removed"].tolist() == [r for _, _, r in exp]
+
+    def test_keep_first_keeps_global_min_occurrence(self, ray_session):
+        # 'a b c' appears in docs 0, 1, 2: keep_first preserves doc 0's
+        # copy, removes the other two; drop_all removes all three
+        docs = ["a b c", "x a b c", "a b c y"]
+        kf = self._run(docs, n=3, policy="keep_first", parts=3)
+        assert kf["text_clean"].tolist() == ["a b c", "x", "y"]
+        assert kf["n_removed"].tolist() == [0, 3, 3]
+        da = self._run(docs, n=3, policy="drop_all", parts=3)
+        assert da["text_clean"].tolist() == ["", "x", "y"]
+        assert da["n_removed"].tolist() == [3, 3, 3]
+
+    def test_within_doc_repeat_untouched(self, ray_session):
+        # 'a b' repeats only INSIDE doc 0 -> cross-doc signal is absent,
+        # nothing removed
+        docs = ["a b a b", "c d"]
+        got = self._run(docs, n=2, parts=2)
+        assert got["text_clean"].tolist() == ["a b a b", "c d"]
+        assert got["n_removed"].tolist() == [0, 0]
+
+    def test_overlapping_coverage_union(self, ray_session):
+        # doc 1 shares 'a b' with doc 0 and 'b c' with doc 2: coverage
+        # of the two removed bigrams overlaps on token 'b' — the union
+        # must remove exactly {a, b, c}, not double-count
+        docs = ["a b", "a b c z", "b c"]
+        got = self._run(docs, n=2, policy="drop_all", parts=3)
+        assert got["text_clean"].tolist() == ["", "z", ""]
+        assert got["n_removed"].tolist() == [2, 3, 2]
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import remove_dup_passages
+
+        ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]}))
+        with pytest.raises(ValueError, match="n must"):
+            remove_dup_passages(ds, n=0)
+        with pytest.raises(ValueError, match="policy must"):
+            remove_dup_passages(ds, policy="bogus")
+
+
 class TestContaminationFraction:
     def test_brute_force_and_drop_consistency(self, ray_session):
         import ray.data as rd
