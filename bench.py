@@ -695,15 +695,25 @@ def bench_scrub(out: dict) -> None:
 
 
 def _wordy_corpus(n_docs: int, tokens_per_doc: int = 30,
-                  vocab: int = 500):
+                  vocab: int = 500, letters: bool = False):
     """n_docs synthetic docs of `tokens_per_doc` words from a small
-    vocab (dense n-gram collisions), built vectorized per batch."""
+    vocab (dense n-gram collisions), built vectorized per batch.
+    ``letters=True`` spells each word with a-z only (base-26 digits)
+    for workloads that split on letter runs (BPE training) — the
+    default "wNNN" words are single-letter runs there."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
 
-    words = pa.array([f"w{i:03d}" for i in range(vocab)])
+    if letters:
+        def spell(i: int) -> str:
+            a, b, c = i // 676, (i // 26) % 26, i % 26
+            return "".join(chr(ord("a") + d) for d in (a, b, c))
+
+        words = pa.array([spell(i) for i in range(vocab)])
+    else:
+        words = pa.array([f"w{i:03d}" for i in range(vocab)])
 
     def gen(b: pa.Table) -> pa.Table:
         ids = b["id"].to_numpy(zero_copy_only=False)
@@ -790,6 +800,25 @@ def bench_dedup_rewrite(out: dict) -> None:
     assert rows == n and total == n * 30 and 0 < removed < total
 
 
+def bench_bpe_train(out: dict) -> None:
+    """BPE-merge training over 200k 30-token docs (6M word
+    occurrences, "wNNN" vocab of 500): one corpus-sized word-count
+    shuffle, then 8 vocabulary-sized rounds of pair-count -> top-1 ->
+    greedy merge.  Sanity: the dense vocab guarantees 8 merges exist
+    and every count is positive and non-increasing is NOT required
+    (BPE counts can rise after a merge), so assert monotone steps and
+    positive counts only."""
+    from mini_search_engine_ray.stages.bpe import bpe_train
+
+    n = 200_000
+    ds = _wordy_corpus(n, letters=True)
+    t0 = time.time()
+    merges = bpe_train(ds, num_merges=8)
+    out["queries"]["bpe_train_8_200k"] = round(time.time() - t0, 3)
+    assert merges["step"].to_pylist() == list(range(1, 9))
+    assert all(c > 0 for c in merges["cnt"].to_pylist())
+
+
 def bench_prefix_scan(out: dict) -> None:
     """Distributed prefix scan: per-key running sum over 5M rows /
     10k keys (one range sort + O(num_blocks) carry + per-block
@@ -859,7 +888,7 @@ _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "dedup_verify_100k", "ann_cosine", "pagerank", "temporal",
               "connected_components", "join", "join_skew", "curation", "kmeans",
               "scrub", "chunk_decontam", "prefix_scan", "bounded_window",
-              "dup_passages", "dedup_rewrite")
+              "dup_passages", "dedup_rewrite", "bpe_train")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -947,6 +976,8 @@ def run_all(only: str | None = None) -> dict:
         bench_dup_passages(out)
     if only in (None, "dedup_rewrite"):
         bench_dedup_rewrite(out)
+    if only in (None, "bpe_train"):
+        bench_bpe_train(out)
     out["value"] = round(sum(out["queries"].values()), 3)
     ray.shutdown()
     return out

@@ -1889,6 +1889,55 @@ FROM nt LEFT JOIN agg USING (doc_id)
 """
 
 
+BPE_MERGES_M = 8
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE-merge TRAINING (Sennrich et al. 2016): learn
+    the first 8 merges from the documents corpus — one corpus-sized
+    word-count shuffle, then 8 vocabulary-sized rounds (pair-count
+    partials -> pair groupby -> top-1 -> vectorized greedy merge).
+    The oracle unrolls the 8 rounds in SQL with a pipe-encoded symbol
+    string whose left-to-right `replace` IS greedy BPE merging."""
+    import ray.data as rd
+
+    from ..stages.bpe import bpe_train
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    return bpe_train(docs, num_merges=BPE_MERGES_M)
+
+
+def _bpe_merges_sql(m: int) -> str:
+    ctes = [f"""words AS (
+  SELECT w AS word, count(*)::BIGINT AS freq
+  FROM (SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                                                        '[^a-z]+'),
+                                  x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w),
+r0 AS (SELECT '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS w,
+              freq
+       FROM words)"""]
+    for i in range(1, m + 1):
+        ctes.append(f"""p{i} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, sum(freq)::BIGINT AS cnt
+  FROM (SELECT syms, freq,
+               unnest(generate_series(1, len(syms)-1)) AS i
+        FROM (SELECT list_filter(string_split(w, '|'),
+                                 x -> x <> '') AS syms, freq
+              FROM r{i-1}))
+  GROUP BY 1, 2),
+m{i} AS (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+r{i} AS (SELECT replace(r{i-1}.w, '|' || m{i}.l || '||' || m{i}.r || '|',
+                        '|' || m{i}.l || m{i}.r || '|') AS w, freq
+         FROM r{i-1}, m{i})""")
+    selects = "\nUNION ALL ".join(
+        f"SELECT {i}::BIGINT AS step, l AS \"left\", r AS \"right\", "
+        f"l || r AS merged, cnt FROM m{i}" for i in range(1, m + 1))
+    return "WITH " + ",\n".join(ctes) + "\n" + selects
+
+
 def q_doc_repetition(sf_dir: str):
     """Per-doc bigram repetition quality signals (the Gopher-style
     repetitious-text gate): duplicate-gram occurrence fraction and
@@ -2927,6 +2976,7 @@ QUERIES = {
     "dup_passages": q_dup_passages,
     "dedup_passages_rewrite": q_dedup_passages_rewrite,
     "dedup_passages_drop_all": q_dedup_passages_drop_all,
+    "bpe_merges": q_bpe_merges,
     "running_user_value": q_running_user_value,
     "rolling_sum_w3": q_rolling_sum_w3,
     "rolling_min_w4": q_rolling_min_w4,
@@ -4180,6 +4230,7 @@ SELECT * FROM (VALUES
 # single-index twins — reuse those oracles verbatim so any divergence
 # between the scatter path and the single index shows up as a driver
 # value mismatch
+ORACLE_SQL["bpe_merges"] = _bpe_merges_sql(BPE_MERGES_M)
 ORACLE_SQL["dedup_passages_rewrite"] = _dedup_passages_rewrite_sql(True)
 ORACLE_SQL["dedup_passages_drop_all"] = _dedup_passages_rewrite_sql(False)
 ORACLE_SQL["search_and_distributed"] = ORACLE_SQL["search_and"]
