@@ -2654,6 +2654,146 @@ def q_kmeans_step(sf_dir: str):
     return upd.map_batches(explode, batch_format="pyarrow")
 
 
+def q_semdedup_survivors(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023) composed from three tested
+    operators: k-means assignment (broadcast centroids, one matmul per
+    batch) -> hyperplane-LSH embedding near-dup pairs FILTERED to
+    same-cluster (two pair-sized sort-merge joins against the
+    (vec_id, cluster) map) -> transitive connected components -> keep
+    one representative per duplicate component (the min vec_id, i.e.
+    the node whose label equals itself) plus every un-paired vector.
+    Returns the survivors as (vec_id, cluster)."""
+    from functools import partial
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.dedup import connected_components
+    from ..stages.join import sort_merge_join
+    from ..stages.similarity import embedding_dup_pairs, kmeans_assign_batch
+
+    emb, cents = _kmeans_cent_ref(sf_dir)
+    ref = ray.put(cents)
+    aschema = pa.schema([("vec_id", pa.int64()), ("cluster", pa.int64())])
+
+    def assign(t: pa.Table) -> pa.Table:
+        out = kmeans_assign_batch(t, ref, round_dist=True)
+        return out.select(["vec_id", "cluster"])
+
+    amap = emb.map_batches(assign, batch_format="pyarrow")
+
+    pschema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def fix_pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pschema.empty_table()
+        return pa.table({"a": pc.cast(t["a"], pa.int64()),
+                         "b": pc.cast(t["b"], pa.int64())}, schema=pschema)
+
+    pairs = embedding_dup_pairs(
+        rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        threshold=EMB_DUP_THRESHOLD, num_hyperplanes=EMB_DUP_HYPERPLANES,
+    ).map_batches(fix_pairs, batch_size=None, batch_format="pyarrow")
+
+    j1 = sort_merge_join(pairs, amap, "a", right_on="vec_id",
+                         left_schema=pschema, right_schema=aschema)
+    j2 = sort_merge_join(
+        j1, amap, "b", right_on="vec_id",
+        left_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                               ("cluster", pa.int64())]),
+        right_schema=aschema)
+
+    def same_cluster(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pschema.empty_table()
+        keep = pc.equal(t["cluster"], t["cluster_r"])
+        return t.filter(keep).select(["a", "b"])
+
+    same = j2.map_batches(same_cluster, batch_size=None,
+                          batch_format="pyarrow")
+    labels = connected_components(same)
+
+    def dropped(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        keep = pc.invert(pc.equal(t["node"], t["component"]))
+        return pa.table({"node": pc.cast(t.filter(keep)["node"],
+                                         pa.int64())})
+
+    drops = labels.map_batches(dropped, batch_size=None,
+                               batch_format="pyarrow")
+    return sort_merge_join(amap, drops, "vec_id", right_on="node",
+                           how="anti", left_schema=aschema,
+                           right_schema=pa.schema([("node", pa.int64())]))
+
+
+def _semdedup_survivors_sql(threshold: float, num_hyperplanes: int,
+                            iters: int = 8) -> str:
+    """kmeans_assign CTEs + embedding_dup_pairs CTEs + same-cluster
+    filter + the same unrolled min-label/pointer-jump chain
+    `_cluster_cte_chain` uses, then NOT IN the non-representatives."""
+    pair_sql = _embedding_dup_pairs_sql(threshold, num_hyperplanes)
+    # reuse the pair oracle's WITH-body (strip 'WITH ' and the final
+    # SELECT) so both oracles share one definition of the LSH pairs
+    body = pair_sql.strip()
+    assert body.startswith("WITH ")
+    with_body = body[len("WITH "):body.rindex("SELECT a, b,")].rstrip() \
+        .rstrip(",")
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+l{k + 1} AS MATERIALIZED (
+  SELECT n.node,
+         least(n.comp,
+               coalesce(min(nb.comp), n.comp),
+               coalesce(min(pj.comp), n.comp)) AS comp
+  FROM l{k} n
+  LEFT JOIN e ON e.src = n.node
+  LEFT JOIN l{k} nb ON nb.node = e.dst
+  LEFT JOIN l{k} pj ON pj.node = n.comp
+  GROUP BY n.node, n.comp
+)""")
+    return f"""
+WITH kc AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding AS cemb
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+),
+kd AS (
+  SELECT e.vec_id, kc.cid,
+         {_R4.format(expr="list_distance(e.embedding::DOUBLE[], kc.cemb::DOUBLE[])")} AS dist
+  FROM embeddings e CROSS JOIN kc
+),
+kr AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM kd
+),
+asg AS MATERIALIZED (SELECT vec_id, cid::BIGINT AS cluster
+                     FROM kr WHERE rn = 1),
+{with_body},
+keep AS MATERIALIZED (
+  SELECT s.a, s.b FROM s
+  JOIN asg ca ON ca.vec_id = s.a
+  JOIN asg cb ON cb.vec_id = s.b
+  WHERE s.sim >= {threshold} AND ca.cluster = cb.cluster
+),
+e AS MATERIALIZED (SELECT a AS src, b AS dst FROM keep
+                   UNION ALL SELECT b AS src, a AS dst FROM keep),
+l0 AS MATERIALIZED (SELECT src AS node, least(src, min(dst)) AS comp
+                    FROM e GROUP BY src),
+{",".join(steps)}
+SELECT asg.vec_id, asg.cluster FROM asg
+WHERE asg.vec_id NOT IN (SELECT node FROM l{iters} WHERE node <> comp)
+"""
+
+
 RANGE_WINDOW_S = 300
 
 
@@ -2977,6 +3117,7 @@ QUERIES = {
     "dedup_passages_rewrite": q_dedup_passages_rewrite,
     "dedup_passages_drop_all": q_dedup_passages_drop_all,
     "bpe_merges": q_bpe_merges,
+    "semdedup_survivors": q_semdedup_survivors,
     "running_user_value": q_running_user_value,
     "rolling_sum_w3": q_rolling_sum_w3,
     "rolling_min_w4": q_rolling_min_w4,
@@ -4231,6 +4372,8 @@ SELECT * FROM (VALUES
 # between the scatter path and the single index shows up as a driver
 # value mismatch
 ORACLE_SQL["bpe_merges"] = _bpe_merges_sql(BPE_MERGES_M)
+ORACLE_SQL["semdedup_survivors"] = _semdedup_survivors_sql(
+    EMB_DUP_THRESHOLD, EMB_DUP_HYPERPLANES)
 ORACLE_SQL["dedup_passages_rewrite"] = _dedup_passages_rewrite_sql(True)
 ORACLE_SQL["dedup_passages_drop_all"] = _dedup_passages_rewrite_sql(False)
 ORACLE_SQL["search_and_distributed"] = ORACLE_SQL["search_and"]

@@ -103,6 +103,7 @@ class IcsSearchEngine:
     def compute_page_rank(
         self, edges, num_nodes: int, *, iterations: int = ITERATIONS,
         collect_threshold: int = COLLECT_EDGE_THRESHOLD,
+        num_edges: int | None = None,
     ) -> np.ndarray:
         """edges: Dataset (src,dst) or (src,dst) numpy arrays.
 
@@ -110,11 +111,20 @@ class IcsSearchEngine:
         ``collect_threshold`` rows runs `pagerank_dataset` — edges stay
         distributed, the driver receives only the dense num_nodes score
         vector — instead of being collected for the numpy loop.  The
-        paths agree to float reduction-order noise (tested)."""
+        paths agree to float reduction-order noise (tested).
+
+        ``num_edges``: callers that already know the edge count (file
+        metadata, a prior manifest) pass it to pick the path WITHOUT
+        materializing the edges first — above the threshold the edges
+        then stream straight into the distributed iteration, never
+        pinned whole in the object store by this method."""
         if hasattr(edges, "count"):  # a Dataset
-            # materialize once: count() + (either path) re-consume it
-            edges = edges.materialize()
-            if edges.count() > collect_threshold:
+            if num_edges is None:
+                # materialize once: count() (then metadata-free) +
+                # (either path) re-consume it without recomputation
+                edges = edges.materialize()
+                num_edges = edges.count()
+            if num_edges > collect_threshold:
                 tbl = pagerank_dataset(edges, num_nodes, iterations=iterations)
                 # node column is arange(num_nodes): score col IS the vector
                 self.pagerank_scores = tbl["score"].to_numpy(zero_copy_only=False)

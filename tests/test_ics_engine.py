@@ -149,11 +149,22 @@ def test_pagerank_size_dispatch_no_driver_collect(engine, monkeypatch, tmp_path)
     # distributed sums reduce in a different order -> 1-ulp-class noise
     np.testing.assert_allclose(got, expected, rtol=1e-12, atol=1e-12)
 
+    # a caller-supplied num_edges picks the distributed path WITHOUT
+    # counting (still no driver collect — boom stays patched)
+    got_hint = eng.compute_page_rank(edges, 60, iterations=15,
+                                     collect_threshold=100, num_edges=400)
+    np.testing.assert_allclose(got_hint, expected, rtol=1e-12, atol=1e-12)
+
     # below the threshold the collect path runs (restore it first)
     monkeypatch.undo()
     got_small = eng.compute_page_rank(edges, 60, iterations=15,
                                       collect_threshold=10**6)
     np.testing.assert_array_equal(got_small, expected)
+    # ...and a num_edges hint below threshold also collects
+    got_small2 = eng.compute_page_rank(edges, 60, iterations=15,
+                                       collect_threshold=10**6,
+                                       num_edges=400)
+    np.testing.assert_array_equal(got_small2, expected)
     # leave the fixture's own pagerank state in place for other tests
     eng.compute_page_rank(
         rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
