@@ -603,7 +603,8 @@ def bench_join_skew(out: dict) -> None:
 
     from mini_search_engine_ray.stages.join import skew_join, sort_merge_join
 
-    nl, nr, hot = 4_000_000, 200_000, 0
+    scale = int(os.environ.get("BENCH_JOIN_SKEW_SCALE", "1"))
+    nl, nr, hot = 4_000_000 * scale, 200_000 * scale, 0
 
     def gen_left(b: pa.Table) -> pa.Table:
         ids = b["id"].to_numpy(zero_copy_only=False)
@@ -623,16 +624,23 @@ def bench_join_skew(out: dict) -> None:
 
     left = rd.range(nl).map_batches(gen_left, batch_format="pyarrow").materialize()
     right = rd.range(nr).map_batches(gen_right, batch_format="pyarrow").materialize()
-    t0 = time.time()
-    n_plain = sort_merge_join(left, right, "k", partitions=32).count()
-    t_plain = time.time() - t0
+    if scale == 1:
+        # the single-straggler anti-pattern demonstration (and the row
+        # identity check against the salted plan) only runs at 1x: at
+        # 10x the hot key's cross product inside ONE sorted block is
+        # the very failure mode skew_join exists to avoid
+        t0 = time.time()
+        n_plain = sort_merge_join(left, right, "k", partitions=32).count()
+        out["queries"]["join_skew_plain_4m"] = round(time.time() - t0, 3)
     t0 = time.time()
     n_salted = skew_join(left, right, "k", hot_keys=[hot], salt=16,
                          partitions=32).count()
     t_salted = time.time() - t0
-    assert n_plain == n_salted, (n_plain, n_salted)
-    out["queries"]["join_skew_plain_4m"] = round(t_plain, 3)
-    out["queries"]["join_skew_salted_4m"] = round(t_salted, 3)
+    if scale == 1:
+        assert n_plain == n_salted, (n_plain, n_salted)
+        out["queries"]["join_skew_salted_4m"] = round(t_salted, 3)
+    else:
+        out["queries"][f"join_skew_salted_{4 * scale}m"] = round(t_salted, 3)
     out["join_skew_rows"] = int(n_salted)
 
 

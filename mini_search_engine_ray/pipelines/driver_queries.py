@@ -1908,6 +1908,71 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train(docs, num_merges=BPE_MERGES_M)
 
 
+def q_bpe_piece_counts(sf_dir: str):
+    """Train the 8 BPE merges, then SEGMENT every document with them:
+    per doc, the exact piece count under the learned merge table
+    (replay in training order, greedy left-to-right per word).  The
+    merge table is 8 driver-side rows broadcast into the map; the
+    segmentation itself is a pure per-batch map over documents."""
+    import ray.data as rd
+
+    from ..stages.bpe import bpe_segment_batch, bpe_train
+
+    corpus = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                             columns=["text"])
+    merges_t = bpe_train(corpus, num_merges=BPE_MERGES_M)
+    merges = list(zip(merges_t["left"].to_pylist(),
+                      merges_t["right"].to_pylist()))
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def seg(t: pa.Table) -> pa.Table:
+        return bpe_segment_batch(t, merges)
+
+    return docs.map_batches(seg, batch_format="pyarrow")
+
+
+def _bpe_piece_counts_sql(m: int) -> str:
+    """The bpe_merges CTE chain, then the merges applied (in training
+    order, with an empty-merge guard) to each DISTINCT word's
+    pipe-encoded symbol string; per-doc piece counts by joining the
+    word piece table back to the doc->word explode."""
+    merge_sql = _bpe_merges_sql(m)
+    body = merge_sql.strip()
+    assert body.startswith("WITH ")
+    with_body = body[len("WITH "):body.index("SELECT 1::BIGINT")].rstrip() \
+        .rstrip(",")
+    seg_steps = []
+    for i in range(1, m + 1):
+        seg_steps.append(f"""s{i} AS (
+  SELECT word,
+         CASE WHEN m{i}.l IS NULL THEN pw
+              ELSE replace(pw, '|' || m{i}.l || '||' || m{i}.r || '|',
+                           '|' || m{i}.l || m{i}.r || '|') END AS pw
+  FROM s{i-1} LEFT JOIN m{i} ON TRUE)""")
+    return f"""
+WITH {with_body},
+dw AS (SELECT doc_id, w
+       FROM (SELECT doc_id,
+                    unnest(list_filter(regexp_split_to_array(lower(text),
+                                                             '[^a-z]+'),
+                                       x -> x <> '')) AS w
+             FROM documents)),
+u0 AS (SELECT DISTINCT w AS word FROM dw),
+s0 AS (SELECT word, '||' || regexp_replace(word, '(.)', '\\1||', 'g') AS pw
+       FROM u0),
+{",".join(seg_steps)},
+pieces AS (SELECT word,
+                  len(list_filter(string_split(pw, '|'),
+                                  x -> x <> ''))::BIGINT AS np
+           FROM s{m}),
+cnt AS (SELECT dw.doc_id, sum(p.np)::BIGINT AS n FROM dw
+        JOIN pieces p ON p.word = dw.w GROUP BY dw.doc_id)
+SELECT d.doc_id, coalesce(cnt.n, 0)::BIGINT AS n_bpe_pieces
+FROM documents d LEFT JOIN cnt USING (doc_id)
+"""
+
+
 def _bpe_merges_sql(m: int) -> str:
     ctes = [f"""words AS (
   SELECT w AS word, count(*)::BIGINT AS freq
@@ -3118,6 +3183,7 @@ QUERIES = {
     "dedup_passages_drop_all": q_dedup_passages_drop_all,
     "bpe_merges": q_bpe_merges,
     "semdedup_survivors": q_semdedup_survivors,
+    "bpe_piece_counts": q_bpe_piece_counts,
     "running_user_value": q_running_user_value,
     "rolling_sum_w3": q_rolling_sum_w3,
     "rolling_min_w4": q_rolling_min_w4,
@@ -4374,6 +4440,7 @@ SELECT * FROM (VALUES
 ORACLE_SQL["bpe_merges"] = _bpe_merges_sql(BPE_MERGES_M)
 ORACLE_SQL["semdedup_survivors"] = _semdedup_survivors_sql(
     EMB_DUP_THRESHOLD, EMB_DUP_HYPERPLANES)
+ORACLE_SQL["bpe_piece_counts"] = _bpe_piece_counts_sql(BPE_MERGES_M)
 ORACLE_SQL["dedup_passages_rewrite"] = _dedup_passages_rewrite_sql(True)
 ORACLE_SQL["dedup_passages_drop_all"] = _dedup_passages_rewrite_sql(False)
 ORACLE_SQL["search_and_distributed"] = ORACLE_SQL["search_and"]
