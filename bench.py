@@ -604,6 +604,7 @@ def bench_join_skew(out: dict) -> None:
     from mini_search_engine_ray.stages.join import skew_join, sort_merge_join
 
     scale = int(os.environ.get("BENCH_JOIN_SKEW_SCALE", "1"))
+    salt = int(os.environ.get("BENCH_JOIN_SKEW_SALT", "16"))
     nl, nr, hot = 4_000_000 * scale, 200_000 * scale, 0
 
     def gen_left(b: pa.Table) -> pa.Table:
@@ -633,7 +634,7 @@ def bench_join_skew(out: dict) -> None:
         n_plain = sort_merge_join(left, right, "k", partitions=32).count()
         out["queries"]["join_skew_plain_4m"] = round(time.time() - t0, 3)
     t0 = time.time()
-    n_salted = skew_join(left, right, "k", hot_keys=[hot], salt=16,
+    n_salted = skew_join(left, right, "k", hot_keys=[hot], salt=salt,
                          partitions=32).count()
     t_salted = time.time() - t0
     if scale == 1:
