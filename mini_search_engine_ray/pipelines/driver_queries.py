@@ -4465,3 +4465,224 @@ SELECT event_id,
 FROM events
 WHERE value >= (SELECT quantile_disc(value, {EVENTS_VALUE_Q}) FROM events)
 """
+
+
+# ---------------------------------------------------------------------
+# round-5 widening (additions only — every pre-existing entry above is
+# byte-unchanged): versioned dedup, per-group normalization, search
+# analytics
+# ---------------------------------------------------------------------
+
+
+def q_latest_order_per_customer(sf_dir: str):
+    """Keep-newest-version-per-key dedup — the crawl "latest snapshot
+    per URL" rule, here: each customer's single most recent order
+    (ties by smallest o_orderkey).  ``topk_per_group`` k=1 descending:
+    the per-batch prefilter bounds the shuffle at one row per
+    (batch, customer), so the exchange is output-shaped regardless of
+    how many versions a key has."""
+    import ray.data as rd
+
+    from ..stages.aggregates import topk_per_group
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        od = t["o_orderdate"]
+        od = od.combine_chunks() if isinstance(od, pa.ChunkedArray) else od
+        return pa.table({
+            "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+            "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            "o_date_us": od.cast(pa.int64()),
+            "o_totalprice": pc.cast(t["o_totalprice"], pa.float64()),
+        })
+
+    top = topk_per_group(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        ["o_custkey"], "o_date_us", 1, descending=True,
+        tiebreak="o_orderkey",
+        in_schema=pa.schema([("o_custkey", pa.int64()),
+                             ("o_orderkey", pa.int64()),
+                             ("o_date_us", pa.int64()),
+                             ("o_totalprice", pa.float64())]))
+
+    def fix(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "o_orderkey": t["o_orderkey"],
+            "o_date_us": t["o_date_us"],
+            "o_totalprice": pa.array(_r4(t["o_totalprice"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return top.map_batches(fix, batch_format="pyarrow")
+
+
+def q_user_value_znorm(sf_dir: str):
+    """Per-group z-score normalization (feature standardization by
+    composition): one sorted_groupby_agg pass sums exact INTEGER
+    moments per user (cents, cents², count — no float-association
+    hazard), the user-cardinality-bounded stats table broadcasts once
+    via ray.put, and the events stream through a per-batch Arrow hash
+    join + one vectorized (v - mean)/sd map.  Zero-variance users are
+    excluded (SQL division by zero) on both sides BEFORE the sqrt so
+    neither engine evaluates sqrt of a negative residue."""
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import broadcast_join
+
+    ev = _events_cents(sf_dir)
+
+    def prep(t: pa.Table) -> pa.Table:
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"user_id": t["user_id"],
+                         "c": pa.array(c), "c2": pa.array(c * c)})
+
+    agg = sorted_groupby_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [("c", "sum", "s"), ("c2", "sum", "ss"), ("c", "count", "n")])
+
+    # group-cardinality-bounded stats — the SMALL side of the
+    # broadcast join (same shape as every broadcast lookup here)
+    rows = agg.take_all()
+    s = np.array([r["s"] for r in rows], dtype=np.float64)
+    ss = np.array([r["ss"] for r in rows], dtype=np.float64)
+    n = np.array([r["n"] for r in rows], dtype=np.float64)
+    mean = s / n
+    var = ss / n - mean * mean
+    keep = var > 0
+    stats = pa.table({
+        "user_id": pa.array(np.array([r["user_id"] for r in rows],
+                                     dtype=np.int64)[keep]),
+        "_mean": pa.array(mean[keep]),
+        "_sd": pa.array(np.sqrt(var[keep])),
+    })
+
+    joined = broadcast_join(ev, stats, "user_id")
+
+    def z(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = t["_mean"].to_numpy(zero_copy_only=False)
+        sd = t["_sd"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "z": pa.array(_r4((c - m) / sd)),
+        })
+
+    return joined.map_batches(z, batch_format="pyarrow")
+
+
+def q_search_facets(sf_dir: str):
+    """Facet counts over a search (the results-page "by source"
+    sidebar): source distribution of ALL docs matching KW.  The hit-id
+    set (result-set-sized) broadcasts once; the documents table
+    STREAMS through a per-batch Arrow hash semi-join, then one
+    source-cardinality-bounded grouped count — no data-sized
+    shuffle."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import broadcast_join
+
+    hits = _ids_table(_searcher(sf_dir).search_keyword(KW))
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source"])
+    j = broadcast_join(docs, hits, "doc_id")
+    agg = sorted_groupby_agg(
+        j, ["source"], [("doc_id", "count", "n_hits")],
+        in_schema=pa.schema([("doc_id", pa.int64()),
+                             ("source", pa.string())]))
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"source": t["source"],
+                         "n_hits": pc.cast(t["n_hits"], pa.int64())})
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+def q_search_rrf(sf_dir: str):
+    """Reciprocal-rank fusion of the BM25 and TF-IDF rankings for the
+    same query — the standard no-tuning ensemble for hybrid retrieval:
+    score(d) = 1/(60 + rank_bm25(d)) + 1/(60 + rank_tfidf(d)), missing
+    list membership contributes 0.  Ranks are over the ROUNDED scores
+    (ties by doc_id) exactly as both scorers' oracles order their
+    output, so the two engines rank identically even when raw floats
+    differ in the last ulp.  Fusion runs on the two result-set-sized
+    ranked lists — output-shaped work, never corpus-shaped."""
+    s = _searcher(sf_dir)
+    ids_b, sc_b = s.search_bm25(BM25_TERMS, None, prune=False)
+    ids_t, sc_t = s.search_tfidf(BM25_TERMS, None)
+
+    def rank_map(ids, sc) -> dict[int, int]:
+        ids = np.asarray(ids, dtype=np.int64)
+        r4 = _r4(np.asarray(sc, dtype=np.float64))
+        order = np.lexsort((ids, -r4))
+        return {int(ids[j]): i + 1 for i, j in enumerate(order)}
+
+    rb, rt = rank_map(ids_b, sc_b), rank_map(ids_t, sc_t)
+    fused = sorted(set(rb) | set(rt))
+    rrf = np.array([
+        (1.0 / (RRF_K + rb[d]) if d in rb else 0.0)
+        + (1.0 / (RRF_K + rt[d]) if d in rt else 0.0)
+        for d in fused], dtype=np.float64)
+    return pa.table({"doc_id": pa.array(np.asarray(fused, dtype=np.int64)),
+                     "rrf": pa.array(_r4(rrf))})
+
+
+QUERIES["latest_order_per_customer"] = q_latest_order_per_customer
+QUERIES["user_value_znorm"] = q_user_value_znorm
+QUERIES["search_facets"] = q_search_facets
+QUERIES["search_rrf"] = q_search_rrf
+
+ORACLE_SQL["latest_order_per_customer"] = f"""
+SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+       {_R4.format(expr="o_totalprice")} AS o_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate DESC, o_orderkey) AS rn
+      FROM orders)
+WHERE rn = 1
+"""
+
+ORACLE_SQL["user_value_znorm"] = f"""
+WITH ev AS (SELECT event_id, user_id, floor(value*100)::BIGINT AS cents
+            FROM events),
+st AS (SELECT user_id, sum(cents)::DOUBLE AS s,
+              sum(cents*cents)::DOUBLE AS ss, count(*)::DOUBLE AS n
+       FROM ev GROUP BY user_id),
+sd AS (SELECT user_id, s/n AS mean, ss/n - (s/n)*(s/n) AS var FROM st)
+SELECT e.event_id, e.user_id,
+       {_R4.format(expr="(e.cents - sd.mean) / sqrt(sd.var)")} AS z
+FROM ev e JOIN sd USING (user_id) WHERE sd.var > 0
+"""
+
+ORACLE_SQL["search_facets"] = f"""
+WITH {_BASE_CTE}
+SELECT d.source, count(*)::BIGINT AS n_hits
+FROM base b JOIN documents d USING (doc_id)
+WHERE list_contains(b.terms, '{KW}')
+GROUP BY d.source
+"""
+
+ORACLE_SQL["search_rrf"] = f"""
+WITH br AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+                   AS r
+            FROM ({_bm25_sql(BM25_TERMS, None)})),
+tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM ({_tfidf_sql(BM25_TERMS, None)}))
+SELECT doc_id,
+       {_R4.format(expr=f"(coalesce(1.0/({RRF_K} + br.r), 0.0)"
+                        f" + coalesce(1.0/({RRF_K} + tr.r), 0.0))")} AS rrf
+FROM br FULL JOIN tr USING (doc_id)
+"""
