@@ -4686,3 +4686,138 @@ SELECT doc_id,
                         f" + coalesce(1.0/({RRF_K} + tr.r), 0.0))")} AS rrf
 FROM br FULL JOIN tr USING (doc_id)
 """
+
+
+def q_lineitem_rollup(sf_dir: str):
+    """SQL GROUP BY ROLLUP by composition (TPC-H Q1 flavor): lineitem
+    counts + integer quantity sums at (returnflag, linestatus), per
+    returnflag, and grand total, with SQL's GROUPING bitmask in lvl.
+    The data is touched once (one sorted grouped reduction); every
+    coarser level re-aggregates the previous level's group-bounded
+    output."""
+    import ray.data as rd
+
+    from ..stages.aggregates import rollup_agg
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"],
+                         "qty": pa.array(q.astype(np.int64))})
+
+    return rollup_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("qty", "count", "n_items"), ("qty", "sum", "sum_qty")],
+        in_schema=pa.schema([("l_returnflag", pa.string()),
+                             ("l_linestatus", pa.string()),
+                             ("qty", pa.int64())]))
+
+
+WINSOR_Q_LO, WINSOR_Q_HI = 0.05, 0.95
+
+
+def q_events_winsorized(sf_dir: str):
+    """Winsorization: events.value clamped to its [p5, p95] global
+    discrete quantiles — quantile points located from sorted block
+    METADATA (one block fetch per rank), then a pure broadcast clamp
+    map.  Outputs are originals or exact quantile values, so the
+    comparison is float-exact before the shared rounding."""
+    import ray.data as rd
+
+    from ..stages.aggregates import clip_by_quantiles
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+    out = clip_by_quantiles(ev, "value", WINSOR_Q_LO, WINSOR_Q_HI,
+                            out_col="value_w")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "value_w": pa.array(_r4(t["value_w"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+BIGRAM_TOP_V = 400
+
+
+def q_bigram_quality(sf_dir: str):
+    """Conditional bigram-LM quality score (the KenLM-flavored step up
+    from unigram_quality): mean ln p(w2|w1) per document under the
+    corpus's own counts with a top-V bigram head and an OOV floor.
+    Two vocabulary-sized count shuffles, a V-bounded broadcast, one
+    vectorized scoring map."""
+    import ray.data as rd
+
+    from ..stages.textstats import bigram_logprob
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = bigram_logprob(docs, top_v=BIGRAM_TOP_V, oov_count=0.5)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_bigrams": pc.cast(t["n_bigrams"], pa.int64()),
+            "logprob": pa.array(_r4(t["logprob"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["lineitem_rollup"] = q_lineitem_rollup
+QUERIES["events_winsorized"] = q_events_winsorized
+QUERIES["bigram_quality"] = q_bigram_quality
+
+ORACLE_SQL["lineitem_rollup"] = """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_items,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS lvl
+FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+ORACLE_SQL["events_winsorized"] = f"""
+WITH b AS (SELECT quantile_disc(value, {WINSOR_Q_LO}) AS lo,
+                  quantile_disc(value, {WINSOR_Q_HI}) AS hi FROM events)
+SELECT event_id,
+       {_R4.format(expr="least(greatest(value, lo), hi)")} AS value_w
+FROM events CROSS JOIN b
+"""
+
+ORACLE_SQL["bigram_quality"] = f"""
+WITH {_TOK_CTE},
+bg AS (SELECT doc_id, toks[p] || ' ' || toks[p+1] AS g
+       FROM (SELECT doc_id, toks,
+                    unnest(generate_series(1, len(toks)-1)) AS p
+             FROM tok WHERE len(toks) >= 2)),
+cb AS (SELECT g, count(*)::BIGINT AS c FROM bg GROUP BY g),
+nb AS (SELECT sum(c)::DOUBLE AS n FROM cb),
+c1 AS (SELECT t, count(*)::BIGINT AS c
+       FROM (SELECT unnest(toks) AS t FROM tok) GROUP BY t),
+top AS (SELECT g, cb.c::DOUBLE AS cb, c1.c::DOUBLE AS c1
+        FROM (SELECT g, c FROM cb
+              ORDER BY c DESC, g LIMIT {BIGRAM_TOP_V}) cb
+        JOIN c1 ON split_part(cb.g, ' ', 1) = c1.t),
+sc AS (
+  SELECT bg.doc_id, count(*)::BIGINT AS n_bigrams,
+         avg(CASE WHEN top.g IS NOT NULL THEN ln(top.cb / top.c1)
+                  ELSE ln(0.5 / nb.n) END) AS lp
+  FROM bg LEFT JOIN top ON bg.g = top.g CROSS JOIN nb
+  GROUP BY bg.doc_id)
+SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
+       {_R4.format(expr="coalesce(sc.lp, 0.0)")} AS logprob
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""

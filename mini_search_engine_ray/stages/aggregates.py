@@ -676,3 +676,177 @@ def histogram_quantiles_per_group(ds, key_col: str, value_col: str,
 
     return regs.sort(key_col).map_batches(sweep, batch_size=None,
                                           batch_format="pyarrow")
+
+
+def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]], *,
+               in_schema: pa.Schema | None = None, lvl_col: str = "lvl"):
+    """SQL ``GROUP BY ROLLUP(keys...)`` by composition: ONE data-sized
+    :func:`sorted_groupby_agg` computes the finest level, then each
+    coarser level is re-aggregated from the PREVIOUS level's output —
+    the data itself is touched exactly once, and every exchange above
+    the finest level is group-cardinality-bounded (the levels are
+    materialized, which is safe for the same reason the re-aggregation
+    is: a rollup whose finest level doesn't fit in memory isn't a
+    rollup, it's the raw data).
+
+    Supported ops: sum/min/max/count — the ops that COMPOSE under
+    re-aggregation ('count' re-aggregates as a sum of partial counts).
+    Emits SQL's ``GROUPING(keys...)`` bitmask in ``lvl_col`` (0 =
+    finest; rolling up the i-th-from-the-right key sets its bit, so
+    the rollup chain is 0, 1, 3, 7, ...); rolled-up key columns are
+    NULL, exactly ``GROUP BY ROLLUP`` semantics.
+
+    Natural NULL key values keep their own lvl-0 groups (SQL GROUP BY
+    semantics; the bitmask is what disambiguates them from rollup
+    nulls).  Ray's range sort cannot order null keys, so each key is
+    shuffled as a (null-indicator, null-filled value) PAIR — grouping
+    only needs equal tuples contiguous, and the indicator keeps a
+    filled null distinct from a genuine fill-value row; the indicator
+    columns never appear in the output."""
+    if not keys:
+        raise ValueError("rollup_agg requires at least one key")
+    if lvl_col in keys or any(lvl_col == a for _, _, a in aggs):
+        raise ValueError(f"lvl_col {lvl_col!r} collides with an output "
+                         "column")
+    _REOP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for _, op, _ in aggs:
+        if op not in _REOP:
+            raise ValueError(f"unsupported rollup op: {op!r} (need one "
+                             "that composes under re-aggregation: "
+                             f"{sorted(_REOP)})")
+
+    import pyarrow.compute as pc
+
+    def _fill_scalar(tp: pa.DataType):
+        if pa.types.is_string(tp) or pa.types.is_large_string(tp):
+            return pa.scalar("", tp)
+        if pa.types.is_binary(tp) or pa.types.is_large_binary(tp):
+            return pa.scalar(b"", tp)
+        return pa.scalar(0, tp)
+
+    nn = {k: f"_nn_{k}" for k in keys}
+    src_cols = [c for c in dict.fromkeys(c for c, _, _ in aggs)
+                if c not in keys]
+
+    def tag(t: pa.Table) -> pa.Table:
+        cols: dict = {}
+        for k in keys:
+            col = t[k]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            cols[nn[k]] = pc.cast(col.is_valid(), pa.int64())
+            cols[k] = pc.fill_null(col, _fill_scalar(col.type))
+        for c in src_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    tag_schema = None
+    base_schema = in_schema if in_schema is not None else static_schema(ds)
+    if base_schema is not None and all(c in base_schema.names
+                                       for c in list(keys) + src_cols):
+        fields = []
+        for k in keys:
+            fields.append((nn[k], pa.int64()))
+            fields.append((k, base_schema.field(k).type))
+        fields += [(c, base_schema.field(c).type) for c in src_cols]
+        tag_schema = pa.schema(fields)
+
+    # one data-sized exchange: group on the interleaved
+    # (indicator, filled-key) pairs
+    pair_keys = [c for k in keys for c in (nn[k], k)]
+    finest = sorted_groupby_agg(
+        ds.map_batches(tag, batch_format="pyarrow"), pair_keys, aggs,
+        in_schema=tag_schema).materialize()
+    fin_schema = static_schema(finest)
+    key_types = {k: fin_schema.field(k).type for k in keys}
+    alias_types = {a: fin_schema.field(a).type for _, _, a in aggs}
+    out_names = list(keys) + [a for _, _, a in aggs] + [lvl_col]
+
+    def widen(level: int):
+        """Project a level's (kept pairs + aliases) rows to the full
+        output schema: kept keys restored to null where the indicator
+        is 0, rolled-up keys NULL, lvl = 2^level - 1."""
+        kept = keys[:len(keys) - level]
+        lvl = (1 << level) - 1
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for k in keys:
+                if k in kept:
+                    valid = pc.equal(t[nn[k]], pa.scalar(1, pa.int64()))
+                    cols[k] = pc.if_else(valid, t[k],
+                                         pa.scalar(None, key_types[k]))
+                else:
+                    cols[k] = pa.nulls(n, key_types[k])
+            for _, _, a in aggs:
+                cols[a] = t[a]
+            cols[lvl_col] = pa.array(np.full(n, lvl, dtype=np.int64))
+            return pa.table(cols).select(out_names)
+
+        return fn
+
+    levels = [finest.map_batches(widen(0), batch_format="pyarrow")]
+    prev = finest
+    reaggs = [(a, _REOP[op], a) for _, op, a in aggs]
+    for level in range(1, len(keys) + 1):
+        kept_pairs = pair_keys[:2 * (len(keys) - level)]
+        prev_schema = pa.schema(
+            [(c, pa.int64() if c.startswith("_nn_") else key_types[
+                c]) for c in pair_keys[:2 * (len(keys) - level + 1)]]
+            + [(a, alias_types[a]) for _, _, a in aggs])
+        if kept_pairs:
+            cur = sorted_groupby_agg(
+                prev.select_columns(list(prev_schema.names)), kept_pairs,
+                reaggs, in_schema=prev_schema).materialize()
+        else:
+            # grand total: constant-key reduction of the 1-key level
+            def add_one(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "_one", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+            one_schema = pa.schema(list(prev_schema)
+                                   + [("_one", pa.int64())])
+            cur = sorted_groupby_agg(
+                prev.map_batches(add_one, batch_format="pyarrow"),
+                ["_one"], reaggs, in_schema=one_schema) \
+                .drop_columns(["_one"]).materialize()
+        levels.append(cur.map_batches(widen(level), batch_format="pyarrow"))
+        prev = cur
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def clip_by_quantiles(ds, value_col: str, q_lo: float, q_hi: float, *,
+                      out_col: str | None = None):
+    """Winsorization — clamp ``value_col`` to its [q_lo, q_hi] GLOBAL
+    discrete quantiles (the robust-scaling prelude to normalization and
+    the tame-the-outliers curation move).  One range sort locates the
+    two clip points via :func:`global_quantiles` (block metadata only —
+    the driver never materializes the data), then a pure broadcast
+    clamp map.  Outputs are either the original value or one of the two
+    exact quantile values, so results are float-EXACT against SQL's
+    ``least(greatest(v, lo), hi)``.  ``out_col`` defaults to clamping
+    in place (keeps the column's position)."""
+    if not 0.0 < q_lo < q_hi <= 1.0:
+        raise ValueError(f"need 0 < q_lo < q_hi <= 1, got {q_lo}, {q_hi}")
+    qt = global_quantiles(ds, value_col, [q_lo, q_hi])
+    if qt.num_rows == 0:  # empty input: nothing to clamp
+        return ds
+    lo, hi = qt["value"][0].as_py(), qt["value"][1].as_py()
+    out_col = out_col or value_col
+
+    def clamp(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        col = t[value_col]
+        v = pc.min_element_wise(pc.max_element_wise(col, pa.scalar(lo)),
+                                pa.scalar(hi))
+        if out_col in t.column_names:
+            i = t.column_names.index(out_col)
+            return t.set_column(i, out_col, v)
+        return t.append_column(out_col, v)
+
+    return ds.map_batches(clamp, batch_format="pyarrow")

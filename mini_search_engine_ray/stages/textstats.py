@@ -648,6 +648,110 @@ def unigram_logprob(ds, *, top_v: int, oov_count: float = 0.5,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def corpus_bigram_counts(ds, *, text_col: str = "text"):
+    """(gram, cnt) over every adjacent token pair in the corpus
+    (space-joined — a split-class char, so the join is injective).
+    Same scale shape as :func:`corpus_token_counts`: per-batch Arrow
+    ``value_counts`` partials mean the shuffle carries batch-DISTINCT
+    bigrams, never the occurrence stream; one sorted grouped sum
+    combines them.  Returns a Dataset sized by the bigram
+    vocabulary."""
+    from .aggregates import sorted_groupby_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        _, grams = ngram_strings(parents, values, 2)
+        if len(grams) == 0:
+            return pa.table({"gram": pa.array([], pa.large_string()),
+                             "cnt": pa.array([], pa.int64())})
+        vc = grams.value_counts()
+        return pa.table({"gram": vc.field("values").cast(pa.large_string()),
+                         "cnt": vc.field("counts").cast(pa.int64())})
+
+    return sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["gram"], [("cnt", "sum", "cnt")],
+        in_schema=pa.schema([("gram", pa.large_string()),
+                             ("cnt", pa.int64())]))
+
+
+def bigram_logprob(ds, *, top_v: int, oov_count: float = 0.5,
+                   text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean CONDITIONAL bigram log-likelihood — the
+    KenLM-flavored step up from :func:`unigram_logprob`: for the
+    ``top_v`` most frequent bigrams (ties by ascending gram, the
+    binary order DuckDB and Arrow share) p(w2|w1) = c(w1 w2)/c(w1)
+    with c(w1) the corpus-wide unigram count; any other bigram takes
+    the floor p = ``oov_count``/N_bigrams.  Score = mean ln p over the
+    doc's adjacent pairs (0.0 for docs with < 2 tokens).
+
+    Scale shape: pass 1 is :func:`corpus_bigram_counts` +
+    :func:`corpus_token_counts` (both vocabulary-sized shuffles); the
+    V-row head and its left-token counts are assembled on the driver
+    (V-bounded — the unigram lookup FILTERS the counts Dataset to the
+    head's w1 set, streaming, before the bounded collect) and
+    broadcast ONCE via ``ray.put``; pass 2 is a pure vectorized map —
+    ``pc.index_in`` against the broadcast head, one ``np.bincount``
+    pair per batch.  Returns (id_col, n_bigrams, logprob)."""
+    import ray
+
+    if not (isinstance(top_v, int) and top_v >= 1):
+        raise ValueError(f"top_v must be a positive int, got {top_v!r}")
+    if not oov_count > 0:
+        raise ValueError("oov_count must be > 0 (ln of a zero "
+                         "probability is undefined)")
+
+    bcounts = corpus_bigram_counts(ds, text_col=text_col).materialize()
+    n_total = bcounts.sum("cnt") or 0
+    head = bcounts.sort(["cnt", "gram"],
+                        descending=[True, False]).limit(top_v).take_all()
+    grams = [r["gram"] for r in head]
+    cb = np.array([r["cnt"] for r in head], dtype=np.float64)
+    w1s = sorted({g.split(" ", 1)[0] for g in grams})
+
+    def pick(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t["token"],
+                     value_set=pa.array(w1s, pa.large_string()))
+        return t.filter(m)
+
+    u_rows = corpus_token_counts(ds, text_col=text_col) \
+        .map_batches(pick, batch_format="pyarrow").take_all()
+    c1 = {r["token"]: float(r["cnt"]) for r in u_rows}
+    logp = (np.log(cb / np.array([c1[g.split(" ", 1)[0]] for g in grams],
+                                 dtype=np.float64))
+            if grams else np.array([], dtype=np.float64))
+    vocab = pa.array(grams, pa.large_string())
+    log_floor = float(np.log(oov_count / max(n_total, 1)))
+    shared = ray.put((vocab, logp))
+
+    def score(t: pa.Table) -> pa.Table:
+        voc, lp = ray.get(shared)
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        gparents, grams_b = ngram_strings(parents, values, 2)
+        n = t.num_rows
+        nbig = np.bincount(gparents, minlength=n).astype(np.int64)
+        idx = pc.index_in(grams_b, value_set=voc) \
+            .to_numpy(zero_copy_only=False)
+        oov = np.isnan(idx) if idx.dtype.kind == "f" else (idx < 0)
+        tok_lp = (np.where(oov, log_floor,
+                           lp[np.where(oov, 0, idx).astype(np.int64)])
+                  if len(idx) else np.array([], dtype=np.float64))
+        sums = np.bincount(gparents, weights=tok_lp, minlength=n)
+        mean = np.divide(sums, nbig, out=np.zeros(n, dtype=np.float64),
+                         where=nbig > 0)
+        return pa.table({id_col: t[id_col],
+                         "n_bigrams": pa.array(nbig),
+                         "logprob": pa.array(mean)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def hll_registers_per_group(ds, key_col: str, *, text_col: str = "text",
                             precision_bits: int = 10):
     """GROUPED HyperLogLog distinct-token sketch — the scale path for

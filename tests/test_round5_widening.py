@@ -1,0 +1,207 @@
+"""Unit tests for the round-5 widening operators: GROUP BY ROLLUP by
+composition, quantile winsorization, and conditional bigram-LM quality
+scoring.  (The driver-facing queries built on these are additionally
+value-checked against their DuckDB oracles by test_driver_parity.)"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.floating):
+            df[c] = np.round(df[c].astype(np.float64), 6)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------
+# rollup_agg
+# ---------------------------------------------------------------------
+
+
+def _rollup_fixture(with_nulls: bool):
+    rng = np.random.default_rng(7)
+    n = 2_000
+    a = rng.choice(["x", "y", "z"], n).astype(object)
+    b = rng.choice(["p", "q", "r", "s"], n).astype(object)
+    if with_nulls:
+        a[rng.random(n) < 0.1] = None
+        b[rng.random(n) < 0.1] = None
+    v = rng.integers(0, 100, n)
+    return pa.table({"a": pa.array(a.tolist(), pa.string()),
+                     "b": pa.array(b.tolist(), pa.string()),
+                     "v": pa.array(v, pa.int64())})
+
+
+@pytest.mark.parametrize("with_nulls", [False, True])
+def test_rollup_matches_duckdb(ray_session, with_nulls):
+    """ROLLUP(a, b) with count/sum/min/max across 7 blocks matches
+    DuckDB GROUP BY ROLLUP + GROUPING bitmask — including natural NULL
+    key values, which stay their own lvl-0/lvl-1 groups (the lvl
+    column is what disambiguates them from rollup nulls)."""
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import rollup_agg
+
+    t = _rollup_fixture(with_nulls)
+    ds = rd.from_arrow(t).repartition(7)
+    got = rollup_agg(ds, ["a", "b"],
+                     [("v", "count", "n"), ("v", "sum", "s"),
+                      ("v", "min", "lo"), ("v", "max", "hi")]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql("""
+SELECT a, b, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+       min(v) AS lo, max(v) AS hi,
+       GROUPING(a, b)::BIGINT AS lvl
+FROM t GROUP BY ROLLUP(a, b)
+""").df()
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
+
+
+def test_rollup_single_key_and_validation(ray_session):
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import rollup_agg
+
+    t = pa.table({"k": pa.array(["a", "b", "a"], pa.string()),
+                  "v": pa.array([1, 2, 3], pa.int64())})
+    ds = rd.from_arrow(t)
+    got = rollup_agg(ds, ["k"], [("v", "sum", "s")]).to_pandas()
+    got = got.sort_values(["lvl", "k"], na_position="last") \
+        .reset_index(drop=True)
+    assert got.loc[0, "k"] == "a" and got.loc[0, "s"] == 4
+    assert got.loc[1, "k"] == "b" and got.loc[1, "s"] == 2
+    assert got.loc[2, "lvl"] == 1 and pd.isna(got.loc[2, "k"]) \
+        and got.loc[2, "s"] == 6
+    with pytest.raises(ValueError):
+        rollup_agg(ds, [], [("v", "sum", "s")])
+    with pytest.raises(ValueError):
+        rollup_agg(ds, ["k"], [("v", "median", "s")])
+    with pytest.raises(ValueError):
+        rollup_agg(ds, ["k"], [("v", "sum", "lvl")])
+
+
+# ---------------------------------------------------------------------
+# clip_by_quantiles
+# ---------------------------------------------------------------------
+
+
+def test_clip_by_quantiles_matches_duckdb(ray_session):
+    """Winsorization clamps to the exact quantile_disc values; output
+    values are either original or one of the two clip points, so the
+    comparison is float-exact."""
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import clip_by_quantiles
+
+    rng = np.random.default_rng(11)
+    v = rng.normal(50, 20, 5_000)
+    t = pa.table({"id": pa.array(np.arange(len(v))), "v": pa.array(v)})
+    ds = rd.from_arrow(t).repartition(6)
+    got = clip_by_quantiles(ds, "v", 0.05, 0.95,
+                            out_col="v_w").to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql("""
+WITH b AS (SELECT quantile_disc(v, 0.05) AS lo,
+                  quantile_disc(v, 0.95) AS hi FROM t)
+SELECT id, v, least(greatest(v, lo), hi) AS v_w FROM t CROSS JOIN b
+""").df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
+    # in-place clamp (out_col == value_col) keeps the column position
+    got2 = clip_by_quantiles(ds, "v", 0.05, 0.95).to_pandas()
+    assert list(got2.columns) == ["id", "v"]
+    assert got2["v"].min() == exp["v_w"].min()
+    assert got2["v"].max() == exp["v_w"].max()
+
+
+def test_clip_by_quantiles_validation(ray_session):
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import clip_by_quantiles
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([1.0, 2.0])}))
+    for lo, hi in [(0.0, 0.9), (0.5, 0.5), (0.9, 0.5), (0.05, 1.5)]:
+        with pytest.raises(ValueError):
+            clip_by_quantiles(ds, "v", lo, hi)
+
+
+# ---------------------------------------------------------------------
+# bigram_logprob
+# ---------------------------------------------------------------------
+
+
+def _brute_bigram(texts, top_v, oov_count):
+    """Reference implementation with plain Python dicts."""
+    def toks(s):
+        # the fixture texts are space-joined lowercase words, so a
+        # plain whitespace split mirrors the engine tokenizer exactly
+        return [w for w in s.strip().lower().split() if w]
+
+    docs = [toks(s) for s in texts]
+    uni: dict[str, int] = {}
+    big: dict[str, int] = {}
+    for d in docs:
+        for w in d:
+            uni[w] = uni.get(w, 0) + 1
+        for i in range(len(d) - 1):
+            g = d[i] + " " + d[i + 1]
+            big[g] = big.get(g, 0) + 1
+    n_total = sum(big.values())
+    head = sorted(big.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    logp = {g: np.log(c / uni[g.split(" ", 1)[0]]) for g, c in head}
+    floor = np.log(oov_count / max(n_total, 1))
+    out = []
+    for d in docs:
+        gs = [d[i] + " " + d[i + 1] for i in range(len(d) - 1)]
+        if not gs:
+            out.append((0, 0.0))
+            continue
+        lps = [logp.get(g, floor) for g in gs]
+        out.append((len(gs), float(np.mean(lps))))
+    return out
+
+
+def test_bigram_logprob_brute_force(ray_session):
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.textstats import bigram_logprob
+
+    rng = np.random.default_rng(3)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 12)))
+             for _ in range(120)]
+    texts[7] = ""          # token-less doc
+    texts[11] = "alpha"    # single token -> zero bigrams
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts))),
+                  "text": pa.array(texts)})
+    ds = rd.from_arrow(t).repartition(5)
+    got = bigram_logprob(ds, top_v=10, oov_count=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    exp = _brute_bigram(texts, 10, 0.5)
+    assert got["n_bigrams"].tolist() == [e[0] for e in exp]
+    np.testing.assert_allclose(got["logprob"].to_numpy(),
+                               [e[1] for e in exp], rtol=1e-12, atol=1e-12)
+
+
+def test_bigram_logprob_validation(ray_session):
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.textstats import bigram_logprob
+
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([0]),
+                                 "text": pa.array(["a b"])}))
+    with pytest.raises(ValueError):
+        bigram_logprob(ds, top_v=0)
+    with pytest.raises(ValueError):
+        bigram_logprob(ds, top_v=4, oov_count=0.0)
