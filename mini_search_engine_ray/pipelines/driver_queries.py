@@ -4821,3 +4821,83 @@ SELECT d.doc_id, coalesce(sc.n_bigrams, 0)::BIGINT AS n_bigrams,
        {_R4.format(expr="coalesce(sc.lp, 0.0)")} AS logprob
 FROM documents d LEFT JOIN sc USING (doc_id)
 """
+
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_user_type_pivot(sf_dir: str):
+    """SQL PIVOT (crosstab): one row per user, one count column per
+    event type (fixed caller-supplied value list, the PIVOT contract).
+    Per batch one bincount over a (batch-users × 5) plane, then one
+    user-sorted grouped sum — the shuffle carries key partials, never
+    events."""
+    import ray.data as rd
+
+    from ..stages.aggregates import pivot_counts
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type"])
+    out = pivot_counts(ev, "user_id", "event_type", EVENT_TYPES)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {"user_id": pc.cast(t["user_id"], pa.int64())}
+        for v in EVENT_TYPES:
+            cols[f"n_{v}"] = pc.cast(t[f"n_{v}"], pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+def q_doc_entropy(sf_dir: str):
+    """Per-doc token-distribution Shannon entropy + type-token ratio —
+    the lexical-diversity / boilerplate gate.  Pure per-batch map, no
+    shuffle."""
+    import ray.data as rd
+
+    from ..stages.textstats import token_entropy
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = token_entropy(docs)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+            "n_distinct": pc.cast(t["n_distinct"], pa.int64()),
+            "entropy": pa.array(_r4(t["entropy"].to_numpy(
+                zero_copy_only=False))),
+            "ttr": pa.array(_r4(t["ttr"].to_numpy(zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["user_type_pivot"] = q_user_type_pivot
+QUERIES["doc_entropy"] = q_doc_entropy
+
+ORACLE_SQL["user_type_pivot"] = "\nSELECT user_id,\n" + ",\n".join(
+    f"       count(*) FILTER (event_type = '{v}')::BIGINT AS n_{v}"
+    for v in EVENT_TYPES) + "\nFROM events GROUP BY user_id\n"
+
+ORACLE_SQL["doc_entropy"] = f"""
+WITH {_TOK_CTE},
+occ AS (SELECT doc_id, unnest(toks) AS t FROM tok),
+tc AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM occ GROUP BY doc_id, t),
+tot AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd
+        FROM tc GROUP BY doc_id),
+ent AS (SELECT tc.doc_id,
+               -sum((tc.c::DOUBLE / tot.n) * ln(tc.c::DOUBLE / tot.n)) AS h
+        FROM tc JOIN tot USING (doc_id) GROUP BY tc.doc_id)
+SELECT d.doc_id,
+       coalesce(tot.n, 0)::BIGINT AS n_tokens,
+       coalesce(tot.nd, 0)::BIGINT AS n_distinct,
+       {_R4.format(expr="coalesce(ent.h, 0.0)")} AS entropy,
+       {_R4.format(expr="coalesce(tot.nd::DOUBLE / tot.n, 0.0)")} AS ttr
+FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN ent USING (doc_id)
+"""

@@ -850,3 +850,63 @@ def clip_by_quantiles(ds, value_col: str, q_lo: float, q_hi: float, *,
         return t.append_column(out_col, v)
 
     return ds.map_batches(clamp, batch_format="pyarrow")
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str], *,
+                 prefix: str = "n_", in_schema: pa.Schema | None = None):
+    """SQL PIVOT (crosstab) on counts: one row per ``key_col``, one
+    int64 count column per ``values`` entry (fixed, caller-supplied —
+    the SQL PIVOT contract; pivot values outside the list are ignored,
+    exactly conditional aggregation's ``count(*) FILTER (pivot = v)``).
+
+    Scale shape: per batch, ONE ``np.bincount`` over a (batch-keys ×
+    len(values)) plane reduces the batch to key-partial rows, so the
+    shuffle carries keys × |values| partials, never the event stream;
+    one key-sorted grouped sum combines them.  No per-group Python."""
+    import pyarrow.compute as pc
+
+    if not values:
+        raise ValueError("pivot_counts requires at least one pivot value")
+    if len(set(values)) != len(values):
+        raise ValueError("duplicate pivot values")
+    out_cols = [f"{prefix}{v}" for v in values]
+    if key_col in out_cols:
+        raise ValueError("pivot output column collides with key_col")
+    V = len(values)
+    vset = pa.array(values, pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = t[key_col]
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) \
+            else key
+        if t.num_rows == 0:
+            cols = {key_col: key}
+            for c in out_cols:
+                cols[c] = pa.array([], pa.int64())
+            return pa.table(cols)
+        codes = _batch_group_codes(t, [key_col])
+        g = int(codes.max()) + 1
+        piv = t[pivot_col]
+        piv = piv.combine_chunks() if isinstance(piv, pa.ChunkedArray) \
+            else piv
+        vidx = pc.index_in(piv.cast(pa.string()), value_set=vset) \
+            .to_numpy(zero_copy_only=False)
+        ok = ~np.isnan(vidx) if vidx.dtype.kind == "f" else (vidx >= 0)
+        vi = vidx[ok].astype(np.int64)
+        plane = np.bincount(codes[ok] * V + vi,
+                            minlength=g * V).reshape(g, V)
+        first = np.unique(codes, return_index=True)[1]
+        cols = {key_col: key.take(pa.array(np.sort(first)))}
+        order = codes[np.sort(first)]
+        for j, c in enumerate(out_cols):
+            cols[c] = pa.array(plane[order, j].astype(np.int64))
+        return pa.table(cols)
+
+    base = in_schema if in_schema is not None else static_schema(ds)
+    part_schema = None
+    if base is not None and key_col in base.names:
+        part_schema = pa.schema([(key_col, base.field(key_col).type)]
+                                + [(c, pa.int64()) for c in out_cols])
+    return sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), [key_col],
+        [(c, "sum", c) for c in out_cols], in_schema=part_schema)

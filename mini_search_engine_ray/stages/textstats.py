@@ -752,6 +752,55 @@ def bigram_logprob(ds, *, top_v: int, oov_count: float = 0.5,
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def token_entropy(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document lexical-diversity quality signals: Shannon entropy
+    of the doc's OWN token distribution (H = -Σ p ln p, p = tf/len —
+    low entropy flags repetitive/boilerplate docs) and the type-token
+    ratio (distinct/total, exact integer division).  The machine-
+    generated-text gate complementing the n-gram repetition stats.
+
+    Pure per-batch map, no shuffle: one ``dictionary_encode`` per
+    batch, one composite (doc, token-code) ``np.unique`` for the
+    per-doc tf runs, two ``np.bincount`` sweeps for the entropy sum
+    and the distinct count.  Token-less docs emit (0, 0, 0.0, 0.0).
+    Returns (id_col, n_tokens, n_distinct, entropy, ttr); the negation
+    happens AFTER the per-doc sum, matching the SQL oracle's
+    ``-sum(p*ln(p))`` shape."""
+
+    def score(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        n = t.num_rows
+        ntok = np.bincount(parents, minlength=n).astype(np.int64)
+        if len(values):
+            d = values.dictionary_encode()
+            codes = d.indices.to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            card = len(d.dictionary)
+            comp = parents.astype(np.int64) * card + codes
+            uniq, cnt = np.unique(comp, return_counts=True)
+            udoc = (uniq // card).astype(np.int64)
+            ndis = np.bincount(udoc, minlength=n).astype(np.int64)
+            p = cnt.astype(np.float64) / ntok[udoc].astype(np.float64)
+            ent = -np.bincount(udoc, weights=p * np.log(p), minlength=n)
+        else:
+            ndis = np.zeros(n, dtype=np.int64)
+            ent = np.zeros(n, dtype=np.float64)
+        # -0.0 from a single-token doc normalizes to +0.0
+        ent = ent + 0.0
+        ttr = np.divide(ndis.astype(np.float64), ntok.astype(np.float64),
+                        out=np.zeros(n, dtype=np.float64), where=ntok > 0)
+        return pa.table({id_col: t[id_col],
+                         "n_tokens": pa.array(ntok),
+                         "n_distinct": pa.array(ndis),
+                         "entropy": pa.array(ent),
+                         "ttr": pa.array(ttr)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def hll_registers_per_group(ds, key_col: str, *, text_col: str = "text",
                             precision_bits: int = 10):
     """GROUPED HyperLogLog distinct-token sketch — the scale path for

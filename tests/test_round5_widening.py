@@ -205,3 +205,91 @@ def test_bigram_logprob_validation(ray_session):
         bigram_logprob(ds, top_v=0)
     with pytest.raises(ValueError):
         bigram_logprob(ds, top_v=4, oov_count=0.0)
+
+
+# ---------------------------------------------------------------------
+# pivot_counts
+# ---------------------------------------------------------------------
+
+
+def test_pivot_counts_matches_duckdb(ray_session):
+    """Crosstab over 6 blocks matches conditional aggregation; pivot
+    values outside the fixed list are ignored; keys with no matching
+    rows still emit zero rows for every pivot column."""
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import pivot_counts
+
+    rng = np.random.default_rng(5)
+    n = 3_000
+    t = pa.table({
+        "k": pa.array(rng.integers(0, 40, n), pa.int64()),
+        "v": pa.array(rng.choice(["a", "b", "c", "d", "zz"], n).tolist(),
+                      pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(6)
+    got = pivot_counts(ds, "k", "v", ["a", "b", "c"]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql("""
+SELECT k, count(*) FILTER (v = 'a')::BIGINT AS n_a,
+       count(*) FILTER (v = 'b')::BIGINT AS n_b,
+       count(*) FILTER (v = 'c')::BIGINT AS n_c
+FROM t GROUP BY k
+""").df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
+
+
+def test_pivot_counts_validation(ray_session):
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import pivot_counts
+
+    ds = rd.from_arrow(pa.table({"k": pa.array([1]),
+                                 "v": pa.array(["a"])}))
+    with pytest.raises(ValueError):
+        pivot_counts(ds, "k", "v", [])
+    with pytest.raises(ValueError):
+        pivot_counts(ds, "k", "v", ["a", "a"])
+
+
+# ---------------------------------------------------------------------
+# token_entropy
+# ---------------------------------------------------------------------
+
+
+def test_token_entropy_brute_force(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.textstats import token_entropy
+
+    rng = np.random.default_rng(9)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 15)))
+             for _ in range(80)]
+    texts[3] = ""             # token-less
+    texts[5] = "aa"           # single token: entropy exactly +0.0
+    texts[9] = "aa aa aa aa"  # fully repetitive: entropy +0.0, ttr 0.25
+    t = pa.table({"doc_id": pa.array(np.arange(len(texts))),
+                  "text": pa.array(texts)})
+    got = token_entropy(rd.from_arrow(t).repartition(4)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for i, s in enumerate(texts):
+        toks = s.split()
+        assert got.loc[i, "n_tokens"] == len(toks)
+        assert got.loc[i, "n_distinct"] == len(set(toks))
+        if toks:
+            exp_h = -sum((c / len(toks)) * math.log(c / len(toks))
+                         for c in
+                         [toks.count(w) for w in sorted(set(toks))])
+            assert abs(got.loc[i, "entropy"] - exp_h) < 1e-12
+            assert abs(got.loc[i, "ttr"]
+                       - len(set(toks)) / len(toks)) < 1e-15
+        else:
+            assert got.loc[i, "entropy"] == 0.0
+            assert got.loc[i, "ttr"] == 0.0
+    # single-token and repetitive docs give POSITIVE zero
+    assert not np.signbit(got.loc[5, "entropy"])
+    assert not np.signbit(got.loc[9, "entropy"])
