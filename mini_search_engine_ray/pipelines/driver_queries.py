@@ -4901,3 +4901,80 @@ SELECT d.doc_id,
        {_R4.format(expr="coalesce(tot.nd::DOUBLE / tot.n, 0.0)")} AS ttr
 FROM documents d LEFT JOIN tot USING (doc_id) LEFT JOIN ent USING (doc_id)
 """
+
+
+def q_events_grouping_sets(sf_dir: str):
+    """SQL GROUP BY GROUPING SETS ((user_id), (event_type)): per-user
+    AND per-type event counts + exact integer cent sums from ONE
+    data-sized exchange — each set re-aggregates the finest level's
+    group-bounded output.  Exercises heterogeneous key types (int64
+    user, string type) through the null-safe pair encoding."""
+    from ..stages.aggregates import grouping_sets_agg
+
+    import ray.data as rd
+
+    raw = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                          columns=["user_id", "event_type", "value"])
+
+    def prep2(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "event_type": t["event_type"],
+            "cents": pa.array(np.floor(v * 100).astype(np.int64)),
+        })
+
+    return grouping_sets_agg(
+        raw.map_batches(prep2, batch_format="pyarrow"),
+        ["user_id", "event_type"],
+        [["user_id"], ["event_type"]],
+        [("cents", "count", "n"), ("cents", "sum", "sum_cents")],
+        in_schema=pa.schema([("user_id", pa.int64()),
+                             ("event_type", pa.string()),
+                             ("cents", pa.int64())]))
+
+
+def q_lineitem_cube(sf_dir: str):
+    """SQL GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping
+    sets from one data-sized exchange, GROUPING bitmask in lvl."""
+    import ray.data as rd
+
+    from ..stages.aggregates import cube_agg
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_returnflag", "l_linestatus",
+                                  "l_quantity"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = t["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"],
+                         "qty": pa.array(q.astype(np.int64))})
+
+    return cube_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [("qty", "count", "n_items"), ("qty", "sum", "sum_qty")],
+        in_schema=pa.schema([("l_returnflag", pa.string()),
+                             ("l_linestatus", pa.string()),
+                             ("qty", pa.int64())]))
+
+
+QUERIES["events_grouping_sets"] = q_events_grouping_sets
+QUERIES["lineitem_cube"] = q_lineitem_cube
+
+ORACLE_SQL["events_grouping_sets"] = """
+SELECT user_id, event_type, count(*)::BIGINT AS n,
+       sum(floor(value*100)::BIGINT)::BIGINT AS sum_cents,
+       GROUPING(user_id, event_type)::BIGINT AS lvl
+FROM events GROUP BY GROUPING SETS ((user_id), (event_type))
+"""
+
+ORACLE_SQL["lineitem_cube"] = """
+SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_items,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS lvl
+FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+"""

@@ -910,3 +910,160 @@ def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str], *,
     return sorted_groupby_agg(
         ds.map_batches(partial, batch_format="pyarrow"), [key_col],
         [(c, "sum", c) for c in out_cols], in_schema=part_schema)
+
+
+def grouping_sets_agg(ds, keys: list[str], sets: list[list[str]],
+                      aggs: list[tuple[str, str, str]], *,
+                      in_schema: pa.Schema | None = None,
+                      lvl_col: str = "lvl"):
+    """SQL ``GROUP BY GROUPING SETS(...)`` by composition: ONE
+    data-sized :func:`sorted_groupby_agg` to the finest (all-keys)
+    level, then every requested set re-aggregates that level's
+    group-cardinality-bounded output — the data is touched exactly
+    once regardless of how many sets are asked for.  (ROLLUP chains
+    should prefer :func:`rollup_agg`, which re-aggregates each level
+    from the previous, strictly smaller one; CUBE/arbitrary sets have
+    no such chain, so everything derives from the finest level.)
+
+    Same contracts as :func:`rollup_agg`: composing ops only
+    (sum/min/max/count), SQL ``GROUPING(keys...)`` bitmask in
+    ``lvl_col`` (keys[0] is the most significant bit), rolled-up keys
+    NULL, natural NULL key values null-safe via (indicator, filled)
+    key pairs."""
+    if not keys:
+        raise ValueError("grouping_sets_agg requires at least one key")
+    if lvl_col in keys or any(lvl_col == a for _, _, a in aggs):
+        raise ValueError(f"lvl_col {lvl_col!r} collides with an output "
+                         "column")
+    _REOP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for _, op, _ in aggs:
+        if op not in _REOP:
+            raise ValueError(f"unsupported grouping-sets op: {op!r}")
+    canon: list[tuple[str, ...]] = []
+    for s in sets:
+        extra = [k for k in s if k not in keys]
+        if extra:
+            raise ValueError(f"set {s!r} references non-keys: {extra}")
+        c = tuple(k for k in keys if k in set(s))  # canonical key order
+        if c not in canon:
+            canon.append(c)
+    if not canon:
+        raise ValueError("grouping_sets_agg requires at least one set")
+
+    import pyarrow.compute as pc
+
+    def _fill_scalar(tp: pa.DataType):
+        if pa.types.is_string(tp) or pa.types.is_large_string(tp):
+            return pa.scalar("", tp)
+        if pa.types.is_binary(tp) or pa.types.is_large_binary(tp):
+            return pa.scalar(b"", tp)
+        return pa.scalar(0, tp)
+
+    nn = {k: f"_nn_{k}" for k in keys}
+    src_cols = [c for c in dict.fromkeys(c for c, _, _ in aggs)
+                if c not in keys]
+
+    def tag(t: pa.Table) -> pa.Table:
+        cols: dict = {}
+        for k in keys:
+            col = t[k]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            cols[nn[k]] = pc.cast(col.is_valid(), pa.int64())
+            cols[k] = pc.fill_null(col, _fill_scalar(col.type))
+        for c in src_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
+
+    tag_schema = None
+    base_schema = in_schema if in_schema is not None else static_schema(ds)
+    if base_schema is not None and all(c in base_schema.names
+                                       for c in list(keys) + src_cols):
+        fields = []
+        for k in keys:
+            fields.append((nn[k], pa.int64()))
+            fields.append((k, base_schema.field(k).type))
+        fields += [(c, base_schema.field(c).type) for c in src_cols]
+        tag_schema = pa.schema(fields)
+
+    pair_keys = [c for k in keys for c in (nn[k], k)]
+    finest = sorted_groupby_agg(
+        ds.map_batches(tag, batch_format="pyarrow"), pair_keys, aggs,
+        in_schema=tag_schema).materialize()
+    fin_schema = static_schema(finest)
+    key_types = {k: fin_schema.field(k).type for k in keys}
+    alias_types = {a: fin_schema.field(a).type for _, _, a in aggs}
+    out_names = list(keys) + [a for _, _, a in aggs] + [lvl_col]
+    reaggs = [(a, _REOP[op], a) for _, op, a in aggs]
+
+    def widen(kept: tuple[str, ...]):
+        lvl = sum(1 << (len(keys) - 1 - i)
+                  for i, k in enumerate(keys) if k not in kept)
+
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for k in keys:
+                if k in kept:
+                    valid = pc.equal(t[nn[k]], pa.scalar(1, pa.int64()))
+                    cols[k] = pc.if_else(valid, t[k],
+                                         pa.scalar(None, key_types[k]))
+                else:
+                    cols[k] = pa.nulls(n, key_types[k])
+            for _, _, a in aggs:
+                cols[a] = t[a]
+            cols[lvl_col] = pa.array(np.full(n, lvl, dtype=np.int64))
+            return pa.table(cols).select(out_names)
+
+        return fn
+
+    fin_pair_schema = pa.schema(
+        [(c, pa.int64() if c.startswith("_nn_") else key_types[c])
+         for c in pair_keys]
+        + [(a, alias_types[a]) for _, _, a in aggs])
+    out = None
+    for kept in canon:
+        if len(kept) == len(keys):
+            level = finest.map_batches(widen(kept), batch_format="pyarrow")
+        elif kept:
+            sub_pairs = [c for k in kept for c in (nn[k], k)]
+            sub_schema = pa.schema(
+                [(c, pa.int64() if c.startswith("_nn_")
+                  else key_types[c]) for c in sub_pairs]
+                + [(a, alias_types[a]) for _, _, a in aggs])
+            sub = sorted_groupby_agg(
+                finest.select_columns(list(sub_schema.names)), sub_pairs,
+                reaggs, in_schema=sub_schema)
+            level = sub.map_batches(widen(kept), batch_format="pyarrow")
+        else:
+            def add_one(t: pa.Table) -> pa.Table:
+                return t.append_column(
+                    "_one", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+
+            one_schema = pa.schema(list(fin_pair_schema)
+                                   + [("_one", pa.int64())])
+            sub = sorted_groupby_agg(
+                finest.map_batches(add_one, batch_format="pyarrow"),
+                ["_one"], reaggs, in_schema=one_schema) \
+                .drop_columns(["_one"])
+            level = sub.map_batches(widen(kept), batch_format="pyarrow")
+        out = level if out is None else out.union(level)
+    return out
+
+
+def cube_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]], *,
+             in_schema: pa.Schema | None = None, lvl_col: str = "lvl"):
+    """SQL ``GROUP BY CUBE(keys...)``: every subset of ``keys`` as a
+    grouping set (2^n levels — ``keys`` is validated small).  One
+    data-sized exchange; every subset re-aggregates the finest level's
+    group-bounded output.  See :func:`grouping_sets_agg`."""
+    if len(keys) > 4:
+        raise ValueError(f"cube over {len(keys)} keys is 2^{len(keys)} "
+                         "grouping sets; pass explicit grouping_sets_agg "
+                         "sets instead")
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_agg(ds, keys, sets, aggs, in_schema=in_schema,
+                             lvl_col=lvl_col)

@@ -293,3 +293,58 @@ def test_token_entropy_brute_force(ray_session):
     # single-token and repetitive docs give POSITIVE zero
     assert not np.signbit(got.loc[5, "entropy"])
     assert not np.signbit(got.loc[9, "entropy"])
+
+
+# ---------------------------------------------------------------------
+# grouping_sets_agg / cube_agg
+# ---------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("with_nulls", [False, True])
+def test_cube_matches_duckdb(ray_session, with_nulls):
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import cube_agg
+
+    t = _rollup_fixture(with_nulls)
+    ds = rd.from_arrow(t).repartition(7)
+    got = cube_agg(ds, ["a", "b"],
+                   [("v", "count", "n"), ("v", "sum", "s"),
+                    ("v", "min", "lo"), ("v", "max", "hi")]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    exp = con.sql("""
+SELECT a, b, count(*)::BIGINT AS n, sum(v)::BIGINT AS s,
+       min(v) AS lo, max(v) AS hi, GROUPING(a, b)::BIGINT AS lvl
+FROM t GROUP BY CUBE(a, b)
+""").df()
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
+
+
+def test_grouping_sets_subset_and_validation(ray_session):
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import (cube_agg,
+                                                          grouping_sets_agg)
+
+    t = _rollup_fixture(False)
+    ds = rd.from_arrow(t).repartition(3)
+    got = grouping_sets_agg(ds, ["a", "b"], [["b"], []],
+                            [("v", "sum", "s")]).to_pandas()
+    con = duckdb.connect()
+    con.register("t", t)
+    # DuckDB rejects GROUPING(a) when a is in no set; a's bit is
+    # constantly 1 here, so build the bitmask from GROUPING(b) alone
+    exp = con.sql("""
+SELECT NULL::VARCHAR AS a, b, sum(v)::BIGINT AS s,
+       (2 + GROUPING(b))::BIGINT AS lvl
+FROM t GROUP BY GROUPING SETS ((b), ())
+""").df()
+    pd.testing.assert_frame_equal(_norm(got), _norm(exp), check_dtype=False)
+    with pytest.raises(ValueError):
+        grouping_sets_agg(ds, ["a"], [], [("v", "sum", "s")])
+    with pytest.raises(ValueError):
+        grouping_sets_agg(ds, ["a"], [["zzz"]], [("v", "sum", "s")])
+    with pytest.raises(ValueError):
+        cube_agg(ds, ["a", "b", "a2", "b2", "c"], [("v", "sum", "s")])
