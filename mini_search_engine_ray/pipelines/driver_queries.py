@@ -4978,3 +4978,235 @@ SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n_items,
        GROUPING(l_returnflag, l_linestatus)::BIGINT AS lvl
 FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
 """
+
+
+TOP_TERMS_K = 5
+
+
+def q_top_terms_per_source(sf_dir: str):
+    """Grouped heavy hitters — the "top terms per domain" facet: the 5
+    most frequent tokens per source (ties by ascending token).  Two
+    group-bounded exchanges: per-batch (source, token) count partials
+    -> one sorted grouped sum (vocabulary x sources rows, never the
+    occurrence stream) -> per-source top-k rank sweep.  Rank ties are
+    broken by a token hash surrogate so the kept set is deterministic
+    (topk_per_group needs a NUMERIC tiebreak; md5-low-64 of the token
+    is injective on distinct tokens up to hash collisions, which the
+    oracle replays exactly)."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_low64_batch
+    from ..stages.aggregates import sorted_groupby_agg, topk_per_group
+    from ..stages.textstats import _split_tokens
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        content = t["text"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        src = t["source"]
+        src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) \
+            else src
+        parents, values = _split_tokens(content)
+        if len(values) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "token": pa.array([], pa.large_string()),
+                             "cnt": pa.array([], pa.int64())})
+        sd = src.take(pa.array(parents)).dictionary_encode()
+        scodes = sd.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        td = values.dictionary_encode()
+        tcodes = td.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        card = len(td.dictionary)
+        comp = scodes * card + tcodes
+        uniq, cnt = np.unique(comp, return_counts=True)
+        return pa.table({
+            "source": sd.dictionary.take(pa.array(uniq // card)),
+            "token": td.dictionary.take(pa.array(uniq % card))
+                .cast(pa.large_string()),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    counts = sorted_groupby_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "token"], [("cnt", "sum", "cnt")],
+        in_schema=pa.schema([("source", pa.string()),
+                             ("token", pa.large_string()),
+                             ("cnt", pa.int64())]))
+
+    def add_tb(t: pa.Table) -> pa.Table:
+        toks = t["token"]
+        toks = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) \
+            else toks
+        h = md5_low64_batch(toks.to_pylist())
+        # uint64 -> int64 bit-pattern shift keeps the ORDER DuckDB's
+        # (md5_number_lower(token) - 2**63) integer surrogate sees
+        return t.append_column(
+            "_tb", pa.array((h - np.uint64(1 << 63)).view(np.int64)))
+
+    top = topk_per_group(
+        counts.map_batches(add_tb, batch_format="pyarrow"),
+        ["source"], "cnt", TOP_TERMS_K, descending=True, tiebreak="_tb",
+        in_schema=pa.schema([("source", pa.string()),
+                             ("token", pa.large_string()),
+                             ("cnt", pa.int64()),
+                             ("_tb", pa.int64())]))
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({"source": t["source"],
+                         "token": pc.cast(t["token"], pa.string()),
+                         "cnt": pc.cast(t["cnt"], pa.int64())})
+
+    return top.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["top_terms_per_source"] = q_top_terms_per_source
+
+ORACLE_SQL["top_terms_per_source"] = f"""
+WITH {_TOK_CTE},
+occ AS (SELECT d.source, unnest(t.toks) AS token
+        FROM tok t JOIN documents d USING (doc_id)),
+cnt AS (SELECT source, token, count(*)::BIGINT AS cnt
+        FROM occ GROUP BY source, token),
+r AS (SELECT source, token, cnt,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY cnt DESC,
+                        (md5_number_lower(token)::INT128
+                         - 9223372036854775808)::BIGINT) AS rn
+      FROM cnt)
+SELECT source, token, cnt FROM r WHERE rn <= {TOP_TERMS_K}
+"""
+
+
+def q_corr_qty_price(sf_dir: str):
+    """Pearson correlation between lineitem quantity and price-cents,
+    computed from EXACT integer moment sums (n, Σx, Σy, Σx², Σy², Σxy
+    — six scalars per batch to the driver, no shuffle) so the closing
+    float expression is the identical IEEE formula on both sides —
+    deliberately NOT DuckDB's corr() accumulator, whose running-update
+    float path differs between engines."""
+    import ray.data as rd
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_quantity", "l_extendedprice"])
+
+    def moments(t: pa.Table) -> pa.Table:
+        x = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = np.floor(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "n": pa.array([np.int64(len(x))]),
+            "sx": pa.array([x.sum()]), "sy": pa.array([y.sum()]),
+            "sxx": pa.array([(x * x).sum()]),
+            "syy": pa.array([(y * y).sum()]),
+            "sxy": pa.array([(x * y).sum()]),
+        })
+
+    parts = li.map_batches(moments, batch_format="pyarrow").take_all()
+    n = float(sum(r["n"] for r in parts))
+    sx = float(sum(r["sx"] for r in parts))
+    sy = float(sum(r["sy"] for r in parts))
+    sxx = float(sum(r["sxx"] for r in parts))
+    syy = float(sum(r["syy"] for r in parts))
+    sxy = float(sum(r["sxy"] for r in parts))
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                               * np.sqrt(n * syy - sy * sy))
+    return pa.table({"n": pa.array([np.int64(n)]),
+                     "corr": pa.array(_r4(np.array([r])))})
+
+
+MAD_CENTER_Q = 0.5
+
+
+def q_events_mad(sf_dir: str):
+    """Median absolute deviation of events.value — the robust spread
+    statistic: two metadata-located quantile passes (median of v, then
+    median of |v - med|), each one range sort with one block fetch per
+    rank, nothing driver-materialized."""
+    import ray.data as rd
+
+    from ..stages.aggregates import global_quantiles
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    med = global_quantiles(ev, "value", [MAD_CENTER_Q])["value"][0].as_py()
+
+    def dev(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({"adev": pa.array(np.abs(v - med))})
+
+    devs = ev.map_batches(dev, batch_format="pyarrow")
+    mad = global_quantiles(devs, "adev", [MAD_CENTER_Q])["value"][0].as_py()
+    return pa.table({"median": pa.array(_r4(np.array([med]))),
+                     "mad": pa.array(_r4(np.array([mad])))})
+
+
+def q_user_type_unpivot(sf_dir: str):
+    """UNPIVOT — the inverse of user_type_pivot: the crosstab's five
+    count columns melt back to (user_id, event_type, n) rows, zero
+    counts dropped (SQL UNPIVOT excludes NULLs; a zero count means the
+    pair never occurred).  Pure per-batch map over the pivot output —
+    the round trip pins both directions against one oracle."""
+    piv = q_user_type_pivot(sf_dir)
+
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        uids, types, cnts = [], [], []
+        for v in EVENT_TYPES:
+            c = t[f"n_{v}"].to_numpy(zero_copy_only=False)
+            keep = c > 0
+            uids.append(uid[keep])
+            types.append(np.full(int(keep.sum()), v, dtype=object))
+            cnts.append(c[keep])
+        return pa.table({
+            "user_id": pa.array(np.concatenate(uids) if uids
+                                else np.array([], dtype=np.int64)),
+            "event_type": pa.array(np.concatenate(types).tolist(),
+                                   pa.string()),
+            "n": pa.array(np.concatenate(cnts)),
+        })
+
+    return piv.map_batches(melt, batch_format="pyarrow")
+
+
+QUERIES["corr_qty_price"] = q_corr_qty_price
+QUERIES["events_mad"] = q_events_mad
+QUERIES["user_type_unpivot"] = q_user_type_unpivot
+
+ORACLE_SQL["corr_qty_price"] = f"""
+WITH m AS (SELECT count(*)::DOUBLE AS n,
+                  sum(l_quantity::BIGINT)::DOUBLE AS sx,
+                  sum(floor(l_extendedprice*100)::BIGINT)::DOUBLE AS sy,
+                  sum((l_quantity::BIGINT)*(l_quantity::BIGINT))::DOUBLE
+                    AS sxx,
+                  sum(floor(l_extendedprice*100)::BIGINT
+                      * floor(l_extendedprice*100)::BIGINT)::DOUBLE AS syy,
+                  sum((l_quantity::BIGINT)
+                      * floor(l_extendedprice*100)::BIGINT)::DOUBLE AS sxy
+           FROM lineitem)
+SELECT n::BIGINT AS n,
+       {_R4.format(expr="((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)"
+                        " * sqrt(n * syy - sy * sy)))")} AS corr
+FROM m
+"""
+
+ORACLE_SQL["events_mad"] = f"""
+WITH med AS (SELECT quantile_disc(value, {MAD_CENTER_Q}) AS m FROM events),
+dev AS (SELECT abs(value - med.m) AS adev FROM events CROSS JOIN med)
+SELECT {_R4.format(expr="(SELECT m FROM med)")} AS median,
+       {_R4.format(expr=f"(SELECT quantile_disc(adev, {MAD_CENTER_Q})"
+                        " FROM dev)")} AS mad
+"""
+
+ORACLE_SQL["user_type_unpivot"] = """
+SELECT user_id, event_type, count(*)::BIGINT AS n
+FROM events GROUP BY user_id, event_type
+"""
