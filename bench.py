@@ -828,6 +828,72 @@ def bench_bpe_train(out: dict) -> None:
     assert all(c > 0 for c in merges["cnt"].to_pylist())
 
 
+def bench_analytics(out: dict) -> None:
+    """Round-5 wave-2 analytics operators at bench scale.
+
+    bigram_lm_200k: conditional bigram-LM scoring over the 200k
+    30-token corpus (5.8M bigram occurrences; two vocabulary-sized
+    count shuffles + one vectorized scoring map).
+    rollup_5m: GROUP BY ROLLUP over 5M rows x (100 x 10) keys —
+    one data-sized exchange, coarser levels re-aggregate bounded
+    output; grand total checked against the closed form.
+    pivot_5m: crosstab of 5M rows into 10k keys x 5 value columns —
+    per-batch bincount plane, key-partial shuffle; total count
+    reconciles to n."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import (pivot_counts,
+                                                          rollup_agg)
+    from mini_search_engine_ray.stages.textstats import bigram_logprob
+
+    n_docs = 200_000
+    docs = _wordy_corpus(n_docs)
+    t0 = time.time()
+    scored = bigram_logprob(docs, top_v=2_000).materialize()
+    rows = scored.count()
+    total_bigrams = scored.sum("n_bigrams")
+    out["queries"]["bigram_lm_200k"] = round(time.time() - t0, 3)
+    assert rows == n_docs and total_bigrams == n_docs * 29
+
+    n = 5_000_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(ids % 100),
+                         "b": pa.array((ids // 100) % 10),
+                         "v": pa.array(ids % 97)})
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    cube = rollup_agg(ds, ["a", "b"], [("v", "count", "cnt"),
+                                       ("v", "sum", "s")]).materialize()
+    rows = cube.count()
+    out["queries"]["rollup_5m"] = round(time.time() - t0, 3)
+    grand = [r for r in cube.take_all() if r["lvl"] == 3]
+    assert rows == 100 * 10 + 100 + 1 and len(grand) == 1
+    assert grand[0]["cnt"] == n and grand[0]["s"] == sum(
+        i % 97 for i in range(97)) * (n // 97) + sum(
+        i % 97 for i in range(n - n // 97 * 97))
+
+    def gen2(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = np.asarray(["a", "b", "c", "d", "e"], dtype=object)
+        return pa.table({"k": pa.array(ids % 10_000),
+                         "v": pa.array(vals[ids % 5].tolist(),
+                                       pa.string())})
+
+    ds2 = rd.range(n).map_batches(gen2, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    piv = pivot_counts(ds2, "k", "v", ["a", "b", "c", "d", "e"]) \
+        .materialize()
+    rows = piv.count()
+    total = sum(piv.sum(f"n_{v}") for v in "abcde")
+    out["queries"]["pivot_5m"] = round(time.time() - t0, 3)
+    assert rows == 10_000 and total == n
+
+
 def bench_prefix_scan(out: dict) -> None:
     """Distributed prefix scan: per-key running sum over 5M rows /
     10k keys (one range sort + O(num_blocks) carry + per-block
@@ -897,7 +963,7 @@ _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "dedup_verify_100k", "ann_cosine", "pagerank", "temporal",
               "connected_components", "join", "join_skew", "curation", "kmeans",
               "scrub", "chunk_decontam", "prefix_scan", "bounded_window",
-              "dup_passages", "dedup_rewrite", "bpe_train")
+              "dup_passages", "dedup_rewrite", "bpe_train", "analytics")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -987,6 +1053,8 @@ def run_all(only: str | None = None) -> dict:
         bench_dedup_rewrite(out)
     if only in (None, "bpe_train"):
         bench_bpe_train(out)
+    if only in (None, "analytics"):
+        bench_analytics(out)
     out["value"] = round(sum(out["queries"].values()), 3)
     ray.shutdown()
     return out

@@ -5210,3 +5210,80 @@ ORACLE_SQL["user_type_unpivot"] = """
 SELECT user_id, event_type, count(*)::BIGINT AS n
 FROM events GROUP BY user_id, event_type
 """
+
+
+MLT_SEED_DOC = 7
+MLT_TERMS_K = 3
+MLT_TOPK = 10
+
+
+def q_more_like_this(sf_dir: str):
+    """More-like-this (relevance-feedback search): fetch ONE seed doc
+    by id (range-pruned docstore lookup), pick its top-3 TF-IDF terms
+    in the INDEX's analyzed term space (tf · N/df, df from the term
+    dictionary — no corpus pass; ties by ascending md5-low-64 of the
+    term, the order DuckDB replays), then rank the corpus with the
+    standard TF-IDF scorer on those terms, seed excluded, top-10 at
+    the compared 4-decimal precision.  Everything before the search is
+    O(one doc + 3 dictionary lookups)."""
+    from collections import Counter
+
+    from ..functions.hashing import md5_low64_batch
+
+    import pyarrow.dataset as pads
+
+    s = _searcher(sf_dir)
+    seed = pads.dataset(os.path.join(sf_dir, "documents.parquet"),
+                        format="parquet").to_table(
+        columns=["text"],
+        filter=pads.field("doc_id") == MLT_SEED_DOC)
+    text = seed["text"][0].as_py()
+    tf = Counter(s.analyzer.analyze(text))
+    terms = sorted(tf)
+    tfv = np.array([tf[t] for t in terms], dtype=np.float64)
+    dfv = np.array([s.df(t) for t in terms], dtype=np.float64)
+    ok = dfv > 0
+    terms = [t for t, o in zip(terms, ok) if o]
+    score = tfv[ok] * (float(s.n_docs) / dfv[ok])
+    order = np.lexsort((md5_low64_batch(terms), -score))[:MLT_TERMS_K]
+    qterms = [terms[i] for i in order]
+
+    ids, sc = s.search_tfidf(qterms, None)
+    ids = np.asarray(ids, dtype=np.int64)
+    keep = ids != MLT_SEED_DOC
+    return _rounded_topk(ids[keep], np.asarray(sc)[keep], MLT_TOPK)
+
+
+QUERIES["more_like_this"] = q_more_like_this
+
+ORACLE_SQL["more_like_this"] = f"""
+WITH {_BASE_CTE},
+seedtf AS (SELECT term, count(*)::DOUBLE AS tf
+           FROM (SELECT unnest(terms) AS term FROM base
+                 WHERE doc_id = {MLT_SEED_DOC})
+           GROUP BY term),
+alltf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+          FROM (SELECT doc_id, unnest(terms) AS term FROM base)
+          GROUP BY 1, 2),
+nn AS (SELECT count(*)::DOUBLE AS n FROM base),
+dfs AS (SELECT term, count(*)::DOUBLE AS df FROM alltf
+        WHERE term IN (SELECT term FROM seedtf) GROUP BY term),
+qterms AS (SELECT term FROM (
+    SELECT s.term, row_number() OVER (
+        ORDER BY s.tf * (nn.n / dfs.df) DESC,
+                 md5_number_lower(s.term) ASC) AS rn
+    FROM seedtf s JOIN dfs USING (term) CROSS JOIN nn)
+  WHERE rn <= {MLT_TERMS_K}),
+dfq AS (SELECT term, df FROM dfs WHERE term IN (SELECT term FROM qterms)),
+parts AS (
+  SELECT alltf.doc_id,
+         (alltf.tf * nn.n / dfq.df) * (nn.n / dfq.df) AS dot_part,
+         (alltf.tf * nn.n / dfq.df) * (alltf.tf * nn.n / dfq.df)
+           AS len_part
+  FROM alltf JOIN dfq USING (term) CROSS JOIN nn),
+scores AS (SELECT doc_id, sum(dot_part) / sqrt(sum(len_part)) AS score
+           FROM parts GROUP BY doc_id)
+SELECT doc_id, {_R4.format(expr="score")} AS score
+FROM scores WHERE doc_id <> {MLT_SEED_DOC}
+ORDER BY {_R4.format(expr="score")} DESC, doc_id LIMIT {MLT_TOPK}
+"""
