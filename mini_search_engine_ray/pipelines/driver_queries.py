@@ -5287,3 +5287,119 @@ SELECT doc_id, {_R4.format(expr="score")} AS score
 FROM scores WHERE doc_id <> {MLT_SEED_DOC}
 ORDER BY {_R4.format(expr="score")} DESC, doc_id LIMIT {MLT_TOPK}
 """
+
+
+LANGID_PREDS = ["en", "de", "fr", "es", "unknown"]
+
+
+def q_langid_confusion(sf_dir: str):
+    """Language-ID confusion matrix — the classifier-quality check
+    every multilingual curation pipeline runs: labeled lang (rows) ×
+    predicted lang (count columns).  One pass: the langid map runs
+    per batch with the label riding along, then the crosstab's
+    bincount-plane partials — the shuffle carries (labels × preds)
+    partial rows, never documents."""
+    import ray.data as rd
+
+    from ..stages.aggregates import pivot_counts
+    from ..stages.textstats import langid_batch
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+
+    def pred(t: pa.Table) -> pa.Table:
+        out = langid_batch(t)
+        return out.append_column("lang", t["lang"])
+
+    ds = docs.map_batches(pred, batch_format="pyarrow")
+    out = pivot_counts(ds, "lang", "pred_lang", LANGID_PREDS,
+                       in_schema=pa.schema([
+                           ("doc_id", pa.int64()),
+                           ("pred_lang", pa.string()),
+                           ("marker_hits", pa.int64()),
+                           ("lang", pa.string())]))
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {"lang": t["lang"]}
+        for v in LANGID_PREDS:
+            cols[f"n_{v}"] = pc.cast(t[f"n_{v}"], pa.int64())
+        return pa.table(cols)
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["langid_confusion"] = q_langid_confusion
+
+# DuckDB allows a WITH inside a parenthesized subquery (same pattern
+# as the bm25_topk_hydrated oracle)
+ORACLE_SQL["langid_confusion"] = (
+    "\nSELECT d.lang,\n" + ",\n".join(
+        f"       count(*) FILTER (p.pred_lang = '{v}')::BIGINT AS n_{v}"
+        for v in LANGID_PREDS)
+    + f"\nFROM documents d JOIN ({_langid_sql()}) p USING (doc_id)"
+    + "\nGROUP BY d.lang\n")
+
+
+FUNNEL_MIN_CHARS = 100
+FUNNEL_MIN_TOKENS = 20
+
+
+def q_curation_funnel(sf_dir: str):
+    """Curation-funnel observability — the per-gate survival report
+    every filtering pipeline prints: how many docs pass English
+    language-ID, then ALSO the length gate, then ALSO the token-count
+    gate (prefix-AND counts, one row).  One streaming pass: per-batch
+    boolean gates -> four int partials per batch to the driver; no
+    shuffle."""
+    import ray.data as rd
+
+    from ..stages.textstats import _split_tokens, langid_batch
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "n_chars"])
+
+    def gates(t: pa.Table) -> pa.Table:
+        pred = langid_batch(t)["pred_lang"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        content = t["text"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, _ = _split_tokens(content)
+        ntok = np.bincount(parents, minlength=t.num_rows)
+        g1 = pred == "en"
+        g12 = g1 & (nch >= FUNNEL_MIN_CHARS)
+        g123 = g12 & (ntok >= FUNNEL_MIN_TOKENS)
+        return pa.table({
+            "n_total": pa.array([np.int64(t.num_rows)]),
+            "n_lang": pa.array([np.int64(g1.sum())]),
+            "n_lang_len": pa.array([np.int64(g12.sum())]),
+            "n_lang_len_tok": pa.array([np.int64(g123.sum())]),
+        })
+
+    parts = docs.map_batches(gates, batch_format="pyarrow").take_all()
+    return pa.table({
+        c: pa.array([np.int64(sum(r[c] for r in parts))])
+        for c in ["n_total", "n_lang", "n_lang_len", "n_lang_len_tok"]
+    })
+
+
+QUERIES["curation_funnel"] = q_curation_funnel
+
+ORACLE_SQL["curation_funnel"] = f"""
+SELECT count(*)::BIGINT AS n_total,
+       count(*) FILTER (pred_lang = 'en')::BIGINT AS n_lang,
+       count(*) FILTER (pred_lang = 'en'
+                        AND n_chars >= {FUNNEL_MIN_CHARS})::BIGINT
+         AS n_lang_len,
+       count(*) FILTER (pred_lang = 'en'
+                        AND n_chars >= {FUNNEL_MIN_CHARS}
+                        AND n_toks >= {FUNNEL_MIN_TOKENS})::BIGINT
+         AS n_lang_len_tok
+FROM documents d
+JOIN ({_langid_sql()}) p USING (doc_id)
+JOIN (SELECT doc_id, len(toks)::BIGINT AS n_toks
+      FROM ({"WITH " + _TOK_CTE.strip().lstrip()} SELECT * FROM tok))
+  USING (doc_id)
+"""
