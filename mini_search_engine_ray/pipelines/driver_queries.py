@@ -5403,3 +5403,107 @@ JOIN (SELECT doc_id, len(toks)::BIGINT AS n_toks
       FROM ({"WITH " + _TOK_CTE.strip().lstrip()} SELECT * FROM tok))
   USING (doc_id)
 """
+
+
+WEEK_US = 7 * 86_400 * 1_000_000
+VALUE_HIST_BINS = 64
+
+
+def q_weekly_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix — the user-analytics staple:
+    distinct active users per (first-active-week, week).  Per-batch
+    distinct (user, week) pairs bound the shuffle; one grouped min for
+    the cohort assignment; ONE user-keyed sort-merge join (user-scale
+    on both sides — a broadcast would NOT be bounded at real user
+    counts); one grouped count over the already-distinct pairs."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    def weeks(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        wk = ts.cast(pa.int64()).to_numpy(zero_copy_only=False) // WEEK_US
+        out = pa.table({"user_id": pc.cast(t["user_id"], pa.int64()),
+                        "week": pa.array(wk)})
+        return out.group_by(["user_id", "week"]).aggregate([])
+
+    pairs = ev.map_batches(weeks, batch_format="pyarrow")
+    pair_schema = pa.schema([("user_id", pa.int64()), ("week", pa.int64())])
+    distinct = sorted_groupby_agg(pairs, ["user_id", "week"],
+                                  [("week", "count", "_c")],
+                                  in_schema=pair_schema) \
+        .drop_columns(["_c"])
+    cohort = sorted_groupby_agg(pairs, ["user_id"],
+                                [("week", "min", "cohort")],
+                                in_schema=pair_schema)
+    joined = sort_merge_join(distinct, cohort, "user_id", "user_id",
+                             left_schema=pair_schema,
+                             right_schema=pa.schema(
+                                 [("user_id", pa.int64()),
+                                  ("cohort", pa.int64())]))
+    return sorted_groupby_agg(joined, ["cohort", "week"],
+                              [("user_id", "count", "n_users")],
+                              in_schema=pa.schema(
+                                  [("user_id", pa.int64()),
+                                   ("week", pa.int64()),
+                                   ("cohort", pa.int64())]))
+
+
+def q_value_histogram(sf_dir: str):
+    """Equi-width 64-bin histogram of events.value — the distribution
+    TABLE itself (bucket, IEEE-exact edges, count); bins-sized shuffle
+    regardless of data size."""
+    import ray.data as rd
+
+    from ..stages.aggregates import value_histogram
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+    out = value_histogram(ev, "value", bins=VALUE_HIST_BINS)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "bucket": pc.cast(t["bucket"], pa.int64()),
+            "lo": pa.array(_r4(t["lo"].to_numpy(zero_copy_only=False))),
+            "hi": pa.array(_r4(t["hi"].to_numpy(zero_copy_only=False))),
+            "cnt": pc.cast(t["cnt"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["weekly_cohorts"] = q_weekly_cohorts
+QUERIES["value_histogram"] = q_value_histogram
+
+ORACLE_SQL["weekly_cohorts"] = f"""
+WITH wk AS (SELECT user_id, epoch_us(ts) // {WEEK_US} AS week FROM events),
+c AS (SELECT user_id, min(week) AS cohort FROM wk GROUP BY user_id),
+p AS (SELECT DISTINCT user_id, week FROM wk)
+SELECT c.cohort, p.week, count(*)::BIGINT AS n_users
+FROM p JOIN c USING (user_id) GROUP BY 1, 2
+"""
+
+ORACLE_SQL["value_histogram"] = f"""
+WITH b AS (SELECT min(value)::DOUBLE AS mn, max(value)::DOUBLE AS mx
+           FROM events),
+w AS (SELECT mn, CASE WHEN mx = mn THEN 1.0
+                      ELSE (mx - mn) / {VALUE_HIST_BINS} END AS w FROM b),
+bk AS (SELECT least(floor((value - w.mn) / w.w),
+                    {VALUE_HIST_BINS - 1})::BIGINT AS bucket,
+              count(*)::BIGINT AS cnt
+       FROM events, w WHERE value IS NOT NULL GROUP BY 1)
+SELECT bucket,
+       {_R4.format(expr="(w.mn + bucket * w.w)")} AS lo,
+       {_R4.format(expr="(w.mn + (bucket + 1) * w.w)")} AS hi,
+       cnt
+FROM bk, w
+"""

@@ -1067,3 +1067,50 @@ def cube_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]], *,
             for c in combinations(keys, r)]
     return grouping_sets_agg(ds, keys, sets, aggs, in_schema=in_schema,
                              lvl_col=lvl_col)
+
+
+def value_histogram(ds, value_col: str, *, bins: int = 64):
+    """Equi-width histogram TABLE (bucket, lo, hi, cnt) — the
+    distribution report itself, beside the quantile ESTIMATORS that
+    consume the same register shape.  Two streaming passes sharing
+    :func:`_global_bin_edges`'s exact IEEE bucket arithmetic (bucket =
+    min(floor((v-mn)/w), bins-1); edges lo = mn + bucket·w, hi = mn +
+    (bucket+1)·w), per-batch ``np.bincount`` partials, one grouped sum
+    over at most ``bins`` keys — the shuffle is bins-sized regardless
+    of data size.  Empty buckets are omitted (SQL GROUP BY shape);
+    NULL values are ignored.  Returns a Dataset."""
+    if not (isinstance(bins, int) and bins >= 1):
+        raise ValueError(f"bins must be a positive int, got {bins!r}")
+    found, mn, mx, width = _global_bin_edges(ds, value_col, bins)
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        v = (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+             else col).drop_null().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if len(v) == 0 or not found:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        b = np.minimum(np.floor((v - mn) / width), bins - 1) \
+            .astype(np.int64)
+        cnt = np.bincount(b, minlength=0)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz),
+                         "cnt": pa.array(cnt[nz])})
+
+    hist = sorted_groupby_agg(
+        ds.map_batches(bucket_counts, batch_format="pyarrow"),
+        ["bucket"], [("cnt", "sum", "cnt")],
+        in_schema=pa.schema([("bucket", pa.int64()),
+                             ("cnt", pa.int64())]))
+
+    def edges(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "bucket": t["bucket"],
+            "lo": pa.array(mn + b * width),
+            "hi": pa.array(mn + (b + 1.0) * width),
+            "cnt": t["cnt"],
+        })
+
+    return hist.map_batches(edges, batch_format="pyarrow")

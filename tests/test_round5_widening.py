@@ -348,3 +348,39 @@ FROM t GROUP BY GROUPING SETS ((b), ())
         grouping_sets_agg(ds, ["a"], [["zzz"]], [("v", "sum", "s")])
     with pytest.raises(ValueError):
         cube_agg(ds, ["a", "b", "a2", "b2", "c"], [("v", "sum", "s")])
+
+
+# ---------------------------------------------------------------------
+# value_histogram
+# ---------------------------------------------------------------------
+
+
+def test_value_histogram_counts_and_edges(ray_session):
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import value_histogram
+
+    rng = np.random.default_rng(13)
+    v = rng.normal(0, 1, 20_000)
+    ds = rd.from_arrow(pa.table({"v": pa.array(v)})).repartition(8)
+    got = value_histogram(ds, "v", bins=32).to_pandas() \
+        .sort_values("bucket").reset_index(drop=True)
+    assert got["cnt"].sum() == len(v)
+    mn, mx = v.min(), v.max()
+    w = (mx - mn) / 32
+    exp = np.bincount(np.minimum(np.floor((v - mn) / w), 31).astype(int),
+                      minlength=32)
+    nz = np.flatnonzero(exp)
+    assert got["bucket"].tolist() == nz.tolist()
+    assert got["cnt"].tolist() == exp[nz].tolist()
+    np.testing.assert_allclose(got["lo"], mn + nz * w, rtol=0, atol=0)
+    # degenerate: all-equal values -> one bucket, width rule 1.0
+    ds1 = rd.from_arrow(pa.table({"v": pa.array([5.0] * 7)}))
+    one = value_histogram(ds1, "v", bins=8).to_pandas()
+    assert len(one) == 1 and one.loc[0, "cnt"] == 7 \
+        and one.loc[0, "bucket"] == 0 and one.loc[0, "lo"] == 5.0
+    # empty input -> empty histogram
+    ds0 = rd.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
+    assert len(value_histogram(ds0, "v").to_pandas()) == 0
+    with pytest.raises(ValueError):
+        value_histogram(ds1, "v", bins=0)
