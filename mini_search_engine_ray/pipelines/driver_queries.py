@@ -5507,3 +5507,131 @@ SELECT bucket,
        cnt
 FROM bk, w
 """
+
+
+def q_window_value_p95(sf_dir: str):
+    """Windowed exact quantiles by composition — the per-hour latency
+    p50/p95 report: assign each event its tumbling bucket with one
+    vectorized map, then the exact per-group quantile sweep keyed on
+    the bucket (group-key-only sort + per-block rank pick)."""
+    from ..stages.aggregates import quantile_per_group
+    from ..stages.windows import _ts_us
+
+    w = WINDOW_WIDTH_S * 1_000_000
+
+    def bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        us = _ts_us(t, "ts")
+        return pa.table({
+            "window_start_us": pa.array((us // w) * w),
+            "value": pc.cast(t["value"], pa.float64()),
+        })
+
+    ds = _events_ds(sf_dir).map_batches(bucket, batch_format="pyarrow")
+    out = quantile_per_group(ds, ["window_start_us"], "value",
+                             [0.5, 0.95])
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "window_start_us": pc.cast(t["window_start_us"], pa.int64()),
+            "q5": pa.array(_r4(t["q5"].to_numpy(zero_copy_only=False))),
+            "q95": pa.array(_r4(t["q95"].to_numpy(zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+MIX_BUCKETS = 10_000
+
+
+def q_source_temperature_mix(sf_dir: str):
+    """Temperature-based source rebalancing — the LLM data-mixture
+    move (downweight over-represented sources by inverse sqrt):
+    keep_rate(s) = sqrt(min_count / count_s), so the SMALLEST source
+    keeps everything and a 100× larger source keeps 10%.  One
+    source-bounded grouped count, a rates dict built driver-side
+    (sqrt + division — IEEE-exact, SQL-replayable), then the
+    content-addressed `sample_fraction` map — every keep/drop decision
+    replays in SQL."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.sampling import sample_fraction
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "source"])
+    cnt_rows = sorted_groupby_agg(
+        docs, ["source"], [("doc_id", "count", "n")]).take_all()
+    counts = {r["source"]: int(r["n"]) for r in cnt_rows}
+    mn = min(counts.values())
+    rates = {s: int(np.floor(np.sqrt(np.float64(mn) / np.float64(n))
+                             * MIX_BUCKETS))
+             for s, n in counts.items()}
+    out = sample_fraction(docs, rates, default=0, group_col="source",
+                          buckets=MIX_BUCKETS,
+                          out_cols=["doc_id", "source"])
+    return out
+
+
+def q_group_hash_split(sf_dir: str):
+    """Leakage-safe GROUP-level split: the train/valid/test assignment
+    hashes the SOURCE, so every doc of a source lands in the same
+    split (near-duplicates within a domain can't straddle train/test).
+    Same content-addressed machinery as hash_split, keyed on the group
+    column."""
+    import ray.data as rd
+
+    from ..stages.sampling import hash_split
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "source"])
+    out = hash_split(docs, text_col="source")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "bucket": pc.cast(t["bucket"], pa.int64()),
+            "split": t["split"],
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["window_value_p95"] = q_window_value_p95
+QUERIES["source_temperature_mix"] = q_source_temperature_mix
+QUERIES["group_hash_split"] = q_group_hash_split
+
+ORACLE_SQL["window_value_p95"] = f"""
+SELECT (epoch_us(ts) // {WINDOW_WIDTH_S * 1_000_000}
+        * {WINDOW_WIDTH_S * 1_000_000})::BIGINT AS window_start_us,
+       {_R4.format(expr="quantile_disc(value, 0.5)")} AS q5,
+       {_R4.format(expr="quantile_disc(value, 0.95)")} AS q95
+FROM events GROUP BY 1
+"""
+
+ORACLE_SQL["source_temperature_mix"] = f"""
+WITH cnt AS (SELECT source, count(*)::BIGINT AS n
+             FROM documents GROUP BY source),
+mnc AS (SELECT min(n)::DOUBLE AS mn FROM cnt),
+rate AS (SELECT source,
+                floor(sqrt(mnc.mn / n::DOUBLE) * {MIX_BUCKETS})::BIGINT
+                  AS r
+         FROM cnt CROSS JOIN mnc)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rate USING (source)
+WHERE (md5_number_lower(d.text) % {MIX_BUCKETS}) < rate.r
+"""
+
+ORACLE_SQL["group_hash_split"] = """
+SELECT doc_id,
+  (md5_number_lower(source) % 10000)::BIGINT AS bucket,
+  CASE WHEN (md5_number_lower(source) % 10000) < 8000 THEN 'train'
+       WHEN (md5_number_lower(source) % 10000) < 9000 THEN 'valid'
+       ELSE 'test' END AS split
+FROM documents
+"""
