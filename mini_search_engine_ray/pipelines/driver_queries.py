@@ -5548,31 +5548,32 @@ MIX_BUCKETS = 10_000
 
 
 def q_source_temperature_mix(sf_dir: str):
-    """Temperature-based source rebalancing — the LLM data-mixture
-    move (downweight over-represented sources by inverse sqrt):
-    keep_rate(s) = sqrt(min_count / count_s), so the SMALLEST source
-    keeps everything and a 100× larger source keeps 10%.  One
-    source-bounded grouped count, a rates dict built driver-side
-    (sqrt + division — IEEE-exact, SQL-replayable), then the
-    content-addressed `sample_fraction` map — every keep/drop decision
-    replays in SQL."""
+    """Temperature-based group rebalancing — the LLM data-mixture
+    move (downweight over-represented languages by inverse sqrt):
+    keep_rate(g) = sqrt(min_count / count_g), so the SMALLEST group
+    keeps everything and a 100× larger group keeps 10%.  Keyed on
+    `lang`, which IS skewed in this corpus (en ≈ 3× fr), so the query
+    demonstrates real downweighting.  One group-bounded grouped count,
+    a rates dict built driver-side (sqrt + division — IEEE-exact,
+    SQL-replayable), then the content-addressed `sample_fraction`
+    map — every keep/drop decision replays in SQL."""
     import ray.data as rd
 
     from ..stages.aggregates import sorted_groupby_agg
     from ..stages.sampling import sample_fraction
 
     docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text", "source"])
+                           columns=["doc_id", "text", "lang"])
     cnt_rows = sorted_groupby_agg(
-        docs, ["source"], [("doc_id", "count", "n")]).take_all()
-    counts = {r["source"]: int(r["n"]) for r in cnt_rows}
+        docs, ["lang"], [("doc_id", "count", "n")]).take_all()
+    counts = {r["lang"]: int(r["n"]) for r in cnt_rows}
     mn = min(counts.values())
     rates = {s: int(np.floor(np.sqrt(np.float64(mn) / np.float64(n))
                              * MIX_BUCKETS))
              for s, n in counts.items()}
-    out = sample_fraction(docs, rates, default=0, group_col="source",
+    out = sample_fraction(docs, rates, default=0, group_col="lang",
                           buckets=MIX_BUCKETS,
-                          out_cols=["doc_id", "source"])
+                          out_cols=["doc_id", "lang"])
     return out
 
 
@@ -5615,15 +5616,15 @@ FROM events GROUP BY 1
 """
 
 ORACLE_SQL["source_temperature_mix"] = f"""
-WITH cnt AS (SELECT source, count(*)::BIGINT AS n
-             FROM documents GROUP BY source),
+WITH cnt AS (SELECT lang, count(*)::BIGINT AS n
+             FROM documents GROUP BY lang),
 mnc AS (SELECT min(n)::DOUBLE AS mn FROM cnt),
-rate AS (SELECT source,
+rate AS (SELECT lang,
                 floor(sqrt(mnc.mn / n::DOUBLE) * {MIX_BUCKETS})::BIGINT
                   AS r
          FROM cnt CROSS JOIN mnc)
-SELECT d.doc_id, d.source
-FROM documents d JOIN rate USING (source)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rate USING (lang)
 WHERE (md5_number_lower(d.text) % {MIX_BUCKETS}) < rate.r
 """
 
