@@ -5636,3 +5636,90 @@ SELECT doc_id,
        ELSE 'test' END AS split
 FROM documents
 """
+
+
+SPLIT_LEAK_N = 3
+
+
+def q_split_leakage(sf_dir: str):
+    """Train/test LEAKAGE measurement — the check behind "dedup the
+    test set against train": per TEST document (leakage-safe
+    source-hash split), the count and fraction of its trigram
+    occurrences whose gram also appears in ≥1 TRAIN document.  Same
+    hash-sort plan as the dup-passage family with a probe/reference
+    asymmetry; the only data-sized exchange is the uint64 gram-hash
+    sort."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_low64_batch
+    from ..stages.dedup import cross_split_gram_stats
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "source"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        src = t["source"]
+        src = src.combine_chunks() if isinstance(src, pa.ChunkedArray) \
+            else src
+        b = (md5_low64_batch(src.to_pylist())
+             % np.uint64(10_000)).astype(np.int64)
+        names = np.asarray(["train", "valid", "test"], dtype=object)
+        idx = np.searchsorted(np.array([8000, 9000]), b, side="right")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "split": pa.array(names[idx].tolist(), pa.string()),
+        })
+
+    ds = docs.map_batches(assign, batch_format="pyarrow")
+    out = cross_split_gram_stats(ds, n=SPLIT_LEAK_N)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_grams": pc.cast(t["n_grams"], pa.int64()),
+            "n_leaked": pc.cast(t["n_leaked"], pa.int64()),
+            "leak_frac": pa.array(_r4(t["leak_frac"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["split_leakage"] = q_split_leakage
+
+ORACLE_SQL["split_leakage"] = f"""
+WITH {_TOK_CTE},
+sp AS (SELECT doc_id,
+              CASE WHEN (md5_number_lower(source) % 10000) < 8000
+                     THEN 'train'
+                   WHEN (md5_number_lower(source) % 10000) < 9000
+                     THEN 'valid'
+                   ELSE 'test' END AS split
+       FROM documents),
+g AS (
+  SELECT t.doc_id, sp.split,
+         md5_number_lower(t.toks[p] || ' ' || t.toks[p+1] || ' ' ||
+                          t.toks[p+2]) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks)-2)) AS p
+        FROM tok WHERE len(toks) >= {SPLIT_LEAK_N}) t
+  JOIN sp USING (doc_id)
+  WHERE sp.split IN ('train', 'test')),
+refh AS (SELECT DISTINCT h FROM g WHERE split = 'train'),
+te AS (SELECT doc_id, h FROM g WHERE split = 'test'),
+lk AS (SELECT doc_id, count(*)::BIGINT AS n_leaked FROM te
+       WHERE h IN (SELECT h FROM refh) GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*)::BIGINT AS n_grams FROM te
+        GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(tot.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(lk.n_leaked, 0)::BIGINT AS n_leaked,
+       {_R4.format(expr="CASE WHEN coalesce(tot.n_grams, 0) = 0 THEN 0.0 "
+                        "ELSE coalesce(lk.n_leaked, 0) / tot.n_grams END")}
+         AS leak_frac
+FROM (SELECT doc_id FROM sp WHERE split = 'test') d
+LEFT JOIN tot USING (doc_id) LEFT JOIN lk USING (doc_id)
+"""

@@ -957,3 +957,123 @@ def remove_dup_passages(ds, *, n: int = 3, policy: str = "keep_first",
 
     return joined.map_batches(rewrite, batch_size=None,
                               batch_format="pyarrow")
+
+
+def cross_split_gram_stats(ds, *, n: int = 3, split_col: str = "split",
+                           probe: str = "test", reference: str = "train",
+                           text_col: str = "text", id_col: str = "doc_id"):
+    """Train/test LEAKAGE report: per PROBE-split document, the count
+    and fraction of its token n-gram occurrences whose gram also
+    appears in at least one REFERENCE-split document — the measurement
+    behind every "dedup the test set against train" decision (the
+    probe/reference asymmetry is what distinguishes this from
+    :func:`dup_passage_stats`, which flags ANY cross-doc repeat).
+
+    Scale shape (same plan as the dup-passage family): rows outside
+    the two splits are dropped at the explode; each batch explodes to
+    (doc_id, gram-hash, is_ref) rows — one uint64 + one int per gram,
+    never gram text, ``md5_number_lower``-replayable; ONE range sort
+    by hash; a per-block sweep flags runs containing ≥1 reference row
+    and reduces probe rows to per-(block, doc) leak counts; partials
+    union with per-batch probe-total partials into one doc-keyed
+    grouped sum.  Probe docs with fewer than ``n`` tokens emit
+    (0, 0, 0.0).  Returns (id_col, n_grams, n_leaked, leak_frac) for
+    PROBE docs only."""
+    from ..functions.hashing import md5_low64_batch
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.textstats import _split_tokens, ngram_strings
+
+    if not (isinstance(n, int) and n >= 1):
+        raise ValueError(f"n must be a positive int, got {n!r}")
+    if probe == reference:
+        raise ValueError("probe and reference splits must differ")
+
+    def _doc_ids(t: pa.Table) -> np.ndarray:
+        ids = t[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
+        return ids.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _splits(t: pa.Table) -> np.ndarray:
+        sp = t[split_col]
+        sp = sp.combine_chunks() if isinstance(sp, pa.ChunkedArray) else sp
+        return sp.to_numpy(zero_copy_only=False)
+
+    def explode(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        gp, grams = ngram_strings(parents, values, n)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "h": pa.array([], pa.uint64()),
+                          "r": pa.array([], pa.int64())})
+        if len(gp) == 0:
+            return empty
+        sp = _splits(t)
+        is_ref = (sp == reference)
+        keep = is_ref[gp] | (sp == probe)[gp]
+        if not keep.any():
+            return empty
+        gp = gp[keep]
+        h = md5_low64_batch(grams.filter(pa.array(keep)).to_pylist())
+        ids = _doc_ids(t)
+        return pa.table({id_col: pa.array(ids[gp]), "h": pa.array(h),
+                         "r": pa.array(is_ref[gp].astype(np.int64))})
+
+    def totals(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        gp, _ = ngram_strings(parents, values, n)
+        cnt = np.bincount(gp, minlength=t.num_rows).astype(np.int64)
+        is_probe = _splits(t) == probe
+        ids = _doc_ids(t)[is_probe]
+        return pa.table({id_col: pa.array(ids),
+                         "g": pa.array(cnt[is_probe]),
+                         "d": pa.array(np.zeros(len(ids), np.int64))})
+
+    def leak_sweep(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "g": pa.array([], pa.int64()),
+                          "d": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        ids = _doc_ids(t)
+        r = t["r"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ids, h))
+        hs, ds_, rs = h[order], ids[order], r[order]
+        run_brk = hs[1:] != hs[:-1]
+        run_id = np.cumsum(np.r_[0, run_brk.astype(np.int64)])
+        n_runs = run_id[-1] + 1
+        ref_per_run = np.bincount(run_id, weights=rs, minlength=n_runs)
+        leaked = (ref_per_run[run_id] > 0) & (rs == 0)
+        if not leaked.any():
+            return empty
+        vc = pa.array(ds_[leaked]).value_counts()
+        docs = vc.field("values")
+        return pa.table({id_col: docs,
+                         "g": pa.array(np.zeros(len(docs), np.int64)),
+                         "d": vc.field("counts").cast(pa.int64())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    leak_partials = exploded.sort("h").map_batches(
+        leak_sweep, batch_size=None, batch_format="pyarrow")
+    tot_partials = ds.map_batches(totals, batch_format="pyarrow")
+    agg = sorted_groupby_agg(
+        tot_partials.union(leak_partials), [id_col],
+        [("g", "sum", "n_grams"), ("d", "sum", "n_leaked")],
+        in_schema=pa.schema([(id_col, pa.int64()), ("g", pa.int64()),
+                             ("d", pa.int64())]))
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("leak_frac", pa.array([], pa.float64()))
+        g = t["n_grams"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["n_leaked"].to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.divide(d, g, out=np.zeros_like(d), where=g > 0)
+        return t.append_column("leak_frac", pa.array(frac))
+
+    return agg.map_batches(fin, batch_format="pyarrow")

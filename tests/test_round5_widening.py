@@ -384,3 +384,48 @@ def test_value_histogram_counts_and_edges(ray_session):
     assert len(value_histogram(ds0, "v").to_pandas()) == 0
     with pytest.raises(ValueError):
         value_histogram(ds1, "v", bins=0)
+
+
+# ---------------------------------------------------------------------
+# cross_split_gram_stats
+# ---------------------------------------------------------------------
+
+
+def test_cross_split_gram_stats_brute_force(ray_session):
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.dedup import cross_split_gram_stats
+
+    rng = np.random.default_rng(21)
+    vocab = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    rows = []
+    for i in range(150):
+        toks = rng.choice(vocab, rng.integers(0, 10)).tolist()
+        split = ["train", "test", "valid"][i % 3]
+        rows.append((i, " ".join(toks), split))
+    rows[4] = (4, "", "test")  # gram-less probe doc
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows]),
+                  "text": pa.array([r[1] for r in rows]),
+                  "split": pa.array([r[2] for r in rows])})
+    ds = rd.from_arrow(t).repartition(6)
+    got = cross_split_gram_stats(ds, n=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    def grams(s):
+        w = s.split()
+        return [w[i] + " " + w[i + 1] for i in range(len(w) - 1)]
+
+    train_grams = {g for r in rows if r[2] == "train" for g in grams(r[1])}
+    probe = [r for r in rows if r[2] == "test"]
+    assert got["doc_id"].tolist() == [r[0] for r in probe]
+    for (_, row), r in zip(got.iterrows(), probe):
+        gs = grams(r[1])
+        leaked = sum(g in train_grams for g in gs)
+        assert row["n_grams"] == len(gs)
+        assert row["n_leaked"] == leaked
+        expf = leaked / len(gs) if gs else 0.0
+        assert abs(row["leak_frac"] - expf) < 1e-12
+    with pytest.raises(ValueError):
+        cross_split_gram_stats(ds, n=0)
+    with pytest.raises(ValueError):
+        cross_split_gram_stats(ds, probe="train", reference="train")
