@@ -678,6 +678,77 @@ def histogram_quantiles_per_group(ds, key_col: str, value_col: str,
                                           batch_format="pyarrow")
 
 
+
+_COMPOSE = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def batch_partial_agg(keys: list[str], aggs: list[tuple[str, str, str]]):
+    """Map-side combiner for composing ops (sum/min/max/count): reduce
+    each batch to ONE row per distinct key tuple BEFORE the range sort,
+    so a low-cardinality grouped reduction exchanges (batches × groups)
+    partial rows instead of the data — the classic pre-aggregation the
+    rollup/cube/pivot class is entitled to (high-cardinality callers
+    like token counts apply their own value_counts partials instead).
+
+    Returns ``(batch_fn, reaggs)``: apply ``batch_fn`` in a
+    ``map_batches`` and reduce its output with
+    ``sorted_groupby_agg(..., reaggs)`` — count partials re-aggregate
+    as sums.  Key columns must be sortable (nulls handled upstream by
+    the caller's null-safe encoding); null aggregate sources are
+    rejected exactly like :func:`sorted_groupby_agg`."""
+    for _, op, _ in aggs:
+        if op not in _COMPOSE:
+            raise ValueError(f"op does not compose: {op!r}")
+    reaggs = [(a, _COMPOSE[op], a) for _, op, a in aggs]
+
+    def fn(t: pa.Table) -> pa.Table:
+        cols: dict = {}
+        if t.num_rows == 0:
+            for k in keys:
+                cols[k] = t[k]
+            for src, op, alias in aggs:
+                cols[alias] = pa.array(
+                    [], _agg_out_type(op, t.schema.field(src).type
+                                      if src in t.column_names
+                                      else pa.int64()))
+            return pa.table(cols)
+        codes = _batch_group_codes(t, keys)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        brk = sc[1:] != sc[:-1]
+        starts = np.flatnonzero(np.r_[True, brk])
+        first_idx = pa.array(order[starts])
+        lens = np.diff(np.r_[starts, len(sc)]).astype(np.int64)
+        for k in keys:
+            col = t[k]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            cols[k] = col.take(first_idx)
+        for src, op, alias in aggs:
+            if op == "count":
+                cols[alias] = pa.array(lens)
+                continue
+            col = t[src]
+            col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+                else col
+            if col.null_count:
+                raise ValueError(
+                    f"batch_partial_agg: null values in aggregate source "
+                    f"column {src!r} are not supported; filter or fill "
+                    "first")
+            v = col.to_numpy(zero_copy_only=False)[order]
+            if op == "min":
+                r = np.minimum.reduceat(v, starts)
+            elif op == "max":
+                r = np.maximum.reduceat(v, starts)
+            else:
+                r = np.add.reduceat(v, starts)
+            cols[alias] = pa.array(r, type=col.type if op != "sum" else None)
+        return pa.table(cols)
+
+    return fn, reaggs
+
+
 def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]], *,
                in_schema: pa.Schema | None = None, lvl_col: str = "lvl"):
     """SQL ``GROUP BY ROLLUP(keys...)`` by composition: ONE data-sized
@@ -751,12 +822,21 @@ def rollup_agg(ds, keys: list[str], aggs: list[tuple[str, str, str]], *,
         fields += [(c, base_schema.field(c).type) for c in src_cols]
         tag_schema = pa.schema(fields)
 
-    # one data-sized exchange: group on the interleaved
-    # (indicator, filled-key) pairs
+    # map-side combiner first: each batch reduces to one row per
+    # distinct key tuple, so the only data-sized work is the per-batch
+    # sweep — the exchange carries (batches × groups) partial rows
     pair_keys = [c for k in keys for c in (nn[k], k)]
+    part_fn, part_aggs = batch_partial_agg(pair_keys, aggs)
+    part_schema = None
+    if tag_schema is not None:
+        part_schema = pa.schema(
+            [(c, tag_schema.field(c).type) for c in pair_keys]
+            + [(a, _agg_out_type(op, tag_schema.field(srcc).type))
+               for srcc, op, a in aggs])
     finest = sorted_groupby_agg(
-        ds.map_batches(tag, batch_format="pyarrow"), pair_keys, aggs,
-        in_schema=tag_schema).materialize()
+        ds.map_batches(tag, batch_format="pyarrow")
+        .map_batches(part_fn, batch_format="pyarrow"),
+        pair_keys, part_aggs, in_schema=part_schema).materialize()
     fin_schema = static_schema(finest)
     key_types = {k: fin_schema.field(k).type for k in keys}
     alias_types = {a: fin_schema.field(a).type for _, _, a in aggs}
@@ -986,10 +1066,21 @@ def grouping_sets_agg(ds, keys: list[str], sets: list[list[str]],
         fields += [(c, base_schema.field(c).type) for c in src_cols]
         tag_schema = pa.schema(fields)
 
+    # map-side combiner first: each batch reduces to one row per
+    # distinct key tuple, so the only data-sized work is the per-batch
+    # sweep — the exchange carries (batches × groups) partial rows
     pair_keys = [c for k in keys for c in (nn[k], k)]
+    part_fn, part_aggs = batch_partial_agg(pair_keys, aggs)
+    part_schema = None
+    if tag_schema is not None:
+        part_schema = pa.schema(
+            [(c, tag_schema.field(c).type) for c in pair_keys]
+            + [(a, _agg_out_type(op, tag_schema.field(srcc).type))
+               for srcc, op, a in aggs])
     finest = sorted_groupby_agg(
-        ds.map_batches(tag, batch_format="pyarrow"), pair_keys, aggs,
-        in_schema=tag_schema).materialize()
+        ds.map_batches(tag, batch_format="pyarrow")
+        .map_batches(part_fn, batch_format="pyarrow"),
+        pair_keys, part_aggs, in_schema=part_schema).materialize()
     fin_schema = static_schema(finest)
     key_types = {k: fin_schema.field(k).type for k in keys}
     alias_types = {a: fin_schema.field(a).type for _, _, a in aggs}
