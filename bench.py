@@ -113,6 +113,7 @@ def _warmup() -> None:
 
     from mini_search_engine_ray.sources.corpus import synth_corpus, write_corpus_parquet
 
+    os.makedirs(CACHE, exist_ok=True)
     wpath = os.path.join(CACHE, "warmup-2000.parquet")
     if not os.path.exists(wpath):
         write_corpus_parquet(synth_corpus(2000, seed=1), wpath + ".tmp", rows_per_group=512)
@@ -828,6 +829,53 @@ def bench_bpe_train(out: dict) -> None:
     assert all(c > 0 for c in merges["cnt"].to_pylist())
 
 
+def bench_doc_sim(out: dict) -> None:
+    """Sparse TF-IDF cosine all-pairs similarity over 200k 30-token
+    docs (6M tokens, two tokenize passes + a vocabulary-sized df
+    shuffle): ~200 planted rare terms (df ~ 10) generate the candidate
+    pairs; the 500-word common vocab is excluded by the df cap, so the
+    pair stage is candidate-sized, not quadratic."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.sparse_sim import tfidf_doc_pairs
+
+    n, vocab, tpd = 200_000, 500, 30
+    words = pa.array([f"w{i:03d}" for i in range(vocab)])
+    rare = pa.array([f"rare{i:03d}" for i in range(200)])
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(int(ids[0]) + 11)
+        flat = rng.integers(0, vocab, len(ids) * tpd)
+        toks = words.take(pa.array(flat))
+        offs = np.arange(len(ids) + 1, dtype=np.int64) * tpd
+        base = pc.binary_join(
+            pa.LargeListArray.from_arrays(offs, toks), " ")
+        # ~1% of docs get one rare term appended (df ~ 10 per term)
+        hit = rng.random(len(ids)) < 0.01
+        ridx = rng.integers(0, len(rare), len(ids))
+        suffix = pc.if_else(
+            pa.array(hit),
+            pc.binary_join_element_wise(
+                pa.array([" "] * len(ids)), rare.take(pa.array(ridx)), ""),
+            pa.array([""] * len(ids)))
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "text": pc.binary_join_element_wise(base, suffix, ""),
+        })
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    pairs = tfidf_doc_pairs(ds, df_frac=0.01, n_docs=n)
+    n_pairs = pairs.count()
+    out["queries"]["doc_sim_200k"] = round(time.time() - t0, 3)
+    out["doc_sim_pairs_found"] = int(n_pairs)
+    assert n_pairs > 0
+
+
 def bench_analytics(out: dict) -> None:
     """Round-5 wave-2 analytics operators at bench scale.
 
@@ -1053,6 +1101,8 @@ def run_all(only: str | None = None) -> dict:
         bench_dedup_rewrite(out)
     if only in (None, "bpe_train"):
         bench_bpe_train(out)
+    if only in (None, "doc_sim"):
+        bench_doc_sim(out)
     if only in (None, "analytics"):
         bench_analytics(out)
     out["value"] = round(sum(out["queries"].values()), 3)

@@ -5723,3 +5723,59 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM sp WHERE split = 'test') d
 LEFT JOIN tot USING (doc_id) LEFT JOIN lk USING (doc_id)
 """
+
+
+DOC_SIM_DF_FRAC = 0.2
+
+
+def q_doc_sim_pairs(sf_dir: str):
+    """Sparse TF-IDF cosine all-pairs similarity (Bayardo et al. 2007)
+    restricted to rare terms (df <= 20% of the corpus) — the
+    inverted-index-native near-dup detector: candidate pairs come from
+    the rare-term posting lists (one int64 term sort, runs bounded by
+    the df cap), never an all-pairs scan; per-doc L2 norms run over the
+    FULL vocabulary.  Output: every unordered pair sharing >= 1 rare
+    term with its partial cosine."""
+    import ray.data as rd
+
+    from ..stages.sparse_sim import tfidf_doc_pairs
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = tfidf_doc_pairs(docs, df_frac=DOC_SIM_DF_FRAC)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "a": pc.cast(t["a"], pa.int64()),
+            "b": pc.cast(t["b"], pa.int64()),
+            "n_shared": pc.cast(t["n_shared"], pa.int64()),
+            "sim": pa.array(_r4(t["sim"].to_numpy(zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["doc_sim_pairs"] = q_doc_sim_pairs
+
+ORACLE_SQL["doc_sim_pairs"] = f"""
+WITH {_TOK_CTE},
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(toks) AS term FROM tok)
+       GROUP BY doc_id, term),
+df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+w AS (SELECT tf.doc_id, tf.term,
+             tf.tf * ln((SELECT n FROM nn) / df.df) AS w, df.df AS df
+      FROM tf JOIN df USING (term)),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+r AS (SELECT w.doc_id, w.term, w.w / nrm.nrm AS wn
+      FROM w JOIN nrm USING (doc_id)
+      WHERE w.df <= floor({DOC_SIM_DF_FRAC} * (SELECT n FROM nn))),
+p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+             count(*)::BIGINT AS n_shared, sum(x.wn * y.wn) AS s
+      FROM r x JOIN r y ON x.term = y.term AND x.doc_id < y.doc_id
+      GROUP BY x.doc_id, y.doc_id)
+SELECT a, b, n_shared, {_R4.format(expr="s")} AS sim FROM p
+"""
