@@ -425,6 +425,42 @@ def bench_ann(out: dict) -> None:
     out["queries"]["ann_cosine"] = round(time.time() - t0, 3)
 
 
+def bench_ann_quantized(out: dict) -> None:
+    """Float brute-force vs SQ8 asymmetric quantized cosine top-k over
+    1M x 32d synthetic vectors (16 queries): the quantized row includes
+    its per-dimension min/max pass — the full 4x-compression serving
+    path, same tree merge as the float baseline."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.quantize import ann_quantized_topk
+    from mini_search_engine_ray.stages.similarity import ann_cosine_topk
+
+    n, d = 1_000_000, 32
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False)
+        rng = np.random.default_rng(int(ids[0]) + 3)
+        x = rng.normal(size=(len(ids), d))
+        offs = np.arange(len(ids) + 1, dtype=np.int32) * d
+        return pa.table({
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "embedding": pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(x.ravel())),
+        })
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow").materialize()
+    rng = np.random.default_rng(9)
+    qm = rng.normal(size=(16, d))
+    t0 = time.time()
+    ann_cosine_topk(ds, qm, k=10).count()
+    out["queries"]["ann_float_1m"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    ann_quantized_topk(ds, qm, k=10, bits=8).count()
+    out["queries"]["ann_quantized_1m"] = round(time.time() - t0, 3)
+
+
 def bench_pagerank(out: dict) -> None:
     import numpy as np
 
@@ -1073,6 +1109,8 @@ def run_all(only: str | None = None) -> dict:
         bench_dedup_verify_100k(out)
     if only in (None, "ann_cosine"):
         bench_ann(out)
+    if only in (None, "ann_quantized"):
+        bench_ann_quantized(out)
     if only in (None, "pagerank"):
         bench_pagerank(out)
     if only in (None, "temporal"):

@@ -5779,3 +5779,104 @@ p AS (SELECT x.doc_id AS a, y.doc_id AS b,
       GROUP BY x.doc_id, y.doc_id)
 SELECT a, b, n_shared, {_R4.format(expr="s")} AS sim FROM p
 """
+
+
+QUANT_BITS = 8
+
+
+def q_embedding_quantized(sf_dir: str):
+    """SQ8 scalar quantization of the embedding column (the FAISS
+    ScalarQuantizer scheme): global per-dimension (min, max) via
+    d-sized tree-combined partials, (mn, scale) broadcast once, one
+    fused floor/clip map per batch — exploded to (vec_id, dim, q)
+    rows whose integer codes the oracle replays exactly (every step
+    is order-independent IEEE float64)."""
+    import ray.data as rd
+
+    from ..stages.quantize import embedding_minmax, quantize_embeddings
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    mn, mx = embedding_minmax(emb)
+    out = quantize_embeddings(emb, mn, mx, bits=QUANT_BITS)
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "q": pa.array([], pa.int64())})
+        col = t["q"].combine_chunks() if isinstance(t["q"], pa.ChunkedArray) \
+            else t["q"]
+        parents = pc.list_parent_indices(col).to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False)
+        dims = np.arange(len(parents), dtype=np.int64) - offs[parents] + 1
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"vec_id": pa.array(ids[parents]),
+                         "dim": pa.array(dims),
+                         "q": col.values})
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+def q_ann_quantized_topk(sf_dir: str):
+    """Asymmetric quantized ANN: full-precision queries scored against
+    the SQ8-dequantized store (mn + q*scale), top-k per query — the
+    4x-memory-compression serving path; same broadcast + tree-merge
+    shape as the float brute-force baseline."""
+    from ..stages.quantize import ann_quantized_topk
+
+    ds, qm = _ann_inputs(sf_dir)
+    out = ann_quantized_topk(ds, qm, k=ANN_K, bits=QUANT_BITS)
+    return out.drop_columns(["rank"]).map_batches(_ann_fix,
+                                                  batch_format="pyarrow")
+
+
+QUERIES["embedding_quantized"] = q_embedding_quantized
+QUERIES["ann_quantized_topk"] = q_ann_quantized_topk
+
+_QUANT_LEVELS = 2 ** QUANT_BITS - 1
+
+_QUANT_CTE = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+x AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS val
+      FROM e),
+mm AS (SELECT dim, min(val) AS mn, max(val) AS mx FROM x GROUP BY dim),
+sc AS (SELECT dim, mn, (mx - mn) / {_QUANT_LEVELS}.0 AS scale FROM mm),
+qc AS (SELECT x.vec_id, x.dim,
+              CASE WHEN sc.scale = 0 THEN 0
+                   ELSE least(greatest(floor((x.val - sc.mn) / sc.scale),
+                                       0), {_QUANT_LEVELS})
+              END AS q,
+              sc.mn, sc.scale
+       FROM x JOIN sc USING (dim))
+"""
+
+ORACLE_SQL["embedding_quantized"] = f"""
+WITH {_QUANT_CTE}
+SELECT vec_id, dim::BIGINT AS dim, q::BIGINT AS q FROM qc
+"""
+
+ORACLE_SQL["ann_quantized_topk"] = f"""
+WITH {_QUANT_CTE},
+dq AS (SELECT vec_id, dim, mn + q * scale AS dv FROM qc),
+nv AS (SELECT vec_id, sqrt(sum(dv * dv)) AS nrm FROM dq GROUP BY vec_id),
+qx AS (SELECT vec_id AS query_id, dim, val FROM x
+       WHERE vec_id < {ANN_QUERY_IDS}),
+nq AS (SELECT query_id, sqrt(sum(val * val)) AS nrm FROM qx
+       GROUP BY query_id),
+s AS (SELECT qx.query_id, dq.vec_id, sum(qx.val * dq.dv) AS dot
+      FROM qx JOIN dq USING (dim) GROUP BY qx.query_id, dq.vec_id),
+sim AS (SELECT s.query_id, s.vec_id,
+               CASE WHEN nv.nrm = 0 OR nq.nrm = 0 THEN 0
+                    ELSE s.dot / (nv.nrm * nq.nrm) END AS sim
+        FROM s JOIN nv ON nv.vec_id = s.vec_id
+               JOIN nq ON nq.query_id = s.query_id),
+r AS (SELECT query_id, vec_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, vec_id) AS rn
+      FROM sim)
+SELECT query_id, vec_id, {_R4.format(expr="sim")} AS score
+FROM r WHERE rn <= {ANN_K}
+"""

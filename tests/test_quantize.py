@@ -1,0 +1,95 @@
+"""SQ8 embedding quantization + asymmetric quantized ANN
+(stages/quantize.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mini_search_engine_ray.stages.quantize import (
+    ann_quantized_topk,
+    embedding_minmax,
+    quant_params,
+    quantize_embeddings,
+)
+from mini_search_engine_ray.stages.similarity import ann_cosine_topk
+
+
+def _emb_table(x: np.ndarray) -> pa.Table:
+    d = x.shape[1]
+    offs = np.arange(len(x) + 1, dtype=np.int32) * d
+    return pa.table({
+        "vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+        "embedding": pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()),
+            pa.array(x.ravel().astype(np.float64))),
+    })
+
+
+def _ds(x: np.ndarray, blocks: int = 7):
+    import ray.data as rd
+
+    return rd.from_arrow(_emb_table(x)).repartition(blocks)
+
+
+def test_minmax_block_count_invariance(ray_session):
+    rng = np.random.default_rng(3)
+    x = rng.normal(size=(4000, 16))
+    for blocks in (1, 37):
+        mn, mx = embedding_minmax(_ds(x, blocks))
+        np.testing.assert_array_equal(mn, x.min(axis=0))
+        np.testing.assert_array_equal(mx, x.max(axis=0))
+
+
+def test_quantize_codes_match_numpy(ray_session):
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(500, 8))
+    x[:, 3] = 2.5  # constant dimension -> scale 0 -> code 0
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    rows = quantize_embeddings(_ds(x), mn, mx, bits=8).take_all()
+    got = np.array([r["q"] for r in sorted(rows, key=lambda r: r["vec_id"])])
+    m64, scale = quant_params(mn, mx, bits=8)
+    safe = np.where(scale == 0, 1.0, scale)
+    exp = np.where(scale == 0, 0,
+                   np.clip(np.floor((x - m64) / safe), 0, 255)).astype(np.int64)
+    np.testing.assert_array_equal(got, exp)
+    assert (got[:, 3] == 0).all()
+    # reconstruction error bounded by one quantization step per dim
+    dq = m64 + got * scale
+    assert (np.abs(dq - np.where(scale == 0, m64, x)) <= scale + 1e-12).all()
+
+
+def test_quantized_ann_recall(ray_session):
+    # clustered cloud: quantized top-10 should almost always agree
+    # with exact float top-10
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(6, 24)) * 4
+    x = np.concatenate([c + rng.normal(size=(200, 24)) * 0.3
+                        for c in centers])
+    queries = x[:8] + rng.normal(size=(8, 24)) * 0.01
+    exact = ann_cosine_topk(_ds(x), queries, k=10).take_all()
+    quant = ann_quantized_topk(_ds(x), queries, k=10, bits=8).take_all()
+
+    def by_q(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    e, g = by_q(exact), by_q(quant)
+    recall = np.mean([len(e[q] & g[q]) / len(e[q]) for q in e])
+    assert recall >= 0.9, recall
+
+
+def test_bits_validation_and_lower_bits(ray_session):
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(50, 4))
+    mn, mx = x.min(axis=0), x.max(axis=0)
+    with pytest.raises(ValueError):
+        quant_params(mn, mx, bits=0)
+    with pytest.raises(ValueError):
+        quant_params(mn, mx, bits=32)
+    rows = quantize_embeddings(_ds(x, 2), mn, mx, bits=4).take_all()
+    codes = np.array([r["q"] for r in rows])
+    assert codes.max() <= 15 and codes.min() >= 0
