@@ -5880,3 +5880,135 @@ r AS (SELECT query_id, vec_id, sim,
 SELECT query_id, vec_id, {_R4.format(expr="sim")} AS score
 FROM r WHERE rn <= {ANN_K}
 """
+
+
+def q_events_props_k(sf_dir: str):
+    """Typed JSON field extraction from the semi-structured ``props``
+    column (flat machine-written objects -> RE2 field-anchored
+    extract, a pure vectorized map), then a grouped reduction over the
+    extracted value — the standard first step of event-log ETL.
+    Output: per event_type (n, sum_k, avg_k) plus the per-row k spot
+    check via min/max."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.semistructured import json_int_field
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "event_type", "props"])
+    ext = json_int_field(ev, field="k").select_columns(
+        ["event_type", "k"])
+    agg = sorted_groupby_agg(
+        ext.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        ["event_type"],
+        [("one", "sum", "n"), ("k", "sum", "sum_k"),
+         ("k", "min", "min_k"), ("k", "max", "max_k")])
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "sum_k": pa.array([], pa.int64()),
+                             "min_k": pa.array([], pa.int64()),
+                             "max_k": pa.array([], pa.int64()),
+                             "avg_k": pa.array([], pa.float64())})
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["sum_k"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_k": pc.cast(t["sum_k"], pa.int64()),
+            "min_k": pc.cast(t["min_k"], pa.int64()),
+            "max_k": pc.cast(t["max_k"], pa.int64()),
+            "avg_k": pa.array(_r4(s / n)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["events_props_k"] = q_events_props_k
+
+ORACLE_SQL["events_props_k"] = f"""
+WITH x AS (SELECT event_type,
+                  json_extract(props, '$.k')::BIGINT AS k
+           FROM events)
+SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS sum_k,
+       min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k,
+       {_R4.format(expr="sum(k)::DOUBLE / count(*)")} AS avg_k
+FROM x GROUP BY event_type
+"""
+
+
+TREND_TOPK = 3
+
+
+def q_window_top_props(sf_dir: str):
+    """Trending values per time window, by pure composition: JSON
+    field extraction (pure map) -> tumbling-bucket assignment (pure
+    map) -> grouped count (batch-combined partials) -> topk_per_group
+    (local top-k prefilter, output-shaped shuffle).  The per-window
+    'what is hot right now' report every event pipeline runs."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg, topk_per_group
+    from ..stages.semistructured import json_int_field
+    from ..stages.windows import _ts_us
+
+    w = WINDOW_WIDTH_S * 1_000_000
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "props"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = _ts_us(t, "ts")
+        k = t["k"]
+        return pa.table({
+            "window_start_us": pa.array((us // w) * w),
+            "k": k,
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    ds = json_int_field(ev, field="k").map_batches(
+        bucket, batch_format="pyarrow")
+    counts = sorted_groupby_agg(
+        ds, ["window_start_us", "k"], [("one", "sum", "n")],
+        in_schema=pa.schema([("window_start_us", pa.int64()),
+                             ("k", pa.int64()), ("one", pa.int64())]))
+    top = topk_per_group(
+        counts, ["window_start_us"], "n", TREND_TOPK, descending=True,
+        tiebreak="k",
+        in_schema=pa.schema([("window_start_us", pa.int64()),
+                             ("k", pa.int64()), ("n", pa.int64())]))
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "window_start_us": pc.cast(t["window_start_us"], pa.int64()),
+            "k": pc.cast(t["k"], pa.int64()),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    return top.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["window_top_props"] = q_window_top_props
+
+ORACLE_SQL["window_top_props"] = f"""
+WITH x AS (SELECT (epoch_us(ts) // {WINDOW_WIDTH_S * 1_000_000}
+                   * {WINDOW_WIDTH_S * 1_000_000})::BIGINT
+             AS window_start_us,
+                  json_extract(props, '$.k')::BIGINT AS k
+           FROM events),
+c AS (SELECT window_start_us, k, count(*)::BIGINT AS n FROM x
+      GROUP BY window_start_us, k),
+r AS (SELECT window_start_us, k, n,
+             row_number() OVER (PARTITION BY window_start_us
+                                ORDER BY n DESC, k) AS rn
+      FROM c)
+SELECT window_start_us, k, n FROM r WHERE rn <= {TREND_TOPK}
+"""
