@@ -6012,3 +6012,71 @@ r AS (SELECT window_start_us, k, n,
       FROM c)
 SELECT window_start_us, k, n FROM r WHERE rn <= {TREND_TOPK}
 """
+
+
+def q_quality_gate(sf_dir: str):
+    """Composite Gopher/C4-style quality gate: five integer-arithmetic
+    rules (token range, stopword floor, mean-token-length band,
+    distinct-term ratio, duplicate-bigram fraction) in ONE tokenize
+    pass per batch, reported as a reasons bitmask + keep flag — the
+    filter battery refined-web curation actually runs, with no float
+    threshold boundary anywhere."""
+    import ray.data as rd
+
+    from ..stages.textstats import quality_gate_batch
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out = quality_gate_batch(t)
+        return pa.table({
+            "doc_id": pc.cast(out["doc_id"], pa.int64()),
+            "reasons": pc.cast(out["reasons"], pa.int64()),
+            "keep": out["keep"],
+        })
+
+    return docs.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["quality_gate"] = q_quality_gate
+
+ORACLE_SQL["quality_gate"] = f"""
+WITH {_BASE_CTE},
+sig AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         (len(toks) - len(terms))::BIGINT AS n_stop,
+         len(terms)::BIGINT AS n_terms,
+         coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT
+           AS len_sum,
+         len(list_distinct(terms))::BIGINT AS n_uniq
+  FROM base),
+g AS (
+  SELECT doc_id, toks[p] || ' ' || toks[p+1] AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks)-1)) AS p
+        FROM tok WHERE len(toks) >= 2)),
+cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+rep AS (SELECT doc_id,
+               sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup,
+               sum(c)::BIGINT AS tot
+        FROM cnt GROUP BY doc_id),
+r AS (
+  SELECT s.doc_id,
+         (CASE WHEN s.n_tokens < 16 OR s.n_tokens > 96
+               THEN 1 ELSE 0 END
+          + CASE WHEN s.n_stop * 25 < s.n_tokens THEN 2 ELSE 0 END
+          + CASE WHEN s.len_sum * 10 < 42 * s.n_tokens
+                   OR s.len_sum * 10 > 48 * s.n_tokens
+               THEN 4 ELSE 0 END
+          + CASE WHEN s.n_uniq * 5 < 2 * greatest(s.n_terms, 1)
+               THEN 8 ELSE 0 END
+          + CASE WHEN coalesce(rep.dup, 0) * 10 >= coalesce(rep.tot, 0)
+                   AND coalesce(rep.tot, 0) > 0
+               THEN 16 ELSE 0 END)::BIGINT AS reasons
+  FROM sig s LEFT JOIN rep USING (doc_id))
+SELECT doc_id, reasons, reasons = 0 AS keep FROM r
+"""

@@ -900,3 +900,89 @@ def hll_estimate_per_group(registers, *, key_col: str,
 
     return registers.sort(key_col).map_batches(sweep, batch_size=None,
                                                batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------
+# Composite document quality gate (Gopher-style rule battery)
+# ---------------------------------------------------------------------
+
+# Integer-arithmetic rule constants: every threshold is expressed as a
+# cross-multiplied INTEGER comparison (no float literal ever enters a
+# comparison), so the SQL oracle replays each rule bit-exactly.
+QUALITY_RULES = {
+    "min_tokens": 16,        # bit 1: n_tokens < 16 or > 96
+    "max_tokens": 96,
+    "stop_mul": 25,          # bit 2: n_stop * 25 < n_tokens  (< 4%)
+    "len_lo_mul": (10, 42),  # bit 4: len_sum*10 < 42*n_tokens (< 4.2)
+    "len_hi_mul": (10, 48),  #        or len_sum*10 > 48*n_tokens
+    "uniq_mul": (5, 2),      # bit 8: n_uniq*5 < 2*max(n_terms,1) (<0.4)
+    "dup_mul": 10,           # bit 16: dup_bigrams*10 >= total_bigrams
+}
+
+
+def quality_gate_batch(t: pa.Table, *, text_col: str = "text",
+                       id_col: str = "doc_id") -> pa.Table:
+    """Composite quality gate (the Gopher/C4-style rule battery run by
+    refined-web curation pipelines): ONE tokenize pass per batch feeds
+    five rules — token-count range, minimum stopword fraction, mean
+    token length band, distinct-term ratio, duplicate-bigram fraction
+    — each reported as a bit in ``reasons`` (1, 2, 4, 8, 16);
+    ``keep = (reasons == 0)``.  All thresholds are cross-multiplied
+    integer comparisons, so there is no float boundary anywhere.  Pure
+    map, no shuffle, no state."""
+    content = t[text_col]
+    if isinstance(content, pa.ChunkedArray):
+        content = content.combine_chunks()
+    n = t.num_rows
+    if n == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "reasons": pa.array([], pa.int64()),
+                         "keep": pa.array([], pa.bool_())})
+    parents, values = _split_tokens(content)
+    n_tokens = np.bincount(parents, minlength=n).astype(np.int64)
+    is_stop = pc.is_in(values, value_set=_STOP_PA) \
+        .to_numpy(zero_copy_only=False)
+    n_stop = np.bincount(parents[is_stop], minlength=n).astype(np.int64)
+    n_terms = n_tokens - n_stop
+    tok_len = pc.utf8_length(values).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    len_sum = np.bincount(parents, weights=tok_len, minlength=n) \
+        .astype(np.int64)
+    nonstop_par = parents[~is_stop]
+    codes = values.filter(pa.array(~is_stop)).dictionary_encode() \
+        .indices.to_numpy(zero_copy_only=False)
+    if len(nonstop_par):
+        pairs = np.unique(
+            nonstop_par.astype(np.int64) * (int(codes.max()) + 1) + codes)
+        n_uniq = np.bincount(pairs // (int(codes.max()) + 1),
+                             minlength=n).astype(np.int64)
+    else:
+        n_uniq = np.zeros(n, dtype=np.int64)
+    # bigram duplicate occurrences (within-doc)
+    gpar, grams = ngram_strings(parents, values, 2)
+    dup = np.zeros(n, dtype=np.int64)
+    tot = np.zeros(n, dtype=np.int64)
+    if len(gpar):
+        gc = grams.dictionary_encode().indices \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        k = int(gc.max()) + 1
+        pk, pcnt = np.unique(gpar.astype(np.int64) * k + gc,
+                             return_counts=True)
+        pdoc = pk // k
+        tot = np.bincount(gpar, minlength=n).astype(np.int64)
+        dup = np.bincount(pdoc[pcnt > 1], weights=pcnt[pcnt > 1],
+                          minlength=n).astype(np.int64)
+    R = QUALITY_RULES
+    reasons = np.zeros(n, dtype=np.int64)
+    reasons |= ((n_tokens < R["min_tokens"])
+                | (n_tokens > R["max_tokens"])) * 1
+    reasons |= (n_stop * R["stop_mul"] < n_tokens) * 2
+    (lm, lo), (hm, hi) = R["len_lo_mul"], R["len_hi_mul"]
+    reasons |= ((len_sum * lm < lo * n_tokens)
+                | (len_sum * hm > hi * n_tokens)) * 4
+    um, un = R["uniq_mul"]
+    reasons |= (n_uniq * um < un * np.maximum(n_terms, 1)) * 8
+    reasons |= ((dup * R["dup_mul"] >= tot) & (tot > 0)) * 16
+    return pa.table({id_col: t[id_col],
+                     "reasons": pa.array(reasons),
+                     "keep": pa.array(reasons == 0)})
