@@ -6080,3 +6080,53 @@ r AS (
   FROM sig s LEFT JOIN rep USING (doc_id))
 SELECT doc_id, reasons, reasons = 0 AS keep FROM r
 """
+
+
+INCR_NEW_MOD, INCR_NEW_RES = 5, 4
+INCR_THRESHOLD = 0.8
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental near-dedup — 'dedup the new crawl against the
+    existing corpus': docs with doc_id % 5 == 4 are the NEW probe
+    split; old×old candidate pairs are filtered out BEFORE the
+    exact-Jaccard verification join (the bulk of the candidate set at
+    steady state), and only new docs can be dropped, under the
+    conservative any-match rule (any old partner, or any smaller-id
+    new partner).  Output: (doc_id, n_matches) per dropped new doc."""
+    from ..stages.dedup import incremental_dedup_drops
+
+    out = incremental_dedup_drops(
+        _docs_ds(sf_dir),
+        new_pred=lambda ids: (ids % INCR_NEW_MOD) == INCR_NEW_RES,
+        threshold=INCR_THRESHOLD)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_matches": pc.cast(t["n_matches"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["dedup_incremental"] = q_dedup_incremental
+
+# Threshold parity note: the engine compares the RAW integer-ratio
+# jaccard, the oracle the 4dp-rounded one — equivalent unless a ratio
+# lands in [thr - 5e-5, thr), impossible here (docs have <= ~200
+# distinct shingles, so adjacent ratios differ by >= ~1/200).
+ORACLE_SQL["dedup_incremental"] = f"""
+WITH p AS ({_dedup_near_jaccard_sql()}),
+q AS (SELECT a, b FROM p
+      WHERE jaccard >= {INCR_THRESHOLD}
+        AND (a % {INCR_NEW_MOD} = {INCR_NEW_RES}
+             OR b % {INCR_NEW_MOD} = {INCR_NEW_RES})),
+d AS (SELECT b AS doc_id FROM q WHERE b % {INCR_NEW_MOD} = {INCR_NEW_RES}
+      UNION ALL
+      SELECT a FROM q WHERE a % {INCR_NEW_MOD} = {INCR_NEW_RES}
+        AND b % {INCR_NEW_MOD} <> {INCR_NEW_RES})
+SELECT doc_id, count(*)::BIGINT AS n_matches FROM d GROUP BY doc_id
+"""

@@ -1077,3 +1077,72 @@ def cross_split_gram_stats(ds, *, n: int = 3, split_col: str = "split",
         return t.append_column("leak_frac", pa.array(frac))
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def incremental_dedup_drops(ds, *, new_pred, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            threshold: float = 0.8, **lsh_kwargs):
+    """Incremental near-dedup — the "dedup the new crawl against the
+    existing corpus" production pattern: only NEW documents can be
+    dropped, and OLD×OLD pairs are never even verified.
+
+    ``new_pred``: vectorized predicate ``np.int64 ids -> np.bool_``
+    marking the new (probe) split; it must be a pure function of the
+    id so the decision is content-addressed and SQL-replayable.
+
+    Plan: LSH candidate pairs over the full corpus (the reference
+    side's buckets are needed anyway), then the old×old pairs are
+    dropped BEFORE exact-Jaccard verification — at steady state the
+    reference corpus dominates, so this filter removes the bulk of the
+    candidate set from the expensive stage.  Surviving pairs verify
+    with the distributed shingle-equality join; a pair at or above
+    ``threshold`` produces drops under the CONSERVATIVE rule: a new
+    doc is dropped iff it matches ANY old doc, or any smaller-id new
+    doc (regardless of that doc's own fate — over-drops chained
+    mirrors; the transitive-survivor variant is `near_dup_clusters`).
+    Returns a Dataset (id_col, n_matches): one row per dropped new
+    doc with its offending-partner count."""
+    from .aggregates import sorted_groupby_agg
+
+    thr = float(threshold)
+    pairs, _ = minhash_candidate_pairs(
+        ds.select_columns([id_col, text_col]),
+        text_col=text_col, id_col=id_col, **lsh_kwargs)
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return empty
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = new_pred(a) | new_pred(b)
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    cross = pairs.map_batches(cross_only, batch_size=None,
+                              batch_format="pyarrow")
+    verified = verify_pairs_jaccard(ds, cross, text_col=text_col,
+                                    id_col=id_col)
+
+    def drops(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "one": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return empty
+        m = t["jaccard"].to_numpy(zero_copy_only=False) >= thr
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)[m]
+        na, nb = new_pred(a), new_pred(b)
+        # pairs have a < b: a new 'b' always has a smaller-id or old
+        # partner; a new 'a' is dropped only by an OLD larger 'b'
+        out = np.r_[b[nb], a[na & ~nb]]
+        if len(out) == 0:
+            return empty
+        return pa.table({id_col: pa.array(out),
+                         "one": pa.array(np.ones(len(out), np.int64))})
+
+    return sorted_groupby_agg(
+        verified.map_batches(drops, batch_size=None,
+                             batch_format="pyarrow"),
+        [id_col], [("one", "sum", "n_matches")],
+        in_schema=pa.schema([(id_col, pa.int64()), ("one", pa.int64())]))

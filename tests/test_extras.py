@@ -658,3 +658,50 @@ class TestPCAWhiten:
                                    rtol=1e-6)
         with pytest.raises(ValueError, match="explained_var"):
             pca_transform(ds, mean, comps, explained_var=ev[:1])
+
+
+class TestIncrementalDedup:
+    """incremental_dedup_drops: new-vs-reference near-dedup."""
+
+    @staticmethod
+    def _run(texts, new_pred):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import (
+            incremental_dedup_drops,
+        )
+
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+        rows = incremental_dedup_drops(
+            rd.from_arrow(t).repartition(3), new_pred=new_pred,
+            threshold=0.8).take_all()
+        return {r["doc_id"]: r["n_matches"] for r in rows}
+
+    def test_drop_semantics(self, ray_session):
+        base = "alpha beta gamma delta epsilon zeta eta theta " \
+               "iota kappa lambda mu"
+        other = "one two three four five six seven eight nine ten " \
+                "eleven twelve"
+        texts = [
+            base,            # 0 old
+            other,           # 1 old
+            base,            # 2 new: dup of old 0 -> dropped
+            "completely different unique words here nothing shared "
+            "at all everywhere",                       # 3 new: kept
+            base,            # 4 new: dup of old 0 AND new 2 -> dropped
+        ]
+        got = self._run(texts, lambda ids: ids >= 2)
+        # old docs never dropped; unique new doc kept
+        assert 0 not in got and 1 not in got and 3 not in got
+        assert 2 in got and 4 in got
+        # 4 matches old 0 and new 2 (conservative rule counts both)
+        assert got[4] == 2 and got[2] == 1
+
+    def test_old_old_pairs_never_verified(self, ray_session):
+        # two identical OLD docs produce no drops at all
+        dup = "sigma tau upsilon phi chi psi omega extra words here"
+        got = self._run([dup, dup, "unrelated fresh content tokens "
+                         "entirely distinct vocabulary"],
+                        lambda ids: ids == 2)
+        assert got == {}
