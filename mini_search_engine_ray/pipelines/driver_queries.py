@@ -6130,3 +6130,124 @@ d AS (SELECT b AS doc_id FROM q WHERE b % {INCR_NEW_MOD} = {INCR_NEW_RES}
         AND b % {INCR_NEW_MOD} <> {INCR_NEW_RES})
 SELECT doc_id, count(*)::BIGINT AS n_matches FROM d GROUP BY doc_id
 """
+
+
+SNIPPET_TERMS = ["spark", "merge"]
+SNIPPET_WINDOW = 8
+
+
+def q_search_snippets(sf_dir: str):
+    """Search-result snippet generation: per document containing a
+    query term, the 8-token window with the most query-term hits
+    (ties: smallest start) plus the hit count — the highlighting step
+    of a serving stack, as ONE vectorized pure map (the optimum window
+    starts at a hit, so one searchsorted per batch scores every
+    candidate)."""
+    import ray.data as rd
+
+    from ..stages.textstats import best_window_snippets
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = best_window_snippets(docs, SNIPPET_TERMS,
+                               window=SNIPPET_WINDOW)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "start": pc.cast(t["start"], pa.int64()),
+            "n_hits": pc.cast(t["n_hits"], pa.int64()),
+            "snippet": pc.cast(t["snippet"], pa.string()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["search_snippets"] = q_search_snippets
+
+_SNIP_IN = "(" + ", ".join(f"'{w}'" for w in sorted(set(SNIPPET_TERMS))) + ")"
+
+ORACLE_SQL["search_snippets"] = f"""
+WITH {_TOK_CTE},
+pos AS (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks))) AS p
+        FROM tok),
+hits AS (SELECT doc_id, p FROM pos WHERE toks[p] IN {_SNIP_IN}),
+wc AS (SELECT doc_id, p,
+              count(*) OVER (PARTITION BY doc_id ORDER BY p
+                             RANGE BETWEEN CURRENT ROW
+                             AND {SNIPPET_WINDOW - 1} FOLLOWING) AS c
+       FROM hits),
+best AS (SELECT doc_id, p, c,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY c DESC, p) AS rn
+         FROM wc)
+SELECT b.doc_id, (b.p - 1)::BIGINT AS start, b.c::BIGINT AS n_hits,
+       array_to_string(list_slice(t.toks, b.p,
+                                  least(b.p + {SNIPPET_WINDOW} - 1,
+                                        len(t.toks))), ' ') AS snippet
+FROM best b JOIN tok t USING (doc_id) WHERE b.rn = 1
+"""
+
+
+def q_bm25_topk_snippets(sf_dir: str):
+    """The full serving composition: distributed BM25 top-k with
+    scatter-side hydration, then best-window snippet highlighting of
+    the winners (token-level match on the raw punctuation-tokenized
+    stream).  Winner set is k-sized by contract, so the snippet pass
+    and the score merge are output-shaped."""
+    import ray.data as rd
+
+    from ..stages.textstats import best_window_snippets
+
+    winners = q_bm25_topk_hydrated(sf_dir)      # (doc_id, score, text)
+    snip = best_window_snippets(
+        rd.from_arrow(winners), BM25_TERMS,
+        window=SNIPPET_WINDOW).take_all()       # k-sized
+    by_id = {r["doc_id"]: r for r in snip}
+    ids = winners["doc_id"].to_pylist()
+    keep = [i for i in ids if i in by_id]
+    return pa.table({
+        "doc_id": pa.array(keep, pa.int64()),
+        "score": pa.array(
+            [winners["score"][ids.index(i)].as_py() for i in keep]),
+        "start": pa.array([by_id[i]["start"] for i in keep], pa.int64()),
+        "n_hits": pa.array([by_id[i]["n_hits"] for i in keep],
+                           pa.int64()),
+        "snippet": pa.array([by_id[i]["snippet"] for i in keep],
+                            pa.string()),
+    })
+
+
+QUERIES["bm25_topk_snippets"] = q_bm25_topk_snippets
+
+_BM25_SNIP_IN = "(" + ", ".join(f"'{w}'" for w in sorted(set(BM25_TERMS))) + ")"
+
+ORACLE_SQL["bm25_topk_snippets"] = f"""
+WITH {_TOK_CTE.replace("tok AS", "stok AS", 1)},
+w AS ({_bm25_sql(BM25_TERMS, TOPK)}),
+swin AS (SELECT t.doc_id, t.toks
+         FROM stok t JOIN w ON w.doc_id = t.doc_id),
+spos AS (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks))) AS p
+         FROM swin),
+shits AS (SELECT doc_id, p FROM spos WHERE toks[p] IN {_BM25_SNIP_IN}),
+swc AS (SELECT doc_id, p,
+               count(*) OVER (PARTITION BY doc_id ORDER BY p
+                              RANGE BETWEEN CURRENT ROW
+                              AND {SNIPPET_WINDOW - 1} FOLLOWING) AS c
+        FROM shits),
+sbest AS (SELECT doc_id, p, c,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY c DESC, p) AS rn
+          FROM swc)
+SELECT b.doc_id, w.score, (b.p - 1)::BIGINT AS start,
+       b.c::BIGINT AS n_hits,
+       array_to_string(list_slice(t.toks, b.p,
+                                  least(b.p + {SNIPPET_WINDOW} - 1,
+                                        len(t.toks))), ' ') AS snippet
+FROM sbest b JOIN stok t USING (doc_id) JOIN w USING (doc_id)
+WHERE b.rn = 1
+"""

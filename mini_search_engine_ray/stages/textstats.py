@@ -986,3 +986,88 @@ def quality_gate_batch(t: pa.Table, *, text_col: str = "text",
     return pa.table({id_col: t[id_col],
                      "reasons": pa.array(reasons),
                      "keep": pa.array(reasons == 0)})
+
+
+# ---------------------------------------------------------------------
+# Best-window snippet extraction (search-result highlighting)
+# ---------------------------------------------------------------------
+
+def best_window_snippets(ds, terms, *, window: int = 8,
+                         text_col: str = "text", id_col: str = "doc_id"):
+    """Serving-side snippet generation: for each document containing at
+    least one query term, the ``window``-token span with the MOST query
+    -term hits (ties: smallest start) over the punctuation-tokenized
+    stream (stopwords retained, no stemming — token-level match, the
+    same stream the dup-passage family scans).  Returns
+    (id_col, start, n_hits, snippet): ``start`` is the 0-based token
+    offset, ``snippet`` the space-joined span.
+
+    Fully vectorized pure map: the optimum window starts AT a hit, so
+    per batch the candidate set is the hit positions; hits are encoded
+    as doc*2^32 + pos and ONE ``searchsorted`` per batch counts the
+    hits inside every candidate's window; per-doc argmax via
+    ``reduceat``; the snippet strings are built with a segmented
+    arange + one Arrow take + ``binary_join``.  No shuffle, no state.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    if not (isinstance(window, int) and window >= 1):
+        raise ValueError(f"window must be a positive int, got {window!r}")
+    term_set = pa.array(sorted(set(terms)), pa.string())
+    big = np.int64(1) << 32  # > any doc's token count + window
+
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("start", pa.int64()),
+                            ("n_hits", pa.int64()),
+                            ("snippet", pa.string())])
+
+    def apply(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        if len(parents) == 0:
+            return out_schema.empty_table()
+        n = t.num_rows
+        n_tok = np.bincount(parents, minlength=n).astype(np.int64)
+        doc_off = np.r_[0, np.cumsum(n_tok)]
+        pos = np.arange(len(parents), dtype=np.int64) - doc_off[parents]
+        hit = pc.is_in(values, value_set=term_set) \
+            .to_numpy(zero_copy_only=False)
+        if not hit.any():
+            return out_schema.empty_table()
+        hdoc = parents[hit].astype(np.int64)
+        hp = pos[hit]
+        key = hdoc * big + hp             # sorted by construction
+        cnt = np.searchsorted(key, key + window, side="left") \
+            - np.arange(len(key))
+        runs = np.flatnonzero(np.r_[True, hdoc[1:] != hdoc[:-1]])
+        maxc = np.maximum.reduceat(cnt, runs)
+        run_id = np.cumsum(np.r_[0, (hdoc[1:] != hdoc[:-1])
+                                 .astype(np.int64)])
+        # first (smallest-start) hit achieving the run max
+        cand = np.where(cnt == maxc[run_id], np.arange(len(cnt)),
+                        len(cnt))
+        best_idx = np.minimum.reduceat(cand, runs)
+        docs = hdoc[best_idx]
+        starts = hp[best_idx]
+        # snippet token spans, clipped to the doc end
+        lens = np.minimum(window, n_tok[docs] - starts)
+        flat = np.repeat(doc_off[docs] + starts, lens) \
+            + (np.arange(int(lens.sum()), dtype=np.int64)
+               - np.repeat(np.r_[0, np.cumsum(lens)][:-1], lens))
+        toks = values.take(pa.array(flat))
+        offs = np.r_[0, np.cumsum(lens)].astype(np.int32)
+        snip = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), toks),
+            " ")
+        ids = t[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)[docs]
+        return pa.table({id_col: pa.array(ids),
+                         "start": pa.array(starts),
+                         "n_hits": pa.array(cnt[best_idx]),
+                         "snippet": snip})
+
+    return ds.map_batches(apply, batch_format="pyarrow")
