@@ -6251,3 +6251,123 @@ SELECT b.doc_id, w.score, (b.p - 1)::BIGINT AS start,
 FROM sbest b JOIN stok t USING (doc_id) JOIN w USING (doc_id)
 WHERE b.rn = 1
 """
+
+
+def q_event_transitions(sf_dir: str):
+    """Markov transition-count matrix over per-user event sequences:
+    LAG(event_type) within user by (ts, event_id) — the type-generic
+    Arrow-take shift — then one grouped count over (prev, next).  The
+    empirical transition model every sessionized-behavior analysis
+    starts from."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import lag_column
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    lagged = lag_column(ev, value_col="event_type",
+                        order_by=["ts", "event_id"], key_col="user_id",
+                        out_col="prev_type")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "event_type": pa.array([], pa.string()),
+                          "one": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "prev_type" not in t.column_names:
+            return empty
+        keep = pc.is_valid(t["prev_type"])
+        f = t.filter(keep)
+        return pa.table({
+            "prev_type": pc.cast(f["prev_type"], pa.string()),
+            "event_type": pc.cast(f["event_type"], pa.string()),
+            "one": pa.array(np.ones(f.num_rows, np.int64)),
+        })
+
+    agg = sorted_groupby_agg(
+        lagged.map_batches(pairs, batch_size=None,
+                           batch_format="pyarrow"),
+        ["prev_type", "event_type"], [("one", "sum", "n")],
+        in_schema=pa.schema([("prev_type", pa.string()),
+                             ("event_type", pa.string()),
+                             ("one", pa.int64())]))
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "prev_type": pc.cast(t["prev_type"], pa.string()),
+            "event_type": pc.cast(t["event_type"], pa.string()),
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    return agg.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["event_transitions"] = q_event_transitions
+
+ORACLE_SQL["event_transitions"] = """
+WITH x AS (SELECT event_type,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_type
+           FROM events)
+SELECT prev_type, event_type, count(*)::BIGINT AS n
+FROM x WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type
+"""
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_funnel_vcp(sf_dir: str):
+    """Ordered funnel (view -> click -> purchase): per user the
+    greedy-earliest completion depth and the completing step's
+    timestamp — k chained type-filtered grouped MINs joined user-sized
+    (never event-sized), assembled by one encoded grouped max."""
+    import ray.data as rd
+
+    from ..stages.windows import funnel_depths
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id", "event_type"])
+    out = funnel_depths(ev, FUNNEL_STEPS)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "depth": pc.cast(t["depth"], pa.int64()),
+            "last_ts_us": pc.cast(t["last_ts_us"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["funnel_vcp"] = q_funnel_vcp
+
+ORACLE_SQL["funnel_vcp"] = f"""
+WITH f1 AS (SELECT user_id, min(epoch_us(ts)) AS t FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id),
+f2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+       JOIN f1 ON f1.user_id = e.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[1]}'
+         AND epoch_us(e.ts) > f1.t
+       GROUP BY e.user_id),
+f3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t FROM events e
+       JOIN f2 ON f2.user_id = e.user_id
+       WHERE e.event_type = '{FUNNEL_STEPS[2]}'
+         AND epoch_us(e.ts) > f2.t
+       GROUP BY e.user_id),
+u AS (SELECT user_id, 1 AS d, t FROM f1
+      UNION ALL SELECT user_id, 2, t FROM f2
+      UNION ALL SELECT user_id, 3, t FROM f3),
+m AS (SELECT user_id, max(d * (1::BIGINT << 52) + t) AS v FROM u
+      GROUP BY user_id)
+SELECT user_id, (v >> 52)::BIGINT AS depth,
+       (v & ((1::BIGINT << 52) - 1))::BIGINT AS last_ts_us
+FROM m
+"""

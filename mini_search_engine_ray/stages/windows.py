@@ -379,3 +379,112 @@ def asof_join_latest(ds, *, left_type: str = "click", right_type: str = "view",
 
     out_refs = [block_join.remote(r, c) for r, c in zip(refs, carry_in)]
     return rd.from_arrow_refs(out_refs)
+
+
+def funnel_depths(ds, steps, *, user_col: str = "user_id",
+                  ts_col: str = "ts", type_col: str = "event_type"):
+    """Ordered funnel analysis (view -> click -> purchase): per user,
+    the greedy-earliest completion — t1 = min ts of step 1, then
+    t_i = min ts of step i STRICTLY after t_{i-1} — and the reached
+    ``depth`` (1-based count of completed steps) with the completing
+    step's timestamp.  Users who never hit step 1 emit nothing.
+
+    Scale shape: k = len(steps) chained passes, each a type-filtered
+    grouped MIN (one user-keyed reduction over only that step's
+    events) sort-merge-joined against the previous step's user->t map
+    (user-sized, never event-sized); the depth/timestamp pair is
+    assembled with ONE encoded grouped max (depth*2^52 + t_us — valid
+    through ~2112 and depth <= 2047), so the final exchange is
+    user-sized too.  No per-row Python anywhere.
+
+    Returns (user_col, depth:int64, last_ts_us:int64)."""
+    from .aggregates import sorted_groupby_agg
+    from .join import sort_merge_join
+
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if len(steps) > 2000:
+        raise ValueError("depth encoding supports at most 2000 steps")
+    shift = np.int64(1) << 52
+
+    def step_rows(step, prev):
+        """(user, us) rows of `step`-type events; with a prev map,
+        joined and filtered to strictly-later-than-prev."""
+        def pick(t: pa.Table) -> pa.Table:
+            empty = pa.table({user_col: pa.array([], pa.int64()),
+                              "us": pa.array([], pa.int64())})
+            if t.num_rows == 0:
+                return empty
+            tc = t[type_col]
+            if isinstance(tc, pa.ChunkedArray):
+                tc = tc.combine_chunks()
+            m = pc.equal(tc, step).to_numpy(zero_copy_only=False)
+            if not m.any():
+                return empty
+            us = _ts_us(t, ts_col)[m]
+            users = t[user_col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)[m]
+            return pa.table({user_col: pa.array(users),
+                             "us": pa.array(us)})
+
+        rows = ds.map_batches(pick, batch_format="pyarrow")
+        if prev is None:
+            return rows
+        joined = sort_merge_join(
+            rows, prev, on=user_col, how="inner",
+            left_schema=pa.schema([(user_col, pa.int64()),
+                                   ("us", pa.int64())]),
+            right_schema=pa.schema([(user_col, pa.int64()),
+                                    ("t", pa.int64())]))
+
+        def later(t: pa.Table) -> pa.Table:
+            empty = pa.table({user_col: pa.array([], pa.int64()),
+                              "us": pa.array([], pa.int64())})
+            if t.num_rows == 0 or "us" not in t.column_names:
+                return empty
+            keep = pc.greater(t["us"], t["t"])
+            return t.filter(keep).select([user_col, "us"])
+
+        return joined.map_batches(later, batch_size=None,
+                                  batch_format="pyarrow")
+
+    tagged = []
+    prev = None
+    for i, step in enumerate(steps):
+        stage = sorted_groupby_agg(
+            step_rows(step, prev), [user_col], [("us", "min", "t")],
+            in_schema=pa.schema([(user_col, pa.int64()),
+                                 ("us", pa.int64())]))
+        prev = stage
+
+        def tag(t: pa.Table, _d=np.int64(i + 1)) -> pa.Table:
+            if t.num_rows == 0 or "t" not in t.column_names:
+                return pa.table({user_col: pa.array([], pa.int64()),
+                                 "v": pa.array([], pa.int64())})
+            tv = t["t"].to_numpy(zero_copy_only=False)
+            return pa.table({user_col: t[user_col],
+                             "v": pa.array(_d * shift + tv)})
+
+        tagged.append(stage.map_batches(tag, batch_size=None,
+                                        batch_format="pyarrow"))
+
+    allrows = tagged[0]
+    for extra in tagged[1:]:
+        allrows = allrows.union(extra)
+    best = sorted_groupby_agg(
+        allrows, [user_col], [("v", "max", "v")],
+        in_schema=pa.schema([(user_col, pa.int64()),
+                             ("v", pa.int64())]))
+
+    def decode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "v" not in t.column_names:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "depth": pa.array([], pa.int64()),
+                             "last_ts_us": pa.array([], pa.int64())})
+        v = t["v"].to_numpy(zero_copy_only=False)
+        return pa.table({user_col: t[user_col],
+                         "depth": pa.array(v >> 52),
+                         "last_ts_us": pa.array(v & (shift - 1))})
+
+    return best.map_batches(decode, batch_size=None,
+                            batch_format="pyarrow")

@@ -184,3 +184,76 @@ class TestAsofJoin:
         t = _events([10 * US, 20 * US], [1, 1], ["click", "view"], [0.0, 0.0])
         out = asof_join_latest(rd.from_arrow(t)).to_pandas()
         assert list(out.view_ts_us) == [-1]
+
+
+class TestFunnelDepths:
+    """funnel_depths: greedy-earliest ordered funnel."""
+
+    @staticmethod
+    def _run(rows, steps, blocks=3):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.windows import funnel_depths
+
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows],
+                           pa.timestamp("us")),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+        })
+        out = funnel_depths(rd.from_arrow(t).repartition(blocks), steps)
+        return {r["user_id"]: (r["depth"], r["last_ts_us"])
+                for r in out.take_all()}
+
+    @staticmethod
+    def _brute(rows, steps):
+        out = {}
+        users = {r[0] for r in rows}
+        for u in users:
+            ev = sorted((r[1], r[2]) for r in rows if r[0] == u)
+            t_prev, depth, last = None, 0, None
+            for s in steps:
+                cands = [ts for ts, ty in ev if ty == s
+                         and (t_prev is None or ts > t_prev)]
+                if not cands:
+                    break
+                t_prev = min(cands)
+                depth += 1
+                last = t_prev
+            if depth:
+                out[u] = (depth, last)
+        return out
+
+    def test_matches_brute_force(self, ray_session):
+        import numpy as np
+
+        rng = np.random.default_rng(21)
+        types = ["view", "click", "purchase", "other"]
+        rows = [(int(rng.integers(0, 25)), int(rng.integers(0, 500)),
+                 types[rng.integers(0, 4)]) for _ in range(400)]
+        steps = ["view", "click", "purchase"]
+        assert self._run(rows, steps) == self._brute(rows, steps)
+
+    def test_strictly_after_and_partial(self, ray_session):
+        rows = [
+            (1, 10, "view"), (1, 10, "click"),   # same ts: click does
+            (1, 20, "click"), (1, 5, "purchase"),  # early purchase ignored
+            (2, 10, "click"),                    # no view -> omitted
+            (3, 1, "view"),                      # depth 1
+        ]
+        got = self._run(rows, ["view", "click", "purchase"], blocks=2)
+        assert got == {1: (2, 20), 3: (1, 1)}
+
+    def test_validation(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.windows import funnel_depths
+
+        t = pa.table({"user_id": pa.array([], pa.int64()),
+                      "ts": pa.array([], pa.timestamp("us")),
+                      "event_type": pa.array([], pa.string())})
+        with __import__("pytest").raises(ValueError):
+            funnel_depths(rd.from_arrow(t), [])
+        assert funnel_depths(rd.from_arrow(t), ["a"]).take_all() == []
