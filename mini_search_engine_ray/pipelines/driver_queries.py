@@ -6371,3 +6371,57 @@ SELECT user_id, (v >> 52)::BIGINT AS depth,
        (v & ((1::BIGINT << 52) - 1))::BIGINT AS last_ts_us
 FROM m
 """
+
+
+def q_fuzzy_name_pairs(sf_dir: str):
+    """Fuzzy string similarity join (edit distance <= 1) over customer
+    names via SymSpell deletion neighborhoods: the join key set of a
+    name is itself plus its single-deletion strings (max_len + 1
+    vectorized Arrow passes — never an all-pairs scan), one variant
+    sort groups candidates, a pair-sort dedupe, then the exact
+    edit-distance check on the output-shaped candidate set only."""
+    import ray.data as rd
+
+    from ..stages.fuzzy import fuzzy_pairs_edit1
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    out = fuzzy_pairs_edit1(cust, name_col="c_name", id_col="c_custkey")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "a": pc.cast(t["a"], pa.int64()),
+            "b": pc.cast(t["b"], pa.int64()),
+            "name_a": pc.cast(t["name_a"], pa.string()),
+            "name_b": pc.cast(t["name_b"], pa.string()),
+            "dist": pc.cast(t["dist"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["fuzzy_name_pairs"] = q_fuzzy_name_pairs
+
+ORACLE_SQL["fuzzy_name_pairs"] = """
+WITH v AS (
+  SELECT c_custkey AS id, c_name AS nm, c_name AS vv FROM customer
+  UNION ALL
+  SELECT c_custkey, c_name,
+         substr(c_name, 1, i - 1) || substr(c_name, i + 1)
+  FROM customer,
+       LATERAL (SELECT unnest(generate_series(1, length(c_name))) AS i)
+),
+dv AS (SELECT DISTINCT id, nm, vv FROM v),
+m AS (SELECT id, nm, vv,
+             row_number() OVER (PARTITION BY vv ORDER BY id) AS rn
+      FROM dv),
+cand AS (SELECT DISTINCT x.id AS a, y.id AS b,
+                x.nm AS name_a, y.nm AS name_b
+         FROM m x JOIN m y ON x.vv = y.vv AND x.id < y.id
+         WHERE x.rn <= 200 AND y.rn <= 200)
+SELECT a, b, name_a, name_b,
+       levenshtein(name_a, name_b)::BIGINT AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 1
+"""
