@@ -865,6 +865,46 @@ def bench_bpe_train(out: dict) -> None:
     assert all(c > 0 for c in merges["cnt"].to_pylist())
 
 
+def bench_fuzzy_names(out: dict) -> None:
+    """SymSpell edit-distance-1 similarity join over 1M 9-char codes
+    (~10M exploded variant rows through one range sort): planted
+    near-miss pairs; the variant explode is max_len+1 vectorized
+    passes, candidates output-shaped."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.fuzzy import fuzzy_pairs_edit1
+
+    n = 1_000_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # hash-spread base-26 letter codes (dense digit codes would
+        # make every id ~54 genuine neighbors — a degenerate corpus);
+        # every 1000th id twins its predecessor with the last letter
+        # bumped -> ~1000 planted distance-1 pairs per million
+        twin = ids % 1000 == 1
+        src = np.where(twin, ids - 1, ids)
+        v = (src * np.int64(2654435761)) % np.int64(26) ** 9
+        mat = np.empty((len(ids), 9), dtype=np.uint8)
+        for d in range(9):
+            mat[:, 8 - d] = (v % 26).astype(np.uint8) + 97
+            v //= 26
+        mat[twin, 8] = ((mat[twin, 8] - 97 + 1) % 26) + 97
+        nm = np.frombuffer(mat.tobytes(), dtype="S9").astype("U9")
+        return pa.table({"nid": pa.array(ids),
+                         "name": pa.array(nm.tolist(), pa.string())})
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    pairs = fuzzy_pairs_edit1(ds, name_col="name", id_col="nid").count()
+    out["queries"]["fuzzy_names_1m"] = round(time.time() - t0, 3)
+    out["fuzzy_pairs_found"] = int(pairs)
+    assert pairs > 0
+
+
 def bench_doc_sim(out: dict) -> None:
     """Sparse TF-IDF cosine all-pairs similarity over 200k 30-token
     docs (6M tokens, two tokenize passes + a vocabulary-sized df
@@ -1141,6 +1181,8 @@ def run_all(only: str | None = None) -> dict:
         bench_bpe_train(out)
     if only in (None, "doc_sim"):
         bench_doc_sim(out)
+    if only in (None, "fuzzy_names"):
+        bench_fuzzy_names(out)
     if only in (None, "analytics"):
         bench_analytics(out)
     out["value"] = round(sum(out["queries"].values()), 3)

@@ -12,8 +12,11 @@ an equi-join on that exploded key — never an all-pairs scan.
 
 Scale shape: the neighborhood explode is max_len + 1 VECTORIZED passes
 per batch (one Arrow slice+concat per deletion POSITION — no per-row
-Python on the data stream); ONE range sort on the variant key groups
-candidates (runs bounded by the bucket cap); global pair dedupe is a
+Python on the data stream); the variant strings never enter the
+shuffle — ONE int64 range sort on their vectorized 64-bit polynomial
+hashes groups candidates (a collision only creates a false candidate
+bucket, discarded by the exact check; runs bounded by the bucket
+cap); global pair dedupe is a
 pair-sort + first-of-run sweep; the final edit-distance check runs only on the
 candidate pairs (output-shaped, like the LSH verify stage — the only
 per-pair Python in the plan).  Suited to short keys (names, titles,
@@ -69,6 +72,38 @@ def deletion_variants(names: pa.Array):
          for v in var])
 
 
+def poly_hash64(strings: pa.Array) -> np.ndarray:
+    """Vectorized FNV-style 64-bit polynomial hash of a string array:
+    O(max_len) numpy passes over the Arrow data buffer (h = h*0x100000001b3
+    + byte per position), length folded in so '' and absent differ.
+    NOT cryptographic — callers must tolerate (rare) collisions."""
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    wide = pa.types.is_large_string(strings.type)
+    odt, ow = (np.int64, 8) if wide else (np.int32, 4)
+    off = np.frombuffer(strings.buffers()[1], dtype=odt,
+                        count=n + 1, offset=strings.offset * ow) \
+        .astype(np.int64)
+    dbuf = strings.buffers()[2]
+    data = np.frombuffer(dbuf, dtype=np.uint8) if dbuf is not None \
+        else None
+    lens = off[1:] - off[:-1]
+    h = np.full(n, np.uint64(0xcbf29ce484222325)) \
+        + lens.astype(np.uint64)
+    prime = np.uint64(0x100000001b3)
+    max_len = int(lens.max()) if n else 0
+    if max_len == 0 or data is None:
+        return h
+    with np.errstate(over="ignore"):
+        for i in range(max_len):
+            m = lens > i
+            h[m] = h[m] * prime + data[(off[:-1] + i)[m]]
+    return h
+
+
 def fuzzy_pairs_edit1(ds, *, name_col: str, id_col: str,
                       max_bucket: int = 200):
     """All unordered pairs (a < b by id) whose ``name_col`` values are
@@ -79,7 +114,11 @@ def fuzzy_pairs_edit1(ds, *, name_col: str, id_col: str,
     the LSH pair stage)."""
 
     def explode(t: pa.Table) -> pa.Table:
-        empty = pa.table({"v": pa.array([], pa.string()),
+        """(vh, id, nm) rows: the variant STRINGS never leave the
+        batch — only their 64-bit hashes enter the shuffle (a hash
+        collision merely creates a false candidate bucket, which the
+        exact verify step discards)."""
+        empty = pa.table({"vh": pa.array([], pa.uint64()),
                           "id": pa.array([], pa.int64()),
                           "nm": pa.array([], pa.string())})
         if t.num_rows == 0:
@@ -89,7 +128,7 @@ def fuzzy_pairs_edit1(ds, *, name_col: str, id_col: str,
             names = names.combine_chunks()
         par, var = deletion_variants(names)
         ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"v": var,
+        return pa.table({"vh": pa.array(poly_hash64(var)),
                          "id": pa.array(ids[par]),
                          "nm": names.take(pa.array(par))})
 
@@ -98,13 +137,9 @@ def fuzzy_pairs_edit1(ds, *, name_col: str, id_col: str,
                           "b": pa.array([], pa.int64()),
                           "na": pa.array([], pa.string()),
                           "nb": pa.array([], pa.string())})
-        if t.num_rows == 0 or "v" not in t.column_names:
+        if t.num_rows == 0 or "vh" not in t.column_names:
             return empty
-        enc = t["v"].combine_chunks() if isinstance(t["v"],
-                                                    pa.ChunkedArray) \
-            else t["v"]
-        codes = enc.dictionary_encode().indices \
-            .to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = t["vh"].to_numpy(zero_copy_only=False)
         ids = t["id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((ids, codes))
         c_s, i_s = codes[order], ids[order]
@@ -138,7 +173,7 @@ def fuzzy_pairs_edit1(ds, *, name_col: str, id_col: str,
                          "nb": nm.take(pa.array(bi))})
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    pairs = exploded.sort("v").map_batches(
+    pairs = exploded.sort("vh").map_batches(
         bucket_pairs, batch_size=None, batch_format="pyarrow")
 
     def first_of_run(t: pa.Table) -> pa.Table:
