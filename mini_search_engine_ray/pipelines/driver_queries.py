@@ -6425,3 +6425,75 @@ SELECT a, b, name_a, name_b,
        levenshtein(name_a, name_b)::BIGINT AS dist
 FROM cand WHERE levenshtein(name_a, name_b) <= 1
 """
+
+
+PPR_SEED_MOD = 10
+
+
+def _ppr_sql(iterations: int = 100, damping: float = 0.85,
+             seed_mod: int = PPR_SEED_MOD) -> str:
+    """Fully-unrolled personalized PageRank over the same synthetic
+    doc-id link graph as q_pagerank: teleport mass lands only on the
+    seed set (node % seed_mod == 0), iteration
+    (1-d)*p_i + d*sum starting from p."""
+    base = 1.0 - damping
+    its = []
+    prev = "s0"
+    for i in range(1, iterations + 1):
+        cur = f"s{i}"
+        its.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT n.node, {base} * n.p + {damping} * coalesce(c.s, 0) AS score
+  FROM pnodes n LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.score / deg.outdeg) AS s
+    FROM edges e JOIN {prev} ON {prev}.node = e.src
+                 JOIN deg ON deg.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)"""
+        )
+        prev = cur
+    return f"""
+WITH m AS (SELECT count(*)::BIGINT AS n FROM documents),
+nodes AS MATERIALIZED (SELECT unnest(range((SELECT n FROM m)))::BIGINT AS node),
+pnodes AS MATERIALIZED (
+  SELECT node, CASE WHEN node % {seed_mod} = 0 THEN 1.0::DOUBLE
+               ELSE 0.0::DOUBLE END AS p
+  FROM nodes),
+e0 AS (
+  SELECT node AS src, (7 * node + 3) % (SELECT n FROM m) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (13 * node + 5) % (SELECT n FROM m) FROM nodes
+),
+edges AS MATERIALIZED (SELECT src, dst FROM e0 WHERE src <> dst),
+deg AS MATERIALIZED (SELECT src AS node, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+s0 AS (SELECT node, p AS score FROM pnodes),
+{",".join(its)}
+SELECT node, {_R4.format(expr="score")} AS score FROM {prev} ORDER BY node
+"""
+
+
+def q_pagerank_personalized(sf_dir: str):
+    """Personalized PageRank (teleport to a seed set — the
+    query-biased / trust-seeded ranking variant): same synthetic
+    doc-id link graph as q_pagerank, teleport weights 1.0 on
+    node % 10 == 0 and 0 elsewhere, reference-exact arithmetic
+    (1-d)*p + d*sum starting from p."""
+    import pyarrow.parquet as pq
+
+    from .pagerank import pagerank_numpy
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i]
+    dst = np.r_[(7 * i + 3) % n, (13 * i + 5) % n]
+    keep = src != dst
+    personal = (i % PPR_SEED_MOD == 0).astype(np.float64)
+    scores = pagerank_numpy(src[keep], dst[keep], n,
+                            personalization=personal)
+    return pa.table({"node": pa.array(i), "score": pa.array(_r4(scores))})
+
+
+QUERIES["pagerank_personalized"] = q_pagerank_personalized
+ORACLE_SQL["pagerank_personalized"] = _ppr_sql()

@@ -38,20 +38,36 @@ def pagerank_numpy(
     *,
     iterations: int = ITERATIONS,
     damping: float = DAMPING,
+    personalization: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Vectorized reference-exact PageRank; returns scores[node]."""
+    """Vectorized reference-exact PageRank; returns scores[node].
+
+    ``personalization``: optional per-node teleport weights (the
+    personalized-PageRank variant — e.g. 1.0 on a seed set, 0
+    elsewhere): iteration becomes ``(1-d)*p_i + d*sum`` starting from
+    ``p``; ``None`` keeps the reference's uniform behavior exactly
+    (all-ones start, constant ``1-d`` base)."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
     outdeg = np.bincount(src, minlength=num_nodes).astype(np.float64)
-    scores = np.ones(num_nodes, dtype=np.float64)
+    if personalization is None:
+        personal = np.ones(num_nodes, dtype=np.float64)
+    else:
+        personal = np.asarray(personalization, dtype=np.float64)
+        if personal.shape != (num_nodes,):
+            raise ValueError(
+                f"personalization must have shape ({num_nodes},), "
+                f"got {personal.shape}")
+    scores = personal.copy()
     inv_out = np.zeros(num_nodes)
     nz = outdeg > 0
     inv_out[nz] = 1.0 / outdeg[nz]
+    base = (1.0 - damping) * personal
     for _ in range(iterations):
         contrib = scores[src] * inv_out[src]
-        new = np.full(num_nodes, 1.0 - damping)
+        new = base.copy()
         np.add.at(new, dst, damping * contrib)
-        # exact reference arithmetic: (1-d) + d * sum
+        # exact reference arithmetic: (1-d)*p + d * sum
         scores = new
     return scores
 
@@ -62,6 +78,7 @@ def pagerank_dataset(
     *,
     iterations: int = ITERATIONS,
     damping: float = DAMPING,
+    personalization=None,
 ):
     """Distributed PageRank over an edges Dataset (src:int64, dst:int64).
 
@@ -94,14 +111,14 @@ def pagerank_dataset(
         return inv
 
     @ray.remote
-    def _assemble_scores(num_nodes: int, damping: float, *blocks) -> np.ndarray:
-        new = np.full(num_nodes, 1.0 - damping)
+    def _assemble_scores(base: np.ndarray, damping: float, *blocks) -> np.ndarray:
+        new = base.copy()
         for b in blocks:
             if b.num_rows == 0 or "dst" not in b.column_names:
                 continue  # empty aggregate blocks carry no schema
             dst = b["dst"].to_numpy(zero_copy_only=False)
             s = b["c_sum"].to_numpy(zero_copy_only=False)
-            new[dst] = (1.0 - damping) + damping * s
+            new[dst] = base[dst] + damping * s
         return new
 
     # materialize edges FIRST: outdegree and the iteration loop both
@@ -117,7 +134,18 @@ def pagerank_dataset(
     ).to_arrow_refs()
     inv_ref = _assemble_inv_out.remote(num_nodes, *outdeg_blocks)
 
-    score_ref = ray.put(np.ones(num_nodes, dtype=np.float64))
+    if personalization is None:
+        personal = np.ones(num_nodes, dtype=np.float64)
+        base = np.full(num_nodes, 1.0 - damping)
+    else:
+        personal = np.asarray(personalization, dtype=np.float64)
+        if personal.shape != (num_nodes,):
+            raise ValueError(
+                f"personalization must have shape ({num_nodes},), "
+                f"got {personal.shape}")
+        base = (1.0 - damping) * personal
+    base_ref = ray.put(base)
+    score_ref = ray.put(personal)
     for _ in range(iterations):
 
         def contrib(t: pa.Table, _s=score_ref, _i=inv_ref) -> pa.Table:
@@ -133,7 +161,7 @@ def pagerank_dataset(
             edges_ds.map_batches(contrib, batch_format="pyarrow"),
             ["dst"], [("c", "sum", "c_sum")],
         ).to_arrow_refs()
-        score_ref = _assemble_scores.remote(num_nodes, damping, *sum_blocks)
+        score_ref = _assemble_scores.remote(base_ref, damping, *sum_blocks)
     scores = ray.get(score_ref)
     return pa.table(
         {"node": pa.array(np.arange(num_nodes, dtype=np.int64)), "score": pa.array(scores)}

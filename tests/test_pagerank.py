@@ -125,3 +125,62 @@ def test_fusion_weight_zero_degrades_to_base():
     np.testing.assert_allclose(sc0, base)
     ids1, _ = fuse_scores(doc_ids, base, pr, weight=100.0, top_k=2)
     assert ids1.tolist() == [4, 3]  # pagerank dominates
+
+
+class TestPersonalizedPageRank:
+    @staticmethod
+    def _graph(n=60, seed=5):
+        rng = np.random.default_rng(seed)
+        src = rng.integers(0, n, 200)
+        dst = rng.integers(0, n, 200)
+        keep = src != dst
+        return src[keep], dst[keep], n
+
+    def test_uniform_personalization_equals_default(self):
+        from mini_search_engine_ray.pipelines.pagerank import pagerank_numpy
+
+        src, dst, n = self._graph()
+        a = pagerank_numpy(src, dst, n, iterations=20)
+        b = pagerank_numpy(src, dst, n, iterations=20,
+                           personalization=np.ones(n))
+        np.testing.assert_array_equal(a, b)
+
+    def test_dataset_matches_numpy_personalized(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from mini_search_engine_ray.pipelines.pagerank import (
+            pagerank_dataset,
+            pagerank_numpy,
+        )
+
+        src, dst, n = self._graph()
+        personal = (np.arange(n) % 7 == 0).astype(np.float64)
+        exp = pagerank_numpy(src, dst, n, iterations=12,
+                             personalization=personal)
+        edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                        "dst": pa.array(dst)})) \
+            .repartition(3)
+        got = pagerank_dataset(edges, n, iterations=12,
+                               personalization=personal)
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), exp, rtol=1e-12)
+
+    def test_unreachable_nonseed_scores_zero(self):
+        from mini_search_engine_ray.pipelines.pagerank import pagerank_numpy
+
+        # 0 (seed) -> 1 -> 2; node 3 isolated non-seed
+        personal = np.array([1.0, 0.0, 0.0, 0.0])
+        s = pagerank_numpy(np.array([0, 1]), np.array([1, 2]), 4,
+                           iterations=30, personalization=personal)
+        assert s[0] > 0 and s[1] > 0 and s[2] > 0
+        assert s[3] == 0.0
+
+    def test_shape_validation(self):
+        import pytest
+
+        from mini_search_engine_ray.pipelines.pagerank import pagerank_numpy
+
+        with pytest.raises(ValueError):
+            pagerank_numpy(np.array([0]), np.array([1]), 3,
+                           personalization=np.ones(2))
