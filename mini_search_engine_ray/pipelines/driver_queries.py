@@ -6497,3 +6497,103 @@ def q_pagerank_personalized(sf_dir: str):
 
 QUERIES["pagerank_personalized"] = q_pagerank_personalized
 ORACLE_SQL["pagerank_personalized"] = _ppr_sql()
+
+
+def _dedup_containment_sql(rows: int = 4, max_bucket: int = 200) -> str:
+    """Same candidate CTEs as dedup_near_jaccard, reporting per-side
+    distinct-shingle sizes, the intersection, Jaccard AND containment
+    = i / min(|A|, |B|) (empty-min convention: 1.0 — the empty set is
+    a subset of everything, matching the engine's contract)."""
+    poly = _poly_list([f"sigs[{r + 1}]" for r in range(rows)])
+    jac = ("CASE WHEN coalesce(za.n, 0) + coalesce(zb.n, 0) "
+           "- coalesce(i.i, 0) = 0 THEN 1.0 "
+           "ELSE coalesce(i.i, 0)::DOUBLE / "
+           "(coalesce(za.n, 0) + coalesce(zb.n, 0) - coalesce(i.i, 0)) "
+           "END")
+    cont = ("CASE WHEN least(coalesce(za.n, 0), coalesce(zb.n, 0)) = 0 "
+            "THEN 1.0 ELSE coalesce(i.i, 0)::DOUBLE / "
+            "least(coalesce(za.n, 0), coalesce(zb.n, 0)) END")
+    return f"""
+WITH {_minhash_sig_ctes()},
+bs AS (
+  SELECT doc_id, p // {rows} AS band, list(sig_u ORDER BY p) AS sigs
+  FROM sig GROUP BY doc_id, p // {rows}
+),
+bh AS (SELECT doc_id, band, {poly} AS bhash FROM bs),
+mem AS (
+  SELECT band, bhash, doc_id,
+         row_number() OVER (PARTITION BY band, bhash ORDER BY doc_id) AS rn
+  FROM (SELECT DISTINCT band, bhash, doc_id FROM bh)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM mem x JOIN mem y
+    ON x.band = y.band AND x.bhash = y.bhash AND x.doc_id < y.doc_id
+  WHERE x.rn <= {max_bucket} AND y.rn <= {max_bucket}
+),
+dsh AS (SELECT DISTINCT doc_id, s FROM shingles),
+sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM dsh GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, count(*)::BIGINT AS i
+  FROM cand c
+  JOIN dsh x ON x.doc_id = c.a
+  JOIN dsh y ON y.doc_id = c.b AND y.s = x.s
+  GROUP BY c.a, c.b
+)
+SELECT c.a, c.b,
+       coalesce(za.n, 0)::BIGINT AS size_a,
+       coalesce(zb.n, 0)::BIGINT AS size_b,
+       coalesce(i.i, 0)::BIGINT AS inter_n,
+       {_R4.format(expr=jac)} AS jaccard,
+       {_R4.format(expr=cont)} AS containment
+FROM cand c
+LEFT JOIN sz za ON za.doc_id = c.a
+LEFT JOIN sz zb ON zb.doc_id = c.b
+LEFT JOIN inter i ON i.a = c.a AND i.b = c.b
+"""
+
+
+def q_dedup_containment(sf_dir: str):
+    """Asymmetric near-dup verification: exact k-shingle CONTAINMENT
+    (i / min set size — quotes and subset documents score ~1 where
+    Jaccard stays low) for the LSH candidate pairs, via the same
+    distributed shingle-equality join as the Jaccard verify with one
+    side-tag bit so per-side sizes fall out of the same sweep."""
+    from ..stages.dedup import (
+        minhash_candidate_pairs,
+        verify_pairs_containment,
+    )
+
+    docs = _docs_ds(sf_dir)
+    pairs, _ = minhash_candidate_pairs(
+        docs.select_columns(["doc_id", "text"]))
+    out = verify_pairs_containment(docs, pairs)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "size_a": pa.array([], pa.int64()),
+                             "size_b": pa.array([], pa.int64()),
+                             "inter_n": pa.array([], pa.int64()),
+                             "jaccard": pa.array([], pa.float64()),
+                             "containment": pa.array([], pa.float64())})
+        return pa.table({
+            "a": pc.cast(t["a"], pa.int64()),
+            "b": pc.cast(t["b"], pa.int64()),
+            "size_a": pc.cast(t["size_a"], pa.int64()),
+            "size_b": pc.cast(t["size_b"], pa.int64()),
+            "inter_n": pc.cast(t["inter_n"], pa.int64()),
+            "jaccard": pa.array(_r4(t["jaccard"].to_numpy(
+                zero_copy_only=False))),
+            "containment": pa.array(_r4(t["containment"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["dedup_containment"] = q_dedup_containment
+ORACLE_SQL["dedup_containment"] = _dedup_containment_sql()

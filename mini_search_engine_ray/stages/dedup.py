@@ -1146,3 +1146,156 @@ def incremental_dedup_drops(ds, *, new_pred, text_col: str = "text",
                              batch_format="pyarrow"),
         [id_col], [("one", "sum", "n_matches")],
         in_schema=pa.schema([(id_col, pa.int64()), ("one", pa.int64())]))
+
+
+def verify_pairs_containment(
+    ds, pairs, *, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 3, join_partitions: int | None = None,
+):
+    """Exact k-shingle CONTAINMENT for candidate pairs — the
+    asymmetric companion to :func:`verify_pairs_jaccard`: a short
+    document quoted inside a long one has low Jaccard but containment
+    ~1, so subset/quote dedup thresholds C = |A∩B| / min(|A|, |B|)
+    instead.  Same distributed plan as the Jaccard verify (member
+    explode -> distinct (doc, shingle) rows -> ONE doc-id sort-merge
+    join -> pair-keyed reductions) with one extra bit per joined row —
+    which member contributed the shingle — so per-side set sizes fall
+    out of the same sweep.  Returns a Dataset
+    (a, b, size_a, size_b, inter_n, jaccard, containment); pairs whose
+    members are BOTH shingle-less emit jaccard = containment = 1.0.
+    """
+    import ray.data as rd
+
+    import pyarrow.compute as pc
+
+    from .aggregates import sorted_groupby_agg
+    from .join import sort_merge_join
+
+    if hasattr(pairs, "to_pandas") and not isinstance(pairs, rd.Dataset):
+        pairs = pa.Table.from_pandas(pairs.to_pandas(),
+                                     preserve_index=False)
+    if isinstance(pairs, pa.Table):
+        pairs = rd.from_arrow(pairs.select(["a", "b"]))
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    empty_out = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "size_a": pa.array([], pa.int64()),
+                          "size_b": pa.array([], pa.int64()),
+                          "inter_n": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64()),
+                          "containment": pa.array([], pa.float64())})
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"jdoc": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"jdoc": pa.array(np.r_[a, b]),
+                         "a": pa.array(np.r_[a, a]),
+                         "b": pa.array(np.r_[b, b])})
+
+    def shingle_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc": pa.array([], pa.int64()),
+                          "sh": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        flat, off = _doc_shingles_flat(t, text_col, k)
+        if len(flat) == 0:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(t.num_rows), np.diff(off))
+        sh = flat.view(np.int64)
+        order = np.lexsort((sh, doc_idx))
+        d, s = doc_idx[order], sh[order]
+        keep = np.r_[True, (d[1:] != d[:-1]) | (s[1:] != s[:-1])]
+        return pa.table({"doc": pa.array(ids[d[keep]]),
+                         "sh": pa.array(s[keep])})
+
+    members = pairs.map_batches(explode, batch_format="pyarrow")
+    shingles = ds.map_batches(shingle_rows, batch_format="pyarrow")
+    joined = sort_merge_join(
+        members, shingles, on="jdoc", right_on="doc", how="inner",
+        left_schema=pa.schema([("jdoc", pa.int64()), ("a", pa.int64()),
+                               ("b", pa.int64())]),
+        right_schema=pa.schema([("doc", pa.int64()),
+                                ("sh", pa.int64())]),
+        partitions=join_partitions,
+    )
+
+    def tag_side(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "sh": pa.array([], pa.int64()),
+                          "is_a": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return empty
+        is_a = pc.cast(pc.equal(t["jdoc"], t["a"]), pa.int64())
+        return pa.table({"a": t["a"], "b": t["b"], "sh": t["sh"],
+                         "is_a": is_a})
+
+    per_sh = sorted_groupby_agg(
+        joined.map_batches(tag_side, batch_size=None,
+                           batch_format="pyarrow"),
+        ["a", "b", "sh"],
+        [("is_a", "count", "cnt"), ("is_a", "sum", "a_cnt")],
+        in_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("sh", pa.int64()),
+                             ("is_a", pa.int64())]))
+
+    def flags(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "ac": pa.array([], pa.int64()),
+                             "cn": pa.array([], pa.int64()),
+                             "ii": pa.array([], pa.int64())})
+        return pa.table({
+            "a": t["a"], "b": t["b"],
+            "ac": t["a_cnt"],
+            "cn": t["cnt"],
+            "ii": pc.cast(pc.equal(t["cnt"], 2), pa.int64()),
+        })
+
+    agg = sorted_groupby_agg(
+        per_sh.map_batches(flags, batch_size=None,
+                           batch_format="pyarrow"),
+        ["a", "b"],
+        [("ac", "sum", "size_a"), ("cn", "sum", "total"),
+         ("ii", "sum", "inter_n")],
+        in_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("ac", pa.int64()), ("cn", pa.int64()),
+                             ("ii", pa.int64())]))
+    back = sort_merge_join(
+        pairs, agg, on=["a", "b"], how="left",
+        left_schema=pair_schema,
+        right_schema=pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                                ("size_a", pa.int64()),
+                                ("total", pa.int64()),
+                                ("inter_n", pa.int64())]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return empty_out
+        sa = pc.fill_null(t["size_a"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tot = pc.fill_null(t["total"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        i = pc.fill_null(t["inter_n"], 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sb = tot - sa
+        fi = i.astype(np.float64)
+        union = (sa + sb - i).astype(np.float64)
+        mn = np.minimum(sa, sb).astype(np.float64)
+        jac = np.where(union > 0, fi / np.maximum(union, 1), 1.0)
+        cont = np.where(mn > 0, fi / np.maximum(mn, 1), 1.0)
+        return pa.table({"a": t["a"], "b": t["b"],
+                         "size_a": pa.array(sa), "size_b": pa.array(sb),
+                         "inter_n": pa.array(i),
+                         "jaccard": pa.array(jac),
+                         "containment": pa.array(cont)})
+
+    return back.map_batches(finish, batch_size=None,
+                            batch_format="pyarrow")

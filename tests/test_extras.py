@@ -705,3 +705,59 @@ class TestIncrementalDedup:
                          "entirely distinct vocabulary"],
                         lambda ids: ids == 2)
         assert got == {}
+
+
+class TestContainmentVerify:
+    """verify_pairs_containment: asymmetric subset/quote detection."""
+
+    def test_quote_scores_containment_one(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import (
+            verify_pairs_containment,
+            verify_pairs_jaccard,
+        )
+
+        quote = "alpha beta gamma delta epsilon"
+        long_doc = ("zero one two three four five six seven eight "
+                    + quote + " nine ten eleven twelve thirteen")
+        other = "completely different words everywhere nothing shared"
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array([quote, long_doc, other])})
+        docs = rd.from_arrow(t).repartition(2)
+        pairs = pa.table({"a": pa.array([1, 1], pa.int64()),
+                          "b": pa.array([2, 3], pa.int64())})
+        rows = {(r["a"], r["b"]): r for r in
+                verify_pairs_containment(docs, pairs).take_all()}
+        r12 = rows[(1, 2)]
+        # every trigram of the quote appears in the long doc
+        assert r12["containment"] == 1.0
+        assert r12["size_a"] == 3 and r12["inter_n"] == 3
+        assert r12["jaccard"] < 0.2
+        assert rows[(1, 3)]["containment"] == 0.0
+        # jaccard agrees with the symmetric verifier
+        jac = {(r["a"], r["b"]): r["jaccard"] for r in
+               verify_pairs_jaccard(docs, pairs).take_all()}
+        for k in rows:
+            assert abs(rows[k]["jaccard"] - jac[k]) < 1e-12
+
+    def test_empty_member_convention(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import (
+            verify_pairs_containment,
+        )
+
+        # doc 2 is genuinely token-less (docs SHORTER than k keep raw
+        # -token shingles by contract, so only '' has zero shingles)
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                      "text": pa.array(["a b c d", "", "x"])})
+        pairs = pa.table({"a": pa.array([1, 1], pa.int64()),
+                          "b": pa.array([2, 3], pa.int64())})
+        rows = {(r["a"], r["b"]): r for r in verify_pairs_containment(
+            rd.from_arrow(t), pairs).take_all()}
+        r12 = rows[(1, 2)]
+        assert r12["size_b"] == 0 and r12["containment"] == 1.0
+        assert r12["jaccard"] == 0.0
+        r13 = rows[(1, 3)]          # short doc: one raw-token shingle
+        assert r13["size_b"] == 1 and r13["containment"] == 0.0
