@@ -6597,3 +6597,44 @@ def q_dedup_containment(sf_dir: str):
 
 QUERIES["dedup_containment"] = q_dedup_containment
 ORACLE_SQL["dedup_containment"] = _dedup_containment_sql()
+
+
+WSAMPLE_N = 100
+
+
+def q_weighted_sample_n(sf_dir: str):
+    """Exact-size weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis A-ES): the 100 docs with the largest content-addressed
+    ln(u)/n_chars keys — longer docs proportionally likelier, row
+    count exact, re-shard stable; local top-n prefilter bounds the
+    exchange at n per batch."""
+    import ray.data as rd
+
+    from ..stages.sampling import weighted_sample_exact_n
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "n_chars"])
+    out = weighted_sample_exact_n(docs, WSAMPLE_N, "n_chars")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["weighted_sample_n"] = q_weighted_sample_n
+
+ORACLE_SQL["weighted_sample_n"] = f"""
+WITH k AS (SELECT doc_id, n_chars,
+                  ln((md5_number_lower(text)::DOUBLE + 1)
+                     / 18446744073709551616.0)
+                  / n_chars::DOUBLE AS key
+           FROM documents)
+SELECT doc_id, n_chars FROM k ORDER BY key DESC, doc_id
+LIMIT {WSAMPLE_N}
+"""

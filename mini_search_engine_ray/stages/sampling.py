@@ -264,3 +264,54 @@ def sample_by_rate(ds, rate_col: str, *, hash_col: str = "text",
         return t.filter(pa.array(h < thresh))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def weighted_sample_exact_n(ds, n: int, weight_col: str, *,
+                            text_col: str = "text",
+                            id_col: str = "doc_id", salt: str = ""):
+    """Deterministic EXACT-SIZE weighted sample WITHOUT replacement
+    (Efraimidis & Spirakis 2006, algorithm A-ES): each row draws the
+    content-addressed uniform u = (md5-low-64(text‖salt) + 1) / 2^64
+    and the n rows with the LARGEST u^(1/w) win — equivalently the
+    largest ln(u)/w, the form computed here (one ln + one divide;
+    inclusion probability rises with the weight, re-shard stable,
+    independent draws via ``salt``).  The SQL oracle replays every
+    key exactly (same md5 → float64 conversion, same two IEEE ops).
+
+    Scale shape: identical to :func:`sample_exact_n` — per-batch local
+    top-n prefilter bounds the global exchange at n·num_batches rows,
+    then one bounded sort + limit.  Weights must be > 0 (raises on
+    w <= 0 — a zero weight has undefined 1/w key, not probability 0).
+    Returns the sampled rows (key column dropped)."""
+    from ..functions.hashing import md5_low64_batch
+
+    if not (isinstance(n, int) and n >= 1):
+        raise ValueError(f"n must be a positive int, got {n!r}")
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("_k", pa.array([], pa.float64()))
+        strs = t[text_col].to_pylist()
+        if salt:
+            strs = [(s or "") + salt for s in strs]
+        h = md5_low64_batch(strs)
+        w = t[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if (w <= 0).any():
+            raise ValueError(
+                f"weighted_sample_exact_n: non-positive weight in "
+                f"{weight_col!r}")
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        key = np.log(u) / w
+        ids = t[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
+        order = np.lexsort((ids.to_numpy(zero_copy_only=False),
+                            -key))[:n]
+        keep = np.sort(order)
+        return t.take(pa.array(keep)) \
+            .append_column("_k", pa.array(key[keep]))
+
+    bounded = ds.map_batches(prefilter, batch_format="pyarrow")
+    return bounded.sort(["_k", id_col], descending=[True, False]) \
+        .limit(n).drop_columns(["_k"])

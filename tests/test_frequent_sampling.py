@@ -415,3 +415,71 @@ class TestSampleByRate:
         b = set(sample_by_rate(rd.from_arrow(t2), "r", salt="s")
                 .to_pandas()["doc_id"])
         assert a != b and 100 < len(a) < 300 and 100 < len(b) < 300
+
+
+class TestWeightedSampleExactN:
+    @staticmethod
+    def _corpus(n=200, seed=13):
+        rng = np.random.default_rng(seed)
+        texts = [f"doc {i} " + " ".join(
+            rng.choice(["a", "b", "c"], 4)) for i in range(n)]
+        w = rng.integers(1, 50, n).astype(np.int64)
+        return pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                         "text": pa.array(texts),
+                         "w": pa.array(w)})
+
+    def test_matches_brute_force_and_reshard_stable(self, ray_session):
+        import hashlib
+
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.sampling import (
+            weighted_sample_exact_n,
+        )
+
+        t = self._corpus()
+        keys = []
+        for i in range(t.num_rows):
+            h = int.from_bytes(hashlib.md5(
+                t["text"][i].as_py().encode()).digest()[8:], "little")
+            u = (float(h) + 1.0) / 2 ** 64
+            keys.append(np.log(u) / float(t["w"][i].as_py()))
+        exp = [i for _, i in sorted(
+            ((-k, i) for i, k in enumerate(keys)))][:30]
+        for blocks in (1, 7):
+            got = weighted_sample_exact_n(
+                rd.from_arrow(t).repartition(blocks), 30, "w") \
+                .take_all()
+            assert sorted(r["doc_id"] for r in got) == sorted(exp)
+
+    def test_weight_monotonicity(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.sampling import (
+            weighted_sample_exact_n,
+        )
+
+        # same text (same u) duplicated with tiny vs huge weight:
+        # ln(u)/w rises with w (u < 1), so the huge-weight copy wins
+        t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                      "text": pa.array(["same text", "same text"]),
+                      "w": pa.array([1, 1000], pa.int64())})
+        got = weighted_sample_exact_n(rd.from_arrow(t), 1, "w") \
+            .take_all()
+        assert got[0]["doc_id"] == 2
+
+    def test_validation(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.sampling import (
+            weighted_sample_exact_n,
+        )
+
+        t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array(["x"]),
+                      "w": pa.array([0], pa.int64())})
+        with pytest.raises(ValueError):
+            weighted_sample_exact_n(rd.from_arrow(t), 0, "w")
+        with pytest.raises(Exception):
+            weighted_sample_exact_n(rd.from_arrow(t), 1, "w").take_all()
