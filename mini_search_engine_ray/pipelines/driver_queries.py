@@ -6638,3 +6638,107 @@ WITH k AS (SELECT doc_id, n_chars,
 SELECT doc_id, n_chars FROM k ORDER BY key DESC, doc_id
 LIMIT {WSAMPLE_N}
 """
+
+
+RANGE_WIN_S = 7 * 86400          # 7-day trailing frame
+
+
+def q_rolling_range_user_value(sf_dir: str):
+    """Time-based rolling frame (SQL RANGE BETWEEN <interval> PRECEDING
+    AND CURRENT ROW) — per user, the trailing-7-day sum and count of
+    `value` at every distinct event timestamp, exact at any frame
+    population (rows-carry windows can't bound a time frame; this
+    resolves the frame start via an as-of lookup against running
+    prefix sums — 2 sorts, O(num_blocks) driver scalars)."""
+    import ray.data as rd
+
+    from ..stages.scan import range_rolling_agg
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    out = range_rolling_agg(ev, key_col="user_id", ts_col="ts",
+                            value_col="value", window_s=RANGE_WIN_S)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ts_us": pc.cast(t["ts_us"], pa.int64()),
+            "win_sum": pc.cast(t["win_sum"], pa.float64()),
+            "win_cnt": pc.cast(t["win_cnt"], pa.int64()),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["rolling_range_user_value"] = q_rolling_range_user_value
+
+ORACLE_SQL["rolling_range_user_value"] = f"""
+WITH g AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                  sum(value) AS s, count(*)::BIGINT AS c
+           FROM events GROUP BY 1, 2)
+SELECT user_id, ts_us,
+       sum(s) OVER w AS win_sum,
+       sum(c) OVER w AS win_cnt
+FROM g
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN {RANGE_WIN_S * 1_000_000} PRECEDING
+                   AND CURRENT ROW)
+"""
+
+
+EWMA_ALPHA = 0.25                # 1-alpha = 0.75: both exact binary
+
+
+def q_ewma_user_value(sf_dir: str):
+    """Per-user exponential moving average of `value` in (ts,
+    event_id) order — the streaming adjust=False recurrence
+    y_i = alpha*v_i + (1-alpha)*y_{i-1}, y_1 = v_1.  The engine's
+    one-sort affine-carry scan (`ewma_column`) is bit-identical to
+    the sequential recurrence within a block and exact-up-to-eps
+    across block edges (geometric-decay carry correction), so both
+    sides round 4dp.  Oracle: a recursive CTE stepping the identical
+    three IEEE ops (0.75*acc + 0.25*v) per row; alpha=0.25 so
+    alpha + (1-alpha) == 1.0 exactly (pandas' normalizing divide is
+    a no-op)."""
+    import ray.data as rd
+
+    from ..stages.scan import ewma_column
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id", "value"])
+    out = ewma_column(ev, value_col="value", order_by=["ts", "event_id"],
+                      key_col="user_id", alpha=EWMA_ALPHA, out_col="ewma")
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "ewma4": pa.array(_r4(t["ewma"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["ewma_user_value"] = q_ewma_user_value
+
+ORACLE_SQL["ewma_user_value"] = f"""
+WITH RECURSIVE e AS (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events),
+r AS (
+  SELECT event_id, user_id, rn, value AS y FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.event_id, e.user_id, e.rn,
+         {1.0 - EWMA_ALPHA} * r.y + {EWMA_ALPHA} * e.value
+  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+SELECT event_id, user_id,
+       {_R4.format(expr='y')} AS ewma4
+FROM r
+"""

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .windows import _col_np
 
@@ -755,6 +756,349 @@ def add_ranks(ds, *, order_by: list[str] | str,
         return t.append_column(rank_col, pa.array(rank.astype(np.int64))) \
             .append_column(dense_col, pa.array(dense.astype(np.int64))) \
             .append_column(pct_col, pa.array(pct))
+
+    out_refs = [apply.remote(r, next(carry_it)) for r in refs]
+    return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------
+# Time-based (RANGE) rolling frame
+# ---------------------------------------------------------------------
+
+
+def range_rolling_agg(ds, *, key_col: str, ts_col: str, value_col: str,
+                      window_s: float,
+                      out_sum: str = "win_sum", out_cnt: str = "win_cnt"):
+    """SQL's TIME-based window frame, exact at any window length:
+
+        SUM(v), COUNT(v) OVER (PARTITION BY key ORDER BY ts
+            RANGE BETWEEN <window> PRECEDING AND CURRENT ROW)
+
+    RANGE frames include ALL peer rows of the current timestamp, so
+    every event at the same (key, ts) shares one frame value — the
+    output is therefore one row per distinct ``(key, ts_us)`` with the
+    frame's sum and count (callers needing per-event rows join back on
+    the unique pair).  ``ts_col`` may be timestamp[us] or int64;
+    ``window_s`` is seconds (scaled to integer microseconds).
+
+    A ROWS carry (:func:`rolling_agg` threads the w-1 boundary rows)
+    cannot bound a time frame — any number of rows may fall inside the
+    trailing window — so the frame START is resolved the way a column
+    store does it: against running prefix sums.
+
+    Plan (exactly 2 shuffles, O(num_blocks) driver scalars):
+      1. grouped reduction per (key, ts_us): ``_s = sum(v)``,
+         ``_c = count`` (sort #1; blocks arrive key-ordered);
+      2. carry-threaded sweep appends per-key running prefix sums
+         ``(_cs, _cc)`` — the :func:`running_agg` idiom, two values
+         per carry, no extra shuffle;
+      3. every row re-emits itself as a DATA row (``_t = ts_us``) and
+         a QUERY row (``_t = ts_us - window``), each carrying its own
+         prefix sums; sort #2 over the union by (key, _t,
+         query-before-data) and a segmented running-last-data sweep
+         (the encoded-cummax idiom of ``asof_join_latest``) hands each
+         query row the prefix sums of the last data row STRICTLY
+         before its window start: ``win = own_prefix - lookup``
+         (lookup = 0 when the window reaches past the key's history).
+      Query-before-data at equal ``_t`` is what makes the lower bound
+      INCLUSIVE: a data row AT ts - window is not subtracted.
+    """
+    import ray
+    import ray.data as rd
+
+    from .aggregates import sorted_groupby_agg
+    from .windows import _ts_us
+
+    if not window_s > 0:
+        raise ValueError(f"window_s must be > 0, got {window_s!r}")
+    win_us = int(round(window_s * 1_000_000))
+
+    k_type = ds.schema().base_schema.field(key_col).type
+
+    def prune(t: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: t[key_col],
+            "ts_us": pa.array(_ts_us(t, ts_col)),
+            "_v": pc.cast(t[value_col], pa.float64()),
+        })
+
+    in_schema = pa.schema([(key_col, k_type), ("ts_us", pa.int64()),
+                           ("_v", pa.float64())])
+    grouped = sorted_groupby_agg(
+        ds.map_batches(prune, batch_format="pyarrow"),
+        [key_col, "ts_us"],
+        [("_v", "sum", "_s"), ("_v", "count", "_c")],
+        in_schema=in_schema)
+    refs = grouped.materialize().to_arrow_refs()
+
+    # ---- pass 2: per-key running prefix sums, 4-scalar summaries ----
+    @ray.remote
+    def summarize(t: pa.Table):
+        n = t.num_rows
+        if n == 0:
+            return None
+        keys = _keys_np(t, key_col)
+        brk = _key_breaks(keys, n)
+        if np.any(brk):
+            first_end = int(np.flatnonzero(brk)[0]) + 1
+            last_start = int(np.flatnonzero(brk)[-1]) + 1
+        else:
+            first_end, last_start = n, 0
+        s = _col_np(t, "_s", np.float64)
+        c = _col_np(t, "_c", np.int64)
+        return (keys[0], keys[-1],
+                float(s[:first_end].sum()), int(c[:first_end].sum()),
+                float(s[last_start:].sum()), int(c[last_start:].sum()))
+
+    summaries = ray.get([summarize.remote(r) for r in refs])
+    carries: list = []
+    cur_key, acc = object(), None       # acc = (cs, cc) of cur_key
+    for sm in summaries:
+        if sm is None:
+            carries.append(None)
+            continue
+        first_key, last_key, sf, cf, sl, cl = sm
+        carry = acc if first_key == cur_key else None
+        carries.append(carry)
+        if last_key == first_key:
+            acc = (carry[0] + sl, carry[1] + cl) if carry is not None \
+                else (sl, cl)
+        else:
+            acc = (sl, cl)
+        cur_key = last_key
+    carry_it = iter(carries)
+
+    @ray.remote
+    def cum_and_expand(t: pa.Table, carry):
+        empty = pa.table({
+            key_col: pa.array([], k_type), "_t": pa.array([], pa.int64()),
+            "_rk": pa.array([], pa.int8()), "ts_us": pa.array([], pa.int64()),
+            "_cs": pa.array([], pa.float64()), "_cc": pa.array([], pa.int64()),
+        })
+        n = t.num_rows
+        if n == 0:
+            return empty
+        keys = _keys_np(t, key_col)
+        brk = _key_breaks(keys, n)
+        starts = np.flatnonzero(brk) + 1
+        seg = np.zeros(n, dtype=np.int64)
+        seg[starts] = 1
+        run_id = np.cumsum(seg)
+        first_run = run_id == 0
+        s = _col_np(t, "_s", np.float64)
+        c = _col_np(t, "_c", np.int64)
+        cs = np.cumsum(s)
+        cc = np.cumsum(c)
+        if len(starts):
+            cs = cs - np.concatenate(([0.0], cs[starts - 1]))[run_id]
+            cc = cc - np.concatenate(([np.int64(0)], cc[starts - 1]))[run_id]
+        if carry is not None:
+            cs = cs + np.where(first_run, carry[0], 0.0)
+            cc = cc + np.where(first_run, np.int64(carry[1]), np.int64(0))
+        ts = _col_np(t, "ts_us", np.int64)
+        kc = t[key_col]
+        kc = kc.combine_chunks() if isinstance(kc, pa.ChunkedArray) else kc
+        both = pa.table({
+            key_col: pa.concat_arrays([kc, kc]),
+            "_t": pa.array(np.concatenate([ts, ts - win_us])),
+            "_rk": pa.array(np.concatenate(
+                [np.ones(n, np.int8), np.zeros(n, np.int8)])),
+            "ts_us": pa.array(np.concatenate([ts, ts])),
+            "_cs": pa.array(np.concatenate([cs, cs])),
+            "_cc": pa.array(np.concatenate([cc, cc])),
+        })
+        return both
+
+    union = rd.from_arrow_refs(
+        [cum_and_expand.remote(r, next(carry_it)) for r in refs])
+    sorted_u = union.sort([key_col, "_t", "_rk"]).materialize()
+    urefs = sorted_u.to_arrow_refs()
+
+    # ---- pass 3: strictly-before as-of lookup (value = prefix sums) --
+    @ray.remote
+    def summarize2(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        keys = _keys_np(t, key_col)
+        rk = _col_np(t, "_rk", np.int8)
+        tail = (keys == keys[-1]) & (rk == 1)
+        if tail.any():
+            i = int(np.flatnonzero(tail)[-1])
+            tail_val = (float(t["_cs"][i].as_py()),
+                        int(t["_cc"][i].as_py()))
+        else:
+            tail_val = None
+        return (keys[0], keys[-1], tail_val)
+
+    summaries2 = ray.get([summarize2.remote(r) for r in urefs])
+    carries2: list = []
+    cur_key, last_val = object(), None
+    for sm in summaries2:
+        if sm is None:
+            carries2.append(None)
+            continue
+        head_k, tail_k, tail_val = sm
+        c = last_val if head_k == cur_key else None
+        carries2.append(c)
+        if tail_val is not None:
+            last_val = tail_val
+        elif tail_k == head_k:
+            last_val = c
+        else:
+            last_val = None
+        cur_key = tail_k
+    carry2_it = iter(carries2)
+
+    @ray.remote
+    def resolve(t: pa.Table, carry):
+        empty = pa.table({
+            key_col: pa.array([], k_type), "ts_us": pa.array([], pa.int64()),
+            out_sum: pa.array([], pa.float64()),
+            out_cnt: pa.array([], pa.int64()),
+        })
+        n = t.num_rows
+        if n == 0:
+            return empty
+        keys = _keys_np(t, key_col)
+        rk = _col_np(t, "_rk", np.int8)
+        cs = _col_np(t, "_cs", np.float64)
+        cc = _col_np(t, "_cc", np.int64)
+        ur = np.cumsum(np.r_[0, (keys[1:] != keys[:-1]).astype(np.int64)])
+        is_data = rk == 1
+        enc = np.where(is_data,
+                       ur * np.int64(n + 1) + np.arange(n, dtype=np.int64),
+                       np.int64(-1))
+        cm = np.maximum.accumulate(enc)
+        valid = (cm >= 0) & (cm // (n + 1) == ur)
+        idx = np.maximum(cm, 0) % (n + 1)
+        base_s = np.where(valid, cs[idx], 0.0)
+        base_c = np.where(valid, cc[idx], np.int64(0))
+        if carry is not None:
+            head = (ur == 0) & ~valid
+            base_s = np.where(head, carry[0], base_s)
+            base_c = np.where(head, np.int64(carry[1]), base_c)
+        q = ~is_data
+        kc = t[key_col]
+        kc = kc.combine_chunks() if isinstance(kc, pa.ChunkedArray) else kc
+        return pa.table({
+            key_col: kc.filter(pa.array(q)),
+            "ts_us": pa.array(_col_np(t, "ts_us", np.int64)[q]),
+            out_sum: pa.array((cs - base_s)[q]),
+            out_cnt: pa.array((cc - base_c)[q]),
+        })
+
+    out_refs = [resolve.remote(r, next(carry2_it)) for r in urefs]
+    return rd.from_arrow_refs(out_refs)
+
+
+# ---------------------------------------------------------------------
+# Exponential smoothing (EWMA) — a multiplicative-carry prefix scan
+# ---------------------------------------------------------------------
+
+
+def ewma_column(ds, *, value_col: str, order_by: list[str] | str,
+                alpha: float, key_col: str | None = None,
+                out_col: str = "ewma"):
+    """Append ``out_col`` = the exponentially weighted moving average
+    of ``value_col`` in ``order_by`` order, restarting per ``key_col``:
+
+        y_1 = v_1;   y_i = alpha * v_i + (1 - alpha) * y_{i-1}
+
+    (the ``adjust=False`` recurrence — the streaming/online form used
+    for smoothed rates and anomaly baselines).  An EWMA is a prefix
+    scan whose carry composes AFFINELY, not additively: a run of m
+    rows maps an incoming state y_in to ``A*y_in + B`` with
+    ``A = (1-alpha)^m`` and B the zero-start fold — so the same
+    one-sort + O(num_blocks) carry-thread plan as :func:`running_agg`
+    applies, with a (A, B) pair per block edge instead of a scalar
+    sum.  In-block work is pandas' C ``groupby(...).ewm(adjust=False)``
+    (bit-identical recurrence; no per-row Python even when runs are
+    short), and an incoming carry c is applied to the first run as
+    ``y'_i = y_i + (1-alpha)^i * (c - v_1)`` — exact because two
+    solutions of the same linear recurrence differ by a geometric
+    decay (underflow of the factor to 0.0 is the correct limit).
+
+    ``(key_col, *order_by)`` must be unique per row (enforced in-block
+    and across sorted block boundaries, as for every order-dependent
+    scan here).  Returns the sorted rows plus the float64 scan column.
+    """
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha!r}")
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    sort_cols = ([key_col] if key_col else []) + order_by
+    sorted_ds = ds.sort(sort_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    om = 1.0 - alpha
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        n = t.num_rows
+        if n == 0:
+            return None
+        tfirst, tlast = _edge_check_tuples(t, sort_cols, "ewma_column")
+        keys = _keys_np(t, key_col) if key_col else None
+        brk = _key_breaks(keys, n)
+        last_start = int(np.flatnonzero(brk)[-1]) + 1 if np.any(brk) else 0
+        v = _col_np(t, value_col, np.float64)[last_start:]
+        m = len(v)
+        fresh_end = float(pd.Series(v).ewm(alpha=alpha, adjust=False)
+                          .mean().iloc[-1])
+        a_pow = om ** m          # underflow to 0.0 is the exact limit
+        return (keys[0] if keys is not None else None,
+                keys[-1] if keys is not None else None,
+                tfirst, tlast, a_pow, fresh_end - a_pow * float(v[0]),
+                float(v[0]))
+
+    summaries = ray.get([summarize.remote(r) for r in refs])
+
+    carries: list = []
+    cur_key, acc = object(), None
+    prev_last_tuple = None
+    for sm in summaries:
+        if sm is None:
+            carries.append(None)
+            continue
+        first_key, last_key, tfirst, tlast, a_l, b_l, v1_l = sm
+        if prev_last_tuple is not None and tfirst == prev_last_tuple:
+            raise ValueError(
+                f"ewma_column requires unique {sort_cols} per row; "
+                f"duplicate sort tuple {tfirst!r} across sorted blocks")
+        prev_last_tuple = tlast
+        same_key = (key_col is None) or (first_key == cur_key)
+        carry = acc if same_key else None
+        carries.append(carry)
+        single_key = key_col is None or last_key == first_key
+        start = carry if (single_key and carry is not None) else v1_l
+        acc = b_l + a_l * start
+        if key_col is not None:
+            cur_key = last_key
+    carry_it = iter(carries)
+
+    @ray.remote
+    def apply(t: pa.Table, carry):
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.float64()))
+        keys = _keys_np(t, key_col) if key_col else None
+        brk = _key_breaks(keys, n)
+        starts = np.flatnonzero(brk) + 1
+        seg = np.zeros(n, dtype=np.int64)
+        seg[starts] = 1
+        run_id = np.cumsum(seg)
+        v = _col_np(t, value_col, np.float64)
+        y = pd.Series(v).groupby(run_id).ewm(alpha=alpha, adjust=False) \
+            .mean().to_numpy()
+        if carry is not None:
+            m = int(starts[0]) if len(starts) else n
+            y[:m] = y[:m] + om ** np.arange(1, m + 1, dtype=np.float64) \
+                * (carry - v[0])
+        return t.append_column(out_col, pa.array(y))
 
     out_refs = [apply.remote(r, next(carry_it)) for r in refs]
     return rd.from_arrow_refs(out_refs)

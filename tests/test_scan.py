@@ -220,3 +220,170 @@ class TestTokenBudgetShards:
         ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]}))
         with pytest.raises(ValueError):
             token_budget_shards(ds, budget=0)
+
+
+class TestRangeRollingAgg:
+    @staticmethod
+    def _brute(t, win_us):
+        import collections
+        g = collections.defaultdict(lambda: collections.defaultdict(
+            lambda: [0.0, 0]))
+        for u, ts, v in zip(t["user_id"].to_pylist(),
+                            t["ts"].to_pylist(), t["value"].to_pylist()):
+            g[u][ts][0] += v
+            g[u][ts][1] += 1
+        rows = {}
+        for u, per_ts in g.items():
+            tss = sorted(per_ts)
+            for ts in tss:
+                s = sum(per_ts[t2][0] for t2 in tss
+                        if ts - win_us <= t2 <= ts)
+                c = sum(per_ts[t2][1] for t2 in tss
+                        if ts - win_us <= t2 <= ts)
+                rows[(u, ts)] = (s, c)
+        return rows
+
+    def test_vs_brute_force_multiblock(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import range_rolling_agg
+
+        rng = np.random.default_rng(11)
+        n = 3000
+        t = pa.table({
+            "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 200_000, n), pa.int64()),
+            "value": pa.array(rng.normal(5, 3, n)),
+        })
+        exp = self._brute(t, 30_000)
+        for blocks in (1, 11):
+            got = range_rolling_agg(
+                rd.from_arrow(t).repartition(blocks), key_col="user_id",
+                ts_col="ts", value_col="value",
+                window_s=0.03).to_pandas()
+            assert len(got) == len(exp)
+            for r in got.itertuples():
+                s, c = exp[(r.user_id, r.ts_us)]
+                assert r.win_cnt == c
+                assert abs(r.win_sum - s) < 1e-9
+
+    def test_boundary_inclusive(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import range_rolling_agg
+
+        # rows at exactly ts - window are IN the frame; ts - window - 1
+        # is out (RANGE lower bound is inclusive)
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "ts": pa.array([0, 1, 1_000_001], pa.int64()),
+            "value": pa.array([10.0, 20.0, 1.0]),
+        })
+        got = range_rolling_agg(
+            rd.from_arrow(t), key_col="user_id", ts_col="ts",
+            value_col="value", window_s=1.0).to_pandas() \
+            .sort_values("ts_us").reset_index(drop=True)
+        # frame of ts=1_000_001 covers [1, 1_000_001]: the ts=1 row is
+        # exactly at the bound (in), ts=0 is one us out
+        assert got.loc[2, "win_sum"] == 21.0 and got.loc[2, "win_cnt"] == 2
+        assert got.loc[1, "win_sum"] == 30.0  # [−999999, 1] holds both
+
+    def test_peers_collapse_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import range_rolling_agg
+
+        # equal (user, ts) rows share one output row summing both
+        t = pa.table({
+            "user_id": pa.array([1, 1], pa.int64()),
+            "ts": pa.array([5, 5], pa.int64()),
+            "value": pa.array([2.0, 3.0]),
+        })
+        got = range_rolling_agg(
+            rd.from_arrow(t), key_col="user_id", ts_col="ts",
+            value_col="value", window_s=1.0).to_pandas()
+        assert len(got) == 1
+        assert got.loc[0, "win_sum"] == 5.0 and got.loc[0, "win_cnt"] == 2
+        with pytest.raises(ValueError):
+            range_rolling_agg(rd.from_arrow(t), key_col="user_id",
+                              ts_col="ts", value_col="value", window_s=0)
+
+
+class TestEwmaColumn:
+    @staticmethod
+    def _brute(df, alpha, key=None):
+        order = ["o"] if "o" in df else ["ts"]
+        df = df.sort_values(([key] if key else []) + order) \
+            .reset_index(drop=True)
+        if key is None:
+            y = df["v"].ewm(alpha=alpha, adjust=False).mean()
+        else:
+            y = df.groupby(key)["v"].transform(
+                lambda s: s.ewm(alpha=alpha, adjust=False).mean())
+        df["ewma"] = y
+        return df
+
+    def test_keyed_multiblock_vs_brute(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import ewma_column
+
+        rng = np.random.default_rng(7)
+        n = 3000
+        df = pd.DataFrame({"k": rng.integers(0, 7, n),
+                           "o": rng.permutation(n),
+                           "v": rng.normal(5, 3, n)})
+        exp = self._brute(df, 0.25, key="k")
+        for blocks in (1, 13):
+            got = ewma_column(
+                rd.from_pandas(df).repartition(blocks), value_col="v",
+                order_by="o", key_col="k", alpha=0.25).to_pandas() \
+                .sort_values(["k", "o"]).reset_index(drop=True)
+            # multi-block carry is mathematically exact; float path
+            # differs from the sequential recurrence by O(eps) only
+            np.testing.assert_allclose(got["ewma"], exp["ewma"],
+                                       rtol=1e-12, atol=1e-12)
+        # single-block IS the sequential recurrence -> bit-identical
+        got1 = ewma_column(rd.from_pandas(df).repartition(1),
+                           value_col="v", order_by="o", key_col="k",
+                           alpha=0.25).to_pandas() \
+            .sort_values(["k", "o"]).reset_index(drop=True)
+        assert np.array_equal(got1["ewma"].to_numpy(),
+                              exp["ewma"].to_numpy())
+
+    def test_global_no_key(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import ewma_column
+
+        rng = np.random.default_rng(8)
+        df = pd.DataFrame({"o": np.arange(500), "v": rng.normal(0, 1, 500)})
+        exp = self._brute(df, 0.5)
+        got = ewma_column(rd.from_pandas(df).repartition(9),
+                          value_col="v", order_by="o",
+                          alpha=0.5).to_pandas() \
+            .sort_values("o").reset_index(drop=True)
+        np.testing.assert_allclose(got["ewma"], exp["ewma"],
+                                   rtol=1e-12, atol=1e-12)
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import ewma_column
+
+        t = pa.table({"k": [1, 1], "o": [5, 5], "v": [1.0, 2.0]})
+        ds = rd.from_arrow(t)
+        with pytest.raises(ValueError):
+            ewma_column(ds, value_col="v", order_by="o", key_col="k",
+                        alpha=0.0)
+        with pytest.raises(ValueError):
+            ewma_column(ds, value_col="v", order_by="o", key_col="k",
+                        alpha=1.0)
+        with pytest.raises(ValueError):
+            ewma_column(ds, value_col="v", order_by=[], key_col="k",
+                        alpha=0.5)
+        # duplicate (k, o) tuple across rows -> order-dependent scan
+        # must refuse (in-block dup lands in one block at blocks=1)
+        with pytest.raises(ValueError):
+            ewma_column(ds.repartition(1), value_col="v", order_by="o",
+                        key_col="k", alpha=0.5).materialize()
