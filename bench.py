@@ -1082,12 +1082,73 @@ def bench_bounded_window(out: dict) -> None:
     assert n_null == 10_000  # exactly one frameless first row per key
 
 
+def bench_cooccur(out: dict) -> None:
+    """Item-item co-occurrence over 2M interactions (100k users x 2k
+    items, multiplicative-hash spread, ~20 distinct items/user ->
+    ~19M exploded pair rows through one user-keyed self-join before
+    the grouped support count)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.cooccur import cooccurrence_pairs
+
+    m = 2_000_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        user = (i * np.int64(2654435761)) % np.int64(100_000)
+        # skewed item popularity: square the hash fraction so low item
+        # ids are hot (a few blockbuster items, a long tail)
+        h = ((i.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             % np.uint64(1 << 30)).astype(np.float64) / float(1 << 30)
+        item = np.minimum((h * h * 2000).astype(np.int64), 1999)
+        return pa.table({"user_id": pa.array(user),
+                         "item": pa.array(item)})
+
+    ds = rd.range(m).map_batches(gen, batch_format="pyarrow") \
+        .repartition(32).materialize()
+    t0 = time.time()
+    pairs = cooccurrence_pairs(ds, min_count=5, max_user_items=40,
+                               partitions=32)
+    n_pairs = pairs.count()
+    out["queries"]["cooccur_2m"] = round(time.time() - t0, 3)
+    assert n_pairs > 10_000
+
+
+def bench_graph_triangles(out: dict) -> None:
+    """Exact triangle counting, 3M edges / 1M nodes: ring i—i+1,
+    skip i—i+2 (every consecutive trio closes — exactly n known
+    triangles from this layer) + the irregular 7i+3 chord layer.
+    Degree orientation bounds the wedge self-join; every exchange is
+    a narrow int64 sort."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.graph import triangle_counts
+
+    n = 1_000_000
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)})) \
+        .repartition(32).materialize()
+    t0 = time.time()
+    per_node = triangle_counts(edges, partitions=16)
+    total3 = per_node.sum("triangles")
+    out["queries"]["triangles_3m_edges"] = round(time.time() - t0, 3)
+    assert total3 % 3 == 0 and total3 // 3 >= n  # ring layer alone = n
+
+
 _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",
-              "dedup_verify_100k", "ann_cosine", "pagerank", "temporal",
-              "connected_components", "join", "join_skew", "curation", "kmeans",
-              "scrub", "chunk_decontam", "prefix_scan", "bounded_window",
-              "dup_passages", "dedup_rewrite", "bpe_train", "analytics")
+              "dedup_verify_100k", "ann_cosine", "ann_quantized", "pagerank",
+              "temporal", "connected_components", "join", "join_skew",
+              "curation", "kmeans", "scrub", "chunk_decontam", "prefix_scan",
+              "bounded_window", "dup_passages", "dedup_rewrite", "bpe_train",
+              "doc_sim", "fuzzy_names", "graph_triangles", "cooccur", "analytics")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -1183,6 +1244,10 @@ def run_all(only: str | None = None) -> dict:
         bench_doc_sim(out)
     if only in (None, "fuzzy_names"):
         bench_fuzzy_names(out)
+    if only in (None, "graph_triangles"):
+        bench_graph_triangles(out)
+    if only in (None, "cooccur"):
+        bench_cooccur(out)
     if only in (None, "analytics"):
         bench_analytics(out)
     out["value"] = round(sum(out["queries"].values()), 3)

@@ -6742,3 +6742,169 @@ SELECT event_id, user_id,
        {_R4.format(expr='y')} AS ewma4
 FROM r
 """
+
+
+def q_triangle_counts(sf_dir: str):
+    """Per-node exact triangle counts (degree-oriented wedge join —
+    Suri & Vassilvitskii 2011) over a deterministic synthetic graph on
+    the doc ids: edges i—(i+1)%N, i—(i+2)%N (every consecutive trio
+    closes a triangle) plus the irregular i—(7i+3)%N chord layer.
+    Every exchange is a narrow int64 sort bounded by the edge or
+    orientation-bounded wedge list; the oracle replays the same graph
+    with a three-way DISTINCT-edge self-join."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import triangle_counts
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)}))
+    return triangle_counts(edges, partitions=4)
+
+
+QUERIES["triangle_counts"] = q_triangle_counts
+
+ORACLE_SQL["triangle_counts"] = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM raw WHERE s <> d),
+tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+SELECT node, count(*)::BIGINT AS triangles FROM corners GROUP BY node
+"""
+
+
+def q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per node (deg >= 2) over the same
+    deterministic synthetic chord graph as q_triangle_counts — one
+    node-keyed LEFT sort-merge join added on top of the triangle plan;
+    lcc = 2·tri / (deg·(deg−1)) is two IEEE float64 ops replayed
+    verbatim by the oracle, rounded half-up to 4 decimals on BOTH
+    sides per the repo convention."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import local_clustering
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)}))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("lcc"), "lcc",
+                            pa.array(_r4(t["lcc"].to_numpy(
+                                zero_copy_only=False))))
+
+    return local_clustering(edges, partitions=4).map_batches(
+        rnd, batch_format="pyarrow")
+
+
+QUERIES["clustering_coeff"] = q_clustering_coeff
+
+ORACLE_SQL["clustering_coeff"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM raw WHERE s <> d),
+deg AS (SELECT node, count(*)::BIGINT AS deg
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node),
+tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.v
+        JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+corners AS (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+tcnt AS (SELECT node, count(*)::BIGINT AS triangles FROM corners
+         GROUP BY node)
+SELECT d.node, d.deg,
+       coalesce(t.triangles, 0)::BIGINT AS triangles,
+       {_R4.format(expr='(2.0 * coalesce(t.triangles, 0)) '
+                        '/ (d.deg * (d.deg - 1))')} AS lcc
+FROM deg d LEFT JOIN tcnt t USING (node)
+WHERE d.deg >= 2
+"""
+
+
+COOC_MIN_COUNT = 2
+COOC_MAX_USER_ITEMS = 50
+
+
+def q_item_cooccurrence(sf_dir: str):
+    """Item-item co-occurrence (binary-incidence CF, Linden et al.
+    2003): items are the props.k JSON field, interactions the events
+    rows; power users above COOC_MAX_USER_ITEMS distinct items are
+    pruned BEFORE the pair explosion and the marginals count surviving
+    users only, so cosine/jaccard stay <= 1.  Both scores are two IEEE
+    float64 ops the oracle replays verbatim, rounded half-up to 4
+    decimals on BOTH sides."""
+    import ray.data as rd
+
+    from ..stages.cooccur import cooccurrence_pairs
+    from ..stages.semistructured import json_int_field
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "props"])
+    ev = json_int_field(ev, field="k", out_col="item")
+    pairs = cooccurrence_pairs(ev, min_count=COOC_MIN_COUNT,
+                               max_user_items=COOC_MAX_USER_ITEMS,
+                               partitions=4)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        for c in ("cosine", "jaccard"):
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pa.array(_r4(t[c].to_numpy(
+                                 zero_copy_only=False))))
+        return t
+
+    return pairs.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["item_cooccurrence"] = q_item_cooccurrence
+
+ORACLE_SQL["item_cooccurrence"] = f"""
+WITH ui0 AS (SELECT DISTINCT user_id,
+                    json_extract(props, '$.k')::BIGINT AS item
+             FROM events
+             WHERE user_id IS NOT NULL
+               AND json_extract(props, '$.k') IS NOT NULL),
+ok_users AS (SELECT user_id FROM ui0 GROUP BY user_id
+             HAVING count(*) <= {COOC_MAX_USER_ITEMS}),
+ui AS (SELECT * FROM ui0 WHERE user_id IN (SELECT user_id FROM ok_users)),
+marg AS (SELECT item, count(*)::BIGINT AS n FROM ui GROUP BY item),
+sup AS (SELECT a.item AS item_a, b.item AS item_b,
+               count(*)::BIGINT AS n_pair
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING count(*) >= {COOC_MIN_COUNT})
+SELECT s.item_a, s.item_b, s.n_pair,
+       ma.n AS n_a, mb.n AS n_b,
+       {_R4.format(expr='s.n_pair / sqrt((ma.n * mb.n)::DOUBLE)')} AS cosine,
+       {_R4.format(expr='s.n_pair / (ma.n + mb.n - s.n_pair)::DOUBLE')} AS jaccard
+FROM sup s
+JOIN marg ma ON ma.item = s.item_a
+JOIN marg mb ON mb.item = s.item_b
+"""

@@ -1,0 +1,172 @@
+"""Degree-oriented exact triangle counting."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mini_search_engine_ray.stages.graph import (
+    local_clustering,
+    triangle_counts,
+    undirected_edges,
+)
+
+
+def _brute_triangles(pairs):
+    adj = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    counts = {}
+    for u, v in {(min(a, b), max(a, b)) for a, b in pairs if a != b}:
+        common = adj[u] & adj[v]
+        for w in common:
+            for n_ in (u, v, w):
+                counts[n_] = counts.get(n_, 0) + 1
+    # each triangle was found 3x (once per edge) and credited each
+    # corner once per find
+    return {k: c // 3 for k, c in counts.items()}
+
+
+class TestTriangleCounts:
+    def test_vs_brute_force_random(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(3)
+        m = 4000
+        src = rng.integers(0, 120, m)
+        dst = rng.integers(0, 120, m)
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64())}))
+        exp = _brute_triangles(list(zip(src.tolist(), dst.tolist())))
+        got = triangle_counts(ds.repartition(7), partitions=5).to_pandas()
+        assert dict(zip(got["node"], got["triangles"])) == exp
+        assert int(got["triangles"].sum()) % 3 == 0
+
+    def test_k4_and_noise(self, ray_session):
+        import ray.data as rd
+
+        # K4 on {0,1,2,3}: 4 triangles, each node in 3; plus a
+        # triangle-free tail 10-11-12, duplicate + reversed + self
+        # edges that must all collapse
+        k4 = list(itertools.combinations(range(4), 2))
+        pairs = k4 + [(v, u) for u, v in k4] + [(0, 1), (5, 5),
+                                                (10, 11), (11, 12)]
+        t = pa.table({"src": pa.array([p[0] for p in pairs], pa.int64()),
+                      "dst": pa.array([p[1] for p in pairs], pa.int64())})
+        ds = rd.from_arrow(t)
+        und = undirected_edges(ds).to_pandas()
+        assert len(und) == 8                     # 6 K4 edges + 2 tail
+        got = triangle_counts(ds).to_pandas().sort_values("node")
+        assert got["node"].tolist() == [0, 1, 2, 3]
+        assert got["triangles"].tolist() == [3, 3, 3, 3]
+
+    def test_hub_star_is_triangle_free(self, ray_session):
+        import ray.data as rd
+
+        # a pure star has sum(deg^2) ~ n^2 naive wedges but zero
+        # triangles; the oriented plan emits no closing match
+        n = 500
+        t = pa.table({"src": pa.array(np.zeros(n, np.int64)),
+                      "dst": pa.array(np.arange(1, n + 1, dtype=np.int64))})
+        got = triangle_counts(rd.from_arrow(t).repartition(4)).to_pandas()
+        assert len(got) == 0
+
+    def test_null_endpoints_drop(self, ray_session):
+        import ray.data as rd
+
+        t = pa.table({"src": pa.array([0, 1, 2, None], pa.int64()),
+                      "dst": pa.array([1, 2, 0, 5], pa.int64())})
+        got = triangle_counts(rd.from_arrow(t)).to_pandas()
+        assert got["triangles"].tolist() == [1, 1, 1]
+
+class TestLocalClustering:
+    def test_vs_brute_force_random(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(11)
+        m = 3000
+        src = rng.integers(0, 90, m)
+        dst = rng.integers(0, 90, m)
+        pairs = {(min(a, b), max(a, b))
+                 for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+        deg = {}
+        for u, v in pairs:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        tri = _brute_triangles(list(pairs))
+        exp = {n_: (d, tri.get(n_, 0), 2.0 * tri.get(n_, 0) / (d * (d - 1)))
+               for n_, d in deg.items() if d >= 2}
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64())}))
+        got = local_clustering(ds.repartition(6), partitions=5).to_pandas()
+        assert {r.node: (r.deg, r.triangles, r.lcc)
+                for r in got.itertuples()} == exp
+
+    def test_triangle_with_pendant(self, ray_session):
+        import ray.data as rd
+
+        # 0-1-2 triangle; 3 pendant off 0 (deg 1 -> excluded); node 0
+        # has deg 3 so lcc = 2*1/(3*2) = 1/3 exactly in float64
+        t = pa.table({"src": pa.array([0, 1, 2, 0], pa.int64()),
+                      "dst": pa.array([1, 2, 0, 3], pa.int64())})
+        got = local_clustering(rd.from_arrow(t)).to_pandas() \
+            .sort_values("node").reset_index(drop=True)
+        assert got["node"].tolist() == [0, 1, 2]
+        assert got["deg"].tolist() == [3, 2, 2]
+        assert got["triangles"].tolist() == [1, 1, 1]
+        assert got["lcc"].tolist() == [2.0 / 6.0, 1.0, 1.0]
+
+class TestBfsHops:
+    def test_vs_brute_force_random(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import bfs_hops
+
+        rng = np.random.default_rng(5)
+        m = 2000
+        src = rng.integers(0, 300, m)
+        dst = rng.integers(0, 300, m)
+        seeds = [0, 7, 250]
+        adj = collections.defaultdict(set)
+        for a, b in zip(src.tolist(), dst.tolist()):
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        exp = {s: 0 for s in seeds}
+        frontier = set(seeds)
+        for h in range(1, 4):
+            frontier = {b for a in frontier for b in adj[a]} - exp.keys()
+            exp.update({n_: h for n_ in frontier})
+            if not frontier:
+                break
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64())}))
+        got = bfs_hops(ds.repartition(5), seeds, max_hops=3,
+                       partitions=4).to_pandas()
+        assert dict(zip(got["node"], got["hop"])) == exp
+
+    def test_path_caps_and_isolated_seed(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import bfs_hops
+
+        # path 0-1-2-3-4; seed 0 + isolated seed 99
+        t = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                      "dst": pa.array([1, 2, 3, 4], pa.int64())})
+        got = bfs_hops(rd.from_arrow(t), [0, 99], max_hops=2).to_pandas()
+        assert dict(zip(got["node"], got["hop"])) == \
+            {0: 0, 99: 0, 1: 1, 2: 2}
+        got0 = bfs_hops(rd.from_arrow(t), [3], max_hops=0).to_pandas()
+        assert dict(zip(got0["node"], got0["hop"])) == {3: 0}
+        with pytest.raises(ValueError):
+            bfs_hops(rd.from_arrow(t), [], max_hops=1)
+        with pytest.raises(ValueError):
+            bfs_hops(rd.from_arrow(t), [0], max_hops=-1)
