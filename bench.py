@@ -1141,6 +1141,25 @@ def bench_graph_triangles(out: dict) -> None:
     out["queries"]["triangles_3m_edges"] = round(time.time() - t0, 3)
     assert total3 % 3 == 0 and total3 // 3 >= n  # ring layer alone = n
 
+    from mini_search_engine_ray.stages.graph import bfs_hops
+
+    t0 = time.time()
+    hops = bfs_hops(edges, list(range(0, n, 100_000)), max_hops=3,
+                    partitions=16)
+    n_reached = hops.count()
+    out["queries"]["bfs_3hops_3m_edges"] = round(time.time() - t0, 3)
+    # 10 seeds, degree ~6: strictly more nodes than seeds, bounded
+    # by sum of 3-hop balls
+    assert 10 < n_reached <= 10 * (1 + 6 + 36 + 216)
+
+    from mini_search_engine_ray.stages.graph import common_neighbor_pairs
+
+    t0 = time.time()
+    lp = common_neighbor_pairs(edges, min_common=3, partitions=16)
+    n_cand = lp.count()
+    out["queries"]["link_pred_3m_edges"] = round(time.time() - t0, 3)
+    assert n_cand > 0
+
 
 _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",

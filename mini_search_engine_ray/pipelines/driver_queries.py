@@ -6908,3 +6908,165 @@ FROM sup s
 JOIN marg ma ON ma.item = s.item_a
 JOIN marg mb ON mb.item = s.item_b
 """
+
+
+BFS_MAX_HOPS = 3
+BFS_SEED_STRIDE = 97
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS levels (crawl depth / degrees-of-separation)
+    over the synthetic chord graph: seeds every BFS_SEED_STRIDE-th
+    node, hop = min edge count from any seed capped at BFS_MAX_HOPS.
+    Level-synchronous frontier expansion — per round one
+    frontier⨝adjacency semi join + grouped-min dedup + anti join
+    against the settled set; the oracle replays it with a recursive
+    walk enumeration and min(hop)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import bfs_hops
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)}))
+    seeds = list(range(0, n, BFS_SEED_STRIDE))
+    return bfs_hops(edges, seeds, max_hops=BFS_MAX_HOPS, partitions=4)
+
+
+QUERIES["bfs_hops"] = q_bfs_hops
+
+ORACLE_SQL["bfs_hops"] = f"""
+WITH RECURSIVE nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM raw WHERE s <> d),
+adj AS (SELECT u AS a, v AS b FROM und
+        UNION ALL SELECT v, u FROM und),
+walk AS (
+  SELECT i AS node, 0::BIGINT AS hop FROM r
+  WHERE i % {BFS_SEED_STRIDE} = 0
+  UNION ALL
+  SELECT adj.b, walk.hop + 1 FROM walk JOIN adj ON adj.a = walk.node
+  WHERE walk.hop < {BFS_MAX_HOPS}
+)
+SELECT node, min(hop)::BIGINT AS hop FROM walk GROUP BY node
+"""
+
+
+def q_link_prediction(sf_dir: str):
+    """Common-neighbor link prediction (Liben-Nowell & Kleinberg 2003)
+    over the synthetic chord graph: non-adjacent pairs sharing >= 2
+    neighbors, with neighborhood-overlap jaccard = common /
+    (deg_x + deg_y − common) — integer arithmetic plus ONE IEEE
+    division, rounded half-up to 4 decimals on BOTH sides.  No degree
+    cap: this graph is degree-bounded (<= 6) by construction; the
+    max_degree hub prune is exercised by the unit suite."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import common_neighbor_pairs
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)}))
+    pairs = common_neighbor_pairs(edges, min_common=2, partitions=4)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("jaccard"), "jaccard",
+                            pa.array(_r4(t["jaccard"].to_numpy(
+                                zero_copy_only=False))))
+
+    return pairs.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["link_prediction"] = q_link_prediction
+
+ORACLE_SQL["link_prediction"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM raw WHERE s <> d),
+adj AS (SELECT u AS a, v AS b FROM und
+        UNION ALL SELECT v, u FROM und),
+deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM adj GROUP BY a),
+com AS (SELECT a1.b AS x, a2.b AS y, count(*)::BIGINT AS common
+        FROM adj a1 JOIN adj a2 ON a1.a = a2.a AND a1.b < a2.b
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+cand AS (SELECT * FROM com c
+         WHERE NOT EXISTS (SELECT 1 FROM und e
+                           WHERE e.u = c.x AND e.v = c.y))
+SELECT c.x, c.y, c.common, dx.deg AS deg_x, dy.deg AS deg_y,
+       {_R4.format(expr='c.common / (dx.deg + dy.deg - c.common)::DOUBLE')} AS jaccard
+FROM cand c
+JOIN deg dx ON dx.node = c.x
+JOIN deg dy ON dy.node = c.y
+"""
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity (Newman 2002) of the synthetic chord
+    graph: Pearson correlation of edge-endpoint degrees, symmetrized
+    (each edge contributes both orientations).  Exact int64 moment
+    sums -> the identical closing IEEE expression on both sides (the
+    corr_qty_price contract), rounded half-up to 4 decimals."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import degree_assortativity
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)}))
+    t = degree_assortativity(edges, partitions=4)
+    return t.set_column(t.schema.get_field_index("assortativity"),
+                        "assortativity",
+                        pa.array(_r4(t["assortativity"].to_numpy(
+                            zero_copy_only=False))))
+
+
+QUERIES["degree_assortativity"] = q_degree_assortativity
+
+ORACLE_SQL["degree_assortativity"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM raw WHERE s <> d),
+deg AS (SELECT node, count(*)::BIGINT AS deg
+        FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node),
+ed AS (SELECT du.deg AS x, dv.deg AS y
+       FROM und JOIN deg du ON du.node = und.u
+                JOIN deg dv ON dv.node = und.v),
+sym AS (SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed),
+m AS (SELECT count(*)::DOUBLE AS n, sum(x)::DOUBLE AS sx,
+             sum(y)::DOUBLE AS sy, sum(x * x)::DOUBLE AS sxx,
+             sum(y * y)::DOUBLE AS syy, sum(x * y)::DOUBLE AS sxy
+      FROM sym)
+SELECT (n / 2)::BIGINT AS n_edges,
+       {_R4.format(expr="((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx)"
+                        " * sqrt(n * syy - sy * sy)))")} AS assortativity
+FROM m
+"""

@@ -29,7 +29,7 @@ from .aggregates import sorted_groupby_agg, static_schema
 from .join import sort_merge_join
 
 __all__ = ["undirected_edges", "triangle_counts", "local_clustering",
-           "bfs_hops"]
+           "bfs_hops", "common_neighbor_pairs", "degree_assortativity"]
 
 
 def undirected_edges(ds, src_col: str = "src", dst_col: str = "dst", *,
@@ -102,19 +102,18 @@ def triangle_counts(edges, src_col: str = "src", dst_col: str = "dst", *,
     return tris
 
 
-def _triangle_plan(edges, src_col: str, dst_col: str, *,
-                   partitions: int | None):
-    """Shared plan: returns ``(per-node triangle counts, degrees)`` —
-    both Datasets, degrees materialized (it feeds three joins)."""
-    # und / deg / oe each feed MULTIPLE downstream consumers; a lazy
-    # Dataset would re-execute its whole lineage once per consumer
-    # (the joins would rebuild the distinct + degree passes three
-    # times over).  They are edge-/node-sized narrow int64 tables —
-    # pinning them as object-store blocks is the intended checkpoint,
-    # not a driver materialization.
+def _edges_with_degrees(edges, src_col: str, dst_col: str, *,
+                        partitions: int | None):
+    """Shared sub-plan: distinct undirected edges with both endpoint
+    degrees attached — returns ``(both, und, deg)`` where ``both`` has
+    columns (u, v, deg, deg_v).  ``und``/``deg`` come back materialized
+    (they feed multiple consumers in every caller; a lazy Dataset would
+    re-execute the distinct + degree passes once per consumer — they
+    are edge-/node-sized narrow int64 tables, so pinning them as
+    object-store blocks is the intended checkpoint, not a driver
+    materialization)."""
     und = undirected_edges(edges, src_col, dst_col).materialize()
 
-    # -- degrees ------------------------------------------------------
     def explode_endpoints(t: pa.Table) -> pa.Table:
         u = t["u"].combine_chunks() if isinstance(t["u"], pa.ChunkedArray) else t["u"]
         v = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) else t["v"]
@@ -125,7 +124,6 @@ def _triangle_plan(edges, src_col: str, dst_col: str, *,
         ["node"], [("node", "count", "deg")],
         in_schema=pa.schema([("node", pa.int64())])).materialize()
 
-    # -- attach degrees, orient --------------------------------------
     with_du = sort_merge_join(und, deg, on="u", right_on="node",
                               left_schema=_EDGE_SCHEMA,
                               right_schema=_DEG_SCHEMA,
@@ -136,6 +134,15 @@ def _triangle_plan(edges, src_col: str, dst_col: str, *,
                            suffix="_v", left_schema=du_schema,
                            right_schema=_DEG_SCHEMA,
                            partitions=partitions)
+    return both, und, deg
+
+
+def _triangle_plan(edges, src_col: str, dst_col: str, *,
+                   partitions: int | None):
+    """Shared plan: returns ``(per-node triangle counts, degrees)`` —
+    both Datasets, degrees materialized (it feeds three joins)."""
+    both, und, deg = _edges_with_degrees(edges, src_col, dst_col,
+                                         partitions=partitions)
 
     def orient(t: pa.Table) -> pa.Table:
         u = t["u"].to_numpy(zero_copy_only=False)
@@ -153,23 +160,42 @@ def _triangle_plan(edges, src_col: str, dst_col: str, *,
 
     oe = both.map_batches(orient, batch_format="pyarrow").materialize()
 
-    # -- wedges: out-pair self-join on the center ----------------------
-    wedges_raw = sort_merge_join(oe, oe, on="a", left_schema=_OE_SCHEMA,
-                                 right_schema=_OE_SCHEMA,
-                                 partitions=partitions)
-
-    def keep_ordered(t: pa.Table) -> pa.Table:
+    # -- wedges: FUSED out-pair enumeration — one range sort of the
+    #    oriented edges by center, then a vectorized segmented
+    #    all-pairs sweep per block (a self-JOIN would shuffle the
+    #    relation twice and materialize the full out-deg² cross
+    #    product only to filter half away).  Within a center's run the
+    #    rows are ordered by (db, b) — the same total order the
+    #    orientation used — so pair (x, y) comes out exactly in
+    #    closing-edge orientation, C(out_deg, 2) rows per center. ----
+    def center_out_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"center": pa.array([], pa.int64()),
+                          "x": pa.array([], pa.int64()),
+                          "y": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return empty
+        a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
         db = t["db"].to_numpy(zero_copy_only=False)
-        b2 = t["b_r"].to_numpy(zero_copy_only=False)
-        db2 = t["db_r"].to_numpy(zero_copy_only=False)
-        keep = (db < db2) | ((db == db2) & (b < b2))
-        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) else t["a"]
-        m = pa.array(keep)
-        return pa.table({"center": a.filter(m),
-                         "x": pa.array(b[keep]), "y": pa.array(b2[keep])})
+        order = np.lexsort((b, db, a))
+        a, b = a[order], b[order]
+        n = len(a)
+        starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+        lens = np.diff(np.r_[starts, n]).astype(np.int64)
+        per_left = np.repeat(starts + lens, lens) \
+            - np.arange(n, dtype=np.int64) - 1
+        total = int(per_left.sum())
+        if total == 0:
+            return empty
+        seg_off = np.r_[0, np.cumsum(per_left)[:-1]]
+        li = np.repeat(np.arange(n, dtype=np.int64), per_left)
+        ri = li + 1 + (np.arange(total, dtype=np.int64)
+                       - np.repeat(seg_off, per_left))
+        return pa.table({"center": pa.array(a[li]),
+                         "x": pa.array(b[li]), "y": pa.array(b[ri])})
 
-    wedges = wedges_raw.map_batches(keep_ordered, batch_format="pyarrow")
+    wedges = oe.sort("a").map_batches(center_out_pairs, batch_size=None,
+                                      batch_format="pyarrow")
     wedge_schema = pa.schema([("center", pa.int64()), ("x", pa.int64()),
                               ("y", pa.int64())])
 
@@ -232,7 +258,8 @@ def local_clustering(edges, src_col: str = "src", dst_col: str = "dst", *,
 
 
 def bfs_hops(edges, seeds, *, max_hops: int, src_col: str = "src",
-             dst_col: str = "dst", partitions: int | None = None):
+             dst_col: str = "dst", partitions: int | None = None,
+             broadcast_nodes: int = 4_000_000):
     """Multi-source BFS levels over the undirected graph: rows
     ``(node, hop)`` where ``hop`` is the minimum edge count from any
     seed, for every node within ``max_hops`` (seeds themselves are
@@ -240,20 +267,30 @@ def bfs_hops(edges, seeds, *, max_hops: int, src_col: str = "src",
     degrees-of-separation primitive.
 
     Level-synchronous frontier expansion (the Pregel/Pegasus BFS
-    shape): per round, ONE frontier⨝adjacency sort-merge join expands
-    the frontier, a grouped-min dedups it, and an ANTI join against
-    the settled set keeps only first-time nodes — every exchange is
-    frontier- or adjacency-sized, narrow int64 keys, and a node
-    settles exactly once so the total work over all rounds is
-    O(E + V) rows.  ``seeds`` is a driver-side list by contract
-    (query/crawl seed sets are small); the frontier/settled sets stay
-    Datasets throughout.
+    shape), with a per-round SIZE DISPATCH on both exchanges:
+
+    * frontier/settled sets up to ``broadcast_nodes`` rows (the common
+      case — a 3-hop ball around a seed set) are collected, sorted and
+      ``ray.put`` ONCE per round, and expansion / settled-removal are
+      then pure ``pc.is_in`` map passes over the streaming sides — the
+      adjacency list is NEVER re-sorted per round (re-sorting E rows
+      per level is the classic iterated-BFS scale killer);
+    * above the threshold the round falls back to the frontier⨝adj
+      SEMI join + settled ANTI join (narrow int64 range sorts), the
+      shape that holds when the frontier itself is data-sized.
+
+    A node settles exactly once, so total work over all rounds is
+    O(E·hops) filter reads + O(reached) exchange rows in broadcast
+    mode. ``seeds`` is a driver-side list by contract (query/crawl
+    seed sets are small); ``broadcast_nodes`` (default 4M ≈ 32 MB of
+    int64 per broadcast) bounds driver/object-store memory.
     """
     if max_hops < 0:
         raise ValueError("max_hops must be >= 0")
     seeds = sorted({int(s) for s in seeds})
     if not seeds:
         raise ValueError("seeds must be non-empty")
+    import ray as _ray
     import ray.data as rd
 
     und = undirected_edges(edges, src_col, dst_col)
@@ -277,30 +314,69 @@ def bfs_hops(edges, seeds, *, max_hops: int, src_col: str = "src",
         lambda t: t.drop_columns(["hop"]), batch_format="pyarrow") \
         .materialize()
 
+    def _collect_nodes(ds) -> np.ndarray:
+        # bounded by the broadcast_nodes check at the call site
+        parts = [b["node"].to_numpy(zero_copy_only=False)
+                 for b in ds.select_columns(["node"])
+                            .iter_batches(batch_format="pyarrow")]
+        return np.sort(np.concatenate(parts)) if parts \
+            else np.empty(0, dtype=np.int64)
+
+    n_settled = len(seeds)
     for hop in range(1, max_hops + 1):
-        if frontier.count() == 0:
+        n_frontier = frontier.count()
+        if n_frontier == 0:
             break
-        # expand: neighbors of the frontier (the join ships only the
-        # int64 key — frontier rows have no payload)
-        nxt = sort_merge_join(adj, frontier, on="a", right_on="node",
-                              how="semi", left_schema=adj_schema,
-                              right_schema=node_schema,
-                              partitions=partitions)
-        nxt = nxt.map_batches(
-            lambda t: pa.table({"node": t["b"]}), batch_format="pyarrow")
-        # dedup within the level, then drop already-settled nodes
+        if n_frontier <= broadcast_nodes:
+            fr_ref = _ray.put(_collect_nodes(frontier))
+
+            def expand(t: pa.Table, _r=fr_ref) -> pa.Table:
+                import pyarrow.compute as pc
+
+                mask = pc.is_in(t["a"],
+                                value_set=pa.array(_ray.get(_r)))
+                return pa.table({"node": pc.filter(t["b"], mask)})
+
+            nxt = adj.map_batches(expand, batch_format="pyarrow")
+        else:
+            # frontier itself is data-sized: expand via the semi join
+            # (the join ships only the int64 key — frontier rows have
+            # no payload)
+            nxt = sort_merge_join(adj, frontier, on="a", right_on="node",
+                                  how="semi", left_schema=adj_schema,
+                                  right_schema=node_schema,
+                                  partitions=partitions)
+            nxt = nxt.map_batches(
+                lambda t: pa.table({"node": t["b"]}),
+                batch_format="pyarrow")
+        # dedup within the level (reached-set-sized sort), then drop
+        # already-settled nodes
         nxt = sorted_groupby_agg(nxt, ["node"],
                                  [("node", "count", "_m")],
                                  in_schema=node_schema)
         nxt = nxt.map_batches(lambda t: t.drop_columns(["_m"]),
                               batch_format="pyarrow")
-        fresh = sort_merge_join(
-            nxt, settled, on="node", how="anti",
-            left_schema=node_schema,
-            right_schema=pa.schema([("node", pa.int64()),
-                                    ("hop", pa.int64())]),
-            partitions=partitions).materialize()
-        if fresh.count() == 0:
+        if n_settled <= broadcast_nodes:
+            st_ref = _ray.put(_collect_nodes(settled))
+
+            def drop_settled(t: pa.Table, _r=st_ref) -> pa.Table:
+                import pyarrow.compute as pc
+
+                mask = pc.is_in(t["node"],
+                                value_set=pa.array(_ray.get(_r)))
+                return t.filter(pc.invert(mask))
+
+            fresh = nxt.map_batches(drop_settled,
+                                    batch_format="pyarrow").materialize()
+        else:
+            fresh = sort_merge_join(
+                nxt, settled, on="node", how="anti",
+                left_schema=node_schema,
+                right_schema=pa.schema([("node", pa.int64()),
+                                        ("hop", pa.int64())]),
+                partitions=partitions).materialize()
+        n_fresh = fresh.count()
+        if n_fresh == 0:
             break
         h = hop
 
@@ -310,6 +386,206 @@ def bfs_hops(edges, seeds, *, max_hops: int, src_col: str = "src",
 
         settled = settled.union(
             fresh.map_batches(stamp, batch_format="pyarrow")).materialize()
+        n_settled += n_fresh
         frontier = fresh
 
     return settled
+
+
+def common_neighbor_pairs(edges, *, min_common: int = 2,
+                          max_degree: int | None = None,
+                          src_col: str = "src", dst_col: str = "dst",
+                          partitions: int | None = None):
+    """Link prediction by common-neighbor counting (Liben-Nowell &
+    Kleinberg 2003): for every NON-adjacent node pair ``(x, y)`` with
+    at least ``min_common`` shared neighbors, rows ``(x, y, common,
+    deg_x, deg_y, jaccard)`` where ``jaccard = common /
+    (deg_x + deg_y − common)`` — the neighborhood-overlap score.
+    Integer arithmetic end to end plus ONE IEEE float64 division, so a
+    SQL oracle replays scores exactly.
+
+    Unlike triangle counting, every wedge center must be enumerated
+    (the pair needs credit from ALL its shared neighbors), so the
+    orientation trick doesn't apply and the self-join is bounded by
+    sum(deg(z)²) over centers — quadratic in hub degree.
+    ``max_degree`` drops hub CENTERS above the cap before the
+    explosion (standard link-prediction practice: a hub shared by
+    everyone carries negligible signal, and the cap is a plain degree
+    predicate an oracle replays); pass None only on degree-bounded
+    graphs.  Degrees ``deg_x``/``deg_y`` are TRUE degrees (the cap
+    prunes centers only, not the scored pair's own edges).  The
+    non-adjacency filter is one pair-keyed ANTI join against the edge
+    list.
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    if max_degree is not None and max_degree < 1:
+        raise ValueError("max_degree must be >= 1")
+
+    und = undirected_edges(edges, src_col, dst_col).materialize()
+
+    def explode_endpoints(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks() if isinstance(t["u"], pa.ChunkedArray) \
+            else t["u"]
+        v = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) \
+            else t["v"]
+        return pa.table({"node": pa.concat_arrays([u, v])})
+
+    deg = sorted_groupby_agg(
+        und.map_batches(explode_endpoints, batch_format="pyarrow"),
+        ["node"], [("node", "count", "deg")],
+        in_schema=pa.schema([("node", pa.int64())])).materialize()
+
+    # directed half-adjacency keyed by CENTER: for each center z the
+    # rows (z, neighbor); cap prunes hub centers before the self-join
+    def symmetrize(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks() if isinstance(t["u"], pa.ChunkedArray) \
+            else t["u"]
+        v = t["v"].combine_chunks() if isinstance(t["v"], pa.ChunkedArray) \
+            else t["v"]
+        return pa.table({"z": pa.concat_arrays([u, v]),
+                         "nb": pa.concat_arrays([v, u])})
+
+    adj = und.map_batches(symmetrize, batch_format="pyarrow")
+    adj_schema = pa.schema([("z", pa.int64()), ("nb", pa.int64())])
+    if max_degree is not None:
+        cap = max_degree
+
+        def under_cap(t: pa.Table, _c=cap) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.less_equal(t["deg"], _c))
+
+        ok = deg.map_batches(under_cap, batch_format="pyarrow")
+        adj = sort_merge_join(adj, ok, on="z", right_on="node",
+                              how="semi", left_schema=adj_schema,
+                              right_schema=_DEG_SCHEMA,
+                              partitions=partitions)
+
+    # FUSED wedge enumeration: one range sort of the half-adjacency by
+    # center, then a vectorized segmented all-pairs sweep per block —
+    # a self-JOIN here would shuffle the relation twice (tagged union)
+    # and materialize the full deg² cross product (including the
+    # diagonal and both orientations) only to filter half away; the
+    # sweep emits exactly C(deg, 2) rows per center, already ordered
+    # (neighbors are unique per center, sorted ascending inside the
+    # run, so x < y by construction).
+    def center_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "z" not in t.column_names:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        z = t["z"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((nb, z))
+        z, nb = z[order], nb[order]
+        n = len(z)
+        starts = np.flatnonzero(np.r_[True, z[1:] != z[:-1]])
+        lens = np.diff(np.r_[starts, n]).astype(np.int64)
+        ends = starts + lens
+        # element k of a run pairs as LEFT with (run_end - k - 1)
+        # rights; the classic segmented-arange construction
+        per_left = np.repeat(ends, lens) - np.arange(n, dtype=np.int64) - 1
+        total = int(per_left.sum())
+        if total == 0:
+            return pa.table({"x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        seg_off = np.r_[0, np.cumsum(per_left)[:-1]]
+        li = np.repeat(np.arange(n, dtype=np.int64), per_left)
+        ri = li + 1 + (np.arange(total, dtype=np.int64)
+                       - np.repeat(seg_off, per_left))
+        return pa.table({"x": pa.array(nb[li]), "y": pa.array(nb[ri])})
+
+    pair_schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+    # the capped semi join's output already keeps each center's run
+    # whole inside one block (the sort-merge sweep invariant); the
+    # uncapped path needs the range sort itself
+    wedges_src = adj if max_degree is not None else adj.sort("z")
+    common = sorted_groupby_agg(
+        wedges_src.map_batches(center_pairs, batch_size=None,
+                               batch_format="pyarrow"),
+        ["x", "y"], [("x", "count", "common")], in_schema=pair_schema)
+    mc = min_common
+
+    def common_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t["common"], mc))
+
+    common = common.map_batches(common_filter, batch_format="pyarrow")
+    common_schema = pa.schema([("x", pa.int64()), ("y", pa.int64()),
+                               ("common", pa.int64())])
+
+    # drop ADJACENT pairs: x<y matches the canonical edge orientation,
+    # so one (x,y)=(u,v) anti join suffices
+    cand = sort_merge_join(common, und, on=["x", "y"],
+                           right_on=["u", "v"], how="anti",
+                           left_schema=common_schema,
+                           right_schema=_EDGE_SCHEMA,
+                           partitions=partitions)
+
+    # attach true degrees + the closing score
+    with_dx = sort_merge_join(cand, deg, on="x", right_on="node",
+                              left_schema=common_schema,
+                              right_schema=_DEG_SCHEMA,
+                              partitions=partitions)
+    dx_schema = pa.schema(list(common_schema)
+                          + [pa.field("deg", pa.int64())])
+    with_dy = sort_merge_join(with_dx, deg, on="y", right_on="node",
+                              suffix="_y", left_schema=dx_schema,
+                              right_schema=_DEG_SCHEMA,
+                              partitions=partitions)
+
+    def score(t: pa.Table) -> pa.Table:
+        c = t["common"].to_numpy(zero_copy_only=False)
+        dx = t["deg"].to_numpy(zero_copy_only=False)
+        dy = t["deg_y"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "x": t["x"], "y": t["y"], "common": t["common"],
+            "deg_x": pa.array(dx), "deg_y": pa.array(dy),
+            "jaccard": pa.array(c / (dx + dy - c)),
+        })
+
+    return with_dy.map_batches(score, batch_format="pyarrow")
+
+
+def degree_assortativity(edges, *, src_col: str = "src",
+                         dst_col: str = "dst",
+                         partitions: int | None = None) -> pa.Table:
+    """Degree assortativity coefficient (Newman 2002) of the
+    undirected simple graph: the Pearson correlation of the degrees at
+    the two ends of every edge, each edge contributing BOTH
+    orientations (the standard symmetrized definition).  One-row
+    table ``(n_edges, assortativity)``.
+
+    Moments are EXACT int64 sums — per batch six scalars to the
+    driver, nothing else materialized — and the closing expression is
+    the identical IEEE float64 formula a SQL oracle replays, the same
+    contract as the repo's exact-moment Pearson correlation
+    (`q_corr_qty_price`).  By symmetry Σx=Σy and Σx²=Σy², but all six
+    sums are kept so the closing formula stays the generic one."""
+    both, _und, _deg = _edges_with_degrees(edges, src_col, dst_col,
+                                           partitions=partitions)
+
+    def moments(t: pa.Table) -> pa.Table:
+        du = t["deg"].to_numpy(zero_copy_only=False)
+        dv = t["deg_v"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([np.int64(2 * len(du))]),
+            "sx": pa.array([du.sum() + dv.sum()]),
+            "sy": pa.array([du.sum() + dv.sum()]),
+            "sxx": pa.array([(du * du).sum() + (dv * dv).sum()]),
+            "syy": pa.array([(du * du).sum() + (dv * dv).sum()]),
+            "sxy": pa.array([2 * (du * dv).sum()]),
+        })
+
+    parts = both.map_batches(moments, batch_format="pyarrow").take_all()
+    n = float(sum(r["n"] for r in parts))
+    sx = float(sum(r["sx"] for r in parts))
+    sy = float(sum(r["sy"] for r in parts))
+    sxx = float(sum(r["sxx"] for r in parts))
+    syy = float(sum(r["syy"] for r in parts))
+    sxy = float(sum(r["sxy"] for r in parts))
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                               * np.sqrt(n * syy - sy * sy))
+    return pa.table({"n_edges": pa.array([np.int64(n) // 2]),
+                     "assortativity": pa.array([float(r)])})

@@ -152,6 +152,11 @@ class TestBfsHops:
         got = bfs_hops(ds.repartition(5), seeds, max_hops=3,
                        partitions=4).to_pandas()
         assert dict(zip(got["node"], got["hop"])) == exp
+        # broadcast_nodes=0 forces the semi/anti sort-join fallback on
+        # every round — must agree exactly with the broadcast path
+        got2 = bfs_hops(ds.repartition(5), seeds, max_hops=3,
+                        partitions=4, broadcast_nodes=0).to_pandas()
+        assert dict(zip(got2["node"], got2["hop"])) == exp
 
     def test_path_caps_and_isolated_seed(self, ray_session):
         import ray.data as rd
@@ -170,3 +175,116 @@ class TestBfsHops:
             bfs_hops(rd.from_arrow(t), [], max_hops=1)
         with pytest.raises(ValueError):
             bfs_hops(rd.from_arrow(t), [0], max_hops=-1)
+
+class TestCommonNeighborPairs:
+    @staticmethod
+    def _brute(pairs, *, min_common=2, cap=None):
+        adj = {}
+        for a, b in pairs:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        out = {}
+        nodes = sorted(adj)
+        for i, x in enumerate(nodes):
+            for y in nodes[i + 1:]:
+                if y in adj[x]:
+                    continue
+                zs = adj[x] & adj[y]
+                if cap is not None:
+                    zs = {z for z in zs if len(adj[z]) <= cap}
+                c = len(zs)
+                if c >= min_common:
+                    out[(x, y)] = (c, len(adj[x]), len(adj[y]),
+                                   c / (len(adj[x]) + len(adj[y]) - c))
+        return out
+
+    def test_vs_brute_force_random(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import (
+            common_neighbor_pairs,
+        )
+
+        rng = np.random.default_rng(13)
+        m = 1500
+        src = rng.integers(0, 100, m)
+        dst = rng.integers(0, 100, m)
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64())}))
+        exp = self._brute(list(zip(src.tolist(), dst.tolist())),
+                          min_common=3)
+        got = common_neighbor_pairs(ds.repartition(5), min_common=3,
+                                    partitions=4).to_pandas()
+        assert {(r.x, r.y): (r.common, r.deg_x, r.deg_y, r.jaccard)
+                for r in got.itertuples()} == exp
+
+    def test_degree_cap_and_true_degrees(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import (
+            common_neighbor_pairs,
+        )
+
+        # hub 0 adjacent to everyone; 1 and 2 also share z=3, z=4;
+        # capping at 4 removes the hub as a CENTER but true degrees
+        # still include hub edges
+        pairs = [(0, i) for i in range(1, 8)] \
+            + [(1, 3), (2, 3), (1, 4), (2, 4)]
+        ds = rd.from_arrow(pa.table({
+            "src": pa.array([p[0] for p in pairs], pa.int64()),
+            "dst": pa.array([p[1] for p in pairs], pa.int64())}))
+        exp = self._brute(pairs, min_common=2, cap=4)
+        got = common_neighbor_pairs(ds, min_common=2,
+                                    max_degree=4).to_pandas()
+        assert {(r.x, r.y): (r.common, r.deg_x, r.deg_y, r.jaccard)
+                for r in got.itertuples()} == exp
+        assert (1, 2) in exp and exp[(1, 2)][0] == 2  # hub not counted
+        with pytest.raises(ValueError):
+            common_neighbor_pairs(ds, min_common=0)
+        with pytest.raises(ValueError):
+            common_neighbor_pairs(ds, max_degree=0)
+
+class TestDegreeAssortativity:
+    def test_vs_numpy_random(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import (
+            degree_assortativity,
+        )
+
+        rng = np.random.default_rng(17)
+        m = 2500
+        src = rng.integers(0, 200, m)
+        dst = rng.integers(0, 200, m)
+        pairs = {(min(a, b), max(a, b))
+                 for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+        deg = {}
+        for u, v in pairs:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        xs = np.array([deg[u] for u, v in pairs]
+                      + [deg[v] for u, v in pairs], dtype=np.float64)
+        ys = np.array([deg[v] for u, v in pairs]
+                      + [deg[u] for u, v in pairs], dtype=np.float64)
+        exp = np.corrcoef(xs, ys)[0, 1]
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64())}))
+        got = degree_assortativity(ds.repartition(6), partitions=4)
+        assert got["n_edges"][0].as_py() == len(pairs)
+        assert abs(got["assortativity"][0].as_py() - exp) < 1e-9
+
+    def test_star_is_disassortative(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import (
+            degree_assortativity,
+        )
+
+        # star + one pendant chain: hub (high deg) only touches deg-1
+        # leaves -> strongly negative
+        t = pa.table({"src": pa.array([0, 0, 0, 0, 4], pa.int64()),
+                      "dst": pa.array([1, 2, 3, 4, 5], pa.int64())})
+        got = degree_assortativity(rd.from_arrow(t))
+        assert got["assortativity"][0].as_py() < -0.5
