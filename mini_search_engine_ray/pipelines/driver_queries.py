@@ -7070,3 +7070,82 @@ SELECT (n / 2)::BIGINT AS n_edges,
                         " * sqrt(n * syy - sy * sy)))")} AS assortativity
 FROM m
 """
+
+
+SIMILAR_ITEMS_K = 3
+
+
+def q_item_similar_topk(sf_dir: str):
+    """Per-item top-k most-similar partners — the item-to-item CF
+    serving table (composition: cooccurrence pairs -> symmetrize ->
+    `topk_per_group` per item).  Ranks over the ROUNDED cosine (the
+    same 4-decimal value both engines print) with ascending partner id
+    as the tiebreak, so the kept set is deterministic across
+    engines."""
+    import ray.data as rd
+
+    from ..stages.aggregates import topk_per_group
+    from ..stages.cooccur import cooccurrence_pairs
+    from ..stages.semistructured import json_int_field
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "props"])
+    ev = json_int_field(ev, field="k", out_col="item")
+    pairs = cooccurrence_pairs(ev, min_count=COOC_MIN_COUNT,
+                               max_user_items=COOC_MAX_USER_ITEMS,
+                               partitions=4)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["item_a"].to_numpy(zero_copy_only=False)
+        b = t["item_b"].to_numpy(zero_copy_only=False)
+        c = _r4(t["cosine"].to_numpy(zero_copy_only=False))
+        np_ = t["n_pair"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "item": pa.array(np.r_[a, b]),
+            "partner": pa.array(np.r_[b, a]),
+            "n_pair": pa.array(np.r_[np_, np_]),
+            "cosine": pa.array(np.r_[c, c]),
+        })
+
+    sym_schema = pa.schema([("item", pa.int64()), ("partner", pa.int64()),
+                            ("n_pair", pa.int64()),
+                            ("cosine", pa.float64())])
+    sym = pairs.map_batches(symmetrize, batch_format="pyarrow")
+    return topk_per_group(sym, ["item"], "cosine", SIMILAR_ITEMS_K,
+                          descending=True, tiebreak="partner",
+                          in_schema=sym_schema)
+
+
+QUERIES["item_similar_topk"] = q_item_similar_topk
+
+ORACLE_SQL["item_similar_topk"] = f"""
+WITH ui0 AS (SELECT DISTINCT user_id,
+                    json_extract(props, '$.k')::BIGINT AS item
+             FROM events
+             WHERE user_id IS NOT NULL
+               AND json_extract(props, '$.k') IS NOT NULL),
+ok_users AS (SELECT user_id FROM ui0 GROUP BY user_id
+             HAVING count(*) <= {COOC_MAX_USER_ITEMS}),
+ui AS (SELECT * FROM ui0 WHERE user_id IN (SELECT user_id FROM ok_users)),
+marg AS (SELECT item, count(*)::BIGINT AS n FROM ui GROUP BY item),
+sup AS (SELECT a.item AS item_a, b.item AS item_b,
+               count(*)::BIGINT AS n_pair
+        FROM ui a JOIN ui b
+          ON a.user_id = b.user_id AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING count(*) >= {COOC_MIN_COUNT}),
+pr AS (SELECT s.item_a, s.item_b, s.n_pair,
+              {_R4.format(expr='s.n_pair / sqrt((ma.n * mb.n)::DOUBLE)')}
+                AS cosine
+       FROM sup s
+       JOIN marg ma ON ma.item = s.item_a
+       JOIN marg mb ON mb.item = s.item_b),
+sym AS (SELECT item_a AS item, item_b AS partner, n_pair, cosine FROM pr
+        UNION ALL
+        SELECT item_b, item_a, n_pair, cosine FROM pr),
+rk AS (SELECT *, row_number() OVER (PARTITION BY item
+                                    ORDER BY cosine DESC, partner ASC)
+                   AS _r
+       FROM sym)
+SELECT item, partner, n_pair, cosine FROM rk WHERE _r <= {SIMILAR_ITEMS_K}
+"""
