@@ -7149,3 +7149,71 @@ rk AS (SELECT *, row_number() OVER (PARTITION BY item
        FROM sym)
 SELECT item, partner, n_pair, cosine FROM rk WHERE _r <= {SIMILAR_ITEMS_K}
 """
+
+
+def q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the
+    synthetic chord graph in the DETERMINISTIC fixed-point form: each
+    shared neighbor z contributes the int64 term
+    floor(1e8/ln(deg z) + 0.5) (the center's degree is its run length;
+    ln parity between numpy and DuckDB is the same contract
+    weighted_sample_n pinned), the per-pair sum is an exact integer
+    reduction, and aa = aa_fx/1e8 is one replayable IEEE division
+    rounded half-up to 4 decimals on both sides."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import common_neighbor_pairs
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)}))
+    pairs = common_neighbor_pairs(edges, min_common=2, adamic_adar=True,
+                                  partitions=4)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        for c in ("jaccard", "aa"):
+            t = t.set_column(t.schema.get_field_index(c), c,
+                             pa.array(_r4(t[c].to_numpy(
+                                 zero_copy_only=False))))
+        return t
+
+    return pairs.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["adamic_adar"] = q_adamic_adar
+
+ORACLE_SQL["adamic_adar"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM raw WHERE s <> d),
+adj AS (SELECT u AS a, v AS b FROM und
+        UNION ALL SELECT v, u FROM und),
+deg AS (SELECT a AS node, count(*)::BIGINT AS deg FROM adj GROUP BY a),
+com AS (SELECT a1.b AS x, a2.b AS y, count(*)::BIGINT AS common,
+               sum(floor(100000000.0 / ln(dz.deg) + 0.5)::BIGINT)::BIGINT
+                 AS aa_fx
+        FROM adj a1
+        JOIN adj a2 ON a1.a = a2.a AND a1.b < a2.b
+        JOIN deg dz ON dz.node = a1.a
+        GROUP BY 1, 2
+        HAVING count(*) >= 2),
+cand AS (SELECT * FROM com c
+         WHERE NOT EXISTS (SELECT 1 FROM und e
+                           WHERE e.u = c.x AND e.v = c.y))
+SELECT c.x, c.y, c.common, dx.deg AS deg_x, dy.deg AS deg_y,
+       {_R4.format(expr='c.common / (dx.deg + dy.deg - c.common)::DOUBLE')} AS jaccard,
+       c.aa_fx,
+       {_R4.format(expr='c.aa_fx / 100000000.0')} AS aa
+FROM cand c
+JOIN deg dx ON dx.node = c.x
+JOIN deg dy ON dy.node = c.y
+"""

@@ -394,6 +394,7 @@ def bfs_hops(edges, seeds, *, max_hops: int, src_col: str = "src",
 
 def common_neighbor_pairs(edges, *, min_common: int = 2,
                           max_degree: int | None = None,
+                          adamic_adar: bool = False,
                           src_col: str = "src", dst_col: str = "dst",
                           partitions: int | None = None):
     """Link prediction by common-neighbor counting (Liben-Nowell &
@@ -416,6 +417,17 @@ def common_neighbor_pairs(edges, *, min_common: int = 2,
     prunes centers only, not the scored pair's own edges).  The
     non-adjacency filter is one pair-keyed ANTI join against the edge
     list.
+
+    ``adamic_adar=True`` adds the Adamic-Adar affinity (Adamic & Adar
+    2003: Σ over shared neighbors z of 1/ln(deg z)) in a DETERMINISTIC
+    fixed-point form: each shared neighbor contributes the int64 term
+    ``floor(1e8 / ln(deg z) + 0.5)`` and the per-pair sum is an exact
+    integer reduction (``aa_fx``; ``aa = aa_fx / 1e8`` — one IEEE
+    division) — a float Σ 1/ln(dz) would be summation-order-dependent
+    and unreplayable, the integer terms are order-free.  The center's
+    degree is its RUN LENGTH in the half-adjacency (the cap drops
+    whole centers, never individual neighbors), so the term needs no
+    extra join.
     """
     if min_common < 1:
         raise ValueError("min_common must be >= 1")
@@ -471,9 +483,12 @@ def common_neighbor_pairs(edges, *, min_common: int = 2,
     # (neighbors are unique per center, sorted ascending inside the
     # run, so x < y by construction).
     def center_pairs(t: pa.Table) -> pa.Table:
+        cols = {"x": pa.array([], pa.int64()), "y": pa.array([], pa.int64())}
+        if adamic_adar:
+            cols["term_fx"] = pa.array([], pa.int64())
+        empty = pa.table(cols)
         if t.num_rows == 0 or "z" not in t.column_names:
-            return pa.table({"x": pa.array([], pa.int64()),
-                             "y": pa.array([], pa.int64())})
+            return empty
         z = t["z"].to_numpy(zero_copy_only=False)
         nb = t["nb"].to_numpy(zero_copy_only=False)
         order = np.lexsort((nb, z))
@@ -487,23 +502,34 @@ def common_neighbor_pairs(edges, *, min_common: int = 2,
         per_left = np.repeat(ends, lens) - np.arange(n, dtype=np.int64) - 1
         total = int(per_left.sum())
         if total == 0:
-            return pa.table({"x": pa.array([], pa.int64()),
-                             "y": pa.array([], pa.int64())})
+            return empty
         seg_off = np.r_[0, np.cumsum(per_left)[:-1]]
         li = np.repeat(np.arange(n, dtype=np.int64), per_left)
         ri = li + 1 + (np.arange(total, dtype=np.int64)
                        - np.repeat(seg_off, per_left))
-        return pa.table({"x": pa.array(nb[li]), "y": pa.array(nb[ri])})
+        out = {"x": pa.array(nb[li]), "y": pa.array(nb[ri])}
+        if adamic_adar:
+            # the run length IS deg(center): lens >= 2 for any run that
+            # pairs, so ln() is positive and the fixed-point term exact
+            dz = np.repeat(lens, lens)[li].astype(np.float64)
+            out["term_fx"] = pa.array(np.floor(
+                1e8 / np.log(dz) + 0.5).astype(np.int64))
+        return pa.table(out)
 
-    pair_schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+    pair_schema = pa.schema(
+        [("x", pa.int64()), ("y", pa.int64())]
+        + ([("term_fx", pa.int64())] if adamic_adar else []))
     # the capped semi join's output already keeps each center's run
     # whole inside one block (the sort-merge sweep invariant); the
     # uncapped path needs the range sort itself
     wedges_src = adj if max_degree is not None else adj.sort("z")
+    aggs = [("x", "count", "common")]
+    if adamic_adar:
+        aggs.append(("term_fx", "sum", "aa_fx"))
     common = sorted_groupby_agg(
         wedges_src.map_batches(center_pairs, batch_size=None,
                                batch_format="pyarrow"),
-        ["x", "y"], [("x", "count", "common")], in_schema=pair_schema)
+        ["x", "y"], aggs, in_schema=pair_schema)
     mc = min_common
 
     def common_filter(t: pa.Table) -> pa.Table:
@@ -512,8 +538,9 @@ def common_neighbor_pairs(edges, *, min_common: int = 2,
         return t.filter(pc.greater_equal(t["common"], mc))
 
     common = common.map_batches(common_filter, batch_format="pyarrow")
-    common_schema = pa.schema([("x", pa.int64()), ("y", pa.int64()),
-                               ("common", pa.int64())])
+    common_schema = pa.schema(
+        [("x", pa.int64()), ("y", pa.int64()), ("common", pa.int64())]
+        + ([("aa_fx", pa.int64())] if adamic_adar else []))
 
     # drop ADJACENT pairs: x<y matches the canonical edge orientation,
     # so one (x,y)=(u,v) anti join suffices
@@ -539,11 +566,16 @@ def common_neighbor_pairs(edges, *, min_common: int = 2,
         c = t["common"].to_numpy(zero_copy_only=False)
         dx = t["deg"].to_numpy(zero_copy_only=False)
         dy = t["deg_y"].to_numpy(zero_copy_only=False)
-        return pa.table({
+        cols = {
             "x": t["x"], "y": t["y"], "common": t["common"],
             "deg_x": pa.array(dx), "deg_y": pa.array(dy),
             "jaccard": pa.array(c / (dx + dy - c)),
-        })
+        }
+        if adamic_adar:
+            fx = t["aa_fx"].to_numpy(zero_copy_only=False)
+            cols["aa_fx"] = t["aa_fx"]
+            cols["aa"] = pa.array(fx / 1e8)
+        return pa.table(cols)
 
     return with_dy.map_batches(score, batch_format="pyarrow")
 

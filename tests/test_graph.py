@@ -288,3 +288,63 @@ class TestDegreeAssortativity:
                       "dst": pa.array([1, 2, 3, 4, 5], pa.int64())})
         got = degree_assortativity(rd.from_arrow(t))
         assert got["assortativity"][0].as_py() < -0.5
+
+class TestAdamicAdar:
+    def test_vs_brute_force_random(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import (
+            common_neighbor_pairs,
+        )
+
+        rng = np.random.default_rng(23)
+        m = 1200
+        src = rng.integers(0, 80, m)
+        dst = rng.integers(0, 80, m)
+        adj = {}
+        for a, b in zip(src.tolist(), dst.tolist()):
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        exp = {}
+        nodes = sorted(adj)
+        for i, x in enumerate(nodes):
+            for y in nodes[i + 1:]:
+                if y in adj[x]:
+                    continue
+                zs = adj[x] & adj[y]
+                if len(zs) >= 2:
+                    fx = sum(int(math.floor(1e8 / math.log(len(adj[z]))
+                                            + 0.5)) for z in zs)
+                    exp[(x, y)] = (len(zs), fx, fx / 1e8)
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64())}))
+        got = common_neighbor_pairs(ds.repartition(5), min_common=2,
+                                    adamic_adar=True,
+                                    partitions=4).to_pandas()
+        assert {(r.x, r.y): (r.common, r.aa_fx, r.aa)
+                for r in got.itertuples()} == exp
+
+    def test_default_output_unchanged(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import (
+            common_neighbor_pairs,
+        )
+
+        t = pa.table({"src": pa.array([0, 0, 1, 2], pa.int64()),
+                      "dst": pa.array([1, 2, 3, 3], pa.int64())})
+        plain = common_neighbor_pairs(rd.from_arrow(t),
+                                      min_common=1).to_pandas()
+        assert list(plain.columns) == ["x", "y", "common", "deg_x",
+                                       "deg_y", "jaccard"]
+        aa = common_neighbor_pairs(rd.from_arrow(t), min_common=1,
+                                   adamic_adar=True).to_pandas()
+        assert list(aa.columns) == ["x", "y", "common", "deg_x",
+                                    "deg_y", "jaccard", "aa_fx", "aa"]
+        # the shared columns agree row-for-row
+        k = ["x", "y"]
+        assert plain.sort_values(k).reset_index(drop=True).equals(
+            aa[plain.columns].sort_values(k).reset_index(drop=True))
