@@ -7217,3 +7217,56 @@ FROM cand c
 JOIN deg dx ON dx.node = c.x
 JOIN deg dy ON dy.node = c.y
 """
+
+
+def q_k_core(sf_dir: str):
+    """k-core peeling (Seidman 1983) over the synthetic chord graph in
+    the BOUNDED-ROUND form (k=6, rounds=2): round 0 keeps nodes of
+    original degree >= 6, each later round recomputes degrees on the
+    edges whose BOTH endpoints survived and re-filters — exactly the
+    unrolled CTE chain the oracle replays.  The chord graph is
+    near-6-regular, so k=6 peeling cascades in waves from the handful
+    of chord-collision nodes: a non-trivial surviving set at every sf
+    (8 of 50 / 336 of 500 / 4748 of 5000 docs)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import k_core
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)}))
+    return k_core(edges, 6, rounds=2, partitions=4)
+
+
+QUERIES["k_core"] = q_k_core
+
+ORACLE_SQL["k_core"] = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM raw WHERE s <> d),
+d0 AS (SELECT node, count(*)::BIGINT AS deg FROM
+         (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+       GROUP BY node),
+a0 AS (SELECT node FROM d0 WHERE deg >= 6),
+e1 AS (SELECT u, v FROM und
+       WHERE u IN (SELECT node FROM a0) AND v IN (SELECT node FROM a0)),
+d1 AS (SELECT node, count(*)::BIGINT AS deg FROM
+         (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+       GROUP BY node),
+a1 AS (SELECT node FROM d1 WHERE deg >= 6),
+e2 AS (SELECT u, v FROM e1
+       WHERE u IN (SELECT node FROM a1) AND v IN (SELECT node FROM a1)),
+d2 AS (SELECT node, count(*)::BIGINT AS deg FROM
+         (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+       GROUP BY node)
+SELECT node, deg FROM d2 WHERE deg >= 6
+"""

@@ -621,3 +621,107 @@ def degree_assortativity(edges, *, src_col: str = "src",
                                * np.sqrt(n * syy - sy * sy))
     return pa.table({"n_edges": pa.array([np.int64(n) // 2]),
                      "assortativity": pa.array([float(r)])})
+
+
+def k_core(edges, k: int, *, rounds: int | None = None,
+           src_col: str = "src", dst_col: str = "dst",
+           partitions: int | None = None,
+           broadcast_nodes: int = 4_000_000):
+    """k-core peeling (Seidman 1983): iteratively remove nodes of
+    degree < ``k`` until the remaining induced subgraph has minimum
+    degree >= k.  Rows ``(node, deg)`` — the surviving nodes with
+    their degree INSIDE the core.  ``rounds=None`` peels to the exact
+    fixpoint (early-stops when a round removes nothing);
+    ``rounds=R`` runs exactly R peels — the bounded-round form a SQL
+    oracle can replay as an unrolled CTE chain (exact whenever the
+    graph converges within R).
+
+    Per round: degrees of the surviving subgraph (one grouped count
+    over its edge endpoints) and an edge filter against the surviving
+    node set — sub-threshold survivor sets broadcast once via
+    ``ray.put`` and the filter is a pure ``pc.is_in`` map pass (the
+    same size dispatch as :func:`bfs_hops`; above ``broadcast_nodes``
+    the filter falls back to two node-keyed SEMI sort joins).  Work
+    per round is edge-sized; rounds are typically few (peeling
+    cascades converge in O(diameter)-ish rounds on real graphs).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds is not None and rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    import ray as _ray
+
+    und = undirected_edges(edges, src_col, dst_col).materialize()
+    node_schema = pa.schema([("node", pa.int64())])
+
+    def degrees(e):
+        def explode(t: pa.Table) -> pa.Table:
+            u = t["u"].combine_chunks() \
+                if isinstance(t["u"], pa.ChunkedArray) else t["u"]
+            v = t["v"].combine_chunks() \
+                if isinstance(t["v"], pa.ChunkedArray) else t["v"]
+            return pa.table({"node": pa.concat_arrays([u, v])})
+
+        return sorted_groupby_agg(
+            e.map_batches(explode, batch_format="pyarrow"),
+            ["node"], [("node", "count", "deg")], in_schema=node_schema)
+
+    cur = und
+    n_prev = None
+    r = 0
+    while True:
+        deg = degrees(cur).materialize()
+        kk = k
+
+        def keep_node(t: pa.Table, _k=kk) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return t.filter(pc.greater_equal(t["deg"], _k))
+
+        alive = deg.map_batches(keep_node, batch_format="pyarrow") \
+            .materialize()
+        n_alive = alive.count()
+        done = (rounds is not None and r >= rounds) or \
+            (rounds is None and n_prev is not None and n_alive == n_prev)
+        if n_alive == 0:
+            # a fully-dissolved core: return a TYPED empty (an empty
+            # Dataset pipeline loses its schema through the sort)
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64()),
+                 "deg": pa.array([], pa.int64())}))
+        if done:
+            # deg of the returned nodes is their in-core degree only
+            # at the fixpoint; in bounded-round mode it is the degree
+            # after the LAST completed peel — exactly what the
+            # unrolled oracle computes
+            return alive
+        n_prev = n_alive
+        r += 1
+        if n_alive <= broadcast_nodes:
+            arr = np.sort(np.concatenate(
+                [b["node"].to_numpy(zero_copy_only=False)
+                 for b in alive.select_columns(["node"])
+                           .iter_batches(batch_format="pyarrow")]
+            )) if n_alive else np.empty(0, dtype=np.int64)
+            ref = _ray.put(arr)
+
+            def both_alive(t: pa.Table, _r=ref) -> pa.Table:
+                import pyarrow.compute as pc
+
+                vs = pa.array(_ray.get(_r))
+                m = pc.and_(pc.is_in(t["u"], value_set=vs),
+                            pc.is_in(t["v"], value_set=vs))
+                return t.filter(m)
+
+            cur = und.map_batches(both_alive, batch_format="pyarrow")
+        else:
+            cur = sort_merge_join(und, alive, on="u", right_on="node",
+                                  how="semi", left_schema=_EDGE_SCHEMA,
+                                  right_schema=_DEG_SCHEMA,
+                                  partitions=partitions)
+            cur = sort_merge_join(cur, alive, on="v", right_on="node",
+                                  how="semi", left_schema=_EDGE_SCHEMA,
+                                  right_schema=_DEG_SCHEMA,
+                                  partitions=partitions)

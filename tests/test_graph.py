@@ -348,3 +348,76 @@ class TestAdamicAdar:
         k = ["x", "y"]
         assert plain.sort_values(k).reset_index(drop=True).equals(
             aa[plain.columns].sort_values(k).reset_index(drop=True))
+
+class TestKCore:
+    @staticmethod
+    def _brute_kcore(pairs, k):
+        adj = {}
+        for a, b in pairs:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        alive = set(adj)
+        while True:
+            drop = {n_ for n_ in alive
+                    if len(adj[n_] & alive) < k}
+            if not drop:
+                break
+            alive -= drop
+        return {n_: len(adj[n_] & alive) for n_ in alive}
+
+    def test_fixpoint_vs_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import k_core
+
+        rng = np.random.default_rng(29)
+        m = 2500
+        src = rng.integers(0, 150, m)
+        dst = rng.integers(0, 150, m)
+        exp = self._brute_kcore(list(zip(src.tolist(), dst.tolist())), 5)
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64())}))
+        got = k_core(ds.repartition(5), 5, partitions=4).to_pandas()
+        assert dict(zip(got["node"], got["deg"])) == exp
+        # the sort-join fallback path must agree exactly
+        got2 = k_core(ds.repartition(5), 5, partitions=4,
+                      broadcast_nodes=0).to_pandas()
+        assert dict(zip(got2["node"], got2["deg"])) == exp
+
+    def test_bounded_rounds_and_cascade(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import k_core
+
+        # a domino chain (path + chords, dissolves under k=3 peeling
+        # one layer per round) attached to a K5 on {100..104} that
+        # survives as the exact 3-core
+        k5 = list(itertools.combinations(range(100, 105), 2))
+        pairs = [(i, i + 1) for i in range(9)] + \
+                [(i, i + 2) for i in range(8)] + [(9, 100)] + k5
+        t = pa.table({"src": pa.array([p[0] for p in pairs], pa.int64()),
+                      "dst": pa.array([p[1] for p in pairs], pa.int64())})
+        ds = rd.from_arrow(t)
+        exp = self._brute_kcore(pairs, 3)
+        fix = k_core(ds, 3).to_pandas()
+        assert dict(zip(fix["node"], fix["deg"])) == exp
+        # rounds=0 is one degree filter on the ORIGINAL graph
+        r0 = k_core(ds, 3, rounds=0).to_pandas()
+        deg0 = {}
+        for a, b in pairs:
+            deg0[a] = deg0.get(a, 0) + 1
+            deg0[b] = deg0.get(b, 0) + 1
+        assert set(r0["node"]) == {n_ for n_, d in deg0.items() if d >= 3}
+        # a large-enough bounded run equals the fixpoint
+        rbig = k_core(ds, 3, rounds=20).to_pandas()
+        assert dict(zip(rbig["node"], rbig["deg"])) == exp
+        # a fully-dissolving core returns a TYPED empty (checked on the
+        # Dataset — Ray's to_pandas drops columns on any empty Dataset)
+        gone = k_core(ds, 5)
+        assert gone.count() == 0
+        assert gone.schema().names == ["node", "deg"]
+        with pytest.raises(ValueError):
+            k_core(ds, 0)
+        with pytest.raises(ValueError):
+            k_core(ds, 3, rounds=-1)
