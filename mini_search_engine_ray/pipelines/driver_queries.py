@@ -7270,3 +7270,75 @@ d2 AS (SELECT node, count(*)::BIGINT AS deg FROM
        GROUP BY node)
 SELECT node, deg FROM d2 WHERE deg >= 6
 """
+
+
+HITS_ITERS = 4
+
+
+def q_hits_scores(sf_dir: str):
+    """HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    distinct chord graph in the deterministic fixed-point form
+    (pipelines/pagerank.py: hits_numpy docstring): every
+    half-iteration is an exact int64 edge sum + ONE integer floor
+    division by the max, so the unrolled SQL oracle replays auth_fx /
+    hub_fx bit for bit; auth/hub are each one replayable IEEE
+    division rounded half-up to 4 decimals on both sides."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..pipelines.pagerank import HITS_SCALE, hits_dataset
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    keep = src != dst
+    key = np.unique(src[keep] * n + dst[keep])
+    edges = rd.from_arrow(pa.table({"src": pa.array(key // n),
+                                    "dst": pa.array(key % n)}))
+    t = hits_dataset(edges, n, iterations=HITS_ITERS)
+
+    return t.append_column(
+        "auth", pa.array(_r4(t["auth_fx"].to_numpy() / HITS_SCALE))
+    ).append_column(
+        "hub", pa.array(_r4(t["hub_fx"].to_numpy() / HITS_SCALE)))
+
+
+QUERIES["hits_scores"] = q_hits_scores
+
+
+def _hits_sql(iters: int, scale: int) -> str:
+    parts = [f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+de AS MATERIALIZED (SELECT DISTINCT s, d FROM raw WHERE s <> d),
+h0 AS MATERIALIZED (SELECT i AS node, {scale}::BIGINT AS sc FROM r)"""]
+    prev_h = "h0"
+    for it in range(1, iters + 1):
+        parts.append(f""",
+a{it}r AS MATERIALIZED (SELECT de.d AS node, sum(h.sc)::BIGINT AS rw
+           FROM de JOIN {prev_h} h ON h.node = de.s GROUP BY de.d),
+a{it} AS MATERIALIZED (SELECT i AS node,
+                 (coalesce(rw, 0) * {scale})
+                   // (SELECT max(rw) FROM a{it}r) AS sc
+          FROM r LEFT JOIN a{it}r ON a{it}r.node = i),
+h{it}r AS MATERIALIZED (SELECT de.s AS node, sum(a.sc)::BIGINT AS rw
+           FROM de JOIN a{it} a ON a.node = de.d GROUP BY de.s),
+h{it} AS MATERIALIZED (SELECT i AS node,
+                 (coalesce(rw, 0) * {scale})
+                   // (SELECT max(rw) FROM h{it}r) AS sc
+          FROM r LEFT JOIN h{it}r ON h{it}r.node = i)""")
+        prev_h = f"h{it}"
+    parts.append(f"""
+SELECT a.node, a.sc AS auth_fx, h.sc AS hub_fx,
+       {_R4.format(expr=f'a.sc / {scale}.0')} AS auth,
+       {_R4.format(expr=f'h.sc / {scale}.0')} AS hub
+FROM a{iters} a JOIN h{iters} h ON h.node = a.node""")
+    return "".join(parts)
+
+
+ORACLE_SQL["hits_scores"] = _hits_sql(HITS_ITERS, 100_000)

@@ -370,3 +370,145 @@ def fuse_scores(
     if top_k is not None:
         order = order[:top_k]
     return doc_ids[order], fused[order]
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999) — fixed-point, max-normalized
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 100_000
+
+
+def hits_numpy(
+    src: np.ndarray,
+    dst: np.ndarray,
+    num_nodes: int,
+    *,
+    iterations: int = 16,
+    scale: int = HITS_SCALE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """HITS (Kleinberg 1999) in the DETERMINISTIC fixed-point form:
+    scores are int64 multiples of 1/scale, each half-iteration is an
+    EXACT integer sum over in/out edges followed by max-normalization
+    via one integer floor division — so every value is replayable bit
+    for bit by any engine (the aa_fx contract; no float sum order
+    anywhere).  Returns ``(auth_fx, hub_fx)`` int64 arrays.
+
+        hub_0      = scale everywhere
+        auth_raw[v]= sum_{(u,v)} hub[u]          (exact int64)
+        auth       = (auth_raw * scale) // max(auth_raw)
+        hub_raw[u] = sum_{(u,v)} auth[v]
+        hub        = (hub_raw * scale) // max(hub_raw)
+
+    Classic L2-normalized HITS converges to the same ranking; max
+    normalization keeps the arithmetic closed over the integers.  The
+    all-zero side (edge-less graph) stays zero.  Overflow bound
+    (asserted): max in/out degree * scale^2 must fit int64 — at the
+    default scale that allows degrees to ~9.2e8.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    lim = (2**63 - 1) // scale
+    auth = np.zeros(num_nodes, dtype=np.int64)
+    hub = np.full(num_nodes, scale, dtype=np.int64)
+
+    def _norm(raw: np.ndarray) -> np.ndarray:
+        m = int(raw.max()) if raw.size else 0
+        if m == 0:
+            return raw
+        if m > lim:
+            raise OverflowError(
+                f"fixed-point overflow: max raw score {m} * scale "
+                f"{scale} exceeds int64; lower scale or iterations")
+        return (raw * scale) // m
+
+    for _ in range(iterations):
+        raw_a = np.zeros(num_nodes, dtype=np.int64)
+        np.add.at(raw_a, dst, hub[src])
+        auth = _norm(raw_a)
+        raw_h = np.zeros(num_nodes, dtype=np.int64)
+        np.add.at(raw_h, src, auth[dst])
+        hub = _norm(raw_h)
+    return auth, hub
+
+
+def hits_dataset(
+    edges_ds,
+    num_nodes: int,
+    *,
+    iterations: int = 16,
+    scale: int = HITS_SCALE,
+):
+    """Distributed HITS over an edges Dataset (src, dst int64) —
+    bit-identical to :func:`hits_numpy` (tested ==, not allclose:
+    integer arithmetic has no order sensitivity).
+
+    The `pagerank_dataset` shape: the dense int64 score vector
+    (8 bytes/node, fine to ~10^9 nodes/worker-heap) is broadcast as
+    ONE object-store ref per half-iteration; per-edge contributions
+    are a pure map; ONE grouped int sum per direction
+    (`sorted_groupby_agg` — the only exchanges); the new vector is
+    assembled + max-normalized FROM THE AGGREGATE'S BLOCK REFS inside
+    a Ray task so the driver only moves ObjectRefs.  Returns an Arrow
+    table (node, auth_fx, hub_fx).
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    if scale < 1:
+        raise ValueError("scale must be >= 1")
+    import ray
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    lim = (2**63 - 1) // scale
+
+    @ray.remote
+    def _assemble_norm(num_nodes: int, key: str, *blocks) -> np.ndarray:
+        raw = np.zeros(num_nodes, dtype=np.int64)
+        for b in blocks:
+            if b.num_rows == 0 or key not in b.column_names:
+                continue  # empty sort-boundary blocks carry no schema
+            k = b[key].to_numpy(zero_copy_only=False)
+            raw[k] = b["c_sum"].to_numpy(zero_copy_only=False)
+        m = int(raw.max()) if raw.size else 0
+        if m == 0:
+            return raw
+        if m > lim:
+            raise OverflowError(
+                f"fixed-point overflow: max raw score {m} * scale "
+                f"{scale} exceeds int64; lower scale or iterations")
+        return (raw * scale) // m
+
+    edges_ds = edges_ds.materialize()
+    hub_ref = ray.put(np.full(num_nodes, scale, dtype=np.int64))
+    auth_ref = ray.put(np.zeros(num_nodes, dtype=np.int64))
+
+    def _push(score_ref, from_col: str, to_col: str):
+        def contrib(t: pa.Table, _s=score_ref) -> pa.Table:
+            import ray as _ray
+
+            s = _ray.get(_s)
+            f = t[from_col].to_numpy(zero_copy_only=False)
+            return pa.table({to_col: t[to_col], "c": pa.array(s[f])})
+
+        blocks = sorted_groupby_agg(
+            edges_ds.map_batches(contrib, batch_format="pyarrow"),
+            [to_col], [("c", "sum", "c_sum")],
+            in_schema=pa.schema([(to_col, pa.int64()),
+                                 ("c", pa.int64())]),
+        ).to_arrow_refs()
+        return _assemble_norm.remote(num_nodes, to_col, *blocks)
+
+    for _ in range(iterations):
+        auth_ref = _push(hub_ref, "src", "dst")
+        hub_ref = _push(auth_ref, "dst", "src")
+    auth, hub = ray.get([auth_ref, hub_ref])
+    return pa.table({
+        "node": pa.array(np.arange(num_nodes, dtype=np.int64)),
+        "auth_fx": pa.array(auth),
+        "hub_fx": pa.array(hub),
+    })

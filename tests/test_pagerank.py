@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from mini_search_engine_ray.pipelines.pagerank import (
@@ -184,3 +185,84 @@ class TestPersonalizedPageRank:
         with pytest.raises(ValueError):
             pagerank_numpy(np.array([0]), np.array([1]), 3,
                            personalization=np.ones(2))
+
+
+class TestHits:
+    @staticmethod
+    def _brute(pairs, n, iters, scale=100_000):
+        auth = [0] * n
+        hub = [scale] * n
+        for _ in range(iters):
+            raw = [0] * n
+            for s, d in pairs:
+                raw[d] += hub[s]
+            m = max(raw) if raw else 0
+            auth = [(r * scale) // m for r in raw] if m else raw
+            raw = [0] * n
+            for s, d in pairs:
+                raw[s] += auth[d]
+            m = max(raw) if raw else 0
+            hub = [(r * scale) // m for r in raw] if m else raw
+        return auth, hub
+
+    def test_numpy_vs_brute_force(self):
+        from mini_search_engine_ray.pipelines.pagerank import hits_numpy
+
+        rng = np.random.default_rng(31)
+        n, m = 60, 400
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        ea, eh = self._brute(list(zip(src.tolist(), dst.tolist())), n, 7)
+        a, h = hits_numpy(src, dst, n, iterations=7)
+        assert a.tolist() == ea and h.tolist() == eh
+
+    def test_star_graph_roles(self):
+        # directed star center->leaves: center is the pure hub,
+        # leaves are the (equal) pure authorities
+        from mini_search_engine_ray.pipelines.pagerank import (
+            HITS_SCALE, hits_numpy)
+
+        src = np.zeros(5, dtype=np.int64)
+        dst = np.arange(1, 6, dtype=np.int64)
+        a, h = hits_numpy(src, dst, 6, iterations=4)
+        assert h[0] == HITS_SCALE and np.all(h[1:] == 0)
+        assert a[0] == 0 and np.all(a[1:] == HITS_SCALE)
+
+    def test_dataset_bit_identical_to_numpy(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.pipelines.pagerank import (
+            hits_dataset, hits_numpy)
+
+        rng = np.random.default_rng(32)
+        n, m = 200, 3000
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        a, h = hits_numpy(src, dst, n, iterations=5)
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64())}))
+        t = hits_dataset(ds.repartition(6), n, iterations=5)
+        got = t.to_pandas().sort_values("node")
+        # integer arithmetic: exact equality, not allclose
+        assert got["auth_fx"].to_numpy().tolist() == a.tolist()
+        assert got["hub_fx"].to_numpy().tolist() == h.tolist()
+
+    def test_zero_iterations_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.pipelines.pagerank import (
+            HITS_SCALE, hits_dataset, hits_numpy)
+
+        src = np.array([0], dtype=np.int64)
+        dst = np.array([1], dtype=np.int64)
+        a, h = hits_numpy(src, dst, 2, iterations=0)
+        assert a.tolist() == [0, 0] and h.tolist() == [HITS_SCALE] * 2
+        ds = rd.from_arrow(pa.table({"src": pa.array(src),
+                                     "dst": pa.array(dst)}))
+        t = hits_dataset(ds, 2, iterations=0).to_pandas()
+        assert t["auth_fx"].tolist() == [0, 0]
+        assert t["hub_fx"].tolist() == [HITS_SCALE] * 2
+        with pytest.raises(ValueError):
+            hits_numpy(src, dst, 2, iterations=-1)
+        with pytest.raises(ValueError):
+            hits_numpy(src, dst, 2, scale=0)
