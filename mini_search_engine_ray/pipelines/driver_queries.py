@@ -7342,3 +7342,70 @@ FROM a{iters} a JOIN h{iters} h ON h.node = a.node""")
 
 
 ORACLE_SQL["hits_scores"] = _hits_sql(HITS_ITERS, 100_000)
+
+
+def q_feature_prop(sf_dir: str):
+    """Two rounds of GNN-style mean neighborhood feature propagation
+    (stages/graph.py: feature_propagation) of the embedding vectors
+    along the directed distinct chord graph, exploded to (node, dim,
+    val) for value comparison — val accumulates in float64 (float32
+    inputs exact) and is rounded half-up to 4dp on both sides; the
+    oracle replays each round as avg(val::DOUBLE) over an edge join."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import feature_propagation
+    from ..stages.similarity import _emb_matrix
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    n = pq.read_metadata(path).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    keep = src != dst
+    key = np.unique(src[keep] * n + dst[keep])
+    edges = rd.from_arrow(pa.table({"src": pa.array(key // n),
+                                    "dst": pa.array(key % n)}))
+    feats = rd.read_parquet(path, columns=["vec_id", "embedding"])
+    out = feature_propagation(feats, edges, rounds=2)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64())})
+        m = _emb_matrix(t, "embedding")
+        node = t["node"].to_numpy(zero_copy_only=False)
+        d = m.shape[1]
+        return pa.table({
+            "node": pa.array(np.repeat(node, d)),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    len(node))),
+            "val": pa.array(_r4(m.ravel())),
+        })
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+QUERIES["feature_prop"] = q_feature_prop
+
+ORACLE_SQL["feature_prop"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+de AS MATERIALIZED (SELECT DISTINCT s, d FROM raw WHERE s <> d),
+x0 AS MATERIALIZED (
+  SELECT vec_id AS node, generate_subscripts(embedding, 1)::BIGINT AS dim,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings),
+x1 AS MATERIALIZED (
+  SELECT de.d AS node, x.dim, avg(x.val) AS val
+  FROM de JOIN x0 x ON x.node = de.s GROUP BY 1, 2),
+x2 AS MATERIALIZED (
+  SELECT de.d AS node, x.dim, avg(x.val) AS val
+  FROM de JOIN x1 x ON x.node = de.s GROUP BY 1, 2)
+SELECT node, dim, {_R4.format(expr='val')} AS val FROM x2
+"""

@@ -725,3 +725,101 @@ def k_core(edges, k: int, *, rounds: int | None = None,
                                   how="semi", left_schema=_EDGE_SCHEMA,
                                   right_schema=_DEG_SCHEMA,
                                   partitions=partitions)
+
+
+def feature_propagation(features, edges, *, rounds: int = 1,
+                        id_col: str = "vec_id", emb_col: str = "embedding",
+                        src_col: str = "src", dst_col: str = "dst"):
+    """GNN-style neighborhood feature propagation (the SGC / LightGCN
+    preprocessing step — Wu et al. 2019): per round, each node's new
+    vector is the MEAN of its in-neighbors' vectors,
+
+        x'_v = mean_{(u,v) in E} x_u
+
+    computed distributed with the vectors travelling along the edges:
+    per round TWO range sorts (the only exchanges) — (1) features
+    union edge rows sorted by the source id, a per-block sweep
+    replicating each source's vector onto its out-edges via ONE Arrow
+    ``take`` on the list column; (2) the (dst, vec) rows sorted by
+    dst, a segmented ``np.add.reduceat`` mean over the stacked
+    (rows, d) matrix.  Both sweeps lean on Ray's equal-keys-one-block
+    range-sort invariant used throughout this repo.
+
+    INNER-join semantics, replayable in SQL: only nodes with at least
+    one in-neighbor that HAS a feature row appear in a round's output
+    (so isolated / source-only nodes drop out, and round r+1
+    propagates round r's output).  Duplicate (src, dst) edges count
+    once each (multigraph mean); feature ids are assumed unique.
+    Values are accumulated in float64 (float32 inputs are exactly
+    representable), matching SQL ``avg(val::DOUBLE)`` up to summation
+    order.  Returns (node, ``emb_col`` list<double>).
+    """
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    from .similarity import _emb_matrix
+
+    vec_t = pa.list_(pa.float64())
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"key": t[src_col],
+                         "t": pa.array(np.ones(n, np.int8)),
+                         "dst": t[dst_col],
+                         "vec": pa.nulls(n, vec_t)})
+
+    def replicate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "key" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "vec": pa.array([], vec_t)})
+        key = t["key"].to_numpy(zero_copy_only=False)
+        tt = t["t"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, key[1:] != key[:-1]])
+        run_of = np.cumsum(np.r_[0, (key[1:] != key[:-1]).astype(np.int64)])
+        m0 = tt == 0
+        vec_row = np.full(len(starts), -1, dtype=np.int64)
+        vec_row[run_of[m0]] = np.flatnonzero(m0)
+        em = (tt == 1) & (vec_row[run_of] >= 0)
+        vec = t["vec"].combine_chunks() \
+            if isinstance(t["vec"], pa.ChunkedArray) else t["vec"]
+        take = pa.array(vec_row[run_of[em]])
+        return pa.table({"node": t["dst"].filter(pa.array(em)),
+                         "vec": vec.take(take)})
+
+    def mean_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             emb_col: pa.array([], vec_t)})
+        node = t["node"].to_numpy(zero_copy_only=False)
+        m = _emb_matrix(t, "vec").astype(np.float64)
+        d = m.shape[1]
+        starts = np.flatnonzero(np.r_[True, node[1:] != node[:-1]])
+        sums = np.add.reduceat(m, starts, axis=0)
+        cnt = np.diff(np.r_[starts, len(node)]).astype(np.float64)
+        means = sums / cnt[:, None]
+        off = pa.array(np.arange(len(starts) + 1, dtype=np.int32) * d)
+        return pa.table({
+            "node": pa.array(node[starts]),
+            emb_col: pa.ListArray.from_arrays(off, pa.array(means.ravel())),
+        })
+
+    cur = features
+    cur_id, cur_emb = id_col, emb_col
+    for r in range(rounds):
+        def tf(t: pa.Table, _id=cur_id, _emb=cur_emb) -> pa.Table:
+            m = _emb_matrix(t, _emb).astype(np.float64)
+            n, d = m.shape
+            off = pa.array(np.arange(n + 1, dtype=np.int32) * d)
+            vec = pa.ListArray.from_arrays(off, pa.array(m.ravel()))
+            return pa.table({"key": t[_id],
+                             "t": pa.array(np.zeros(n, np.int8)),
+                             "dst": pa.array(np.zeros(n, np.int64)),
+                             "vec": vec})
+
+        tagged = cur.map_batches(tf, batch_format="pyarrow").union(
+            edges.map_batches(tag_edges, batch_format="pyarrow"))
+        routed = tagged.sort("key").map_batches(
+            replicate, batch_size=None, batch_format="pyarrow")
+        cur = routed.sort("node").map_batches(
+            mean_sweep, batch_size=None, batch_format="pyarrow")
+        cur_id, cur_emb = "node", emb_col
+    return cur

@@ -421,3 +421,75 @@ class TestKCore:
             k_core(ds, 0)
         with pytest.raises(ValueError):
             k_core(ds, 3, rounds=-1)
+
+class TestFeaturePropagation:
+    @staticmethod
+    def _mk(n, d, seed):
+        rng = np.random.default_rng(seed)
+        feats = rng.standard_normal((n, d)).astype(np.float32)
+        return feats
+
+    @staticmethod
+    def _brute(feats, pairs, rounds):
+        cur = {i: feats[i].astype(np.float64) for i in range(len(feats))}
+        for _ in range(rounds):
+            nxt = {}
+            for v in set(d for _, d in pairs):
+                vs = [cur[s] for s, d in pairs if d == v and s in cur]
+                if vs:
+                    nxt[v] = np.mean(vs, axis=0)
+            cur = nxt
+        return cur
+
+    def test_vs_brute_force_two_rounds(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import feature_propagation
+
+        rng = np.random.default_rng(41)
+        n, d, m = 40, 5, 160
+        feats = self._mk(n, d, 42)
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        pairs = list(zip(src.tolist(), dst.tolist()))
+        fds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(feats)),
+        })).repartition(4)
+        eds = rd.from_arrow(pa.table({
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64())})).repartition(3)
+        for rounds in (1, 2):
+            exp = self._brute(feats, pairs, rounds)
+            got = feature_propagation(fds, eds, rounds=rounds).to_pandas()
+            assert set(got["node"]) == set(exp)
+            for _, row in got.iterrows():
+                np.testing.assert_allclose(
+                    np.asarray(row["embedding"]), exp[row["node"]],
+                    rtol=1e-12, atol=1e-12)
+
+    def test_inner_semantics_and_multigraph(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import feature_propagation
+
+        # node 2 has no feature row; node 3 receives ONLY from 2 ->
+        # drops out; duplicate edge (0,1) double-weights x0 in node
+        # 1's mean; node 0 receives nothing -> absent
+        feats = pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[1.0, 3.0], [5.0, 7.0]]),
+        })
+        edges = pa.table({
+            "src": pa.array([0, 0, 1, 2], pa.int64()),
+            "dst": pa.array([1, 1, 1, 3], pa.int64()),
+        })
+        got = feature_propagation(rd.from_arrow(feats),
+                                  rd.from_arrow(edges)).to_pandas()
+        assert set(got["node"]) == {1}
+        np.testing.assert_allclose(
+            np.asarray(got["embedding"].iloc[0]),
+            [(1.0 + 1.0 + 5.0) / 3, (3.0 + 3.0 + 7.0) / 3])
+        with pytest.raises(ValueError):
+            feature_propagation(rd.from_arrow(feats),
+                                rd.from_arrow(edges), rounds=0)
