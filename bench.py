@@ -1161,13 +1161,55 @@ def bench_graph_triangles(out: dict) -> None:
     assert n_cand > 0
 
 
+def bench_graph_iterative(out: dict) -> None:
+    """The round-5 iterative graph family on the same 3M-edge / 1M-node
+    chord graph as graph_triangles: k-core peeling (3 bounded rounds),
+    fixed-point HITS (2 iterations = 4 grouped edge sums), and
+    label-propagation communities (2 rounds).  Each round/iteration is
+    edge-sized narrow-int64 exchanges only."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.pipelines.pagerank import hits_dataset
+    from mini_search_engine_ray.stages.graph import k_core, label_propagation
+
+    n = 1_000_000
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)})) \
+        .repartition(32).materialize()
+
+    t0 = time.time()
+    core = k_core(edges, 6, rounds=3, partitions=16)
+    n_alive = core.count()
+    out["queries"]["kcore_3m_edges"] = round(time.time() - t0, 3)
+    # near-6-regular: the 3-round peel removes a cascade layer but
+    # keeps the bulk
+    assert 0 < n_alive < n
+
+    t0 = time.time()
+    h = hits_dataset(edges, n, iterations=2)
+    out["queries"]["hits_3m_edges"] = round(time.time() - t0, 3)
+    assert h.num_rows == n and h["hub_fx"].to_numpy().max() > 0
+
+    t0 = time.time()
+    lp = label_propagation(edges, rounds=2, partitions=16)
+    n_lbl = lp.count()
+    out["queries"]["label_prop_3m_edges"] = round(time.time() - t0, 3)
+    assert n_lbl == n
+
+
 _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",
               "dedup_verify_100k", "ann_cosine", "ann_quantized", "pagerank",
               "temporal", "connected_components", "join", "join_skew",
               "curation", "kmeans", "scrub", "chunk_decontam", "prefix_scan",
               "bounded_window", "dup_passages", "dedup_rewrite", "bpe_train",
-              "doc_sim", "fuzzy_names", "graph_triangles", "cooccur", "analytics")
+              "doc_sim", "fuzzy_names", "graph_triangles", "graph_iterative",
+              "cooccur", "analytics")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -1265,6 +1307,8 @@ def run_all(only: str | None = None) -> dict:
         bench_fuzzy_names(out)
     if only in (None, "graph_triangles"):
         bench_graph_triangles(out)
+    if only in (None, "graph_iterative"):
+        bench_graph_iterative(out)
     if only in (None, "cooccur"):
         bench_cooccur(out)
     if only in (None, "analytics"):

@@ -7409,3 +7409,118 @@ x2 AS MATERIALIZED (
   FROM de JOIN x1 x ON x.node = de.s GROUP BY 1, 2)
 SELECT node, dim, {_R4.format(expr='val')} AS val FROM x2
 """
+
+
+def q_embedding_projected(sf_dir: str):
+    """Random sign-projection dimensionality reduction (Achlioptas
+    2003) of the embedding column to 8 dims — the content-addressed
+    ±1 matrix (sign = parity of md5-low-64(f"{i},{j},0"), replayed by
+    md5_number_lower in SQL), y = x @ R / sqrt(8) — exploded to
+    (node, odim, val) with the 4dp half-up gate (the matmul sum order
+    is IEEE-arbitrary on both sides, the embedding_cov contract)."""
+    import ray.data as rd
+
+    from ..stages.similarity import _emb_matrix, random_sign_projection
+
+    feats = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                            columns=["vec_id", "embedding"])
+    out = random_sign_projection(feats, 8)
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "odim": pa.array([], pa.int64()),
+                             "val": pa.array([], pa.float64())})
+        m = _emb_matrix(t, "proj")
+        node = t["vec_id"].to_numpy(zero_copy_only=False)
+        k = m.shape[1]
+        return pa.table({
+            "node": pa.array(np.repeat(node, k)),
+            "odim": pa.array(np.tile(np.arange(k, dtype=np.int64),
+                                     len(node))),
+            "val": pa.array(_r4(m.ravel())),
+        })
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
+QUERIES["embedding_projected"] = q_embedding_projected
+
+ORACLE_SQL["embedding_projected"] = f"""
+WITH dd AS (SELECT len(embedding)::BIGINT AS d FROM embeddings LIMIT 1),
+proj AS MATERIALIZED (
+  SELECT i.i AS dim, j.j AS odim,
+         CASE WHEN md5_number_lower(i.i::VARCHAR || ',' || j.j::VARCHAR
+                                    || ',0') % 2 = 1
+              THEN 1.0 ELSE -1.0 END AS r
+  FROM (SELECT unnest(range((SELECT d FROM dd)))::BIGINT AS i) i,
+       (SELECT unnest(range(8))::BIGINT AS j) j),
+x AS MATERIALIZED (
+  SELECT vec_id AS node,
+         generate_subscripts(embedding, 1)::BIGINT - 1 AS dim,
+         unnest(embedding)::DOUBLE AS val
+  FROM embeddings)
+SELECT x.node, p.odim,
+       {_R4.format(expr='sum(x.val * p.r) / sqrt(8.0)')} AS val
+FROM x JOIN proj p ON p.dim = x.dim
+GROUP BY x.node, p.odim
+"""
+
+
+def q_label_prop(sf_dir: str):
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) over the undirected chord graph, 3 bounded rounds with
+    the deterministic most-frequent-then-smallest-label tie rule —
+    all-integer arithmetic, so the unrolled oracle replays every
+    round exactly (stages/graph.py: label_propagation)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import label_propagation
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)}))
+    return label_propagation(edges, rounds=3, partitions=4)
+
+
+QUERIES["label_prop"] = q_label_prop
+
+ORACLE_SQL["label_prop"] = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM raw WHERE s <> d),
+adj AS MATERIALIZED (SELECT u AS a, v AS b FROM und
+                     UNION ALL SELECT v, u FROM und),
+l0 AS MATERIALIZED (SELECT a AS node, a AS lbl FROM adj GROUP BY a),
+c1 AS (SELECT adj.a AS node, l.lbl, count(*)::BIGINT AS c
+       FROM adj JOIN l0 l ON l.node = adj.b GROUP BY 1, 2),
+l1 AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, lbl ASC) AS rn
+    FROM c1) WHERE rn = 1),
+c2 AS (SELECT adj.a AS node, l.lbl, count(*)::BIGINT AS c
+       FROM adj JOIN l1 l ON l.node = adj.b GROUP BY 1, 2),
+l2 AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, lbl ASC) AS rn
+    FROM c2) WHERE rn = 1),
+c3 AS (SELECT adj.a AS node, l.lbl, count(*)::BIGINT AS c
+       FROM adj JOIN l2 l ON l.node = adj.b GROUP BY 1, 2),
+l3 AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl, row_number() OVER (PARTITION BY node
+                                         ORDER BY c DESC, lbl ASC) AS rn
+    FROM c3) WHERE rn = 1)
+SELECT node, lbl AS label FROM l3
+"""

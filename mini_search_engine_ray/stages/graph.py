@@ -25,11 +25,12 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .aggregates import sorted_groupby_agg, static_schema
+from .aggregates import sorted_groupby_agg, static_schema, topk_per_group
 from .join import sort_merge_join
 
 __all__ = ["undirected_edges", "triangle_counts", "local_clustering",
-           "bfs_hops", "common_neighbor_pairs", "degree_assortativity"]
+           "bfs_hops", "common_neighbor_pairs", "degree_assortativity",
+           "k_core", "feature_propagation", "label_propagation"]
 
 
 def undirected_edges(ds, src_col: str = "src", dst_col: str = "dst", *,
@@ -823,3 +824,87 @@ def feature_propagation(features, edges, *, rounds: int = 1,
             mean_sweep, batch_size=None, batch_format="pyarrow")
         cur_id, cur_emb = "node", emb_col
     return cur
+
+
+def label_propagation(edges, *, rounds: int = 3,
+                      src_col: str = "src", dst_col: str = "dst",
+                      partitions: int | None = None):
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007) with the DETERMINISTIC tie rule that makes bounded-round
+    runs SQL-replayable: every node starts labeled with its own id,
+    and each round simultaneously adopts the label most frequent among
+    its neighbors — ties broken by the SMALLEST label (SQL:
+    ``row_number() OVER (ORDER BY c DESC, lbl ASC) = 1``).  Returns
+    (node, label) after exactly ``rounds`` rounds for every node that
+    has at least one edge.
+
+    Per round: labels sort-merge-join onto the symmetrized adjacency
+    (node-sized right side, ONE key range sort), a (node, lbl) grouped
+    count (second range sort), and ``topk_per_group(k=1)`` whose local
+    top-1 prefilter bounds that exchange at one row per (batch, node).
+    All counts are exact int64; no floats anywhere, so the unrolled
+    oracle replays every round bit for bit.  Synchronous LPA can
+    oscillate on bipartite structures — bounded ``rounds`` is the
+    contract (it is also what makes the oracle expressible); callers
+    wanting a fixpoint compose with connected components instead.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    und = undirected_edges(edges, src_col, dst_col)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks() \
+            if isinstance(t["u"], pa.ChunkedArray) else t["u"]
+        v = t["v"].combine_chunks() \
+            if isinstance(t["v"], pa.ChunkedArray) else t["v"]
+        return pa.table({"a": pa.concat_arrays([u, v]),
+                         "b": pa.concat_arrays([v, u])})
+
+    adj = und.map_batches(symmetrize, batch_format="pyarrow").materialize()
+    adj_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["a"], "lbl": t["a"]})
+
+    lbl_schema = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+    labels = sorted_groupby_agg(
+        adj, ["a"], [("a", "min", "lbl")], in_schema=adj_schema
+    ).map_batches(lambda t: t.rename_columns(["node", "lbl"]),
+                  batch_format="pyarrow")
+
+    cnt_schema = pa.schema([("a", pa.int64()), ("lbl", pa.int64()),
+                            ("c", pa.int64())])
+    for _ in range(rounds):
+        joined = sort_merge_join(
+            adj, labels, on="b", right_on="node", how="inner",
+            left_schema=adj_schema, right_schema=lbl_schema,
+            partitions=partitions)
+
+        def votes(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "a" not in t.column_names:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "lbl": pa.array([], pa.int64())})
+            return t.select(["a", "lbl"])
+
+        cnt = sorted_groupby_agg(
+            joined.map_batches(votes, batch_format="pyarrow"),
+            ["a", "lbl"], [("a", "count", "c")],
+            in_schema=pa.schema([("a", pa.int64()), ("lbl", pa.int64())]))
+        top = topk_per_group(cnt, ["a"], "c", 1, descending=True,
+                             tiebreak="lbl", in_schema=cnt_schema)
+
+        def strip(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "a" not in t.column_names:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "lbl": pa.array([], pa.int64())})
+            return pa.table({"node": t["a"], "lbl": t["lbl"]})
+
+        labels = top.map_batches(strip, batch_format="pyarrow")
+
+    def out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "label": pa.array([], pa.int64())})
+        return pa.table({"node": t["node"], "label": t["lbl"]})
+
+    return labels.map_batches(out, batch_format="pyarrow")

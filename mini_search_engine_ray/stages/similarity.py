@@ -822,3 +822,59 @@ def pca_transform(ds, mean: np.ndarray, components: np.ndarray, *,
         return t.append_column(out_col, pa.array(list(proj)))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def random_sign_projection(ds, out_dim: int, *, salt: int = 0,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding",
+                           out_col: str = "proj",
+                           in_dim: int | None = None):
+    """Random sign-projection dimensionality reduction (Achlioptas
+    2003 / Johnson-Lindenstrauss): y = x @ R / sqrt(out_dim) where
+    R[i, j] = +1 if md5-low-64(f"{i},{j},{salt}") is odd else -1 —
+    the projection MATRIX is CONTENT-ADDRESSED (no RNG state, every
+    worker and any other engine derives the identical matrix), built
+    once on the driver (d*out_dim entries — by contract small; it is
+    the broadcast side) and shipped via ``ray.put``.  One matmul per
+    batch, pure map, no shuffle anywhere; the cheap pre-ANN compression
+    step (norms distort by at most (1±eps) per the JL lemma).
+    Appends ``out_col`` as list<double>.  The matmul reduction itself
+    is IEEE-order-dependent like every float sum in this repo (BLAS
+    kernel choice varies with the batch row count, ~1e-15); exact
+    comparison goes through the 4dp half-up gate.
+    """
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    import ray
+
+    from ..functions.hashing import md5_low64_str
+
+    if in_dim is None:
+        probe = ds.take(1)
+        if not probe:
+            return ds.map_batches(
+                lambda t: t.append_column(
+                    out_col, pa.array([], pa.list_(pa.float64()))),
+                batch_format="pyarrow")
+        in_dim = len(probe[0][emb_col])
+    bits = np.array([md5_low64_str(f"{i},{j},{salt}") & 1
+                     for i in range(in_dim) for j in range(out_dim)],
+                    dtype=np.float64).reshape(in_dim, out_dim)
+    r = ray.put(bits * 2.0 - 1.0)
+    # DIVIDE by sqrt(k), never multiply by its reciprocal: x/s and
+    # x*(1/s) differ by an ulp, and the SQL replay divides
+    root = np.sqrt(float(out_dim))
+
+    def apply(t: pa.Table) -> pa.Table:
+        mat = ray.get(r)
+        x = _emb_matrix(t, emb_col).astype(np.float64)
+        if x.size == 0:
+            return t.append_column(out_col,
+                                   pa.array([], pa.list_(pa.float64())))
+        y = (x @ mat) / root
+        n, k = y.shape
+        off = pa.array(np.arange(n + 1, dtype=np.int32) * k)
+        return t.append_column(
+            out_col, pa.ListArray.from_arrays(off, pa.array(y.ravel())))
+
+    return ds.map_batches(apply, batch_format="pyarrow")

@@ -493,3 +493,61 @@ class TestFeaturePropagation:
         with pytest.raises(ValueError):
             feature_propagation(rd.from_arrow(feats),
                                 rd.from_arrow(edges), rounds=0)
+
+class TestLabelPropagation:
+    @staticmethod
+    def _brute(pairs, rounds):
+        adj = {}
+        for a, b in pairs:
+            if a != b:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+        lbl = {n_: n_ for n_ in adj}
+        for _ in range(rounds):
+            nxt = {}
+            for n_ in adj:
+                cnt = {}
+                for nb in adj[n_]:
+                    cnt[lbl[nb]] = cnt.get(lbl[nb], 0) + 1
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[n_] = best[0]
+            lbl = nxt
+        return lbl
+
+    def test_vs_brute_force_random(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import label_propagation
+
+        rng = np.random.default_rng(61)
+        m = 1500
+        src = rng.integers(0, 120, m)
+        dst = rng.integers(0, 120, m)
+        pairs = {(min(a, b), max(a, b))
+                 for a, b in zip(src.tolist(), dst.tolist()) if a != b}
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64())}))
+        for rounds in (0, 1, 3):
+            exp = self._brute(list(pairs), rounds)
+            got = label_propagation(ds.repartition(5), rounds=rounds,
+                                    partitions=4).to_pandas()
+            assert dict(zip(got["node"], got["label"])) == exp
+
+    def test_two_cliques_converge(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import label_propagation
+
+        # two K5s bridged by one edge: after 3 rounds each clique
+        # carries its min id; the bridge can't flip a clique majority
+        c1 = list(itertools.combinations(range(5), 2))
+        c2 = list(itertools.combinations(range(10, 15), 2))
+        pairs = c1 + c2 + [(4, 10)]
+        t = pa.table({"src": pa.array([p[0] for p in pairs], pa.int64()),
+                      "dst": pa.array([p[1] for p in pairs], pa.int64())})
+        got = label_propagation(rd.from_arrow(t), rounds=3).to_pandas()
+        lbl = dict(zip(got["node"], got["label"]))
+        assert all(lbl[n_] == 0 for n_ in range(5))
+        assert all(lbl[n_] == 10 for n_ in range(10, 15))
+        with pytest.raises(ValueError):
+            label_propagation(rd.from_arrow(t), rounds=-1)

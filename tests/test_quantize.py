@@ -93,3 +93,64 @@ def test_bits_validation_and_lower_bits(ray_session):
     rows = quantize_embeddings(_ds(x, 2), mn, mx, bits=4).take_all()
     codes = np.array([r["q"] for r in rows])
     assert codes.max() <= 15 and codes.min() >= 0
+
+
+class TestRandomSignProjection:
+    def test_matches_numpy_and_is_content_addressed(self, ray_session):
+        from mini_search_engine_ray.functions.hashing import md5_low64_str
+        from mini_search_engine_ray.stages.similarity import (
+            random_sign_projection)
+
+        rng = np.random.default_rng(51)
+        x = rng.standard_normal((120, 16))
+        k = 6
+        mat = (np.array([md5_low64_str(f"{i},{j},0") & 1
+                         for i in range(16) for j in range(k)],
+                        dtype=np.float64).reshape(16, k) * 2.0 - 1.0)
+        exp = (x @ mat) / np.sqrt(float(k))
+        got = random_sign_projection(_ds(x, 5), k).to_pandas() \
+            .sort_values("vec_id")
+        # the MATRIX is content-addressed and bit-stable; the matmul
+        # reduction itself is IEEE-order-dependent (BLAS kernel choice
+        # varies with block row counts), like every float reduction in
+        # this repo — agreement to 1e-12, exactness via the _r4 gate
+        np.testing.assert_allclose(
+            np.stack(got["proj"].to_numpy()), exp, rtol=1e-12, atol=1e-12)
+        got2 = random_sign_projection(_ds(x, 11), k).to_pandas() \
+            .sort_values("vec_id")
+        np.testing.assert_allclose(np.stack(got2["proj"].to_numpy()),
+                                   np.stack(got["proj"].to_numpy()),
+                                   rtol=1e-12, atol=1e-12)
+        # a different salt gives a different matrix
+        got3 = random_sign_projection(_ds(x, 5), k, salt=1).to_pandas()
+        assert not np.array_equal(np.stack(got3["proj"].to_numpy()), exp)
+
+    def test_jl_distance_preservation(self, ray_session):
+        # JL sanity: pairwise distances in the projection approximate
+        # the originals (loose statistical bound, fixed seed)
+        from mini_search_engine_ray.stages.similarity import (
+            random_sign_projection)
+
+        rng = np.random.default_rng(52)
+        x = rng.standard_normal((40, 128))
+        got = random_sign_projection(_ds(x, 4), 32).to_pandas() \
+            .sort_values("vec_id")
+        y = np.stack(got["proj"].to_numpy())
+        dx = np.linalg.norm(x[:, None] - x[None, :], axis=2)
+        dy = np.linalg.norm(y[:, None] - y[None, :], axis=2)
+        iu = np.triu_indices(40, 1)
+        ratio = dy[iu] / dx[iu]
+        assert 0.5 < ratio.min() and ratio.max() < 1.6
+        assert abs(ratio.mean() - 1.0) < 0.1
+
+    def test_empty_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.similarity import (
+            random_sign_projection)
+
+        empty = rd.from_arrow(_emb_table(np.zeros((0, 4))))
+        out = random_sign_projection(empty, 3).to_pandas()
+        assert len(out) == 0
+        with pytest.raises(ValueError):
+            random_sign_projection(_ds(np.zeros((2, 4)), 1), 0)
