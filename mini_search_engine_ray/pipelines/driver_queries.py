@@ -7524,3 +7524,97 @@ l3 AS MATERIALIZED (
     FROM c3) WHERE rn = 1)
 SELECT node, lbl AS label FROM l3
 """
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """The keep-BEST-representative dedup action (the policy real
+    curation pipelines run instead of keep-min-id): near-dup clusters
+    (LSH -> exact-Jaccard verify -> connected components, the
+    dedup_clusters plan) joined with each member's n_chars; per
+    component the winner is the LONGEST doc, ties to the smallest id
+    (topk_per_group k=1 — the one-row-per-(batch,component) local
+    prefilter), joined back so every member carries keep = (node ==
+    winner). Composition of three ★-tested operators; all-integer
+    decision, exactly replayable."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.dedup import near_dup_clusters
+    from ..stages.join import sort_merge_join
+    from ..stages.aggregates import topk_per_group
+
+    clusters = near_dup_clusters(_docs_ds(sf_dir),
+                                 threshold=DEDUP_CLUSTER_THRESHOLD)
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "component": pa.array([], pa.int64())})
+        return pa.table({"node": pc.cast(t["node"], pa.int64()),
+                         "component": pc.cast(t["component"], pa.int64())})
+
+    clusters = clusters.map_batches(fix, batch_format="pyarrow")
+    cl_schema = pa.schema([("node", pa.int64()), ("component", pa.int64())])
+
+    lens = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "n_chars"])
+
+    def cast_lens(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_chars": pc.cast(t["n_chars"], pa.int64())})
+
+    lens = lens.map_batches(cast_lens, batch_format="pyarrow")
+    len_schema = pa.schema([("doc_id", pa.int64()), ("n_chars", pa.int64())])
+
+    m = sort_merge_join(clusters, lens, on="node", right_on="doc_id",
+                        how="inner", left_schema=cl_schema,
+                        right_schema=len_schema, partitions=4)
+    m_schema = pa.schema([("node", pa.int64()), ("component", pa.int64()),
+                          ("n_chars", pa.int64())])
+    winners = topk_per_group(m, ["component"], "n_chars", 1,
+                             descending=True, tiebreak="node",
+                             in_schema=m_schema)
+
+    def w_sel(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "component" not in t.column_names:
+            return pa.table({"component": pa.array([], pa.int64()),
+                             "winner": pa.array([], pa.int64())})
+        return pa.table({"component": t["component"], "winner": t["node"]})
+
+    w = winners.map_batches(w_sel, batch_format="pyarrow")
+    j = sort_merge_join(m, w, on="component", how="inner",
+                        left_schema=m_schema,
+                        right_schema=pa.schema([("component", pa.int64()),
+                                                ("winner", pa.int64())]),
+                        partitions=4)
+
+    def out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "component": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "keep": pa.array([], pa.bool_())})
+        return pa.table({"doc_id": t["node"], "component": t["component"],
+                         "n_chars": t["n_chars"],
+                         "keep": pc.equal(t["node"], t["winner"])})
+
+    return j.map_batches(out, batch_format="pyarrow")
+
+
+QUERIES["dedup_keep_best"] = q_dedup_keep_best
+
+ORACLE_SQL["dedup_keep_best"] = f"""
+WITH {_minhash_sig_ctes()},
+{_cluster_cte_chain()},
+cl AS (SELECT node, comp AS component FROM l8),
+mm AS (SELECT cl.node, cl.component, d.n_chars::BIGINT AS n_chars
+       FROM cl JOIN documents d ON d.doc_id = cl.node),
+wn AS (SELECT component, node AS winner FROM (
+         SELECT component, node,
+                row_number() OVER (PARTITION BY component
+                                   ORDER BY n_chars DESC, node ASC) AS rn
+         FROM mm) WHERE rn = 1)
+SELECT mm.node AS doc_id, mm.component, mm.n_chars,
+       mm.node = wn.winner AS keep
+FROM mm JOIN wn ON wn.component = mm.component
+"""
