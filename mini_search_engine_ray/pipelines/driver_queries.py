@@ -7618,3 +7618,73 @@ SELECT mm.node AS doc_id, mm.component, mm.n_chars,
        mm.node = wn.winner AS keep
 FROM mm JOIN wn ON wn.component = mm.component
 """
+
+
+def q_pagerank_weighted(sf_dir: str):
+    """WEIGHTED PageRank over the q_pagerank doc-id link graph with
+    the deterministic edge weight (src + dst) % 5 + 1 (click-count
+    flavor): edge (u,v) carries score * (w / out_w[u]) — out-weights
+    are sums of small integers, EXACT in float64 on both engines, so
+    the only cross-engine drift is the usual per-iteration sum order
+    under the 4dp half-up gate (pipelines/pagerank.py:
+    pagerank_numpy(weights=...))."""
+    import pyarrow.parquet as pq
+
+    from .pagerank import pagerank_numpy
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i]
+    dst = np.r_[(7 * i + 3) % n, (13 * i + 5) % n]
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = ((src + dst) % 5 + 1).astype(np.float64)
+    scores = pagerank_numpy(src, dst, n, weights=w)
+    return pa.table({"node": pa.array(i), "score": pa.array(_r4(scores))})
+
+
+QUERIES["pagerank_weighted"] = q_pagerank_weighted
+
+
+def _pagerank_weighted_sql(iterations: int = 100,
+                           damping: float = 0.85) -> str:
+    """Unrolled weighted-PageRank replay: same link graph as
+    _pagerank_sql, per-edge weight (src+dst)%5+1, contribution
+    score * (e.w / ws.w) — the identical two IEEE ops the engine
+    computes per edge."""
+    base = 1.0 - damping
+    its = []
+    prev = "s0"
+    for i in range(1, iterations + 1):
+        cur = f"s{i}"
+        its.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT n.node, {base} + {damping} * coalesce(c.s, 0) AS score
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum({prev}.score * (e.w / ws.w)) AS s
+    FROM edges e JOIN {prev} ON {prev}.node = e.src
+                 JOIN ws ON ws.node = e.src
+    GROUP BY e.dst
+  ) c ON c.node = n.node
+)"""
+        )
+        prev = cur
+    return f"""
+WITH m AS (SELECT count(*)::BIGINT AS n FROM documents),
+nodes AS MATERIALIZED (SELECT unnest(range((SELECT n FROM m)))::BIGINT AS node),
+e0 AS (
+  SELECT node AS src, (7 * node + 3) % (SELECT n FROM m) AS dst FROM nodes
+  UNION ALL
+  SELECT node, (13 * node + 5) % (SELECT n FROM m) FROM nodes
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, ((src + dst) % 5 + 1)::DOUBLE AS w
+  FROM e0 WHERE src <> dst),
+ws AS MATERIALIZED (SELECT src AS node, sum(w) AS w FROM edges GROUP BY src),
+s0 AS (SELECT node, 1.0::DOUBLE AS score FROM nodes),
+{",".join(its)}
+SELECT node, {_R4.format(expr="score")} AS score FROM {prev} ORDER BY node
+"""
+
+
+ORACLE_SQL["pagerank_weighted"] = _pagerank_weighted_sql()

@@ -39,6 +39,7 @@ def pagerank_numpy(
     iterations: int = ITERATIONS,
     damping: float = DAMPING,
     personalization: np.ndarray | None = None,
+    weights: np.ndarray | None = None,
 ) -> np.ndarray:
     """Vectorized reference-exact PageRank; returns scores[node].
 
@@ -46,10 +47,17 @@ def pagerank_numpy(
     personalized-PageRank variant — e.g. 1.0 on a seed set, 0
     elsewhere): iteration becomes ``(1-d)*p_i + d*sum`` starting from
     ``p``; ``None`` keeps the reference's uniform behavior exactly
-    (all-ones start, constant ``1-d`` base)."""
+    (all-ones start, constant ``1-d`` base).
+
+    ``weights``: optional per-EDGE positive weights (weighted
+    PageRank — e.g. click counts on links): edge (u, v) carries the
+    fraction w_e / sum of u's outgoing weights instead of 1/outdeg.
+    Arithmetic is exactly ``score * (w / out_w)`` — the same two IEEE
+    ops a SQL replay computes — and ``None`` keeps the unweighted
+    path byte-identical to before (multiply by the precomputed
+    reciprocal)."""
     src = np.asarray(src, dtype=np.int64)
     dst = np.asarray(dst, dtype=np.int64)
-    outdeg = np.bincount(src, minlength=num_nodes).astype(np.float64)
     if personalization is None:
         personal = np.ones(num_nodes, dtype=np.float64)
     else:
@@ -58,13 +66,25 @@ def pagerank_numpy(
             raise ValueError(
                 f"personalization must have shape ({num_nodes},), "
                 f"got {personal.shape}")
+    if weights is None:
+        outdeg = np.bincount(src, minlength=num_nodes).astype(np.float64)
+        inv_out = np.zeros(num_nodes)
+        nz = outdeg > 0
+        inv_out[nz] = 1.0 / outdeg[nz]
+        frac = inv_out[src]
+    else:
+        w = np.asarray(weights, dtype=np.float64)
+        if w.shape != src.shape:
+            raise ValueError("weights must have one entry per edge")
+        if w.size and w.min() <= 0:
+            raise ValueError("edge weights must be positive")
+        out_w = np.zeros(num_nodes)
+        np.add.at(out_w, src, w)
+        frac = w / out_w[src]
     scores = personal.copy()
-    inv_out = np.zeros(num_nodes)
-    nz = outdeg > 0
-    inv_out[nz] = 1.0 / outdeg[nz]
     base = (1.0 - damping) * personal
     for _ in range(iterations):
-        contrib = scores[src] * inv_out[src]
+        contrib = scores[src] * frac
         new = base.copy()
         np.add.at(new, dst, damping * contrib)
         # exact reference arithmetic: (1-d)*p + d * sum
@@ -79,8 +99,15 @@ def pagerank_dataset(
     iterations: int = ITERATIONS,
     damping: float = DAMPING,
     personalization=None,
+    weight_col: str | None = None,
 ):
     """Distributed PageRank over an edges Dataset (src:int64, dst:int64).
+
+    ``weight_col``: optional positive per-edge weight column — edge
+    (u, v) then carries ``score * (w / out_w[u])`` (weighted PageRank;
+    the out-weight pass becomes a grouped SUM instead of a count, the
+    same single exchange). ``None`` keeps the unweighted arithmetic
+    byte-identical to before.
 
     Per iteration: the score vector (8 bytes/node) is broadcast as ONE
     object-store ref; `map_batches` computes per-edge contributions;
@@ -126,13 +153,29 @@ def pagerank_dataset(
     # edge pipeline once per consumer
     edges_ds = edges_ds.materialize()
 
+    @ray.remote
+    def _assemble_out_w(num_nodes: int, *blocks) -> np.ndarray:
+        ow = np.zeros(num_nodes)
+        for b in blocks:
+            if b.num_rows == 0 or "src" not in b.column_names:
+                continue  # empty aggregate blocks carry no schema
+            src = b["src"].to_numpy(zero_copy_only=False)
+            ow[src] = b["wsum"].to_numpy(zero_copy_only=False)
+        return ow
+
     # sorted reduceat reduction, NOT native groupby().aggregate(): the
     # native combine is per-row Python (~60x slower at per-node key
     # cardinality; see stages/aggregates.py)
-    outdeg_blocks = sorted_groupby_agg(
-        edges_ds, ["src"], [("src", "count", "count()")]
-    ).to_arrow_refs()
-    inv_ref = _assemble_inv_out.remote(num_nodes, *outdeg_blocks)
+    if weight_col is None:
+        outdeg_blocks = sorted_groupby_agg(
+            edges_ds, ["src"], [("src", "count", "count()")]
+        ).to_arrow_refs()
+        inv_ref = _assemble_inv_out.remote(num_nodes, *outdeg_blocks)
+    else:
+        out_w_blocks = sorted_groupby_agg(
+            edges_ds, ["src"], [(weight_col, "sum", "wsum")]
+        ).to_arrow_refs()
+        out_w_ref = _assemble_out_w.remote(num_nodes, *out_w_blocks)
 
     if personalization is None:
         personal = np.ones(num_nodes, dtype=np.float64)
@@ -148,14 +191,29 @@ def pagerank_dataset(
     score_ref = ray.put(personal)
     for _ in range(iterations):
 
-        def contrib(t: pa.Table, _s=score_ref, _i=inv_ref) -> pa.Table:
-            import ray as _ray
+        if weight_col is None:
+            def contrib(t: pa.Table, _s=score_ref, _i=inv_ref) -> pa.Table:
+                import ray as _ray
 
-            s = _ray.get(_s)
-            io = _ray.get(_i)
-            src = t["src"].to_numpy(zero_copy_only=False)
-            c = s[src] * io[src]
-            return pa.table({"dst": t["dst"], "c": pa.array(c)})
+                s = _ray.get(_s)
+                io = _ray.get(_i)
+                src = t["src"].to_numpy(zero_copy_only=False)
+                c = s[src] * io[src]
+                return pa.table({"dst": t["dst"], "c": pa.array(c)})
+        else:
+            def contrib(t: pa.Table, _s=score_ref,
+                        _o=out_w_ref) -> pa.Table:
+                import ray as _ray
+
+                s = _ray.get(_s)
+                ow = _ray.get(_o)
+                src = t["src"].to_numpy(zero_copy_only=False)
+                w = t[weight_col].to_numpy(
+                    zero_copy_only=False).astype(np.float64)
+                # score * (w / out_w): the same two IEEE ops the SQL
+                # replay computes
+                c = s[src] * (w / ow[src])
+                return pa.table({"dst": t["dst"], "c": pa.array(c)})
 
         sum_blocks = sorted_groupby_agg(
             edges_ds.map_batches(contrib, batch_format="pyarrow"),

@@ -266,3 +266,59 @@ class TestHits:
             hits_numpy(src, dst, 2, iterations=-1)
         with pytest.raises(ValueError):
             hits_numpy(src, dst, 2, scale=0)
+
+
+class TestWeightedPageRank:
+    def test_numpy_vs_reference_loop(self):
+        rng = np.random.default_rng(71)
+        n, m = 40, 200
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        w = rng.integers(1, 6, m).astype(np.float64)
+        out_w = np.zeros(n)
+        for s, ww in zip(src, w):
+            out_w[s] += ww
+        scores = np.ones(n)
+        for _ in range(20):
+            new = np.full(n, 0.15)
+            for s, d, ww in zip(src, dst, w):
+                new[d] += 0.85 * (scores[s] * (ww / out_w[s]))
+            scores = new
+        got = pagerank_numpy(src, dst, n, iterations=20, weights=w)
+        np.testing.assert_allclose(got, scores, rtol=1e-12)
+
+    def test_uniform_weights_equal_unweighted(self):
+        rng = np.random.default_rng(72)
+        n, m = 30, 150
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        base = pagerank_numpy(src, dst, n, iterations=30)
+        w = np.full(m, 3.0)
+        got = pagerank_numpy(src, dst, n, iterations=30, weights=w)
+        # w/out_w == 1/outdeg up to IEEE rounding of the division pair
+        np.testing.assert_allclose(got, base, rtol=1e-12)
+
+    def test_dataset_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(73)
+        n, m = 120, 900
+        src = rng.integers(0, n, m)
+        dst = rng.integers(0, n, m)
+        w = rng.integers(1, 9, m).astype(np.float64)
+        exp = pagerank_numpy(src, dst, n, iterations=12, weights=w)
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64()),
+                                     "w": pa.array(w)}))
+        got = pagerank_dataset(ds.repartition(5), n, iterations=12,
+                               weight_col="w").to_pandas()
+        np.testing.assert_allclose(
+            got.sort_values("node")["score"].to_numpy(), exp, rtol=1e-12)
+
+    def test_weight_validation(self):
+        src = np.array([0, 1])
+        dst = np.array([1, 0])
+        with pytest.raises(ValueError):
+            pagerank_numpy(src, dst, 2, weights=np.array([1.0]))
+        with pytest.raises(ValueError):
+            pagerank_numpy(src, dst, 2, weights=np.array([1.0, -2.0]))
