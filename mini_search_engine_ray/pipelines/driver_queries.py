@@ -7688,3 +7688,107 @@ SELECT node, {_R4.format(expr="score")} AS score FROM {prev} ORDER BY node
 
 
 ORACLE_SQL["pagerank_weighted"] = _pagerank_weighted_sql()
+
+
+def q_shortest_paths_w(sf_dir: str):
+    """Weighted multi-source shortest paths (3 bounded Bellman-Ford
+    relaxations, stages/graph.py: shortest_paths) over the SYMMETRIZED
+    chord graph with the deterministic edge weight (s+d)%5+1 —
+    all-integer distances, so the unrolled oracle replays every
+    relaxation exactly; seeds every 100th node."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import shortest_paths
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    s1 = np.r_[i, i, i]
+    d1 = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    src = np.r_[s1, d1]
+    dst = np.r_[d1, s1]
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = (src + dst) % 5 + 1
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst),
+                                    "w": pa.array(w)}))
+    seeds = list(range(0, n, 100))
+    return shortest_paths(edges, seeds, rounds=3, weight_col="w",
+                          partitions=4)
+
+
+QUERIES["shortest_paths_w"] = q_shortest_paths_w
+
+ORACLE_SQL["shortest_paths_w"] = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+e AS MATERIALIZED (
+  SELECT s, d, ((s + d) % 5 + 1)::BIGINT AS w FROM raw WHERE s <> d
+  UNION ALL
+  SELECT d, s, ((s + d) % 5 + 1)::BIGINT FROM raw WHERE s <> d),
+d0 AS MATERIALIZED (SELECT i AS node, 0::BIGINT AS d FROM r
+                    WHERE i % 100 = 0),
+c1 AS (SELECT e.d AS node, min(p.d + e.w)::BIGINT AS d
+       FROM e JOIN d0 p ON p.node = e.s GROUP BY e.d),
+d1 AS MATERIALIZED (SELECT node, min(d)::BIGINT AS d FROM
+  (SELECT * FROM d0 UNION ALL SELECT * FROM c1) GROUP BY node),
+c2 AS (SELECT e.d AS node, min(p.d + e.w)::BIGINT AS d
+       FROM e JOIN d1 p ON p.node = e.s GROUP BY e.d),
+d2 AS MATERIALIZED (SELECT node, min(d)::BIGINT AS d FROM
+  (SELECT * FROM d1 UNION ALL SELECT * FROM c2) GROUP BY node),
+c3 AS (SELECT e.d AS node, min(p.d + e.w)::BIGINT AS d
+       FROM e JOIN d2 p ON p.node = e.s GROUP BY e.d),
+d3 AS MATERIALIZED (SELECT node, min(d)::BIGINT AS d FROM
+  (SELECT * FROM d2 UNION ALL SELECT * FROM c3) GROUP BY node)
+SELECT node, d FROM d3
+"""
+
+
+def q_source_vocab_overlap(sf_dir: str):
+    """Pairwise vocabulary Jaccard between sources (corpus
+    mixture-analysis; stages/textstats.py: source_vocab_overlap):
+    token types hashed md5-low-64 so membership decisions are
+    hash-plane and DuckDB-replayable; jaccard is ONE IEEE division
+    rounded half-up to 4dp on both sides."""
+    from ..stages.textstats import source_vocab_overlap
+
+    out = source_vocab_overlap(_docs_ds(sf_dir))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        j = _r4(t["jaccard"].to_numpy(zero_copy_only=False))
+        return t.set_column(t.schema.get_field_index("jaccard"),
+                            "jaccard", pa.array(j))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["source_vocab_overlap"] = q_source_vocab_overlap
+
+ORACLE_SQL["source_vocab_overlap"] = f"""
+WITH tk AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(trim(text, {_SQL_TRIM})),
+                                           '{_SQL_CLASS}'),
+                     x -> x <> '') AS toks
+  FROM documents),
+v AS MATERIALIZED (
+  SELECT DISTINCT source, md5_number_lower(t) AS h
+  FROM (SELECT source, unnest(toks) AS t FROM tk)),
+sz AS MATERIALIZED (SELECT source, count(*)::BIGINT AS n FROM v
+                    GROUP BY source),
+i AS (SELECT x.source AS a, y.source AS b, count(*)::BIGINT AS inter
+      FROM v x JOIN v y ON x.h = y.h AND x.source < y.source
+      GROUP BY 1, 2)
+SELECT i.a, i.b, i.inter, za.n AS n_a, zb.n AS n_b,
+       {_R4.format(expr='i.inter / (za.n + zb.n - i.inter)::DOUBLE')}
+         AS jaccard
+FROM i JOIN sz za ON za.source = i.a
+       JOIN sz zb ON zb.source = i.b
+"""

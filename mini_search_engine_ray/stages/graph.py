@@ -30,7 +30,8 @@ from .join import sort_merge_join
 
 __all__ = ["undirected_edges", "triangle_counts", "local_clustering",
            "bfs_hops", "common_neighbor_pairs", "degree_assortativity",
-           "k_core", "feature_propagation", "label_propagation"]
+           "k_core", "feature_propagation", "label_propagation",
+           "shortest_paths"]
 
 
 def undirected_edges(ds, src_col: str = "src", dst_col: str = "dst", *,
@@ -671,7 +672,6 @@ def k_core(edges, k: int, *, rounds: int | None = None,
     n_prev = None
     r = 0
     while True:
-        deg = degrees(cur).materialize()
         kk = k
 
         def keep_node(t: pa.Table, _k=kk) -> pa.Table:
@@ -679,8 +679,11 @@ def k_core(edges, k: int, *, rounds: int | None = None,
 
             return t.filter(pc.greater_equal(t["deg"], _k))
 
-        alive = deg.map_batches(keep_node, batch_format="pyarrow") \
-            .materialize()
+        # ONE materialization per round: the degree pipeline fuses
+        # straight into the filter (alive feeds count + the edge
+        # filter, so it is the only handle worth pinning)
+        alive = degrees(cur).map_batches(
+            keep_node, batch_format="pyarrow").materialize()
         n_alive = alive.count()
         done = (rounds is not None and r >= rounds) or \
             (rounds is None and n_prev is not None and n_alive == n_prev)
@@ -908,3 +911,72 @@ def label_propagation(edges, *, rounds: int = 3,
         return pa.table({"node": t["node"], "label": t["lbl"]})
 
     return labels.map_batches(out, batch_format="pyarrow")
+
+
+def shortest_paths(edges, seeds, *, rounds: int,
+                   weight_col: str | None = None,
+                   src_col: str = "src", dst_col: str = "dst",
+                   partitions: int | None = None):
+    """Weighted multi-source shortest paths by ``rounds`` synchronous
+    Bellman-Ford relaxations — the weighted generalization of
+    :func:`bfs_hops` (distance = sum of edge weights instead of hop
+    count).  Returns (node, d): the exact shortest distance from the
+    nearest seed among paths of at most ``rounds`` edges; with
+    ``rounds`` >= the weighted-path diameter this is the true SSSP
+    fixpoint.  Edges are DIRECTED as given (symmetrize first for
+    undirected semantics); weights must be non-negative int64 (the
+    all-integer arithmetic is what makes an unrolled SQL replay
+    exact — no float min anywhere).
+
+    Per round: the distance table (node-sized) sort-merge-joins the
+    edge list on the source (ONE key range sort), candidates
+    (dst, d + w) union the previous table, and a grouped MIN collapses
+    them — every exchange edge- or node-sized, nothing dense, nothing
+    on the driver.
+    """
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    seeds = sorted({int(s) for s in seeds})
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = pc.cast(t[src_col], pa.int64())
+        d = pc.cast(t[dst_col], pa.int64())
+        if weight_col is None:
+            w = pa.array(np.ones(t.num_rows, dtype=np.int64))
+        else:
+            w = pc.cast(t[weight_col], pa.int64())
+            if t.num_rows and pc.min(w).as_py() < 0:
+                raise ValueError("edge weights must be non-negative")
+        keep = pc.and_kleene(pc.is_valid(s), pc.is_valid(d))
+        return pa.table({"src": s, "dst": d, "w": w}).filter(
+            pc.fill_null(keep, False))
+
+    e = edges.map_batches(canon, batch_format="pyarrow").materialize()
+    e_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                          ("w", pa.int64())])
+    dist_schema = pa.schema([("node", pa.int64()), ("d", pa.int64())])
+    dist = rd.from_arrow(pa.table({
+        "node": pa.array(seeds, pa.int64()),
+        "d": pa.array(np.zeros(len(seeds), dtype=np.int64))}))
+
+    def relax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "dst" not in t.column_names:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "d": pa.array([], pa.int64())})
+        return pa.table({"node": t["dst"],
+                         "d": pc.add(t["d"], t["w"])})
+
+    for _ in range(rounds):
+        j = sort_merge_join(e, dist, on="src", right_on="node",
+                            how="inner", left_schema=e_schema,
+                            right_schema=dist_schema,
+                            partitions=partitions)
+        cand = j.map_batches(relax, batch_format="pyarrow")
+        dist = sorted_groupby_agg(dist.union(cand), ["node"],
+                                  [("d", "min", "d")],
+                                  in_schema=dist_schema)
+    return dist

@@ -1071,3 +1071,132 @@ def best_window_snippets(ds, terms, *, window: int = 8,
                          "snippet": snip})
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def source_vocab_overlap(ds, *, text_col: str = "text",
+                         group_col: str = "source"):
+    """Pairwise VOCABULARY Jaccard between document groups (the corpus
+    mixture-analysis signal: how much do two sources share a
+    vocabulary?).  Rows (a, b, inter, n_a, n_b, jaccard) for every
+    group pair (a < b, string order) sharing at least one token type.
+
+    Tokens are the raw punctuation-tokenized stream (stopwords
+    retained) hashed to md5-low-64 so the shuffle never carries token
+    TEXT and DuckDB ``md5_number_lower`` replays every membership
+    decision, collisions included.  Plan: per-batch local distinct
+    (group, hash) pairs -> ONE grouped distinct (vocabulary-sized
+    narrow exchange) -> ONE range sort by hash with a segmented
+    all-pairs sweep per run (each token type appears in at most
+    |groups| rows, so a run's pair fan-out is bounded by C(|groups|,2)
+    — never document-sized) -> pair-keyed grouped count; per-group
+    vocabulary sizes are a group-bounded driver collect broadcast into
+    the final map.  jaccard = inter / (n_a + n_b - inter), ONE
+    replayable IEEE division (rounding is the caller's concern).
+    """
+    import ray
+
+    from ..functions.hashing import md5_low64_batch
+    from .aggregates import sorted_groupby_agg
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({group_col: pa.array([], pa.string()),
+                          "h": pa.array([], pa.uint64())})
+        if t.num_rows == 0:
+            return empty
+        content = t[text_col].combine_chunks() \
+            if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        parents, values = _split_tokens(content)
+        if len(values) == 0:
+            return empty
+        g = t[group_col]
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        codes = parents  # doc row index per token
+        h = md5_low64_batch(values.to_pylist())
+        # local distinct on (doc-group, hash): group strings dedup via
+        # the doc's group VALUE, not row — map rows to group codes
+        gd = g.dictionary_encode()
+        gcode = gd.indices.to_numpy(zero_copy_only=False)[codes]
+        order = np.lexsort((h, gcode))
+        gs, hs = gcode[order], h[order]
+        first = np.r_[True, (gs[1:] != gs[:-1]) | (hs[1:] != hs[:-1])]
+        return pa.table({
+            group_col: gd.dictionary.take(pa.array(gs[first])),
+            "h": pa.array(hs[first]),
+        })
+
+    pair_schema = pa.schema([(group_col, pa.string()), ("h", pa.uint64())])
+    vocab = sorted_groupby_agg(
+        ds.map_batches(distinct_pairs, batch_format="pyarrow"),
+        [group_col, "h"], [("h", "count", "_m")],
+        in_schema=pair_schema).map_batches(
+            lambda t: t.drop_columns(["_m"]), batch_format="pyarrow") \
+        .materialize()
+
+    sizes = sorted_groupby_agg(
+        vocab, [group_col], [(group_col, "count", "n")],
+        in_schema=pair_schema)
+    # group-bounded collect (|groups| rows by contract), broadcast once
+    sz = {}
+    for b in sizes.iter_batches(batch_format="pyarrow"):
+        if b.num_rows == 0 or group_col not in b.column_names:
+            continue
+        for k, v in zip(b[group_col].to_pylist(), b["n"].to_pylist()):
+            sz[k] = int(v)
+    sz_ref = ray.put(sz)
+
+    def run_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string())})
+        if t.num_rows == 0 or "h" not in t.column_names:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        g = t[group_col]
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        gnp = np.asarray(g.to_pylist(), dtype=object)
+        order = np.lexsort((gnp, h))
+        h, gnp = h[order], gnp[order]
+        n = len(h)
+        starts = np.flatnonzero(np.r_[True, h[1:] != h[:-1]])
+        lens = np.diff(np.r_[starts, n]).astype(np.int64)
+        per_left = np.repeat(starts + lens, lens) \
+            - np.arange(n, dtype=np.int64) - 1
+        total = int(per_left.sum())
+        if total == 0:
+            return empty
+        seg_off = np.r_[0, np.cumsum(per_left)[:-1]]
+        li = np.repeat(np.arange(n, dtype=np.int64), per_left)
+        ri = li + 1 + (np.arange(total, dtype=np.int64)
+                       - np.repeat(seg_off, per_left))
+        return pa.table({"a": pa.array(gnp[li], pa.string()),
+                         "b": pa.array(gnp[ri], pa.string())})
+
+    inter = sorted_groupby_agg(
+        vocab.sort("h").map_batches(run_pairs, batch_size=None,
+                                    batch_format="pyarrow"),
+        ["a", "b"], [("a", "count", "inter")],
+        in_schema=pa.schema([("a", pa.string()), ("b", pa.string())]))
+
+    def finish(t: pa.Table, _s=sz_ref) -> pa.Table:
+        empty = pa.table({"a": pa.array([], pa.string()),
+                          "b": pa.array([], pa.string()),
+                          "inter": pa.array([], pa.int64()),
+                          "n_a": pa.array([], pa.int64()),
+                          "n_b": pa.array([], pa.int64()),
+                          "jaccard": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return empty
+        import ray as _ray
+
+        szd = _ray.get(_s)
+        a = t["a"].to_pylist()
+        b = t["b"].to_pylist()
+        ii = t["inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+        na = np.array([szd[x] for x in a], dtype=np.int64)
+        nb = np.array([szd[x] for x in b], dtype=np.int64)
+        # int64 union size, ONE float division — the SQL expression
+        jac = ii.astype(np.float64) / (na + nb - ii).astype(np.float64)
+        return pa.table({"a": t["a"], "b": t["b"], "inter": t["inter"],
+                         "n_a": pa.array(na), "n_b": pa.array(nb),
+                         "jaccard": pa.array(jac)})
+
+    return inter.map_batches(finish, batch_format="pyarrow")

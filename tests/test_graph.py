@@ -551,3 +551,76 @@ class TestLabelPropagation:
         assert all(lbl[n_] == 10 for n_ in range(10, 15))
         with pytest.raises(ValueError):
             label_propagation(rd.from_arrow(t), rounds=-1)
+
+class TestShortestPaths:
+    @staticmethod
+    def _brute(edges, seeds, rounds):
+        dist = {s: 0 for s in seeds}
+        for _ in range(rounds):
+            nxt = dict(dist)
+            for s, d, w in edges:
+                if s in dist:
+                    c = dist[s] + w
+                    if c < nxt.get(d, c + 1):
+                        nxt[d] = c
+            dist = nxt
+        return dist
+
+    def test_vs_brute_force_random(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import shortest_paths
+
+        rng = np.random.default_rng(81)
+        m = 1200
+        src = rng.integers(0, 200, m)
+        dst = rng.integers(0, 200, m)
+        w = rng.integers(0, 10, m)
+        trips = list(zip(src.tolist(), dst.tolist(), w.tolist()))
+        ds = rd.from_arrow(pa.table({"src": pa.array(src, pa.int64()),
+                                     "dst": pa.array(dst, pa.int64()),
+                                     "w": pa.array(w, pa.int64())}))
+        for rounds in (0, 1, 4):
+            exp = self._brute(trips, [0, 50, 150], rounds)
+            got = shortest_paths(ds.repartition(5), [0, 50, 150],
+                                 rounds=rounds, weight_col="w",
+                                 partitions=4).to_pandas()
+            assert dict(zip(got["node"], got["d"])) == exp
+
+    def test_unweighted_equals_bfs_hops(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import (bfs_hops,
+                                                         shortest_paths)
+
+        rng = np.random.default_rng(82)
+        m = 800
+        src = rng.integers(0, 150, m)
+        dst = rng.integers(0, 150, m)
+        # bfs_hops is undirected: symmetrize for shortest_paths
+        t = pa.table({"src": pa.array(np.r_[src, dst]),
+                      "dst": pa.array(np.r_[dst, src])})
+        ds = rd.from_arrow(t)
+        hops = bfs_hops(ds, [3, 99], max_hops=3).to_pandas()
+        sp = shortest_paths(ds, [3, 99], rounds=3).to_pandas()
+        assert dict(zip(sp["node"], sp["d"])) == \
+            dict(zip(hops["node"], hops["hop"]))
+
+    def test_weighted_detour_beats_direct(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import shortest_paths
+
+        # direct 0->2 costs 10; detour 0->1->2 costs 3 — needs 2 rounds
+        t = pa.table({"src": pa.array([0, 0, 1], pa.int64()),
+                      "dst": pa.array([2, 1, 2], pa.int64()),
+                      "w": pa.array([10, 1, 2], pa.int64())})
+        ds = rd.from_arrow(t)
+        r1 = shortest_paths(ds, [0], rounds=1, weight_col="w").to_pandas()
+        assert dict(zip(r1["node"], r1["d"])) == {0: 0, 1: 1, 2: 10}
+        r2 = shortest_paths(ds, [0], rounds=2, weight_col="w").to_pandas()
+        assert dict(zip(r2["node"], r2["d"])) == {0: 0, 1: 1, 2: 3}
+        with pytest.raises(ValueError):
+            shortest_paths(ds, [], rounds=1)
+        with pytest.raises(ValueError):
+            shortest_paths(ds, [0], rounds=-1)

@@ -118,3 +118,61 @@ class TestUnigramLogprob:
             unigram_logprob(ds, top_v=0)
         with pytest.raises(ValueError, match="oov_count"):
             unigram_logprob(ds, top_v=5, oov_count=0.0)
+
+
+class TestSourceVocabOverlap:
+    def test_vs_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.functions.tokenizers import (
+            JAVA_TRIM_CHARS)
+        from mini_search_engine_ray.stages.textstats import (
+            source_vocab_overlap)
+        import re
+
+        rng = np.random.default_rng(91)
+        words = [f"w{i}" for i in range(40)]
+        rows = []
+        for i in range(60):
+            src = f"s{i % 4}"
+            toks = rng.choice(words, size=rng.integers(3, 12))
+            rows.append({"doc_id": i, "source": src,
+                         "text": " ".join(toks)})
+        # brute force: token-type sets per source over the same
+        # tokenizer (simple words here, split == whitespace)
+        vocab = {}
+        for r in rows:
+            toks = [w.lower() for w in re.split(r"\W+", r["text"]) if w]
+            vocab.setdefault(r["source"], set()).update(toks)
+        exp = {}
+        ks = sorted(vocab)
+        for x in range(len(ks)):
+            for y in range(x + 1, len(ks)):
+                a, b = ks[x], ks[y]
+                i = len(vocab[a] & vocab[b])
+                if i:
+                    exp[(a, b)] = (i, len(vocab[a]), len(vocab[b]),
+                                   i / (len(vocab[a]) + len(vocab[b]) - i))
+        ds = rd.from_items(rows).repartition(5)
+        got = source_vocab_overlap(ds).to_pandas()
+        assert {(r.a, r.b): (r.inter, r.n_a, r.n_b, r.jaccard)
+                for r in got.itertuples()} == exp
+
+    def test_disjoint_and_identical(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.textstats import (
+            source_vocab_overlap)
+
+        rows = [
+            {"doc_id": 0, "source": "a", "text": "apple banana cherry"},
+            {"doc_id": 1, "source": "b", "text": "banana apple cherry"},
+            {"doc_id": 2, "source": "c", "text": "xylo zulu"},
+        ]
+        got = source_vocab_overlap(rd.from_items(rows)).to_pandas()
+        # (a, b) identical vocab -> jaccard 1.0; c shares nothing ->
+        # absent entirely
+        assert len(got) == 1
+        r = got.iloc[0]
+        assert (r["a"], r["b"]) == ("a", "b")
+        assert r["inter"] == 3 and r["jaccard"] == 1.0
