@@ -765,10 +765,12 @@ def feature_propagation(features, edges, *, rounds: int = 1,
     vec_t = pa.list_(pa.float64())
 
     def tag_edges(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = t.num_rows
-        return pa.table({"key": t[src_col],
+        return pa.table({"key": pc.cast(t[src_col], pa.int64()),
                          "t": pa.array(np.ones(n, np.int8)),
-                         "dst": t[dst_col],
+                         "dst": pc.cast(t[dst_col], pa.int64()),
                          "vec": pa.nulls(n, vec_t)})
 
     def replicate(t: pa.Table) -> pa.Table:
@@ -814,7 +816,9 @@ def feature_propagation(features, edges, *, rounds: int = 1,
             n, d = m.shape
             off = pa.array(np.arange(n + 1, dtype=np.int32) * d)
             vec = pa.ListArray.from_arrays(off, pa.array(m.ravel()))
-            return pa.table({"key": t[_id],
+            import pyarrow.compute as pc
+
+            return pa.table({"key": pc.cast(t[_id], pa.int64()),
                              "t": pa.array(np.zeros(n, np.int8)),
                              "dst": pa.array(np.zeros(n, np.int64)),
                              "vec": vec})

@@ -494,6 +494,30 @@ class TestFeaturePropagation:
             feature_propagation(rd.from_arrow(feats),
                                 rd.from_arrow(edges), rounds=0)
 
+    def test_int32_ids_cast(self, ray_session):
+        # non-int64 id / edge columns must work: the union of the
+        # feature rows and edge rows requires one common key type
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import feature_propagation
+
+        feats = pa.table({
+            "vec_id": pa.array([0, 1], pa.int32()),
+            "embedding": pa.array([[1.0, 3.0], [5.0, 7.0]]),
+        })
+        edges = pa.table({
+            "src": pa.array([0, 1], pa.int32()),
+            "dst": pa.array([1, 0], pa.int32()),
+        })
+        got = feature_propagation(rd.from_arrow(feats),
+                                  rd.from_arrow(edges)).to_pandas()
+        by = {int(r["node"]): np.asarray(r["embedding"])
+              for _, r in got.iterrows()}
+        assert set(by) == {0, 1}
+        np.testing.assert_allclose(by[1], [1.0, 3.0])
+        np.testing.assert_allclose(by[0], [5.0, 7.0])
+
+
 class TestLabelPropagation:
     @staticmethod
     def _brute(pairs, rounds):
