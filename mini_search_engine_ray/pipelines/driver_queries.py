@@ -7792,3 +7792,127 @@ SELECT i.a, i.b, i.inter, za.n AS n_a, zb.n AS n_b,
 FROM i JOIN sz za ON za.source = i.a
        JOIN sz zb ON zb.source = i.b
 """
+
+
+# ---------------------------------------------------------------------------
+# Distributed per-group descriptive statistics (stages/stats.py)
+# ---------------------------------------------------------------------------
+
+def _linear_stats_query(key_col: str):
+    """Per-``key_col`` simple linear regression + Pearson r of event
+    value on time-of-day seconds (x = (epoch_us // 1e6) % 86400 —
+    int64 exact on BOTH sides so the keep/drop decision n>=2 AND
+    n*sxx-sx*sx>0 replays deterministically; the engine and the SQL
+    oracle evaluate the same EXPLICIT closed forms over the sums, not
+    the engines' numerically-stabilized regr_* builtins).  slope /
+    intercept / corr rounded half-up to 4dp on both sides;
+    constant-y groups keep corr NULL."""
+    def q(sf_dir: str):
+        import ray.data as rd
+
+        from ..stages.stats import grouped_linear_stats
+
+        ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                             columns=[key_col, "ts", "value"])
+
+        def derive(t: pa.Table) -> pa.Table:
+            ts = t["ts"].combine_chunks() \
+                if isinstance(t["ts"], pa.ChunkedArray) else t["ts"]
+            us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            x = (us // 1_000_000) % 86_400
+            return pa.table({key_col: t[key_col], "x": pa.array(x),
+                             "y": t["value"]})
+
+        out = grouped_linear_stats(
+            ds.map_batches(derive, batch_format="pyarrow"),
+            key_col=key_col, x_col="x", y_col="y")
+
+        def rnd(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            cols = {key_col: t[key_col], "n": t["n"]}
+            for c in ("slope", "intercept", "corr"):
+                v = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+                nan = np.isnan(v)
+                cols[c] = pa.array(np.where(nan, 0.0, _r4(v)), mask=nan)
+            return pa.table(cols)
+
+        return out.map_batches(rnd, batch_format="pyarrow")
+
+    sql = f"""
+WITH s AS (
+  SELECT {key_col}, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(x * x)::BIGINT AS sxx,
+         sum(y) AS sy, sum(x::DOUBLE * y) AS sxy, sum(y * y) AS syy
+  FROM (SELECT {key_col}, (epoch_us(ts) // 1000000) % 86400 AS x,
+               value AS y FROM events)
+  GROUP BY 1),
+f AS (
+  SELECT {key_col}, n, sx, sy,
+         n::DOUBLE * sxx - sx::DOUBLE * sx AS denom,
+         n::DOUBLE * sxy - sx::DOUBLE * sy AS num,
+         n::DOUBLE * syy - sy * sy AS vary
+  FROM s
+  WHERE n >= 2 AND n::DOUBLE * sxx - sx::DOUBLE * sx > 0)
+SELECT {key_col}, n,
+       {_R4.format(expr='num / denom')} AS slope,
+       {_R4.format(expr='(sy - (num / denom) * sx) / n')} AS intercept,
+       CASE WHEN vary > 0
+            THEN {_R4.format(expr='num / sqrt(denom * vary)')}
+            ELSE NULL END AS corr
+FROM f
+"""
+    return q, sql
+
+
+q_user_value_trend, _user_value_trend_sql = _linear_stats_query("user_id")
+q_event_type_value_trend, _event_type_value_trend_sql = \
+    _linear_stats_query("event_type")
+
+QUERIES["user_value_trend"] = q_user_value_trend
+ORACLE_SQL["user_value_trend"] = _user_value_trend_sql
+QUERIES["event_type_value_trend"] = q_event_type_value_trend
+ORACLE_SQL["event_type_value_trend"] = _event_type_value_trend_sql
+
+
+def q_source_token_entropy(sf_dir: str):
+    """Shannon entropy (nats) of each source's token-type distribution
+    (stages/textstats.py: group_token_entropy): types hashed md5-low-64
+    so every type-merge decision is DuckDB-replayable; n_tokens/vocab
+    are exact int64, entropy = ln(n) - sum(c*ln c)/n gated half-up at
+    4dp on both sides."""
+    from ..stages.textstats import group_token_entropy
+
+    out = group_token_entropy(_docs_ds(sf_dir))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        e = _r4(t["entropy"].to_numpy(zero_copy_only=False))
+        return t.set_column(t.schema.get_field_index("entropy"),
+                            "entropy", pa.array(e))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["source_token_entropy"] = q_source_token_entropy
+
+ORACLE_SQL["source_token_entropy"] = f"""
+WITH tk AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(trim(text, {_SQL_TRIM})),
+                                           '{_SQL_CLASS}'),
+                     x -> x <> '') AS toks
+  FROM documents),
+c AS MATERIALIZED (
+  SELECT source, md5_number_lower(t) AS h, count(*)::BIGINT AS c
+  FROM (SELECT source, unnest(toks) AS t FROM tk) GROUP BY 1, 2),
+g AS (SELECT source, sum(c)::BIGINT AS n_tokens,
+             count(*)::BIGINT AS vocab,
+             sum(c::DOUBLE * ln(c::DOUBLE)) AS s
+      FROM c GROUP BY 1)
+SELECT source, n_tokens, vocab,
+       {_R4.format(expr='(ln(n_tokens::DOUBLE) - s / n_tokens::DOUBLE)')}
+         AS entropy
+FROM g
+"""

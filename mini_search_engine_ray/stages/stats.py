@@ -1,0 +1,159 @@
+"""Distributed per-group descriptive statistics.
+
+Simple linear regression + Pearson correlation per group, computed with
+ONE narrow partial-sums exchange: each batch locally combines its rows
+into one (key, n, Σx, Σx², Σy, Σxy, Σy²) row per (batch, key), the
+global reduction is a ``sorted_groupby_agg`` sum over those partials
+(group-bounded rows per batch, never event-sized), and the closed-form
+finalize is a pure vectorized map.  This is the classic "sufficient
+statistics travel, rows don't" plan — the same shape a 256-node
+cluster wants at 100 TB, because the shuffle carries seven numbers per
+(batch, key) regardless of group size.
+
+Exactness contract: when ``x_col`` is an INTEGER column the Σx / Σx²
+partials stay int64 end to end, so the regression denominator
+``n·Σx² − (Σx)²`` is bit-exact and the SQL oracle's keep/drop decision
+(``denom > 0``) replays deterministically; only Σy / Σxy / Σy² carry
+IEEE summation-order drift (gated at 4 decimals by the driver
+queries).  int64 overflow bound: |x| ≤ X ⇒ Σx² is exact while
+rows-per-group · X² < 2⁶³ (e.g. X = 86 400 ⇒ ~1.2×10⁹ rows/group);
+callers with unbounded x pass a float column and accept float sums.
+
+Semantic anchor: the classical two-pass-free closed forms
+slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n,
+r = (nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²)) — the engine and
+the DuckDB oracle both evaluate these EXPLICIT formulas over exact
+integer / drift-gated float sums rather than relying on the engines'
+(differently implemented, numerically-stabilized) ``regr_slope`` /
+``corr`` builtins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .aggregates import sorted_groupby_agg, static_schema
+
+__all__ = ["grouped_linear_stats"]
+
+
+def grouped_linear_stats(ds, *, key_col: str, x_col: str, y_col: str):
+    """Per-group simple linear regression of ``y_col`` on ``x_col``.
+
+    Returns a Dataset with one row per group that has n ≥ 2 rows AND a
+    strictly positive x-variance (``n·Σx² − (Σx)² > 0`` — the SQL
+    keep/drop mirror), columns::
+
+        key_col    group key (input type; int or string)
+        n          int64 row count
+        slope      least-squares slope      (double)
+        intercept  least-squares intercept  (double)
+        corr       Pearson r, NULL when the y-variance is ≤ 0
+                   (constant y)             (double)
+
+    NULLs in key/x/y raise loudly (same contract as the scan family):
+    SQL aggregates silently skip NULL x/y while ``count(*)`` doesn't,
+    so a null would silently diverge from the oracle instead of
+    failing — filter or fill first.
+    """
+    schema = static_schema(ds)
+    key_t = schema.field(key_col).type if (
+        schema is not None and key_col in schema.names) else pa.int64()
+    x_int = bool(
+        schema is not None and x_col in schema.names
+        and pa.types.is_integer(schema.field(x_col).type))
+    sx_t = pa.int64() if x_int else pa.float64()
+
+    part_schema = pa.schema([
+        (key_col, key_t), ("n", pa.int64()), ("sx", sx_t), ("sxx", sx_t),
+        ("sy", pa.float64()), ("sxy", pa.float64()), ("syy", pa.float64()),
+    ])
+
+    def _np(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            raise ValueError(
+                "grouped_linear_stats: NULLs in key/x/y would silently "
+                "diverge from SQL (sum skips NULL, count(*) doesn't) — "
+                "filter or fill first")
+        return col.to_numpy(zero_copy_only=False)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        key = t[key_col]
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) \
+            else key
+        if key.null_count:
+            raise ValueError("grouped_linear_stats: NULL group key")
+        kd = key.dictionary_encode()
+        codes = kd.indices.to_numpy(zero_copy_only=False)
+        if x_int:
+            x = _np(t[x_col]).astype(np.int64)
+            xx = x * x
+        else:
+            x = _np(t[x_col]).astype(np.float64)
+            xx = x * x
+        y = _np(t[y_col]).astype(np.float64)
+        order = np.argsort(codes, kind="stable")
+        c = codes[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        seg = lambda v: np.add.reduceat(v[order], starts)  # noqa: E731
+        n = np.diff(np.r_[starts, len(c)]).astype(np.int64)
+        xs, ys = x.astype(np.float64), y
+        return pa.table({
+            key_col: kd.dictionary.take(pa.array(c[starts])),
+            "n": pa.array(n),
+            "sx": pa.array(seg(x)),
+            "sxx": pa.array(seg(xx)),
+            "sy": pa.array(seg(y)),
+            "sxy": pa.array(seg(xs * ys)),
+            "syy": pa.array(seg(ys * ys)),
+        })
+
+    agg = sorted_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key_col],
+        [("n", "sum", "n"), ("sx", "sum", "sx"), ("sxx", "sum", "sxx"),
+         ("sy", "sum", "sy"), ("sxy", "sum", "sxy"),
+         ("syy", "sum", "syy")],
+        in_schema=part_schema)
+
+    out_schema = pa.schema([
+        (key_col, key_t), ("n", pa.int64()), ("slope", pa.float64()),
+        ("intercept", pa.float64()), ("corr", pa.float64()),
+    ])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = t["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        denom = n * sxx - sx * sx
+        keep = (n >= 2) & (denom > 0)
+        n, sx, sy, sxy, syy, denom = (
+            v[keep] for v in (n, sx, sy, sxy, syy, denom))
+        num = n * sxy - sx * sy
+        with np.errstate(invalid="ignore", divide="ignore"):
+            slope = num / denom
+            intercept = (sy - slope * sx) / n
+            vary = n * syy - sy * sy
+            corr = np.where(vary > 0, num / np.sqrt(denom * vary), np.nan)
+        key = t[key_col]
+        key = key.combine_chunks() if isinstance(key, pa.ChunkedArray) \
+            else key
+        return pa.table({
+            key_col: key.filter(pa.array(keep)),
+            "n": pa.array(n.astype(np.int64)),
+            "slope": pa.array(slope),
+            "intercept": pa.array(intercept),
+            "corr": pa.array(corr, mask=~(vary > 0)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

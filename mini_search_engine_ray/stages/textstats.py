@@ -1200,3 +1200,111 @@ def source_vocab_overlap(ds, *, text_col: str = "text",
                          "jaccard": pa.array(jac)})
 
     return inter.map_batches(finish, batch_format="pyarrow")
+
+
+def group_token_entropy(ds, *, text_col: str = "text",
+                        group_col: str = "source"):
+    """Shannon entropy (nats) of each group's token-TYPE distribution —
+    the corpus mixture-diversity signal next to
+    :func:`source_vocab_overlap`'s pairwise Jaccard.  Rows
+    (``group_col``, n_tokens, vocab, entropy) with
+
+        H = ln(n) − (Σ_t c_t·ln c_t) / n
+
+    over per-type counts c_t, n = Σ c_t.  Tokens are the raw
+    punctuation-tokenized stream (stopwords retained) hashed md5-low-64
+    so the shuffle never carries token TEXT and DuckDB
+    ``md5_number_lower`` replays every type-merge decision, collisions
+    included.
+
+    Plan: per-batch LOCAL (group, hash) counts (lexsort + run-length,
+    one row per type per batch) → ONE vocabulary-sized grouped sum →
+    per-batch (group, Σc, Σc·ln c, type-count) partials → one
+    group-bounded grouped sum → closed-form finalize.  Counts stay
+    int64 end to end (n and vocab are exact); only Σ c·ln c carries
+    IEEE summation-order drift (the driver query gates entropy at 4
+    decimals).
+    """
+    from ..functions.hashing import md5_low64_batch
+    from .aggregates import sorted_groupby_agg
+
+    cnt_schema = pa.schema([(group_col, pa.string()), ("h", pa.uint64()),
+                            ("c", pa.int64())])
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cnt_schema.empty_table()
+        content = t[text_col].combine_chunks() \
+            if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        parents, values = _split_tokens(content)
+        if len(values) == 0:
+            return cnt_schema.empty_table()
+        g = t[group_col]
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        gd = g.dictionary_encode()
+        gcode = gd.indices.to_numpy(zero_copy_only=False)[parents]
+        h = md5_low64_batch(values.to_pylist())
+        order = np.lexsort((h, gcode))
+        gs, hs = gcode[order], h[order]
+        starts = np.flatnonzero(
+            np.r_[True, (gs[1:] != gs[:-1]) | (hs[1:] != hs[:-1])])
+        c = np.diff(np.r_[starts, len(gs)]).astype(np.int64)
+        return pa.table({
+            group_col: gd.dictionary.take(pa.array(gs[starts])),
+            "h": pa.array(hs[starts]),
+            "c": pa.array(c),
+        })
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(local_counts, batch_format="pyarrow"),
+        [group_col, "h"], [("c", "sum", "c")], in_schema=cnt_schema)
+
+    part_schema = pa.schema([(group_col, pa.string()),
+                             ("n", pa.int64()), ("vocab", pa.int64()),
+                             ("s", pa.float64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        g = t[group_col]
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        gd = g.dictionary_encode()
+        codes = gd.indices.to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        cs, cc = codes[order], c[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        cf = cc.astype(np.float64)
+        return pa.table({
+            group_col: gd.dictionary.take(pa.array(cs[starts])),
+            "n": pa.array(np.add.reduceat(cc, starts)),
+            "vocab": pa.array(np.diff(
+                np.r_[starts, len(cs)]).astype(np.int64)),
+            "s": pa.array(np.add.reduceat(cf * np.log(cf), starts)),
+        })
+
+    agg = sorted_groupby_agg(
+        counts.map_batches(partial, batch_format="pyarrow"),
+        [group_col],
+        [("n", "sum", "n_tokens"), ("vocab", "sum", "vocab"),
+         ("s", "sum", "s")],
+        in_schema=part_schema)
+
+    out_schema = pa.schema([(group_col, pa.string()),
+                            ("n_tokens", pa.int64()),
+                            ("vocab", pa.int64()),
+                            ("entropy", pa.float64())])
+
+    def finalize(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            group_col: t[group_col],
+            "n_tokens": t["n_tokens"],
+            "vocab": t["vocab"],
+            "entropy": pa.array(np.log(n) - s / n),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -1,0 +1,136 @@
+"""grouped_linear_stats + group_token_entropy vs brute force."""
+import collections
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+class TestGroupedLinearStats:
+    def test_vs_polyfit_int_x(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import grouped_linear_stats
+
+        rng = np.random.default_rng(7)
+        n = 5000
+        key = rng.integers(0, 40, n)
+        x = rng.integers(0, 86400, n)
+        y = 3.5 * x / 1e4 + rng.standard_normal(n) * 5 + key
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array(key, pa.int64()),
+            "x": pa.array(x, pa.int64()),
+            "y": pa.array(y)})).repartition(7)
+        got = grouped_linear_stats(
+            ds, key_col="k", x_col="x", y_col="y").to_pandas() \
+            .set_index("k").sort_index()
+        assert len(got) == 40
+        for k in range(40):
+            m = key == k
+            sl, ic = np.polyfit(x[m].astype(float), y[m], 1)
+            r = np.corrcoef(x[m].astype(float), y[m])[0, 1]
+            row = got.loc[k]
+            assert row["n"] == m.sum()
+            assert abs(row["slope"] - sl) < 1e-9
+            assert abs(row["intercept"] - ic) < 1e-8
+            assert abs(row["corr"] - r) < 1e-9
+
+    def test_degenerate_groups_and_string_key(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import grouped_linear_stats
+
+        # "a": constant x -> dropped; "b": n=1 -> dropped;
+        # "c": constant y -> kept, corr NULL; "d": perfect line
+        t = pa.table({
+            "k": pa.array(["a", "a", "a", "b", "c", "c", "d", "d"]),
+            "x": pa.array([5, 5, 5, 1, 1, 2, 1, 3], pa.int64()),
+            "y": pa.array([1., 2., 3., 9., 7., 7., 1., 5.]),
+        })
+        got = grouped_linear_stats(
+            rd.from_arrow(t).repartition(2),
+            key_col="k", x_col="x", y_col="y").to_pandas().set_index("k")
+        assert set(got.index) == {"c", "d"}
+        assert got.loc["c"].isna()["corr"]
+        assert abs(got.loc["c", "slope"]) < 1e-12
+        np.testing.assert_allclose(
+            [got.loc["d", "slope"], got.loc["d", "intercept"],
+             got.loc["d", "corr"]], [2.0, -1.0, 1.0], atol=1e-12)
+
+    def test_float_x_path_and_reshard_stability(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import grouped_linear_stats
+
+        rng = np.random.default_rng(11)
+        n = 1200
+        t = pa.table({
+            "k": pa.array(rng.integers(0, 5, n), pa.int64()),
+            "x": pa.array(rng.standard_normal(n)),
+            "y": pa.array(rng.standard_normal(n)),
+        })
+        outs = []
+        for parts in (1, 6):
+            outs.append(grouped_linear_stats(
+                rd.from_arrow(t).repartition(parts),
+                key_col="k", x_col="x", y_col="y").to_pandas()
+                .set_index("k").sort_index())
+        for c in ("slope", "intercept", "corr"):
+            np.testing.assert_allclose(outs[0][c], outs[1][c],
+                                       rtol=1e-9, atol=1e-12)
+
+    def test_null_inputs_raise(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import grouped_linear_stats
+
+        t = pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "x": pa.array([1, None], pa.int64()),
+                      "y": pa.array([1.0, 2.0])})
+        with pytest.raises(Exception, match="NULL"):
+            grouped_linear_stats(rd.from_arrow(t), key_col="k",
+                                 x_col="x", y_col="y").to_pandas()
+
+
+class TestGroupTokenEntropy:
+    def test_vs_counter(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.textstats import (
+            group_token_entropy,
+        )
+
+        docs = pa.table({
+            "source": pa.array(["a", "a", "b", "b", "b"]),
+            "text": pa.array(["The cat sat", "the dog", "x x X",
+                              "x y", "z"]),
+        })
+        got = group_token_entropy(
+            rd.from_arrow(docs).repartition(3)).to_pandas() \
+            .set_index("source")
+        for s, toks in (("a", "the cat sat the dog".split()),
+                        ("b", "x x x x y z".split())):
+            c = collections.Counter(toks)
+            n = sum(c.values())
+            h = math.log(n) - sum(v * math.log(v) for v in c.values()) / n
+            assert got.loc[s, "n_tokens"] == n
+            assert got.loc[s, "vocab"] == len(c)
+            assert abs(got.loc[s, "entropy"] - h) < 1e-12
+
+    def test_extremes(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.textstats import (
+            group_token_entropy,
+        )
+
+        # uniform distribution -> ln(vocab); single repeated type -> 0
+        docs = pa.table({
+            "source": pa.array(["u", "m"]),
+            "text": pa.array(["a b c d", "w w w w w"]),
+        })
+        got = group_token_entropy(rd.from_arrow(docs)).to_pandas() \
+            .set_index("source")
+        assert abs(got.loc["u", "entropy"] - math.log(4)) < 1e-12
+        assert abs(got.loc["m", "entropy"]) < 1e-12
