@@ -7916,3 +7916,95 @@ SELECT source, n_tokens, vocab,
          AS entropy
 FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics (stages/behavior.py)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_CUTOFF_US = 1_704_153_600_000_000  # 2024-01-02T00:00:00Z
+
+
+def q_cohort_retention(sf_dir: str):
+    """Weekly cohort retention triangle over the event log
+    (stages/behavior.py: cohort_retention): buckets are exact int64
+    epoch_us // (7d in µs) on both sides, retained/cohort exact
+    counts, rate the single 4dp-gated IEEE division."""
+    import ray.data as rd
+
+    from ..stages.behavior import cohort_retention
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    out = cohort_retention(ds, bucket_s=7 * 86400)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        r = _r4(t["rate"].to_numpy(zero_copy_only=False))
+        return t.set_column(t.schema.get_field_index("rate"),
+                            "rate", pa.array(r))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["cohort_retention"] = q_cohort_retention
+
+ORACLE_SQL["cohort_retention"] = f"""
+WITH uw AS MATERIALIZED (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // {7 * 86400 * 1_000_000} AS w
+  FROM events),
+cs AS (SELECT w, count(*)::BIGINT AS cohort FROM uw GROUP BY 1),
+p AS (SELECT a.w AS week, b.w - a.w AS delta, count(*)::BIGINT AS retained
+      FROM uw a JOIN uw b ON a.u = b.u AND b.w > a.w GROUP BY 1, 2)
+SELECT p.week, p.delta, p.retained, cs.cohort,
+       {_R4.format(expr='(p.retained::DOUBLE / cs.cohort::DOUBLE)')} AS rate
+FROM p JOIN cs ON cs.w = p.week
+"""
+
+
+def q_funnel_strict(sf_dir: str):
+    """Strict-order view->click->purchase funnel over the first day of
+    the event log (stages/behavior.py: funnel_counts — the chained-min
+    formulation; the 1-day cutoff keeps per-user event slices sparse
+    enough that the funnel actually discriminates at sf0.01: 56/19/3
+    users).  All-integer decisions; the SQL oracle replays the chain
+    with two joins."""
+    import ray.data as rd
+
+    from ..stages.behavior import funnel_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+
+    def cut(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = t["ts"].combine_chunks() \
+            if isinstance(t["ts"], pa.ChunkedArray) else t["ts"]
+        us = ts.cast(pa.int64())
+        return t.filter(pc.less(us, _FUNNEL_CUTOFF_US))
+
+    return funnel_counts(ds.map_batches(cut, batch_format="pyarrow"),
+                         ["view", "click", "purchase"])
+
+
+QUERIES["funnel_strict"] = q_funnel_strict
+
+ORACLE_SQL["funnel_strict"] = f"""
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE epoch_us(ts) < {_FUNNEL_CUTOFF_US}),
+s1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view'
+       GROUP BY 1),
+s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY 1),
+s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.t > s2.t GROUP BY 1)
+SELECT 1::BIGINT AS step, 'view' AS event_type,
+       (SELECT count(*) FROM s1)::BIGINT AS users
+UNION ALL SELECT 2::BIGINT, 'click',
+       (SELECT count(*) FROM s2)::BIGINT
+UNION ALL SELECT 3::BIGINT, 'purchase',
+       (SELECT count(*) FROM s3)::BIGINT
+"""
