@@ -8008,3 +8008,60 @@ UNION ALL SELECT 2::BIGINT, 'click',
 UNION ALL SELECT 3::BIGINT, 'purchase',
        (SELECT count(*) FROM s3)::BIGINT
 """
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity join (stages/setsim.py)
+# ---------------------------------------------------------------------------
+
+_SETSIM_NUM, _SETSIM_DEN = 2, 5   # Jaccard >= 0.4, integer-exact
+_SETSIM_K = 3                     # trigram shingle sets
+
+
+def q_setsim_join_exact(sf_dir: str):
+    """EXACT shingle-set Jaccard >= 2/5 self-join over documents via
+    All-Pairs/PPJoin prefix filtering (stages/setsim.py:
+    prefix_jaccard_join) — the exact-recall counterpart of the LSH
+    candidate path.  Set elements are trigram md5-low-64 hashes (the
+    `dup_passages` convention), every pruning and the keep decision
+    integer arithmetic, jaccard the single 4dp-gated IEEE division."""
+    import ray.data as rd
+
+    from ..stages.setsim import prefix_jaccard_join
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = prefix_jaccard_join(docs, threshold=(_SETSIM_NUM, _SETSIM_DEN),
+                              shingle_k=_SETSIM_K)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        r = _r4(t["jaccard"].to_numpy(zero_copy_only=False))
+        return t.set_column(t.schema.get_field_index("jaccard"),
+                            "jaccard", pa.array(r))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["setsim_join_exact"] = q_setsim_join_exact
+
+ORACLE_SQL["setsim_join_exact"] = f"""
+WITH {_TOK_CTE},
+g AS MATERIALIZED (
+  SELECT DISTINCT doc_id AS d,
+         md5_number_lower(toks[p] || ' ' || toks[p+1] || ' ' ||
+                          toks[p+2]) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks)-2)) AS p
+        FROM tok WHERE len(toks) >= {_SETSIM_K})),
+sz AS (SELECT d, count(*)::BIGINT AS n FROM g GROUP BY 1),
+p AS (SELECT a.d AS a, b.d AS b, count(*)::BIGINT AS inter_n
+      FROM g a JOIN g b ON a.h = b.h AND a.d < b.d GROUP BY 1, 2),
+j AS (SELECT p.a, p.b, p.inter_n,
+             (sa.n + sb.n - p.inter_n)::BIGINT AS union_n
+      FROM p JOIN sz sa ON sa.d = p.a JOIN sz sb ON sb.d = p.b)
+SELECT a, b, inter_n, union_n,
+       {_R4.format(expr='(inter_n::DOUBLE / union_n::DOUBLE)')} AS jaccard
+FROM j WHERE inter_n * {_SETSIM_DEN} >= union_n * {_SETSIM_NUM}
+"""
