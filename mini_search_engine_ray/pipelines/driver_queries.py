@@ -8065,3 +8065,31 @@ SELECT a, b, inter_n, union_n,
        {_R4.format(expr='(inter_n::DOUBLE / union_n::DOUBLE)')} AS jaccard
 FROM j WHERE inter_n * {_SETSIM_DEN} >= union_n * {_SETSIM_NUM}
 """
+
+
+def q_event_pair_support(sf_dir: str):
+    """Length-2 sequential-pattern support over the event log
+    (stages/behavior.py: event_pair_support): distinct users with a
+    type_a event STRICTLY before a type_b event, via the all-integer
+    min/max formulation — one activity-sized grouped min/max, one
+    user range sort with a |types|²-bounded sweep, one pair count."""
+    import ray.data as rd
+
+    from ..stages.behavior import event_pair_support
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+    return event_pair_support(ds)
+
+
+QUERIES["event_pair_support"] = q_event_pair_support
+
+ORACLE_SQL["event_pair_support"] = """
+WITH mt AS (
+  SELECT user_id AS u, event_type AS ty,
+         min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+  FROM events GROUP BY 1, 2)
+SELECT a.ty AS type_a, b.ty AS type_b, count(*)::BIGINT AS users
+FROM mt a JOIN mt b ON a.u = b.u AND a.ty <> b.ty AND a.mn < b.mx
+GROUP BY 1, 2
+"""

@@ -32,7 +32,7 @@ import pyarrow as pa
 from .aggregates import sorted_groupby_agg
 from .join import sort_merge_join
 
-__all__ = ["cohort_retention", "funnel_counts"]
+__all__ = ["cohort_retention", "event_pair_support", "funnel_counts"]
 
 
 def _ts_us(t: pa.Table, ts_col: str) -> np.ndarray:
@@ -214,3 +214,105 @@ def funnel_counts(events, steps: list[str], *, user_col: str = "user_id",
         "event_type": pa.array(list(steps), pa.string()),
         "users": pa.array(np.asarray(counts, dtype=np.int64)),
     })
+
+
+def event_pair_support(events, *, user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       ts_col: str = "ts"):
+    """Sequential-pattern SUPPORT counts: rows (type_a, type_b, users)
+    for every ORDERED type pair a ≠ b, where ``users`` is the number
+    of distinct users with at least one *a* event STRICTLY before some
+    *b* event — the length-2 sequential-pattern support every
+    market-basket / clickstream miner starts from (Agrawal & Srikant,
+    ICDE 1995's support counting, specialized to 2-sequences).
+
+    The existence test is the min/max formulation:
+    ``∃ (e_a, e_b): t_a < t_b  ⇔  min_ts(a) < max_ts(b)`` — so the
+    whole operator reduces to per-(user, type) min/max timestamps.
+    Strictness is on the int64 µs VALUE, so equal-timestamp ties never
+    qualify and intra-timestamp ordering is immaterial.
+
+    Plan: per-batch local (user, type, min, max) partials → ONE
+    activity-sized grouped min/max of two int64s → ONE range sort by
+    user whose segmented sweep emits both directions of every
+    qualifying type pair (bounded by |types|·(|types|−1) rows per
+    user; the type alphabet is small by contract, the user set is what
+    scales) → ONE pair-keyed grouped count.  Each user contributes a
+    given ordered pair at most once by construction, so the count IS
+    the distinct-user support.  All-integer decisions; a DuckDB oracle
+    replays it with one self-join over the grouped min/max CTE."""
+    mm_schema = pa.schema([("u", pa.int64()), ("ty", pa.string()),
+                           ("mn", pa.int64()), ("mx", pa.int64())])
+
+    def local_mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mm_schema.empty_table()
+        u = t[user_col]
+        u = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+        if u.null_count:
+            raise ValueError("event_pair_support: NULL user key")
+        ty = t[type_col]
+        ty = ty.combine_chunks() if isinstance(ty, pa.ChunkedArray) else ty
+        if ty.null_count:
+            raise ValueError("event_pair_support: NULL event type")
+        un = u.to_numpy(zero_copy_only=False).astype(np.int64)
+        den = ty.dictionary_encode()
+        codes = den.indices.to_numpy(zero_copy_only=False)
+        ts = _ts_us(t, ts_col)
+        order = np.lexsort((ts, codes, un))
+        us, cs, tss = un[order], codes[order], ts[order]
+        starts = np.flatnonzero(
+            np.r_[True, (us[1:] != us[:-1]) | (cs[1:] != cs[:-1])])
+        ends = np.r_[starts[1:], len(us)] - 1
+        return pa.table({
+            "u": pa.array(us[starts]),
+            "ty": den.dictionary.take(pa.array(cs[starts])),
+            "mn": pa.array(tss[starts]),
+            "mx": pa.array(tss[ends]),
+        })
+
+    mm = sorted_groupby_agg(
+        events.map_batches(local_mm, batch_format="pyarrow"),
+        ["u", "ty"], [("mn", "min", "mn"), ("mx", "max", "mx")],
+        in_schema=mm_schema)
+
+    pair_schema = pa.schema([("type_a", pa.string()),
+                             ("type_b", pa.string())])
+
+    def user_sweep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "u" not in t.column_names:
+            return pair_schema.empty_table()
+        u = t["u"].to_numpy(zero_copy_only=False)
+        mn = t["mn"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mx = t["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ty = t["ty"]
+        ty = ty.combine_chunks() if isinstance(ty, pa.ChunkedArray) else ty
+        order = np.lexsort((mn, u))
+        u, s_mn, s_mx = u[order], mn[order], mx[order]
+        n = len(u)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        lens = np.diff(np.r_[starts, n]).astype(np.int64)
+        per_left = np.repeat(starts + lens, lens) \
+            - np.arange(n, dtype=np.int64) - 1
+        total = int(per_left.sum())
+        if total == 0:
+            return pair_schema.empty_table()
+        seg_off = np.r_[0, np.cumsum(per_left)[:-1]]
+        li = np.repeat(np.arange(n, dtype=np.int64), per_left)
+        ri = li + 1 + (np.arange(total, dtype=np.int64)
+                       - np.repeat(seg_off, per_left))
+        # both directions of each within-user unordered pair, each
+        # kept iff min(first) < max(second), strict on the µs value
+        fwd = s_mn[li] < s_mx[ri]
+        rev = s_mn[ri] < s_mx[li]
+        a_idx = np.r_[li[fwd], ri[rev]]
+        b_idx = np.r_[ri[fwd], li[rev]]
+        tko = pa.array(order[a_idx])
+        tkb = pa.array(order[b_idx])
+        return pa.table({"type_a": ty.take(tko), "type_b": ty.take(tkb)})
+
+    return sorted_groupby_agg(
+        mm.sort("u").map_batches(user_sweep, batch_size=None,
+                                 batch_format="pyarrow"),
+        ["type_a", "type_b"], [("type_a", "count", "users")],
+        in_schema=pair_schema)

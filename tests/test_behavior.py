@@ -123,3 +123,65 @@ class TestFunnelCounts:
         assert got["users"].tolist() == [3, 1]
         with pytest.raises(ValueError):
             funnel_counts(rd.from_arrow(t), [])
+
+
+class TestEventPairSupport:
+    @staticmethod
+    def _run(t, blocks=6):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.behavior import \
+            event_pair_support
+
+        rows = event_pair_support(
+            rd.from_arrow(t).repartition(blocks)).take_all()
+        return {(r["type_a"], r["type_b"]): r["users"] for r in rows}
+
+    @staticmethod
+    def _brute(user, ts_us, tps):
+        sup = collections.Counter()
+        for u in np.unique(user):
+            m = user == u
+            per = {ty: ts_us[m & (tps == ty)] for ty in np.unique(tps[m])}
+            for a, b in itertools.permutations(per, 2):
+                if per[a].min() < per[b].max():
+                    sup[(a, b)] += 1
+        return dict(sup)
+
+    def test_brute_force_parity(self):
+        t, user, ts_us, tps = _mk_events(17, n=2500, users=40, days=10)
+        assert self._run(t) == self._brute(user, ts_us, tps)
+
+    def test_strictness_and_tie_semantics(self):
+        # user 1: a@10 then b@20 -> (a,b) only; user 2: a@30 == b@30
+        # tie -> NEITHER direction; user 3: b@5 then a@9 -> (b,a)
+        t = pa.table({
+            "user_id": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+            "ts": pa.array([10, 20, 30, 30, 5, 9], pa.int64()).cast(
+                pa.timestamp("us")),
+            "event_type": pa.array(["a", "b", "a", "b", "b", "a"]),
+        })
+        assert self._run(t, blocks=3) == {("a", "b"): 1, ("b", "a"): 1}
+
+    def test_single_type_users_contribute_nothing(self):
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([1, 2, 3, 4], pa.int64()).cast(
+                pa.timestamp("us")),
+            "event_type": pa.array(["a", "a", "a", "b"]),
+        })
+        assert self._run(t, blocks=2) == {}
+
+    def test_null_keys_raise(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.behavior import \
+            event_pair_support
+
+        t = pa.table({
+            "user_id": pa.array([1, None], pa.int64()),
+            "ts": pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+            "event_type": pa.array(["a", "b"]),
+        })
+        with pytest.raises(Exception):
+            event_pair_support(rd.from_arrow(t)).take_all()
