@@ -8093,3 +8093,58 @@ SELECT a.ty AS type_a, b.ty AS type_b, count(*)::BIGINT AS users
 FROM mt a JOIN mt b ON a.u = b.u AND a.ty <> b.ty AND a.mn < b.mx
 GROUP BY 1, 2
 """
+
+
+def q_profile_events(sf_dir: str):
+    """Single-pass table profile of the event log (stages/profile.py:
+    profile_table): per column n / nulls / exact distinct (md5-low-64
+    plane, SQL-replayable) / numeric-temporal min-max, 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.profile import profile_table
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    out = profile_table(ds)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        for name in ("min_v", "max_v"):
+            v = t[name].to_numpy(zero_copy_only=False)
+            t = t.set_column(t.schema.get_field_index(name), name,
+                             pa.array(_r4(v)))
+        return t
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["profile_events"] = q_profile_events
+
+_PROFILE_COL = """
+SELECT '{c}' AS "column", count(*)::BIGINT AS n,
+       (count(*) - count({c}))::BIGINT AS "nulls",
+       {nd} AS n_distinct, {mn} AS min_v, {mx} AS max_v FROM events
+"""
+
+
+def _profile_events_sql() -> str:
+    def part(c, nd_expr, val_expr):
+        nd = (f"count(DISTINCT md5_number_lower({nd_expr}))::BIGINT"
+              if nd_expr else "NULL::BIGINT")
+        mn = (_R4.format(expr=f"min({val_expr})::DOUBLE")
+              if val_expr else "NULL::DOUBLE")
+        mx = (_R4.format(expr=f"max({val_expr})::DOUBLE")
+              if val_expr else "NULL::DOUBLE")
+        return _PROFILE_COL.format(c=c, nd=nd, mn=mn, mx=mx)
+
+    return " UNION ALL ".join([
+        part("event_id", "event_id::VARCHAR", "event_id"),
+        part("event_type", "event_type", None),
+        part("props", "props", None),
+        part("ts", "epoch_us(ts)::VARCHAR", "epoch_us(ts)"),
+        part("user_id", "user_id::VARCHAR", "user_id"),
+        part("value", None, "value"),
+    ])
+
+
+ORACLE_SQL["profile_events"] = _profile_events_sql()
