@@ -8148,3 +8148,56 @@ def _profile_events_sql() -> str:
 
 
 ORACLE_SQL["profile_events"] = _profile_events_sql()
+
+
+_NEG_PER_NODE, _NEG_SALT = 4, 7
+
+
+def q_negative_edges(sf_dir: str):
+    """Deterministic negative sampling over the directed distinct
+    chord graph (stages/graph.py: negative_edges): per source,
+    _NEG_PER_NODE content-addressed proposals
+    md5_low64(f"{src},{slot},{_NEG_SALT}") % n, minus self-loops and
+    real edges via one (src, dst) sort-merge anti join — the
+    RNG-state-free link-prediction training split."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import negative_edges
+
+    n = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    keep = src != dst
+    st = pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+    # directed DISTINCT edge set (chord collisions dedup)
+    df = st.to_pandas().drop_duplicates()
+    edges = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    return negative_edges(edges, num_nodes=int(n),
+                          per_node=_NEG_PER_NODE, salt=_NEG_SALT,
+                          partitions=4)
+
+
+QUERIES["negative_edges"] = q_negative_edges
+
+ORACLE_SQL["negative_edges"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+ed AS MATERIALIZED (SELECT DISTINCT s, d FROM raw WHERE s <> d),
+srcs AS (SELECT DISTINCT s FROM ed),
+prop AS (
+  SELECT s, j::BIGINT AS slot,
+         (md5_number_lower(s::VARCHAR || ',' || j::VARCHAR ||
+                           ',{_NEG_SALT}')
+          % (SELECT n FROM nn))::BIGINT AS dst
+  FROM srcs, range({_NEG_PER_NODE}) t(j))
+SELECT p.s AS src, p.dst, p.slot
+FROM prop p
+WHERE p.dst <> p.s
+  AND NOT EXISTS (SELECT 1 FROM ed e WHERE e.s = p.s AND e.d = p.dst)
+"""

@@ -984,3 +984,89 @@ def shortest_paths(edges, seeds, *, rounds: int,
                                   [("d", "min", "d")],
                                   in_schema=dist_schema)
     return dist
+
+
+def negative_edges(edges, *, num_nodes: int, per_node: int = 4,
+                   salt: int = 0, src_col: str = "src",
+                   dst_col: str = "dst", partitions: int | None = None):
+    """Deterministic NEGATIVE sampling for link-prediction training:
+    for every distinct source in the edge set, propose ``per_node``
+    candidate destinations content-addressed as
+    ``md5_low64(f"{src},{slot},{salt}") % num_nodes`` (node ids are a
+    dense ``[0, num_nodes)`` range by contract, like the rest of the
+    graph family), then drop self-loops and proposals that are REAL
+    edges.  Content addressing makes the sample re-shard stable,
+    RNG-state-free, and exactly replayable by DuckDB's
+    ``md5_number_lower(s::VARCHAR || ',' || j::VARCHAR || ',salt')``
+    — the training/eval split every GNN pipeline draws, reproducible
+    across engines.
+
+    Plan: per-batch local-distinct sources → ONE source-sized grouped
+    distinct → a pure row-expanding map emitting ``per_node`` slots
+    per source → ONE (src, dst) sort-merge ANTI join against the edge
+    set.  Output (src, dst, slot); (src, slot) is unique by
+    construction, and a destination hit by two slots keeps both rows
+    (the slot column is the identity — drop it to dedup).  Returns
+    rows in no particular order."""
+    from .aggregates import sorted_groupby_agg
+    from .join import sort_merge_join
+    from ..functions.hashing import md5_low64_batch
+
+    if not (isinstance(num_nodes, int) and num_nodes > 0):
+        raise ValueError(f"num_nodes must be a positive int, got {num_nodes!r}")
+    if not (isinstance(per_node, int) and per_node >= 1):
+        raise ValueError(f"per_node must be an int >= 1, got {per_node!r}")
+
+    src_schema = pa.schema([("s", pa.int64())])
+
+    def local_src(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return src_schema.empty_table()
+        s = t[src_col]
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        if s.null_count:
+            raise ValueError("negative_edges: NULL source id")
+        u = np.unique(s.to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"s": pa.array(u)})
+
+    srcs = sorted_groupby_agg(
+        edges.map_batches(local_src, batch_format="pyarrow"),
+        ["s"], [("s", "count", "_m")],
+        in_schema=src_schema)
+
+    prop_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64()),
+                             ("slot", pa.int64())])
+
+    def propose(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "s" not in t.column_names:
+            return prop_schema.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src_rep = np.repeat(s, per_node)
+        slot = np.tile(np.arange(per_node, dtype=np.int64), len(s))
+        keys = [f"{a},{j},{salt}" for a, j in zip(src_rep, slot)]
+        dst = (md5_low64_batch(keys) % np.uint64(num_nodes)).astype(np.int64)
+        keep = dst != src_rep
+        return pa.table({"src": pa.array(src_rep[keep]),
+                         "dst": pa.array(dst[keep]),
+                         "slot": pa.array(slot[keep])})
+
+    props = srcs.map_batches(propose, batch_format="pyarrow")
+
+    def edge_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"src": pa.array([], pa.int64()),
+                          "dst": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        s = t[src_col]
+        d = t[dst_col]
+        s = s.combine_chunks() if isinstance(s, pa.ChunkedArray) else s
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        return pa.table({"src": s.cast(pa.int64()),
+                         "dst": d.cast(pa.int64())})
+
+    real = edges.map_batches(edge_rows, batch_format="pyarrow")
+    return sort_merge_join(
+        props, real, on=["src", "dst"], how="anti",
+        left_schema=prop_schema,
+        right_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+        partitions=partitions)

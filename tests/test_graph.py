@@ -648,3 +648,65 @@ class TestShortestPaths:
             shortest_paths(ds, [], rounds=1)
         with pytest.raises(ValueError):
             shortest_paths(ds, [0], rounds=-1)
+
+
+class TestNegativeEdges:
+    @staticmethod
+    def _run(src, dst, n, m, salt, blocks=4):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import negative_edges
+
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        rows = negative_edges(rd.from_arrow(t).repartition(blocks),
+                              num_nodes=n, per_node=m,
+                              salt=salt).take_all()
+        return {(r["src"], r["dst"], r["slot"]) for r in rows}
+
+    @staticmethod
+    def _brute(src, dst, n, m, salt):
+        from mini_search_engine_ray.functions.hashing import md5_low64_str
+
+        eset = set(zip(src, dst))
+        out = set()
+        for s in sorted(set(src)):
+            for j in range(m):
+                d = int(md5_low64_str(f"{s},{j},{salt}") % n)
+                if d != s and (s, d) not in eset:
+                    out.add((s, d, j))
+        return out
+
+    def test_brute_force_parity_and_salt(self):
+        n = 50
+        i = np.arange(n)
+        src = np.r_[i, i].tolist()
+        dst = np.r_[(i + 1) % n, (5 * i + 2) % n].tolist()
+        for salt in (0, 9):
+            assert self._run(src, dst, n, 3, salt) == \
+                self._brute(src, dst, n, 3, salt)
+        # different salts draw different samples
+        assert self._run(src, dst, n, 3, 0) != self._run(src, dst, n, 3, 9)
+
+    def test_complete_graph_leaves_nothing(self):
+        n = 6
+        src, dst = [], []
+        for a in range(n):
+            for b in range(n):
+                if a != b:
+                    src.append(a)
+                    dst.append(b)
+        assert self._run(src, dst, n, 4, 1, blocks=2) == set()
+
+    def test_validation(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import negative_edges
+
+        t = pa.table({"src": pa.array([0], pa.int64()),
+                      "dst": pa.array([1], pa.int64())})
+        ds = rd.from_arrow(t)
+        with pytest.raises(ValueError):
+            negative_edges(ds, num_nodes=0)
+        with pytest.raises(ValueError):
+            negative_edges(ds, num_nodes=5, per_node=0)
