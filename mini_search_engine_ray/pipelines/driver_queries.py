@@ -8201,3 +8201,48 @@ FROM prop p
 WHERE p.dst <> p.s
   AND NOT EXISTS (SELECT 1 FROM ed e WHERE e.s = p.s AND e.d = p.dst)
 """
+
+
+def q_events_pareto(sf_dir: str):
+    """2-D skyline over the event log (stages/skyline.py:
+    pareto_frontier): events not dominated under (maximize integer
+    cents, minimize epoch µs) — the 'highest value, seen earliest'
+    frontier; all-integer comparisons, NOT EXISTS oracle."""
+    import ray.data as rd
+
+    from ..stages.skyline import pareto_frontier
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "value"])
+
+    def proj(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("event_id", pa.int64()),
+                              ("cents", pa.int64()),
+                              ("us", pa.int64())]).empty_table()
+        v = t["value"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].combine_chunks() \
+            if isinstance(t["ts"], pa.ChunkedArray) else t["ts"]
+        return pa.table({
+            "event_id": t["event_id"],
+            "cents": pa.array(np.floor(v * 100).astype(np.int64)),
+            "us": ts.cast(pa.int64()),
+        })
+
+    return pareto_frontier(ds.map_batches(proj, batch_format="pyarrow"),
+                           max_col="cents", min_col="us")
+
+
+QUERIES["events_pareto"] = q_events_pareto
+
+ORACLE_SQL["events_pareto"] = """
+WITH e AS MATERIALIZED (
+  SELECT event_id, floor(value*100)::BIGINT AS cents,
+         epoch_us(ts) AS us
+  FROM events)
+SELECT event_id, cents, us FROM e a
+WHERE NOT EXISTS (
+  SELECT 1 FROM e b
+  WHERE b.cents >= a.cents AND b.us <= a.us
+    AND (b.cents > a.cents OR b.us < a.us))
+"""
