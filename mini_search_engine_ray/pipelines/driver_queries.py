@@ -8246,3 +8246,35 @@ WHERE NOT EXISTS (
   WHERE b.cents >= a.cents AND b.us <= a.us
     AND (b.cents > a.cents OR b.us < a.us))
 """
+
+
+_GAPFILL_BUCKET_S = 6 * 3600  # 6-hour buckets: real gaps at every sf
+
+
+def q_user_activity_gapfill(sf_dir: str):
+    """Per-user dense activity grid (stages/windows.py:
+    gapfill_counts): one row per 6-hour bucket between each user's
+    first and last event, zero-filled — the densification pass before
+    any rolling/forecast model; all-integer buckets and counts."""
+    import ray.data as rd
+
+    from ..stages.windows import gapfill_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    return gapfill_counts(ds, bucket_s=_GAPFILL_BUCKET_S)
+
+
+QUERIES["user_activity_gapfill"] = q_user_activity_gapfill
+
+ORACLE_SQL["user_activity_gapfill"] = f"""
+WITH kb AS (
+  SELECT user_id, epoch_us(ts) // {_GAPFILL_BUCKET_S * 1_000_000} AS w,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+rng AS (SELECT user_id, min(w) AS lo, max(w) AS hi FROM kb GROUP BY 1),
+grid AS (SELECT user_id, unnest(generate_series(lo, hi))::BIGINT AS w
+         FROM rng)
+SELECT g.user_id, g.w AS bucket, coalesce(kb.c, 0)::BIGINT AS cnt
+FROM grid g LEFT JOIN kb ON kb.user_id = g.user_id AND kb.w = g.w
+"""

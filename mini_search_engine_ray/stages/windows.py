@@ -488,3 +488,84 @@ def funnel_depths(ds, steps, *, user_col: str = "user_id",
 
     return best.map_batches(decode, batch_size=None,
                             batch_format="pyarrow")
+
+
+def gapfill_counts(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                   bucket_s: int = 86400):
+    """Time-series DENSIFICATION: per key, one row per bucket in the
+    key's [first-active, last-active] range with the activity count —
+    zeros where the key was silent — the gap-fill every
+    dashboard/forecasting pipeline runs before a rolling model (SQL's
+    ``generate_series`` LEFT JOIN idiom).  Buckets are exact int64
+    ``epoch_us // (bucket_s · 10⁶)``, all decisions integer.
+
+    Plan: per-batch (key, bucket, cnt) partials → ONE activity-sized
+    grouped sum → ONE range sort by key (equal-keys-one-block) whose
+    per-block sweep emits each key's full bucket grid via a segmented
+    arange and places the observed counts with one searchsorted —
+    pure row-expanding, no further exchange.  Output is grid-sized
+    (keys × per-key span): the scale contract is that the time span
+    is bounded (buckets, not events, is the expanding dimension).
+    Returns (key_col, bucket, cnt)."""
+    from .aggregates import sorted_groupby_agg
+
+    if not (isinstance(bucket_s, int) and bucket_s > 0):
+        raise ValueError(f"bucket_s must be a positive int, got {bucket_s!r}")
+    div = bucket_s * 1_000_000
+
+    part_schema = pa.schema([(key_col, pa.int64()), ("bucket", pa.int64()),
+                             ("cnt", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        k = t[key_col]
+        k = k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+        if k.null_count:
+            raise ValueError("gapfill_counts: NULL key")
+        kn = k.to_numpy(zero_copy_only=False).astype(np.int64)
+        w = _ts_us(t, ts_col) // div
+        order = np.lexsort((w, kn))
+        ks, ws = kn[order], w[order]
+        starts = np.flatnonzero(
+            np.r_[True, (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])])
+        cnt = np.diff(np.r_[starts, len(ks)]).astype(np.int64)
+        return pa.table({key_col: pa.array(ks[starts]),
+                         "bucket": pa.array(ws[starts]),
+                         "cnt": pa.array(cnt)})
+
+    kb = sorted_groupby_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        [key_col, "bucket"], [("cnt", "sum", "cnt")],
+        in_schema=part_schema)
+
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key_col not in t.column_names:
+            return part_schema.empty_table()
+        k = _col_np(t, key_col).astype(np.int64)
+        w = _col_np(t, "bucket").astype(np.int64)
+        c = _col_np(t, "cnt").astype(np.int64)
+        order = np.lexsort((w, k))
+        k, w, c = k[order], w[order], c[order]
+        starts = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        ends = np.r_[starts[1:], len(k)]
+        lo, hi = w[starts], w[ends - 1]
+        spans = hi - lo + 1
+        # segmented arange: the dense grid, one np pass
+        off = np.repeat(np.r_[0, np.cumsum(spans)[:-1]], spans)
+        grid_w = np.arange(int(spans.sum()), dtype=np.int64) - off \
+            + np.repeat(lo, spans)
+        grid_k = np.repeat(k[starts], spans)
+        # place observed counts: global position = key-segment offset
+        # + (bucket - lo); observed rows are unique (key, bucket)
+        seg_base = np.r_[0, np.cumsum(spans)[:-1]]
+        pos = np.repeat(seg_base, ends - starts) + \
+            (w - np.repeat(lo, ends - starts))
+        out_c = np.zeros(int(spans.sum()), dtype=np.int64)
+        out_c[pos] = c
+        return pa.table({key_col: pa.array(grid_k),
+                         "bucket": pa.array(grid_w),
+                         "cnt": pa.array(out_c)})
+
+    return kb.sort(key_col).map_batches(fill, batch_size=None,
+                                        batch_format="pyarrow")

@@ -257,3 +257,64 @@ class TestFunnelDepths:
         with __import__("pytest").raises(ValueError):
             funnel_depths(rd.from_arrow(t), [])
         assert funnel_depths(rd.from_arrow(t), ["a"]).take_all() == []
+
+
+class TestGapfillCounts:
+    @staticmethod
+    def _run(t, bucket_s, blocks=6):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.windows import gapfill_counts
+
+        rows = gapfill_counts(rd.from_arrow(t).repartition(blocks),
+                              bucket_s=bucket_s).take_all()
+        return {(r["user_id"], r["bucket"]): r["cnt"] for r in rows}
+
+    def test_brute_force_parity_with_zero_fill(self):
+        import collections
+
+        rng = np.random.default_rng(4)
+        n, users, b = 3000, 25, 3600
+        user = rng.integers(0, users, n)
+        ts = rng.integers(0, 40 * b, n) * 1_000_000
+        t = pa.table({"user_id": pa.array(user, pa.int64()),
+                      "ts": pa.array(ts, pa.int64()).cast(
+                          pa.timestamp("us"))})
+        got = self._run(t, b)
+        cnt = collections.Counter(
+            zip(user.tolist(), (ts // (b * 1_000_000)).tolist()))
+        exp = {}
+        for u in set(user.tolist()):
+            ws = [w for (uu, w) in cnt if uu == u]
+            for w in range(min(ws), max(ws) + 1):
+                exp[(u, w)] = cnt.get((u, w), 0)
+        assert got == exp
+        assert any(v == 0 for v in got.values())  # gaps were filled
+
+    def test_single_bucket_key_and_gap_shape(self):
+        # user 1 active in buckets 0 and 3 only -> grid 0..3 with two
+        # zero rows; user 2 active once -> a single row, no padding
+        t = pa.table({
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([0, 1, 3_000_000 * 3, 9_000_000],
+                           pa.int64()).cast(pa.timestamp("us")),
+        })
+        got = self._run(t, 3, blocks=2)
+        assert got == {(1, 0): 2, (1, 1): 0, (1, 2): 0, (1, 3): 1,
+                       (2, 3): 1}
+
+    def test_validation(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.windows import gapfill_counts
+
+        t = pa.table({"user_id": pa.array([1], pa.int64()),
+                      "ts": pa.array([0], pa.int64()).cast(
+                          pa.timestamp("us"))})
+        with pytest.raises(ValueError):
+            gapfill_counts(rd.from_arrow(t), bucket_s=0)
+        bad = pa.table({"user_id": pa.array([None], pa.int64()),
+                        "ts": pa.array([0], pa.int64()).cast(
+                            pa.timestamp("us"))})
+        with pytest.raises(Exception):
+            gapfill_counts(rd.from_arrow(bad), bucket_s=1).take_all()
