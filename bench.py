@@ -827,6 +827,31 @@ def bench_dup_passages(out: dict) -> None:
     assert total == n * 28 and 0 < total_dup < total
 
 
+def bench_setsim(out: dict) -> None:
+    """Exact prefix-filtered set-similarity self-join at 50k docs
+    (the All-Pairs/PPJoin plan): trigram-set Jaccard >= 1/2 over the
+    planted-cluster dedup corpus — the 1,000 planted near-dup pairs
+    (head + head+" extraword", J ~ 0.95) must ALL surface and nothing
+    else (4000-word vocab keeps random trigram collisions out of the
+    candidate set).  Exchange inventory under test: vocabulary-sized
+    df count, data-sized df join + doc sort, prefix-sized candidate
+    sort, pair verify join."""
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.setsim import prefix_jaccard_join
+
+    n_docs = int(os.environ.get("BENCH_SETSIM_DOCS", "50000"))
+    ds = rd.read_parquet(_dedup_corpus_path(n_docs))
+    t0 = time.time()
+    pairs = prefix_jaccard_join(ds, threshold=(1, 2), shingle_k=3,
+                                join_partitions=32).materialize()
+    n = pairs.count()
+    out["queries"]["setsim_join_50k"] = round(time.time() - t0, 3)
+    assert n == n_docs // 50, n
+    jmin = min(r["jaccard"] for r in pairs.take_all())
+    assert jmin > 0.9, jmin
+
+
 def bench_dedup_rewrite(out: dict) -> None:
     """Duplicate-passage REMOVAL over the same 200k 30-token corpus as
     dup_passages_200k: hash sort -> removal starts -> pack -> one
@@ -1207,7 +1232,7 @@ _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "dedup_verify_100k", "ann_cosine", "ann_quantized", "pagerank",
               "temporal", "connected_components", "join", "join_skew",
               "curation", "kmeans", "scrub", "chunk_decontam", "prefix_scan",
-              "bounded_window", "dup_passages", "dedup_rewrite", "bpe_train",
+              "bounded_window", "dup_passages", "dedup_rewrite", "setsim", "bpe_train",
               "doc_sim", "fuzzy_names", "graph_triangles", "graph_iterative",
               "cooccur", "analytics")
 
@@ -1299,6 +1324,8 @@ def run_all(only: str | None = None) -> dict:
         bench_dup_passages(out)
     if only in (None, "dedup_rewrite"):
         bench_dedup_rewrite(out)
+    if only in (None, "setsim"):
+        bench_setsim(out)
     if only in (None, "bpe_train"):
         bench_bpe_train(out)
     if only in (None, "doc_sim"):

@@ -74,7 +74,11 @@ def ngram_strings(parents: np.ndarray, values: pa.Array, n: int):
         return parents[:0], pa.array([], pa.string())
     m = total - n + 1
     shifted = [values.slice(i, m) for i in range(n)]
-    grams = pc.binary_join_element_wise(*shifted, " ")
+    # the separator scalar must match the value type: a plain " " is
+    # STRING and Arrow has no (large_string, ..., string) kernel, so a
+    # large_string corpus (e.g. large parquet text columns) would fail
+    grams = pc.binary_join_element_wise(
+        *shifted, pa.scalar(" ", type=values.type))
     ok = parents[:m] == parents[n - 1:]
     return parents[:m][ok], grams.filter(pa.array(ok))
 

@@ -108,3 +108,22 @@ def test_validation():
         prefix_jaccard_join(ds, threshold=0.4)
     with pytest.raises(ValueError):
         prefix_jaccard_join(ds, shingle_k=0)
+
+
+def test_large_string_corpus():
+    # regression: ngram_strings' separator must match large_string
+    # values (Arrow has no (large_string, ..., string) join kernel)
+    docs = ["a b c d e", "a b c d e", "q r s t u"]
+    t = pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(docs, pa.large_string())})
+    got = _run_tbl(t, 1, 2, 3)
+    assert got == {(0, 1): (3, 3)}
+
+
+def _run_tbl(t, num, den, k, blocks=2):
+    import ray.data as rd
+
+    rows = prefix_jaccard_join(rd.from_arrow(t).repartition(blocks),
+                               threshold=(num, den),
+                               shingle_k=k).take_all()
+    return {(r["a"], r["b"]): (r["inter_n"], r["union_n"]) for r in rows}
