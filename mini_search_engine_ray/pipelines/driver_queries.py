@@ -8278,3 +8278,58 @@ grid AS (SELECT user_id, unnest(generate_series(lo, hi))::BIGINT AS w
 SELECT g.user_id, g.w AS bucket, coalesce(kb.c, 0)::BIGINT AS cnt
 FROM grid g LEFT JOIN kb ON kb.user_id = g.user_id AND kb.w = g.w
 """
+
+
+def q_event_type_props_assoc(sf_dir: str):
+    """Categorical association (chi-square / MI / Cramér's V) between
+    event_type and props (stages/stats.py: association_stats): the
+    contingency exchange is |types|×|props| cells by contract; the
+    closed forms run over exact int64 cells with the zero-cell chi²
+    contribution folded in as n − Σe; all three floats 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.stats import association_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "props"])
+    out = association_stats(ds, a_col="event_type", b_col="props")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        for name in ("chi2", "mi", "cramers_v"):
+            v = t[name].to_numpy(zero_copy_only=False)
+            t = t.set_column(t.schema.get_field_index(name), name,
+                             pa.array(_r4(v)))
+        return t
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["event_type_props_assoc"] = q_event_type_props_assoc
+
+ORACLE_SQL["event_type_props_assoc"] = f"""
+WITH c AS MATERIALIZED (
+  SELECT event_type AS a, props AS b, count(*)::BIGINT AS o
+  FROM events GROUP BY 1, 2),
+m AS (SELECT a, sum(o)::BIGINT AS ra FROM c GROUP BY 1),
+k AS (SELECT b, sum(o)::BIGINT AS cb FROM c GROUP BY 1),
+nn AS (SELECT sum(o)::BIGINT AS n FROM c),
+x AS (SELECT c.o, m.ra, k.cb, (SELECT n FROM nn) AS n
+      FROM c JOIN m USING (a) JOIN k USING (b)),
+s AS (SELECT max(n) AS n, count(*)::BIGINT AS cells,
+             sum((o - ra::DOUBLE * cb / n) ^ 2
+                 / (ra::DOUBLE * cb / n)) AS chi_obs,
+             sum(ra::DOUBLE * cb / n) AS e_sum,
+             sum((o::DOUBLE / n)
+                 * ln(o::DOUBLE * n / (ra::DOUBLE * cb))) AS mi_raw,
+             (SELECT count(*) FROM m)::BIGINT AS ka,
+             (SELECT count(*) FROM k)::BIGINT AS kb
+      FROM x)
+SELECT n, cells, ((ka - 1) * (kb - 1))::BIGINT AS dof,
+       {_R4.format(expr='(chi_obs + (n - e_sum))')} AS chi2,
+       {_R4.format(expr='mi_raw')} AS mi,
+       {_R4.format(expr='sqrt((chi_obs + (n - e_sum)) '
+                        '/ (n * (least(ka, kb) - 1)))')} AS cramers_v
+FROM s
+"""

@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from .aggregates import sorted_groupby_agg, static_schema
 
-__all__ = ["grouped_linear_stats"]
+__all__ = ["association_stats", "grouped_linear_stats"]
 
 
 def grouped_linear_stats(ds, *, key_col: str, x_col: str, y_col: str):
@@ -157,3 +157,105 @@ def grouped_linear_stats(ds, *, key_col: str, x_col: str, y_col: str):
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def association_stats(ds, *, a_col: str, b_col: str):
+    """Categorical association between two columns: the chi-square
+    independence statistic, mutual information (nats) and Cramér's V
+    over the (a, b) contingency table — the data-quality test every
+    feature-selection / leakage audit runs (Pearson 1900; Cramér
+    1946; Cover & Thomas MI).
+
+    Plan: per-batch local (a, b, cnt) partials → ONE grouped sum
+    bounded by |A|·|B| cells (the contingency table IS the scale
+    contract: categorical alphabets, not rows, bound the exchange) →
+    the cell table collects onto the driver (|A|·|B| rows by
+    contract) where the closed forms are evaluated in one vectorized
+    pass:
+
+      chi2 = Σ_observed (o − r_a·c_b/n)² / (r_a·c_b/n)  +  (n − Σ_observed e)
+             (the second term is EXACTLY the unobserved cells'
+              Σ (0−e)²/e = Σe contribution, since Σ_all e = n —
+              no dense table is ever built)
+      mi   = Σ_observed (o/n) · ln(o·n / (r_a·c_b))
+      v    = √(chi2 / (n · (min(|A|,|B|) − 1)))
+
+    with o, r_a, c_b, n all EXACT int64 (marginals derived from the
+    cells, so no second pass) and only the final float expressions
+    carrying the usual summation-order drift (callers gate at 4dp).
+    Returns a ONE-ROW Dataset (n, cells, dof, chi2, mi, cramers_v);
+    degenerate single-category inputs (dof = 0) return chi2 = 0,
+    mi = 0, cramers_v = NULL (the SQL NULL division)."""
+    import ray.data as rd
+
+    cnt_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("cnt", pa.int64())])
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cnt_schema.empty_table()
+        a = t[a_col]
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        b = t[b_col]
+        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        if a.null_count or b.null_count:
+            raise ValueError("association_stats: NULL category")
+        da, db = a.dictionary_encode(), b.dictionary_encode()
+        ca = da.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = db.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        width = len(db.dictionary)
+        code = ca * width + cb
+        u, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            "a": da.dictionary.take(pa.array(u // width)),
+            "b": db.dictionary.take(pa.array(u % width)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    cells = sorted_groupby_agg(
+        ds.map_batches(local_counts, batch_format="pyarrow"),
+        ["a", "b"], [("cnt", "sum", "cnt")], in_schema=cnt_schema)
+
+    out_schema = pa.schema([
+        ("n", pa.int64()), ("cells", pa.int64()), ("dof", pa.int64()),
+        ("chi2", pa.float64()), ("mi", pa.float64()),
+        ("cramers_v", pa.float64())])
+
+    # contingency-bounded collect (|A|*|B| rows by contract)
+    tabs = [b for b in cells.iter_batches(batch_format="pyarrow")
+            if b.num_rows and "a" in b.column_names]
+    if not tabs:
+        return rd.from_arrow(out_schema.empty_table())
+    tab = pa.concat_tables(tabs)
+    a_codes = tab["a"].dictionary_encode().combine_chunks()
+    b_codes = tab["b"].dictionary_encode().combine_chunks()
+    ia = a_codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ib = b_codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    o = tab["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(o.sum())
+    ka = int(ia.max()) + 1
+    kb = int(ib.max()) + 1
+    ra_tot = np.zeros(ka, np.int64)   # int64-exact marginals (a float
+    np.add.at(ra_tot, ia, o)          # bincount would round above 2^53)
+    cb_tot = np.zeros(kb, np.int64)
+    np.add.at(cb_tot, ib, o)
+    ra, cb = ra_tot[ia], cb_tot[ib]
+    # closed forms over exact int64 cells; float only at the end
+    e = ra.astype(np.float64) * cb.astype(np.float64) / float(n)
+    # cells with o = 0 never reach the grouped count but contribute
+    # (0 - e)²/e = e to chi²; since Σ_all e = n, their total is
+    # exactly n - Σ_observed e — no dense table needed
+    chi2 = float(np.sum((o - e) ** 2 / e) + (n - float(np.sum(e))))
+    mi = float(np.sum((o / n) * np.log(o.astype(np.float64) * n
+                                       / (ra.astype(np.float64) * cb))))
+    dof = (ka - 1) * (kb - 1)
+    denom = n * (min(ka, kb) - 1)
+    v = float(np.sqrt(chi2 / denom)) if denom > 0 else None
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "cells": pa.array([len(o)], pa.int64()),
+        "dof": pa.array([dof], pa.int64()),
+        "chi2": pa.array([chi2], pa.float64()),
+        "mi": pa.array([mi], pa.float64()),
+        "cramers_v": pa.array([v], pa.float64()),
+    }))

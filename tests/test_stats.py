@@ -134,3 +134,82 @@ class TestGroupTokenEntropy:
             .set_index("source")
         assert abs(got.loc["u", "entropy"] - math.log(4)) < 1e-12
         assert abs(got.loc["m", "entropy"]) < 1e-12
+
+
+class TestAssociationStats:
+    @staticmethod
+    def _run(a, b, blocks=5):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import association_stats
+
+        t = pa.table({"a": pa.array(list(a), pa.string()),
+                      "b": pa.array(list(b), pa.string())})
+        return association_stats(rd.from_arrow(t).repartition(blocks),
+                                 a_col="a", b_col="b").take_all()[0]
+
+    @staticmethod
+    def _ref(a, b):
+        import math
+
+        a, b = np.asarray(a), np.asarray(b)
+        ca, cb = sorted(set(a)), sorted(set(b))
+        o = np.array([[np.sum((a == x) & (b == y)) for y in cb]
+                      for x in ca], float)
+        ra = o.sum(1, keepdims=True)
+        cc = o.sum(0, keepdims=True)
+        n = o.sum()
+        e = ra * cc / n
+        chi2 = float(np.sum((o - e) ** 2 / e))
+        m = o > 0
+        mi = float(np.sum((o[m] / n) * np.log(
+            o[m] * n / ((ra @ np.ones((1, len(cb))))[m]
+                        * (np.ones((len(ca), 1)) @ cc)[m]))))
+        v = math.sqrt(chi2 / (n * (min(len(ca), len(cb)) - 1)))
+        return chi2, mi, v, (len(ca) - 1) * (len(cb) - 1)
+
+    def test_reference_parity_with_zero_cells(self):
+        rng = np.random.default_rng(6)
+        n = 5000
+        a = rng.choice(["x", "y", "z"], n, p=[0.5, 0.3, 0.2])
+        # x never produces r -> a real zero cell exercises the n - Σe
+        # correction
+        b = np.where(a == "x", rng.choice(["p", "q"], n, p=[0.8, 0.2]),
+                     rng.choice(["p", "q", "r"], n))
+        got = self._run(a, b)
+        chi2, mi, v, dof = self._ref(a, b)
+        assert abs(got["chi2"] - chi2) < 1e-8 * chi2
+        assert abs(got["mi"] - mi) < 1e-10
+        assert abs(got["cramers_v"] - v) < 1e-12
+        assert got["dof"] == dof and got["n"] == n
+
+    def test_exact_independence_and_perfect_association(self):
+        # product counts -> chi2 == 0, mi == 0 exactly (o == e cellwise)
+        a, b = [], []
+        for x, fx in (("u", 2), ("v", 3)):
+            for y, gy in (("p", 4), ("q", 1)):
+                a += [x] * (fx * gy)
+                b += [y] * (fx * gy)
+        got = self._run(a, b, blocks=3)
+        assert got["chi2"] == 0.0 and got["mi"] == 0.0
+        assert got["cramers_v"] == 0.0
+        # identical columns -> Cramér's V exactly 1
+        c = ["p", "q", "r", "p", "q", "r", "p"]
+        got2 = self._run(c, c, blocks=2)
+        assert abs(got2["cramers_v"] - 1.0) < 1e-12
+
+    def test_degenerate_single_category(self):
+        got = self._run(["only"] * 10, ["p", "q"] * 5, blocks=2)
+        assert got["dof"] == 0 and got["chi2"] == 0.0
+        assert got["cramers_v"] is None
+
+    def test_null_category_raises(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import association_stats
+
+        t = pa.table({"a": pa.array(["x", None], pa.string()),
+                      "b": pa.array(["p", "q"], pa.string())})
+        with pytest.raises(Exception):
+            association_stats(rd.from_arrow(t), a_col="a",
+                              b_col="b").take_all()
