@@ -8333,3 +8333,185 @@ SELECT n, cells, ((ka - 1) * (kb - 1))::BIGINT AS dof,
                         '/ (n * (least(ka, kb) - 1)))')} AS cramers_v
 FROM s
 """
+
+
+_Q3_DATE_US = 852_076_800_000_000  # 1997-01-01T00:00:00Z
+
+
+def q_top_unshipped_orders(sf_dir: str):
+    """TPC-H Q3-pattern composition: BUILDING-segment customers ⨝
+    pre-cutoff orders ⨝ post-cutoff lineitems → per-order revenue →
+    global top 10 — the classic shipping-priority query, composed
+    from the existing join/agg/sort operators.  Revenue is EXACT
+    int64 cents×percent (floor(price*100+0.5) * (100 −
+    floor(disc*100+0.5))), so the top-10 cut and its orderkey
+    tiebreak are fully deterministic across engines."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_mktsegment"])
+
+    def seg(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        return t.select(["c_custkey"])
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate", "o_orderpriority"])
+
+    def ofilt(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].combine_chunks() \
+            if isinstance(t["o_orderdate"], pa.ChunkedArray) \
+            else t["o_orderdate"]
+        us = od.cast(pa.int64())
+        t = t.set_column(t.schema.get_field_index("o_orderdate"),
+                         "o_orderdate", us)
+        return t.filter(pc.less(us, _Q3_DATE_US))
+
+    o_f = orders.map_batches(ofilt, batch_format="pyarrow")
+    o_b = sort_merge_join(
+        o_f, cust.map_batches(seg, batch_format="pyarrow"),
+        on="o_custkey", right_on="c_custkey", how="semi",
+        left_schema=pa.schema([("o_orderkey", pa.int64()),
+                               ("o_custkey", pa.int64()),
+                               ("o_orderdate", pa.int64()),
+                               ("o_orderpriority", pa.string())]),
+        right_schema=pa.schema([("c_custkey", pa.int64())]))
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount", "l_shipdate"])
+
+    def lfilt(t: pa.Table) -> pa.Table:
+        sd = t["l_shipdate"].combine_chunks() \
+            if isinstance(t["l_shipdate"], pa.ChunkedArray) \
+            else t["l_shipdate"]
+        us = sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = us > _Q3_DATE_US
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        d = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        cents = np.floor(p * 100 + 0.5).astype(np.int64) \
+            * (100 - np.floor(d * 100 + 0.5).astype(np.int64))
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"l_orderkey": pa.array(k.astype(np.int64)),
+                         "rev": pa.array(cents)})
+
+    joined = sort_merge_join(
+        li.map_batches(lfilt, batch_format="pyarrow"), o_b,
+        on="l_orderkey", right_on="o_orderkey", how="inner",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("rev", pa.int64())]),
+        right_schema=pa.schema([("o_orderkey", pa.int64()),
+                                ("o_custkey", pa.int64()),
+                                ("o_orderdate", pa.int64()),
+                                ("o_orderpriority", pa.string())]))
+
+    agg = sorted_groupby_agg(
+        joined.select_columns(["l_orderkey", "o_orderdate",
+                               "o_orderpriority", "rev"]),
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        [("rev", "sum", "revenue")])
+
+    return agg.sort(["revenue", "l_orderkey"],
+                    descending=[True, False]).limit(10)
+
+
+QUERIES["top_unshipped_orders"] = q_top_unshipped_orders
+
+ORACLE_SQL["top_unshipped_orders"] = f"""
+SELECT l.l_orderkey, epoch_us(o.o_orderdate)::BIGINT AS o_orderdate,
+       o.o_orderpriority,
+       sum(floor(l.l_extendedprice * 100 + 0.5)::BIGINT
+           * (100 - floor(l.l_discount * 100 + 0.5)::BIGINT))::BIGINT
+         AS revenue
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND epoch_us(o.o_orderdate) < {_Q3_DATE_US}
+  AND epoch_us(l.l_shipdate) > {_Q3_DATE_US}
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10
+"""
+
+
+_POP_BUCKET_S = 7 * 86400  # weekly
+
+
+def q_user_weekly_growth(sf_dir: str):
+    """Period-over-period growth series: weekly per-user activity
+    counts DENSIFIED by gapfill_counts (so LAG aligns calendar weeks,
+    not merely observed weeks), lag_column for the previous week, the
+    exact int64 difference, and rate = cnt/prev (NULL on prev = 0)
+    4dp-gated — the composition every metrics dashboard runs."""
+    import ray.data as rd
+
+    from ..stages.scan import lag_column
+    from ..stages.windows import gapfill_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+    grid = gapfill_counts(ds, bucket_s=_POP_BUCKET_S)
+    lagged = lag_column(grid, value_col="cnt", order_by="bucket",
+                        key_col="user_id", out_col="prev_cnt")
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("bucket", pa.int64()),
+        ("cnt", pa.int64()), ("prev_cnt", pa.int64()),
+        ("diff", pa.int64()), ("rate", pa.float64())])
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        import pyarrow.compute as pc
+
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        prev = t["prev_cnt"]
+        prev = prev.combine_chunks() \
+            if isinstance(prev, pa.ChunkedArray) else prev
+        pn = prev.to_numpy(zero_copy_only=False)
+        has = ~pc.is_null(prev).to_numpy(zero_copy_only=False)
+        pz = np.where(has, pn, 0).astype(np.int64)
+        diff = np.where(has, c - pz, 0)
+        ok = has & (pz > 0)
+        rate = np.where(ok, c / np.maximum(pz, 1), np.nan)
+        return pa.table({
+            "user_id": t["user_id"], "bucket": t["bucket"],
+            "cnt": t["cnt"],
+            "prev_cnt": pa.array(pz, mask=~has),
+            "diff": pa.array(diff, mask=~has),
+            "rate": pa.array(_r4(rate), mask=~ok),
+        })
+
+    return lagged.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["user_weekly_growth"] = q_user_weekly_growth
+
+ORACLE_SQL["user_weekly_growth"] = f"""
+WITH kb AS (
+  SELECT user_id, epoch_us(ts) // {_POP_BUCKET_S * 1_000_000} AS w,
+         count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+rng AS (SELECT user_id, min(w) AS lo, max(w) AS hi FROM kb GROUP BY 1),
+grid AS (SELECT r.user_id, unnest(generate_series(r.lo, r.hi))::BIGINT
+           AS w FROM rng r),
+g AS (SELECT grid.user_id, grid.w AS bucket,
+             coalesce(kb.c, 0)::BIGINT AS cnt
+      FROM grid LEFT JOIN kb ON kb.user_id = grid.user_id
+                            AND kb.w = grid.w),
+lg AS (SELECT user_id, bucket, cnt,
+              lag(cnt) OVER (PARTITION BY user_id ORDER BY bucket)
+                AS prev_cnt
+       FROM g)
+SELECT user_id, bucket, cnt, prev_cnt,
+       (cnt - prev_cnt)::BIGINT AS diff,
+       CASE WHEN prev_cnt > 0 THEN
+         {_R4.format(expr='(cnt::DOUBLE / prev_cnt::DOUBLE)')}
+       ELSE NULL END AS rate
+FROM lg
+"""
