@@ -6696,9 +6696,9 @@ def q_ewma_user_value(sf_dir: str):
     event_id) order — the streaming adjust=False recurrence
     y_i = alpha*v_i + (1-alpha)*y_{i-1}, y_1 = v_1.  The engine's
     one-sort affine-carry scan (`ewma_column`) is bit-identical to
-    the sequential recurrence within a block and exact-up-to-eps
-    across block edges (geometric-decay carry correction), so both
-    sides round 4dp.  Oracle: a recursive CTE stepping the identical
+    the sequential recurrence within a block and given the carry
+    (seeded re-run); the carry STATE is exact-up-to-eps (affine block
+    chain), so both sides round 4dp with a 1e-7 boundary shift.  Oracle: a recursive CTE stepping the identical
     three IEEE ops (0.75*acc + 0.25*v) per row; alpha=0.25 so
     alpha + (1-alpha) == 1.0 exactly (pandas' normalizing divide is
     a no-op)."""
@@ -6717,8 +6717,15 @@ def q_ewma_user_value(sf_dir: str):
         return pa.table({
             "event_id": pc.cast(t["event_id"], pa.int64()),
             "user_id": pc.cast(t["user_id"], pa.int64()),
+            # the 1e-7 shift moves the half-up boundary off the
+            # structural value cluster: alpha = 1/4 over cent values
+            # makes ewma an exact decimal whose 5th digit is often 5,
+            # i.e. EXACTLY on the 4dp boundary, where the engine's
+            # eps-level block-edge carry vs the oracle's sequential
+            # recurrence flip the rounding nondeterministically (the
+            # oracle applies the identical shift)
             "ewma4": pa.array(_r4(t["ewma"].to_numpy(
-                zero_copy_only=False))),
+                zero_copy_only=False) + 1e-7)),
         })
 
     return out.map_batches(fix, batch_format="pyarrow")
@@ -6739,7 +6746,7 @@ r AS (
          {1.0 - EWMA_ALPHA} * r.y + {EWMA_ALPHA} * e.value
   FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
 SELECT event_id, user_id,
-       {_R4.format(expr='y')} AS ewma4
+       {_R4.format(expr='(y + 0.0000001)')} AS ewma4
 FROM r
 """
 
@@ -8514,4 +8521,100 @@ SELECT user_id, bucket, cnt, prev_cnt,
          {_R4.format(expr='(cnt::DOUBLE / prev_cnt::DOUBLE)')}
        ELSE NULL END AS rate
 FROM lg
+"""
+
+
+_CDC_DAY_US = 86_400_000_000
+
+
+def q_orders_cdc_merge(sf_dir: str):
+    """CDC merge (stages/upsert.py: apply_changes): fold a
+    deterministic change stream into orders — every 10th orderkey an
+    update (+1000 total price, version = orderdate + 1 day), every
+    17th a delete (version + 2 days; keys divisible by both get the
+    update then the delete, and the delete wins on version) — the
+    lakehouse MERGE INTO pattern, winner selection one integer
+    (version·2 + priority) grouped max."""
+    import ray.data as rd
+    import pyarrow.compute as pc
+
+    from ..stages.upsert import apply_changes
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=cols)
+
+    def to_us(t: pa.Table) -> pa.Table:
+        od = t["o_orderdate"].combine_chunks() \
+            if isinstance(t["o_orderdate"], pa.ChunkedArray) \
+            else t["o_orderdate"]
+        return t.set_column(t.schema.get_field_index("o_orderdate"),
+                            "o_orderdate", od.cast(pa.int64()))
+
+    base = orders.map_batches(to_us, batch_format="pyarrow")
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [(n, t.schema.field(n).type) for n in cols]
+            + [("is_del", pa.bool_())]).empty_table()
+        if t.num_rows == 0:
+            return empty
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        upd = t.filter(pa.array(k % 10 == 0))
+        dl = t.filter(pa.array(k % 17 == 0))
+        parts = []
+        if upd.num_rows:
+            parts.append(pa.table({
+                "o_orderkey": upd["o_orderkey"],
+                "o_custkey": upd["o_custkey"],
+                "o_orderstatus": upd["o_orderstatus"],
+                "o_totalprice": pc.add(upd["o_totalprice"], 1000.0),
+                "o_orderdate": pc.add(upd["o_orderdate"], _CDC_DAY_US),
+                "o_orderpriority": upd["o_orderpriority"],
+                "is_del": pa.array(np.zeros(upd.num_rows, bool)),
+            }))
+        if dl.num_rows:
+            parts.append(pa.table({
+                "o_orderkey": dl["o_orderkey"],
+                "o_custkey": dl["o_custkey"],
+                "o_orderstatus": dl["o_orderstatus"],
+                "o_totalprice": dl["o_totalprice"],
+                "o_orderdate": pc.add(dl["o_orderdate"],
+                                      2 * _CDC_DAY_US),
+                "o_orderpriority": dl["o_orderpriority"],
+                "is_del": pa.array(np.ones(dl.num_rows, bool)),
+            }))
+        return pa.concat_tables(parts) if parts else empty
+
+    changes = base.map_batches(mk_changes, batch_format="pyarrow")
+    return apply_changes(base, changes, key_cols=["o_orderkey"],
+                         version_col="o_orderdate", delete_col="is_del")
+
+
+QUERIES["orders_cdc_merge"] = q_orders_cdc_merge
+
+ORACLE_SQL["orders_cdc_merge"] = f"""
+WITH b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         epoch_us(o_orderdate) AS o_orderdate, o_orderpriority,
+         0 AS pri, FALSE AS dl
+  FROM orders),
+u AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1000,
+         o_orderdate + {_CDC_DAY_US}, o_orderpriority, 1, FALSE
+  FROM b WHERE o_orderkey % 10 = 0),
+d AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+         o_orderdate + {2 * _CDC_DAY_US}, o_orderpriority, 1, TRUE
+  FROM b WHERE o_orderkey % 17 = 0),
+a AS (SELECT * FROM b UNION ALL SELECT * FROM u
+      UNION ALL SELECT * FROM d),
+w AS (SELECT *, row_number() OVER (
+        PARTITION BY o_orderkey
+        ORDER BY o_orderdate DESC, pri DESC) AS rn
+      FROM a)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+       o_orderdate, o_orderpriority
+FROM w WHERE rn = 1 AND NOT dl
 """

@@ -1095,9 +1095,20 @@ def ewma_column(ds, *, value_col: str, order_by: list[str] | str,
         y = pd.Series(v).groupby(run_id).ewm(alpha=alpha, adjust=False) \
             .mean().to_numpy()
         if carry is not None:
+            # apply the carry BIT-IDENTICALLY to the sequential
+            # recurrence: re-run pandas' ewm over [carry, v_0..v_m-1]
+            # and drop the synthetic seed row — the geometric-decay
+            # closed form (y + om**i * (carry - v0)) is mathematically
+            # equal but rounds differently at the last ulp, which
+            # flips a half-up 4dp gate when values sit exactly on a
+            # decimal boundary (alpha = 1/4 over cent values lands
+            # there structurally).  The carry STATE itself still
+            # comes from the affine block chain (eps-level, see
+            # docstring); this removes the second drift source.
             m = int(starts[0]) if len(starts) else n
-            y[:m] = y[:m] + om ** np.arange(1, m + 1, dtype=np.float64) \
-                * (carry - v[0])
+            seeded = pd.Series(np.r_[carry, v[:m]]) \
+                .ewm(alpha=alpha, adjust=False).mean().to_numpy()
+            y[:m] = seeded[1:]
         return t.append_column(out_col, pa.array(y))
 
     out_refs = [apply.remote(r, next(carry_it)) for r in refs]
