@@ -8618,3 +8618,58 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
        o_orderdate, o_orderpriority
 FROM w WHERE rn = 1 AND NOT dl
 """
+
+
+def q_kmeans_silhouette(sf_dir: str):
+    """Per-cluster simplified silhouette of the kmeans_assign seeding
+    (stages/similarity.py: cluster_silhouette): a = dist to nearest
+    centroid, b = second-nearest, s = (b−a)/max(a,b), distances
+    4dp-rounded before the mins (the kmeans_assign tie convention);
+    mean_sil = Σs/n gated 4dp."""
+    import ray
+
+    from ..stages.similarity import cluster_silhouette
+
+    emb, cents = _kmeans_cent_ref(sf_dir)
+    out = cluster_silhouette(emb, ray.put(cents))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        v = t["mean_sil"].to_numpy(zero_copy_only=False)
+        return t.set_column(t.schema.get_field_index("mean_sil"),
+                            "mean_sil", pa.array(_r4(v)))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["kmeans_silhouette"] = q_kmeans_silhouette
+
+ORACLE_SQL["kmeans_silhouette"] = f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding AS cemb
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})),
+d AS (
+  SELECT e.vec_id, c.cid,
+         {_R4.format(expr="list_distance(e.embedding::DOUBLE[], "
+                          "c.cemb::DOUBLE[])")} AS dist
+  FROM embeddings e CROSS JOIN c),
+r AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cid) AS rn
+  FROM d),
+own AS (SELECT vec_id, cid AS cluster, dist AS da FROM r WHERE rn = 1),
+oth AS (SELECT r.vec_id, min(r.dist) AS db
+        FROM r JOIN own USING (vec_id)
+        WHERE r.cid <> own.cluster GROUP BY 1),
+s AS (SELECT own.cluster,
+             CASE WHEN greatest(da, db) > 0
+                  THEN (db - da) / greatest(da, db)
+                  ELSE 0.0 END AS sil
+      FROM own JOIN oth USING (vec_id))
+SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n,
+       {_R4.format(expr='(sum(sil) / count(*))')} AS mean_sil
+FROM s GROUP BY 1
+"""

@@ -878,3 +878,93 @@ def random_sign_projection(ds, out_dim: int, *, salt: int = 0,
             out_col, pa.ListArray.from_arrays(off, pa.array(y.ravel())))
 
     return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def silhouette_batch(t: pa.Table, cent_ref, *, id_col: str = "vec_id",
+                     emb_col: str = "embedding",
+                     round_dist: bool = True) -> pa.Table:
+    """Per-vector SIMPLIFIED silhouette against the broadcast (k, d)
+    centroid matrix (the centroid-based silhouette of Hruschka et al.;
+    coincides with assignment quality when assignment = nearest):
+    a = distance to the own (nearest) centroid, b = distance to the
+    second-nearest, s = (b − a) / max(a, b) (0 when both are 0).
+    Distances are 4dp-rounded BEFORE the two mins when ``round_dist``
+    so ties and the a/b split replay identically in SQL (the
+    kmeans_assign convention).  One matmul per batch, no shuffle.
+    Returns (id_col, cluster, a, b, sil)."""
+    import ray
+
+    from .textstats import round4
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "cluster": pa.array([], pa.int64()),
+                      "a": pa.array([], pa.float64()),
+                      "b": pa.array([], pa.float64()),
+                      "sil": pa.array([], pa.float64())})
+    if t.num_rows == 0:
+        return empty
+    c = cent_ref if isinstance(cent_ref, np.ndarray) else ray.get(cent_ref)
+    if c.shape[0] < 2:
+        raise ValueError("silhouette needs at least 2 centroids")
+    m = _emb_matrix(t, emb_col).astype(np.float64)
+    sq = (m * m).sum(axis=1, keepdims=True) + (c * c).sum(axis=1) \
+        - 2.0 * (m @ c.T)
+    d = np.sqrt(np.maximum(sq, 0.0))
+    if round_dist:
+        d = round4(d)
+    own = np.argmin(d, axis=1)              # first-minimum tie rule
+    rows = np.arange(len(own))
+    a = d[rows, own]
+    masked = d.copy()
+    masked[rows, own] = np.inf
+    b = masked.min(axis=1)
+    mx = np.maximum(a, b)
+    sil = np.where(mx > 0, (b - a) / np.where(mx > 0, mx, 1.0), 0.0)
+    return pa.table({id_col: t[id_col].cast(pa.int64()),
+                     "cluster": pa.array(own.astype(np.int64)),
+                     "a": pa.array(a), "b": pa.array(b),
+                     "sil": pa.array(sil)})
+
+
+def cluster_silhouette(ds, cent_ref, *, id_col: str = "vec_id",
+                       emb_col: str = "embedding",
+                       round_dist: bool = True):
+    """Per-cluster mean simplified silhouette — the k-means quality
+    report: rows (cluster, n, mean_sil) with mean_sil = Σsil / n (one
+    float division over a drift-gated float sum; callers round 4dp).
+    Scale shape: :func:`silhouette_batch` is a pure broadcast map; the
+    only exchange is a k-bounded grouped (sum, count)."""
+    from functools import partial
+
+    from .aggregates import sorted_groupby_agg
+
+    scored = ds.map_batches(
+        partial(silhouette_batch, cent_ref=cent_ref, id_col=id_col,
+                emb_col=emb_col, round_dist=round_dist),
+        batch_format="pyarrow")
+
+    def proj(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cluster": pa.array([], pa.int64()),
+                             "sil": pa.array([], pa.float64())})
+        return t.select(["cluster", "sil"])
+
+    agg = sorted_groupby_agg(
+        scored.map_batches(proj, batch_format="pyarrow"),
+        ["cluster"],
+        [("cluster", "count", "n"), ("sil", "sum", "_s")],
+        in_schema=pa.schema([("cluster", pa.int64()),
+                             ("sil", pa.float64())]))
+
+    out_schema = pa.schema([("cluster", pa.int64()), ("n", pa.int64()),
+                            ("mean_sil", pa.float64())])
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cluster" not in t.column_names:
+            return out_schema.empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["_s"].to_numpy(zero_copy_only=False)
+        return pa.table({"cluster": t["cluster"], "n": t["n"],
+                         "mean_sil": pa.array(s / n)})
+
+    return agg.map_batches(fin, batch_size=None, batch_format="pyarrow")

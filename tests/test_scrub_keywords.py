@@ -234,3 +234,76 @@ class TestEmptyInputsNewOps:
         te = pa.table({"label": pa.array([], pa.int64()),
                        "embedding": pa.array([], pa.list_(pa.float32()))})
         assert group_centroids(rd.from_arrow(te), "label").count() == 0
+
+
+class TestSilhouette:
+    @staticmethod
+    def _mk(n=300, d=8, k=4, seed=3):
+        rng = np.random.default_rng(seed)
+        cents = rng.normal(size=(k, d)) * 6
+        pts = cents[rng.integers(0, k, n)] + rng.normal(size=(n, d))
+        t = pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(pts.astype(np.float64))),
+        })
+        return t, pts, cents
+
+    def test_reference_parity(self):
+        import ray
+
+        from mini_search_engine_ray.stages.similarity import (
+            cluster_silhouette,
+            silhouette_batch,
+        )
+
+        t, pts, cents = self._mk()
+        got = silhouette_batch(t, cents, round_dist=False)
+        d = np.sqrt(((pts[:, None, :] - cents[None, :, :]) ** 2)
+                    .sum(axis=2))
+        own = np.argmin(d, axis=1)
+        a = d[np.arange(len(own)), own]
+        dd = d.copy()
+        dd[np.arange(len(own)), own] = np.inf
+        b = dd.min(axis=1)
+        sil = (b - a) / np.maximum(a, b)
+        assert np.array_equal(got["cluster"].to_numpy(), own)
+        np.testing.assert_allclose(got["sil"].to_numpy(), sil,
+                                   rtol=1e-10)
+        # grouped means across 5 blocks match the per-point reference
+        rows = cluster_silhouette(_ds(t, 5), ray.put(cents),
+                                  round_dist=False).take_all()
+        for r in rows:
+            m = own == r["cluster"]
+            assert r["n"] == int(m.sum())
+            assert abs(r["mean_sil"] - sil[m].mean()) < 1e-10
+
+    def test_well_separated_beats_degenerate(self):
+        from mini_search_engine_ray.stages.similarity import \
+            silhouette_batch
+
+        t, pts, cents = self._mk(seed=9)
+        good = silhouette_batch(t, cents)["sil"].to_numpy().mean()
+        # all centroids identical except one: silhouette collapses
+        bad_c = np.r_[[cents[0]], [cents[0] + 1e-3], [cents[0] + 2e-3],
+                      [cents[1]]]
+        bad = silhouette_batch(t, np.asarray(bad_c))["sil"].to_numpy() \
+            .mean()
+        assert good > bad
+
+    def test_point_on_centroid_and_validation(self):
+        import pytest as _pytest
+
+        from mini_search_engine_ray.stages.similarity import \
+            silhouette_batch
+
+        cents = np.array([[0.0, 0.0], [3.0, 0.0]])
+        t = pa.table({
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array([[0.0, 0.0], [1.5, 0.0]]),
+        })
+        out = silhouette_batch(t, cents, round_dist=False)
+        sil = out["sil"].to_numpy()
+        assert sil[0] == 1.0          # a = 0, b = 3 -> (3-0)/3
+        assert sil[1] == 0.0          # equidistant -> (b-a)/max = 0
+        with _pytest.raises(ValueError):
+            silhouette_batch(t, cents[:1])
