@@ -8673,3 +8673,106 @@ SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n,
        {_R4.format(expr='(sum(sil) / count(*))')} AS mean_sil
 FROM s GROUP BY 1
 """
+
+
+def q_langid_kappa(sf_dir: str):
+    """Cohen's κ between the labeled lang column and the langid
+    prediction (stages/stats.py: cohens_kappa) — the scalar
+    agreement score on top of the langid_confusion matrix; every sum
+    exact int64, po/pe/κ fixed expressions (4dp-gated)."""
+    import ray.data as rd
+
+    from ..stages.stats import cohens_kappa
+    from ..stages.textstats import langid_batch
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text", "lang"])
+
+    def pred(t: pa.Table) -> pa.Table:
+        out = langid_batch(t)
+        return out.append_column("lang", t["lang"])
+
+    ds = docs.map_batches(pred, batch_format="pyarrow")
+    out = cohens_kappa(ds, a_col="lang", b_col="pred_lang")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        for name in ("po", "pe", "kappa"):
+            v = t[name].to_numpy(zero_copy_only=False)
+            t = t.set_column(t.schema.get_field_index(name), name,
+                             pa.array(_r4(v)))
+        return t
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["langid_kappa"] = q_langid_kappa
+
+ORACLE_SQL["langid_kappa"] = f"""
+WITH p AS (SELECT d.lang, q.pred_lang
+           FROM ({_langid_sql()}) q
+           JOIN documents d USING (doc_id)),
+c AS (SELECT p.lang AS a, p.pred_lang AS b, count(*)::BIGINT AS o
+      FROM p GROUP BY 1, 2),
+m AS (SELECT a, sum(o)::BIGINT AS r FROM c GROUP BY 1),
+k AS (SELECT b, sum(o)::BIGINT AS cc FROM c GROUP BY 1),
+nn AS (SELECT sum(o)::BIGINT AS n,
+              sum(CASE WHEN a = b THEN o ELSE 0 END)::BIGINT AS agree
+       FROM c),
+ch AS (SELECT sum(m.r * k.cc)::BIGINT AS chance
+       FROM m JOIN k ON k.b = m.a)
+SELECT nn.n, nn.agree,
+       {_R4.format(expr='(nn.agree::DOUBLE / nn.n)')} AS po,
+       {_R4.format(expr='(ch.chance::DOUBLE / (nn.n * nn.n))')} AS pe,
+       CASE WHEN ch.chance = nn.n * nn.n THEN NULL ELSE
+         {_R4.format(
+             expr='((nn.agree::DOUBLE / nn.n '
+                  '- ch.chance::DOUBLE / (nn.n * nn.n)) '
+                  '/ (1.0 - ch.chance::DOUBLE / (nn.n * nn.n)))')}
+       END AS kappa
+FROM nn, ch
+"""
+
+
+def q_order_custkey_skew(sf_dir: str):
+    """Key-skew report over orders per customer (stages/stats.py:
+    key_skew_stats): n_keys / n_rows / max_cnt exact int64, max_share
+    and the rank-form gini fixed expressions over exact integers
+    (4dp-gated) — the diagnostic that dispatches the salted join."""
+    import ray.data as rd
+
+    from ..stages.stats import key_skew_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_custkey"])
+    out = key_skew_stats(ds, key_col="o_custkey")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        for name in ("max_share", "gini"):
+            v = t[name].to_numpy(zero_copy_only=False)
+            t = t.set_column(t.schema.get_field_index(name), name,
+                             pa.array(_r4(v)))
+        return t
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["order_custkey_skew"] = q_order_custkey_skew
+
+ORACLE_SQL["order_custkey_skew"] = f"""
+WITH c AS (SELECT o_custkey AS k, count(*)::BIGINT AS cnt
+           FROM orders GROUP BY 1),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, k)::BIGINT AS i
+      FROM c),
+s AS (SELECT count(*)::BIGINT AS nk, sum(cnt)::BIGINT AS s0,
+             sum(i * cnt)::BIGINT AS s1, max(cnt)::BIGINT AS mx
+      FROM r)
+SELECT nk AS n_keys, s0 AS n_rows, mx AS max_cnt,
+       {_R4.format(expr='(mx::DOUBLE / s0)')} AS max_share,
+       {_R4.format(expr='((2 * s1 - (nk + 1) * s0)::DOUBLE '
+                        '/ (nk * s0))')} AS gini
+FROM s
+"""

@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from .aggregates import sorted_groupby_agg, static_schema
 
-__all__ = ["association_stats", "grouped_linear_stats"]
+__all__ = ["association_stats", "cohens_kappa", "grouped_linear_stats", "key_skew_stats"]
 
 
 def grouped_linear_stats(ds, *, key_col: str, x_col: str, y_col: str):
@@ -159,6 +159,46 @@ def grouped_linear_stats(ds, *, key_col: str, x_col: str, y_col: str):
     return agg.map_batches(finalize, batch_format="pyarrow")
 
 
+def _contingency_cells(ds, a_col: str, b_col: str, op_name: str):
+    """Shared contingency plan: per-batch local (a, b, cnt) partials
+    (one width-coded np.unique per batch), ONE grouped sum bounded by
+    |A|·|B| cells, contingency-bounded driver collect.  Returns the
+    collected cell Table (a, b, cnt) or None when the input is
+    empty."""
+    from .aggregates import sorted_groupby_agg
+
+    cnt_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
+                            ("cnt", pa.int64())])
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cnt_schema.empty_table()
+        a = t[a_col]
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        b = t[b_col]
+        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+        if a.null_count or b.null_count:
+            raise ValueError(f"{op_name}: NULL category")
+        da, db = a.dictionary_encode(), b.dictionary_encode()
+        ca = da.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cb = db.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        width = len(db.dictionary)
+        code = ca * width + cb
+        u, cnt = np.unique(code, return_counts=True)
+        return pa.table({
+            "a": da.dictionary.take(pa.array(u // width)),
+            "b": db.dictionary.take(pa.array(u % width)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    cells = sorted_groupby_agg(
+        ds.map_batches(local_counts, batch_format="pyarrow"),
+        ["a", "b"], [("cnt", "sum", "cnt")], in_schema=cnt_schema)
+    tabs = [b for b in cells.iter_batches(batch_format="pyarrow")
+            if b.num_rows and "a" in b.column_names]
+    return pa.concat_tables(tabs) if tabs else None
+
+
 def association_stats(ds, *, a_col: str, b_col: str):
     """Categorical association between two columns: the chi-square
     independence statistic, mutual information (nats) and Cramér's V
@@ -188,45 +228,13 @@ def association_stats(ds, *, a_col: str, b_col: str):
     mi = 0, cramers_v = NULL (the SQL NULL division)."""
     import ray.data as rd
 
-    cnt_schema = pa.schema([("a", pa.string()), ("b", pa.string()),
-                            ("cnt", pa.int64())])
-
-    def local_counts(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return cnt_schema.empty_table()
-        a = t[a_col]
-        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-        b = t[b_col]
-        b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
-        if a.null_count or b.null_count:
-            raise ValueError("association_stats: NULL category")
-        da, db = a.dictionary_encode(), b.dictionary_encode()
-        ca = da.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        cb = db.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        width = len(db.dictionary)
-        code = ca * width + cb
-        u, cnt = np.unique(code, return_counts=True)
-        return pa.table({
-            "a": da.dictionary.take(pa.array(u // width)),
-            "b": db.dictionary.take(pa.array(u % width)),
-            "cnt": pa.array(cnt.astype(np.int64)),
-        })
-
-    cells = sorted_groupby_agg(
-        ds.map_batches(local_counts, batch_format="pyarrow"),
-        ["a", "b"], [("cnt", "sum", "cnt")], in_schema=cnt_schema)
-
     out_schema = pa.schema([
         ("n", pa.int64()), ("cells", pa.int64()), ("dof", pa.int64()),
         ("chi2", pa.float64()), ("mi", pa.float64()),
         ("cramers_v", pa.float64())])
-
-    # contingency-bounded collect (|A|*|B| rows by contract)
-    tabs = [b for b in cells.iter_batches(batch_format="pyarrow")
-            if b.num_rows and "a" in b.column_names]
-    if not tabs:
+    tab = _contingency_cells(ds, a_col, b_col, "association_stats")
+    if tab is None:
         return rd.from_arrow(out_schema.empty_table())
-    tab = pa.concat_tables(tabs)
     a_codes = tab["a"].dictionary_encode().combine_chunks()
     b_codes = tab["b"].dictionary_encode().combine_chunks()
     ia = a_codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
@@ -259,3 +267,133 @@ def association_stats(ds, *, a_col: str, b_col: str):
         "mi": pa.array([mi], pa.float64()),
         "cramers_v": pa.array([v], pa.float64()),
     }))
+
+
+def cohens_kappa(ds, *, a_col: str, b_col: str):
+    """Inter-rater agreement (Cohen 1960) between two label columns —
+    the metric every labeling / weak-supervision audit reports:
+    κ = (p_o − p_e) / (1 − p_e) with p_o the observed agreement and
+    p_e the chance agreement from the marginals.  Same contingency
+    plan as :func:`association_stats` (|A|·|B|-bounded exchange +
+    collect); every sum is EXACT int64 — agree = Σ o[a == b],
+    chance = Σ_label r_l·c_l — so p_o = agree/n and p_e = chance/n²
+    are each ONE IEEE division and κ one fixed expression: fully
+    deterministic, no summation-order drift anywhere.  Returns a
+    one-row Dataset (n, agree, po, pe, kappa); κ is NULL when
+    p_e = 1 (both columns a single identical label)."""
+    import ray.data as rd
+
+    out_schema = pa.schema([
+        ("n", pa.int64()), ("agree", pa.int64()), ("po", pa.float64()),
+        ("pe", pa.float64()), ("kappa", pa.float64())])
+    tab = _contingency_cells(ds, a_col, b_col, "cohens_kappa")
+    if tab is None:
+        return rd.from_arrow(out_schema.empty_table())
+    a = tab["a"].to_pylist()
+    b = tab["b"].to_pylist()
+    o = tab["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(o.sum())
+    agree = int(o[[x == y for x, y in zip(a, b)]].sum()) if len(o) else 0
+    ra: dict = {}
+    cb: dict = {}
+    for x, y, c in zip(a, b, o.tolist()):
+        ra[x] = ra.get(x, 0) + c
+        cb[y] = cb.get(y, 0) + c
+    chance = sum(ra[l] * cb.get(l, 0) for l in ra)  # exact int64
+    po = agree / n
+    pe = chance / (n * n)
+    kappa = (po - pe) / (1.0 - pe) if pe != 1.0 else None
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "agree": pa.array([agree], pa.int64()),
+        "po": pa.array([po], pa.float64()),
+        "pe": pa.array([pe], pa.float64()),
+        "kappa": pa.array([kappa], pa.float64()),
+    }))
+
+
+def key_skew_stats(ds, *, key_col: str):
+    """Key-distribution skew report — the diagnostic that decides
+    whether a join/groupby needs the salted path: one row
+    (n_keys, n_rows, max_cnt, max_share, gini) over the per-key row
+    counts.  Gini uses the rank form
+    G = (2·Σ i·c_(i) − (n+1)·Σc) / (n·Σc) over counts sorted
+    ascending (ties by key, so the ranking is total and both engines
+    agree); Σ i·c_i stays EXACT int64 via the existing row-number
+    scan, so every reported float is a fixed expression over exact
+    integers — no drift.  Exchanges: one key-sized grouped count, one
+    counts-sized range sort (the row-number carry), one scalar-partial
+    grouped sum."""
+    import ray.data as rd
+
+    from .aggregates import sorted_groupby_agg
+    from .scan import running_agg
+
+    key_schema_in = static_schema(ds)
+    cnt_schema = pa.schema([
+        ("k", key_schema_in.field(key_col).type
+         if key_schema_in is not None and key_col in key_schema_in.names
+         else pa.int64()),
+        ("cnt", pa.int64())])
+
+    def proj(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cnt_schema.empty_table()
+        k = t[key_col]
+        k = k.combine_chunks() if isinstance(k, pa.ChunkedArray) else k
+        if k.null_count:
+            raise ValueError("key_skew_stats: NULL key")
+        return pa.table({"k": k})
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(lambda t: proj(t), batch_format="pyarrow"),
+        ["k"], [("k", "count", "cnt")],
+        in_schema=pa.schema([("k", cnt_schema.field("k").type)]))
+
+    ranked = running_agg(counts, order_by=["cnt", "k"], op="count",
+                         out_col="i")
+
+    part_schema = pa.schema([
+        ("_g", pa.int64()), ("nk", pa.int64()), ("s0", pa.int64()),
+        ("s1", pa.int64()), ("mx", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cnt" not in t.column_names:
+            return part_schema.empty_table()
+        c = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = t["i"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"_g": pa.array([0], pa.int64()),
+                         "nk": pa.array([len(c)], pa.int64()),
+                         "s0": pa.array([int(c.sum())], pa.int64()),
+                         "s1": pa.array([int((i * c).sum())], pa.int64()),
+                         "mx": pa.array([int(c.max())], pa.int64())})
+
+    agg = sorted_groupby_agg(
+        ranked.map_batches(partials, batch_size=None,
+                           batch_format="pyarrow"),
+        ["_g"],
+        [("nk", "sum", "nk"), ("s0", "sum", "s0"), ("s1", "sum", "s1"),
+         ("mx", "max", "mx")], in_schema=part_schema)
+
+    out_schema = pa.schema([
+        ("n_keys", pa.int64()), ("n_rows", pa.int64()),
+        ("max_cnt", pa.int64()), ("max_share", pa.float64()),
+        ("gini", pa.float64())])
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "nk" not in t.column_names:
+            return out_schema.empty_table()
+        nk = int(t["nk"][0].as_py())
+        s0 = int(t["s0"][0].as_py())
+        s1 = int(t["s1"][0].as_py())
+        mx = int(t["mx"][0].as_py())
+        gini = (2 * s1 - (nk + 1) * s0) / (nk * s0)
+        return pa.table({
+            "n_keys": pa.array([nk], pa.int64()),
+            "n_rows": pa.array([s0], pa.int64()),
+            "max_cnt": pa.array([mx], pa.int64()),
+            "max_share": pa.array([mx / s0], pa.float64()),
+            "gini": pa.array([gini], pa.float64()),
+        })
+
+    return agg.map_batches(fin, batch_size=None, batch_format="pyarrow")

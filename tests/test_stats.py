@@ -213,3 +213,94 @@ class TestAssociationStats:
         with pytest.raises(Exception):
             association_stats(rd.from_arrow(t), a_col="a",
                               b_col="b").take_all()
+
+
+class TestCohensKappa:
+    @staticmethod
+    def _run(a, b, blocks=4):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import cohens_kappa
+
+        t = pa.table({"a": pa.array(list(a), pa.string()),
+                      "b": pa.array(list(b), pa.string())})
+        return cohens_kappa(rd.from_arrow(t).repartition(blocks),
+                            a_col="a", b_col="b").take_all()[0]
+
+    def test_reference_parity(self):
+        rng = np.random.default_rng(12)
+        n = 2000
+        a = rng.choice(["en", "de", "fr"], n, p=[0.6, 0.25, 0.15])
+        flip = rng.random(n) < 0.2
+        b = np.where(flip, rng.choice(["en", "de", "fr"], n), a)
+        got = self._run(a, b)
+        # reference
+        labels = sorted(set(a) | set(b))
+        po = float(np.mean(a == b))
+        pe = sum(np.sum(a == l) * np.sum(b == l) for l in labels) / n**2
+        kappa = (po - pe) / (1 - pe)
+        assert got["n"] == n and got["agree"] == int(np.sum(a == b))
+        assert got["po"] == po                      # one exact division
+        assert abs(got["pe"] - pe) < 1e-15
+        assert abs(got["kappa"] - kappa) < 1e-12
+
+    def test_perfect_and_degenerate(self):
+        a = ["x", "y", "z", "x"]
+        assert self._run(a, a, blocks=2)["kappa"] == 1.0
+        # single identical label on both sides: pe = 1 -> NULL
+        got = self._run(["u"] * 6, ["u"] * 6, blocks=2)
+        assert got["kappa"] is None and got["po"] == 1.0
+        # disjoint label spaces: agreement 0, chance 0 -> kappa = 0/1
+        got2 = self._run(["p"] * 4, ["q"] * 4, blocks=2)
+        assert got2["agree"] == 0 and got2["kappa"] == 0.0
+
+
+class TestKeySkewStats:
+    @staticmethod
+    def _run(keys, blocks=5):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import key_skew_stats
+
+        t = pa.table({"k": pa.array(list(keys), pa.int64())})
+        return key_skew_stats(rd.from_arrow(t).repartition(blocks),
+                              key_col="k").take_all()[0]
+
+    @staticmethod
+    def _ref_gini(counts):
+        c = np.sort(np.asarray(counts, np.int64))
+        n = len(c)
+        i = np.arange(1, n + 1)
+        return float((2 * (i * c).sum() - (n + 1) * c.sum())
+                     / (n * c.sum()))
+
+    def test_reference_parity(self):
+        rng = np.random.default_rng(3)
+        keys = rng.zipf(1.7, 4000) % 97
+        got = self._run(keys)
+        import collections
+
+        cnt = collections.Counter(keys.tolist())
+        assert got["n_keys"] == len(cnt)
+        assert got["n_rows"] == 4000
+        assert got["max_cnt"] == max(cnt.values())
+        assert got["max_share"] == max(cnt.values()) / 4000
+        assert abs(got["gini"] - self._ref_gini(list(cnt.values()))) \
+            < 1e-15
+
+    def test_uniform_and_degenerate(self):
+        # perfectly uniform counts -> gini 0
+        got = self._run(list(range(10)) * 7)
+        assert got["gini"] == 0.0 and got["max_share"] == 0.1
+        # one key owns everything -> single key, gini 0 by the formula
+        got2 = self._run([5] * 20, blocks=2)
+        assert got2["n_keys"] == 1 and got2["max_share"] == 1.0
+
+    def test_null_key_raises(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import key_skew_stats
+
+        t = pa.table({"k": pa.array([1, None], pa.int64())})
+        with pytest.raises(Exception):
+            key_skew_stats(rd.from_arrow(t), key_col="k").take_all()
