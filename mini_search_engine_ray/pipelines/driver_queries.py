@@ -8776,3 +8776,147 @@ SELECT nk AS n_keys, s0 AS n_rows, mx AS max_cnt,
                         '/ (nk * s0))')} AS gini
 FROM s
 """
+
+
+def q_lsh_recall(sf_dir: str):
+    """LSH candidate-generation RECALL against exact ground truth —
+    the evaluation every approximate-dedup deployment owes its users:
+    ground truth = prefix_jaccard_join (exact trigram-set Jaccard >=
+    2/5, no false negatives), candidates = minhash_candidate_pairs
+    (the production LSH path), recall = |cand ∩ exact| / |exact| via
+    one (a, b) semi join.  One row (n_exact, n_candidates, n_hit,
+    recall 4dp-gated)."""
+    import ray.data as rd
+
+    from ..stages.dedup import minhash_candidate_pairs
+    from ..stages.join import sort_merge_join
+    from ..stages.setsim import prefix_jaccard_join
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    exact = prefix_jaccard_join(
+        docs, threshold=(_SETSIM_NUM, _SETSIM_DEN),
+        shingle_k=_SETSIM_K).select_columns(["a", "b"]).materialize()
+    cand, _ = minhash_candidate_pairs(docs)
+    cand = cand.materialize()
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    hit = sort_merge_join(exact, cand, on=["a", "b"], how="semi",
+                          left_schema=pair_schema,
+                          right_schema=pair_schema)
+    n_exact, n_cand, n_hit = exact.count(), cand.count(), hit.count()
+    recall = _r4(np.array([n_hit / n_exact]))[0] if n_exact else None
+    return rd.from_arrow(pa.table({
+        "n_exact": pa.array([n_exact], pa.int64()),
+        "n_candidates": pa.array([n_cand], pa.int64()),
+        "n_hit": pa.array([n_hit], pa.int64()),
+        "recall": pa.array([recall], pa.float64()),
+    }))
+
+
+QUERIES["lsh_recall"] = q_lsh_recall
+
+ORACLE_SQL["lsh_recall"] = f"""
+WITH ex AS MATERIALIZED (
+  SELECT a, b FROM ({ORACLE_SQL["setsim_join_exact"]}) x),
+cd AS MATERIALIZED (
+  SELECT a, b FROM ({ORACLE_SQL["minhash_near_pairs"]}) y),
+h AS (SELECT count(*)::BIGINT AS n_hit
+      FROM ex JOIN cd USING (a, b))
+SELECT (SELECT count(*) FROM ex)::BIGINT AS n_exact,
+       (SELECT count(*) FROM cd)::BIGINT AS n_candidates,
+       h.n_hit,
+       {_R4.format(expr='(h.n_hit::DOUBLE '
+                        '/ (SELECT count(*) FROM ex))')} AS recall
+FROM h
+"""
+
+
+def q_session_stats(sf_dir: str):
+    """Per-user session summary on top of `sessionize` (30-minute
+    gap): n_sessions, total events, mean events/session and mean
+    session duration in seconds — integer sums with two 4dp-gated
+    divisions; the composition every engagement dashboard runs."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.windows import sessionize
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    sess = sessionize(ev, gap_s=1800.0)
+
+    part_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_sessions", pa.int64()),
+        ("n_events", pa.int64()), ("dur_us", pa.int64())])
+
+    def proj(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return part_schema.empty_table()
+        s = t["session_start_us"].to_numpy(zero_copy_only=False)
+        e = t["session_end_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "n_sessions": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_events": t["n_events"],
+            "dur_us": pa.array((e - s).astype(np.int64)),
+        })
+
+    agg = sorted_groupby_agg(
+        sess.map_batches(proj, batch_format="pyarrow"),
+        ["user_id"],
+        [("n_sessions", "sum", "n_sessions"),
+         ("n_events", "sum", "n_events"),
+         ("dur_us", "sum", "dur_us")], in_schema=part_schema)
+
+    out_schema = pa.schema([
+        ("user_id", pa.int64()), ("n_sessions", pa.int64()),
+        ("n_events", pa.int64()), ("mean_events", pa.float64()),
+        ("mean_dur_s", pa.float64())])
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.column_names:
+            return out_schema.empty_table()
+        ns = t["n_sessions"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ne = t["n_events"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        du = t["dur_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "user_id": t["user_id"], "n_sessions": t["n_sessions"],
+            "n_events": t["n_events"],
+            "mean_events": pa.array(_r4(ne / ns)),
+            "mean_dur_s": pa.array(_r4(du / ns / 1e6)),
+        })
+
+    return agg.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+QUERIES["session_stats"] = q_session_stats
+
+ORACLE_SQL["session_stats"] = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CASE WHEN epoch_us(ts)
+              - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts))
+              > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM events),
+g AS (SELECT user_id, t,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e),
+s AS (SELECT user_id, sid, min(t) AS st, max(t) AS en,
+             count(*)::BIGINT AS n
+      FROM g GROUP BY 1, 2),
+u AS (SELECT user_id, count(*)::BIGINT AS n_sessions,
+             sum(n)::BIGINT AS n_events,
+             sum(en - st)::BIGINT AS dur_us
+      FROM s GROUP BY 1)
+SELECT user_id, n_sessions, n_events,
+       floor(n_events::DOUBLE / n_sessions * 10000 + 0.5) / 10000
+         AS mean_events,
+       floor(dur_us::DOUBLE / n_sessions / 1000000.0 * 10000 + 0.5)
+         / 10000 AS mean_dur_s
+FROM u
+"""
