@@ -8920,3 +8920,75 @@ SELECT user_id, n_sessions, n_events,
          / 10000 AS mean_dur_s
 FROM u
 """
+
+
+_RADIUS_R = 0.35
+
+
+def q_events_radius_join(sf_dir: str):
+    """Grid-bucketed spatial radius self-join (stages/spatial.py:
+    radius_join) over content-addressed coordinates: each event maps
+    to x = (md5(event_id||',x') % 10⁶)/10⁴, y likewise — a uniform
+    [0, 100)² cloud both engines derive identically — and all pairs
+    within r = 0.35 surface through the fixed-grid plan (one 5×-stamp
+    cell sort, never all-pairs).  dist 4dp-gated."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_low64_batch
+    from ..stages.spatial import radius_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("id", pa.int64()), ("x", pa.float64()),
+                              ("y", pa.float64())]).empty_table()
+        ids = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hx = md5_low64_batch([f"{i},x" for i in ids])
+        hy = md5_low64_batch([f"{i},y" for i in ids])
+        x = (hx % np.uint64(1_000_000)).astype(np.float64) / 10000.0
+        y = (hy % np.uint64(1_000_000)).astype(np.float64) / 10000.0
+        return pa.table({"id": pa.array(ids), "x": pa.array(x),
+                         "y": pa.array(y)})
+
+    out = radius_join(ev.map_batches(coords, batch_format="pyarrow"),
+                      r=_RADIUS_R)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        v = t["dist"].to_numpy(zero_copy_only=False)
+        return t.set_column(t.schema.get_field_index("dist"),
+                            "dist", pa.array(_r4(v)))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["events_radius_join"] = q_events_radius_join
+
+ORACLE_SQL["events_radius_join"] = f"""
+WITH p AS MATERIALIZED (
+  SELECT event_id AS id,
+         (md5_number_lower(event_id::VARCHAR || ',x')
+          % 1000000)::DOUBLE / 10000.0 AS x,
+         (md5_number_lower(event_id::VARCHAR || ',y')
+          % 1000000)::DOUBLE / 10000.0 AS y
+  FROM events),
+c AS MATERIALIZED (
+  SELECT *, floor(x / {_RADIUS_R})::BIGINT AS cx,
+         floor(y / {_RADIUS_R})::BIGINT AS cy
+  FROM p),
+n9 AS (SELECT a.id, a.x, a.y, a.cx + dx.o AS cx2, a.cy + dy.o AS cy2
+       FROM c a, (VALUES (-1), (0), (1)) dx(o),
+                 (VALUES (-1), (0), (1)) dy(o)),
+j AS (SELECT n9.id AS ia, b.id AS ib,
+             (n9.x - b.x) * (n9.x - b.x)
+             + (n9.y - b.y) * (n9.y - b.y) AS d2
+      FROM n9 JOIN c b ON b.cx = n9.cx2 AND b.cy = n9.cy2
+                      AND n9.id < b.id)
+SELECT ia AS a, ib AS b,
+       {_R4.format(expr='sqrt(d2)')} AS dist
+FROM j WHERE d2 <= {_RADIUS_R} * {_RADIUS_R}
+"""
