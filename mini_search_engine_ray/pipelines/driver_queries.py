@@ -8992,3 +8992,116 @@ SELECT ia AS a, ib AS b,
        {_R4.format(expr='sqrt(d2)')} AS dist
 FROM j WHERE d2 <= {_RADIUS_R} * {_RADIUS_R}
 """
+
+
+_DBSCAN_R, _DBSCAN_MINPTS, _DBSCAN_CC_ITERS = 0.35, 3, 8
+
+
+def q_events_dbscan(sf_dir: str):
+    """DBSCAN over the content-addressed event point cloud
+    (stages/spatial.py: dbscan_labels): ε = 0.35, min_pts = 3 on the
+    uniform [0,100)² cloud — sub-critical density, so the output is a
+    mix of small percolation clusters, border points and noise (all
+    three roles populated at sf0.01); min-reachable-id cluster labels
+    and min-label border assignment make every label deterministic."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_low64_batch
+    from ..stages.spatial import dbscan_labels
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("id", pa.int64()), ("x", pa.float64()),
+                              ("y", pa.float64())]).empty_table()
+        ids = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hx = md5_low64_batch([f"{i},x" for i in ids])
+        hy = md5_low64_batch([f"{i},y" for i in ids])
+        x = (hx % np.uint64(1_000_000)).astype(np.float64) / 10000.0
+        y = (hy % np.uint64(1_000_000)).astype(np.float64) / 10000.0
+        return pa.table({"id": pa.array(ids), "x": pa.array(x),
+                         "y": pa.array(y)})
+
+    return dbscan_labels(ev.map_batches(coords, batch_format="pyarrow"),
+                         r=_DBSCAN_R, min_pts=_DBSCAN_MINPTS)
+
+
+QUERIES["events_dbscan"] = q_events_dbscan
+
+
+def _dbscan_sql() -> str:
+    steps = []
+    for k in range(_DBSCAN_CC_ITERS):
+        steps.append(f"""
+l{k + 1} AS MATERIALIZED (
+  SELECT n.node,
+         least(n.comp,
+               coalesce(min(nb.comp), n.comp),
+               coalesce(min(pj.comp), n.comp)) AS comp
+  FROM l{k} n
+  LEFT JOIN e ON e.src = n.node
+  LEFT JOIN l{k} nb ON nb.node = e.dst
+  LEFT JOIN l{k} pj ON pj.node = n.comp
+  GROUP BY n.node, n.comp
+)""")
+    last = f"l{_DBSCAN_CC_ITERS}"
+    return f"""
+WITH p AS MATERIALIZED (
+  SELECT event_id AS id,
+         (md5_number_lower(event_id::VARCHAR || ',x')
+          % 1000000)::DOUBLE / 10000.0 AS x,
+         (md5_number_lower(event_id::VARCHAR || ',y')
+          % 1000000)::DOUBLE / 10000.0 AS y
+  FROM events),
+c AS MATERIALIZED (
+  SELECT *, floor(x / {_DBSCAN_R})::BIGINT AS cx,
+         floor(y / {_DBSCAN_R})::BIGINT AS cy
+  FROM p),
+n9 AS (SELECT a.id, a.x, a.y, a.cx + dx.o AS cx2, a.cy + dy.o AS cy2
+       FROM c a, (VALUES (-1), (0), (1)) dx(o),
+                 (VALUES (-1), (0), (1)) dy(o)),
+pr AS MATERIALIZED (
+  SELECT n9.id AS a, b.id AS b
+  FROM n9 JOIN c b ON b.cx = n9.cx2 AND b.cy = n9.cy2
+                  AND n9.id < b.id
+  WHERE (n9.x - b.x) * (n9.x - b.x)
+        + (n9.y - b.y) * (n9.y - b.y)
+        <= {_DBSCAN_R} * {_DBSCAN_R}),
+dg AS (SELECT n, count(*)::BIGINT AS deg
+       FROM (SELECT a AS n FROM pr UNION ALL SELECT b FROM pr)
+       GROUP BY 1),
+core AS MATERIALIZED (
+  SELECT n FROM dg WHERE deg + 1 >= {_DBSCAN_MINPTS}),
+e0 AS (SELECT pr.a, pr.b FROM pr
+       JOIN core ca ON ca.n = pr.a JOIN core cb ON cb.n = pr.b),
+e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+                   UNION ALL SELECT b, a FROM e0),
+l0 AS MATERIALIZED (
+  SELECT co.n AS node,
+         least(co.n, coalesce(mn.m, co.n)) AS comp
+  FROM core co
+  LEFT JOIN (SELECT src, min(dst) AS m FROM e GROUP BY 1) mn
+    ON mn.src = co.n),
+{','.join(steps)},
+bd AS (
+  SELECT d.p AS node, min(l.comp) AS comp
+  FROM (SELECT a AS p, b AS q FROM pr UNION ALL SELECT b, a FROM pr) d
+  JOIN core cq ON cq.n = d.q
+  JOIN {last} l ON l.node = d.q
+  WHERE d.p NOT IN (SELECT n FROM core)
+  GROUP BY 1)
+SELECT p.id,
+       coalesce(cl.comp, bd.comp, -1)::BIGINT AS label,
+       CASE WHEN cl.comp IS NOT NULL THEN 'core'
+            WHEN bd.comp IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM p
+LEFT JOIN {last} cl ON cl.node = p.id
+LEFT JOIN bd ON bd.node = p.id
+"""
+
+
+ORACLE_SQL["events_dbscan"] = _dbscan_sql()

@@ -83,3 +83,93 @@ def test_validation():
                     "x": pa.array([2.0e9]), "y": pa.array([0.0])})
     with pytest.raises(Exception):
         radius_join(rd.from_arrow(far), r=1.0).take_all()
+
+
+class TestDBSCAN:
+    @staticmethod
+    def _mk(seed=1):
+        rng = np.random.default_rng(seed)
+        b1 = rng.normal([0, 0], 0.3, (80, 2))
+        b2 = rng.normal([10, 10], 0.3, (70, 2))
+        noise = rng.uniform(-5, 15, (25, 2))
+        pts = np.vstack([b1, b2, noise])
+        t = pa.table({"id": pa.array(np.arange(len(pts), dtype=np.int64)),
+                      "x": pa.array(pts[:, 0]),
+                      "y": pa.array(pts[:, 1])})
+        return t, pts
+
+    @staticmethod
+    def _ref(pts, r, mp):
+        n = len(pts)
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(2)
+        nbr = d2 <= r * r
+        core = nbr.sum(1) >= mp           # includes self
+        lbl = np.arange(n)
+        for _ in range(60):
+            new = lbl.copy()
+            for i in range(n):
+                if core[i]:
+                    for j in range(n):
+                        if core[j] and nbr[i, j] and lbl[j] < new[i]:
+                            new[i] = lbl[j]
+            if (new == lbl).all():
+                break
+            lbl = new
+        out = {}
+        for i in range(n):
+            if core[i]:
+                out[i] = (int(lbl[i]), "core")
+            else:
+                cn = [int(lbl[j]) for j in range(n)
+                      if core[j] and nbr[i, j] and j != i]
+                out[i] = (min(cn), "border") if cn else (-1, "noise")
+        return out
+
+    def _run(self, t, r, mp, **kw):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.spatial import dbscan_labels
+
+        rows = dbscan_labels(rd.from_arrow(t).repartition(5), r=r,
+                             min_pts=mp, **kw).take_all()
+        return {x["id"]: (x["label"], x["role"]) for x in rows}
+
+    def test_both_dispatch_paths_match_reference(self):
+        t, pts = self._mk()
+        exp = self._ref(pts, 0.8, 5)
+        small = self._run(t, 0.8, 5)                    # driver path
+        dist = self._run(t, 0.8, 5, small_threshold=0)  # distributed
+        assert small == exp and dist == exp
+
+    def test_border_semantics_star(self):
+        # hub + 5 leaves at 0.5: hub deg 5 -> core (min_pts 6); each
+        # leaf deg <= 3 -> border via the hub; far point -> noise
+        ang = np.arange(5) * 2 * np.pi / 5
+        xs = np.r_[0.0, 0.5 * np.cos(ang), 50.0]
+        ys = np.r_[0.0, 0.5 * np.sin(ang), 50.0]
+        t = pa.table({"id": pa.array(np.arange(7, dtype=np.int64)),
+                      "x": pa.array(xs), "y": pa.array(ys)})
+        exp = {0: (0, "core"), 6: (-1, "noise")}
+        exp.update({i: (0, "border") for i in range(1, 6)})
+        assert self._run(t, 0.6, 6) == exp
+        assert self._run(t, 0.6, 6, small_threshold=0) == exp
+
+    def test_min_pts_one_isolated_singletons(self):
+        t = pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                      "x": pa.array([0.0, 100.0, 100.1]),
+                      "y": pa.array([0.0, 0.0, 0.0])})
+        got = self._run(t, 1.0, 1)
+        # isolated point 0 is its own core singleton; 1,2 cluster
+        assert got == {0: (0, "core"), 1: (1, "core"), 2: (1, "core")}
+        got_d = self._run(t, 1.0, 1, small_threshold=0)
+        assert got_d == got
+
+    def test_validation(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.spatial import dbscan_labels
+
+        t = pa.table({"id": pa.array([1], pa.int64()),
+                      "x": pa.array([0.0]), "y": pa.array([0.0])})
+        with pytest.raises(ValueError):
+            dbscan_labels(rd.from_arrow(t), r=1.0, min_pts=0)
