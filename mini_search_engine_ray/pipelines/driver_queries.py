@@ -9105,3 +9105,78 @@ LEFT JOIN bd ON bd.node = p.id
 
 
 ORACLE_SQL["events_dbscan"] = _dbscan_sql()
+
+
+_DRIFT_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16T00:00:00Z midpoint
+_DRIFT_LO, _DRIFT_HI, _DRIFT_BINS = 0, 50_000, 32
+
+
+def q_value_drift(sf_dir: str):
+    """Value-distribution drift between the event log's two halves
+    (stages/stats.py: drift_stats): PSI with exact-rational Laplace
+    terms + the KS statistic with an integer-exact argmax; psi/ks
+    4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.stats import drift_stats
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+    out = drift_stats(ds, value_col="value", ts_col="ts",
+                      split_us=_DRIFT_SPLIT_US, lo_cents=_DRIFT_LO,
+                      hi_cents=_DRIFT_HI, bins=_DRIFT_BINS)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        for name in ("psi", "ks"):
+            v = t[name].to_numpy(zero_copy_only=False)
+            t = t.set_column(t.schema.get_field_index(name), name,
+                             pa.array(_r4(v)))
+        return t
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["value_drift"] = q_value_drift
+
+ORACLE_SQL["value_drift"] = f"""
+WITH e AS (
+  SELECT floor(value * 100)::BIGINT AS cents,
+         CASE WHEN epoch_us(ts) >= {_DRIFT_SPLIT_US} THEN 1 ELSE 0 END
+           AS per
+  FROM events),
+b AS (SELECT least(greatest((cents - {_DRIFT_LO}) * {_DRIFT_BINS}
+                            // {_DRIFT_HI - _DRIFT_LO}, 0),
+                   {_DRIFT_BINS - 1}) AS bucket, per
+      FROM e),
+c AS (SELECT bucket,
+             sum(CASE WHEN per = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+             sum(per)::BIGINT AS nb
+      FROM b GROUP BY 1),
+g AS (SELECT t.i AS bucket, coalesce(c.na, 0)::BIGINT AS na,
+             coalesce(c.nb, 0)::BIGINT AS nb
+      FROM range({_DRIFT_BINS}) t(i) LEFT JOIN c ON c.bucket = t.i),
+tot AS (SELECT sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b FROM g),
+psi AS (
+  SELECT sum(((na + 1)::DOUBLE / (n_a + {_DRIFT_BINS})
+              - (nb + 1)::DOUBLE / (n_b + {_DRIFT_BINS}))
+             * ln(((na + 1)::DOUBLE / (n_a + {_DRIFT_BINS}))
+                  / ((nb + 1)::DOUBLE / (n_b + {_DRIFT_BINS}))))
+           AS psi
+  FROM g, tot),
+cum AS (SELECT bucket,
+               sum(na) OVER (ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS ca,
+               sum(nb) OVER (ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS cb
+        FROM g),
+ks AS (SELECT bucket, abs(ca * n_b - cb * n_a)::BIGINT AS gap
+       FROM cum, tot ORDER BY gap DESC, bucket LIMIT 1)
+SELECT tot.n_a, tot.n_b,
+       {_R4.format(expr='psi.psi')} AS psi,
+       {_R4.format(expr='(ks.gap::DOUBLE '
+                        '/ (tot.n_a::DOUBLE * tot.n_b::DOUBLE))')} AS ks,
+       ks.bucket::BIGINT AS ks_bucket
+FROM tot, psi, ks
+"""

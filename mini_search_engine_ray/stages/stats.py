@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from .aggregates import sorted_groupby_agg, static_schema
 
-__all__ = ["association_stats", "cohens_kappa", "grouped_linear_stats", "key_skew_stats"]
+__all__ = ["association_stats", "cohens_kappa", "drift_stats", "grouped_linear_stats", "key_skew_stats"]
 
 
 def grouped_linear_stats(ds, *, key_col: str, x_col: str, y_col: str):
@@ -397,3 +397,97 @@ def key_skew_stats(ds, *, key_col: str):
         })
 
     return agg.map_batches(fin, batch_size=None, batch_format="pyarrow")
+
+
+def drift_stats(ds, *, value_col: str, ts_col: str, split_us: int,
+                lo_cents: int, hi_cents: int, bins: int = 32):
+    """Distribution drift between two time periods — the monitoring
+    check every production ML pipeline runs on its features: the
+    Population Stability Index (PSI, the banking-scorecard standard)
+    and the two-sample Kolmogorov–Smirnov statistic over a fixed
+    integer histogram.
+
+    Values bucket as exact integers: ``cents = floor(value·100)``,
+    ``bucket = clip((cents − lo)·bins // (hi − lo), 0, bins−1)`` —
+    every boundary decision is int64 on both engines.  Period A is
+    ``ts < split_us``; B the rest.  With add-one (Laplace) smoothing
+    the PSI term probabilities are exact rationals
+    ``p_i = (n_aᵢ + 1)/(n_a + bins)``, so each term is two IEEE
+    divisions + one ln, and only the Σ over the (fixed, small) bin
+    set carries order drift (callers gate 4dp).  The KS statistic's
+    ARGMAX is selected with pure integers
+    (``|cum_aᵢ·n_b − cum_bᵢ·n_a|``) before the single normalizing
+    division, so the maximizing bucket is deterministic.
+
+    Exchanges: per-batch (bucket, period) bincount partials → ONE
+    bins-bounded grouped sum → bins-bounded collect + closed form.
+    Returns a one-row Dataset (n_a, n_b, psi, ks, ks_bucket);
+    requires both periods non-empty (raises otherwise — drift against
+    an empty period is undefined)."""
+    import ray.data as rd
+
+    if not (isinstance(bins, int) and bins >= 2):
+        raise ValueError(f"bins must be an int >= 2, got {bins!r}")
+    if not hi_cents > lo_cents:
+        raise ValueError("hi_cents must exceed lo_cents")
+    span = hi_cents - lo_cents
+
+    part_schema = pa.schema([("bucket", pa.int64()), ("period", pa.int64()),
+                             ("cnt", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        us = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(v * 100).astype(np.int64)
+        b = np.clip((cents - lo_cents) * bins // span, 0, bins - 1)
+        per = (us >= split_us).astype(np.int64)
+        code = b * 2 + per
+        cnt = np.bincount(code, minlength=2 * bins).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"bucket": pa.array(nz // 2),
+                         "period": pa.array(nz % 2),
+                         "cnt": pa.array(cnt[nz])})
+
+    agg = sorted_groupby_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["bucket", "period"], [("cnt", "sum", "cnt")],
+        in_schema=part_schema)
+
+    out_schema = pa.schema([
+        ("n_a", pa.int64()), ("n_b", pa.int64()), ("psi", pa.float64()),
+        ("ks", pa.float64()), ("ks_bucket", pa.int64())])
+
+    na_i = np.zeros(bins, np.int64)
+    nb_i = np.zeros(bins, np.int64)
+    for t in agg.iter_batches(batch_format="pyarrow"):  # bins-bounded
+        if t.num_rows == 0 or "bucket" not in t.column_names:
+            continue
+        bk = t["bucket"].to_numpy(zero_copy_only=False)
+        pr = t["period"].to_numpy(zero_copy_only=False)
+        cn = t["cnt"].to_numpy(zero_copy_only=False)
+        np.add.at(na_i, bk[pr == 0], cn[pr == 0])
+        np.add.at(nb_i, bk[pr == 1], cn[pr == 1])
+    n_a, n_b = int(na_i.sum()), int(nb_i.sum())
+    if n_a == 0 or n_b == 0:
+        raise ValueError("drift_stats: a period is empty — drift "
+                         "against an empty period is undefined")
+    p = (na_i + 1).astype(np.float64) / float(n_a + bins)
+    q = (nb_i + 1).astype(np.float64) / float(n_b + bins)
+    psi = float(np.sum((p - q) * np.log(p / q)))
+    ca, cb = np.cumsum(na_i), np.cumsum(nb_i)
+    gap = np.abs(ca * n_b - cb * n_a)          # exact int64 selection
+    k = int(np.argmax(gap))                    # first max: smallest i
+    ks = float(gap[k]) / (float(n_a) * float(n_b))
+    return rd.from_arrow(pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "psi": pa.array([psi], pa.float64()),
+        "ks": pa.array([ks], pa.float64()),
+        "ks_bucket": pa.array([k], pa.int64()),
+    }))

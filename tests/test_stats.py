@@ -304,3 +304,76 @@ class TestKeySkewStats:
         t = pa.table({"k": pa.array([1, None], pa.int64())})
         with pytest.raises(Exception):
             key_skew_stats(rd.from_arrow(t), key_col="k").take_all()
+
+
+class TestDriftStats:
+    @staticmethod
+    def _run(values, ts_us, split, lo, hi, bins, blocks=5):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import drift_stats
+
+        t = pa.table({
+            "value": pa.array(np.asarray(values, np.float64)),
+            "ts": pa.array(np.asarray(ts_us, np.int64)).cast(
+                pa.timestamp("us"))})
+        return drift_stats(rd.from_arrow(t).repartition(blocks),
+                           value_col="value", ts_col="ts",
+                           split_us=split, lo_cents=lo, hi_cents=hi,
+                           bins=bins).take_all()[0]
+
+    @staticmethod
+    def _ref(values, ts_us, split, lo, hi, bins):
+        cents = np.floor(np.asarray(values) * 100).astype(np.int64)
+        b = np.clip((cents - lo) * bins // (hi - lo), 0, bins - 1)
+        per = np.asarray(ts_us) >= split
+        na = np.bincount(b[~per], minlength=bins)
+        nb = np.bincount(b[per], minlength=bins)
+        n_a, n_b = na.sum(), nb.sum()
+        p = (na + 1) / (n_a + bins)
+        q = (nb + 1) / (n_b + bins)
+        psi = float(np.sum((p - q) * np.log(p / q)))
+        gap = np.abs(np.cumsum(na) * n_b - np.cumsum(nb) * n_a)
+        k = int(np.argmax(gap))
+        return psi, float(gap[k]) / (float(n_a) * float(n_b)), k
+
+    def test_reference_parity_with_real_drift(self):
+        rng = np.random.default_rng(7)
+        n = 4000
+        # period B shifted upward: genuine drift
+        v = np.r_[rng.uniform(1, 200, n // 2),
+                  rng.uniform(100, 400, n // 2)]
+        ts = np.r_[np.zeros(n // 2), np.full(n // 2, 10**9)]
+        got = self._run(v, ts, 5 * 10**8, 0, 40_000, 16)
+        psi, ks, k = self._ref(v, ts, 5 * 10**8, 0, 40_000, 16)
+        assert abs(got["psi"] - psi) < 1e-12
+        assert abs(got["ks"] - ks) < 1e-15
+        assert got["ks_bucket"] == k
+        assert got["psi"] > 0.5 and got["ks"] > 0.3  # real drift
+
+    def test_identical_distributions_near_zero(self):
+        rng = np.random.default_rng(8)
+        v = rng.uniform(0, 100, 3000)
+        ts = np.arange(3000)  # interleave halves by index parity
+        got = self._run(v, ts % 2 * 10**9, 5 * 10**8, 0, 10_000, 8)
+        assert got["psi"] < 0.02 and got["ks"] < 0.05
+
+    def test_empty_period_raises(self):
+        with pytest.raises(Exception):
+            self._run([1.0, 2.0], [0, 1], 10**9, 0, 1000, 4)
+
+    def test_validation(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import drift_stats
+
+        t = pa.table({"value": pa.array([1.0]),
+                      "ts": pa.array([0], pa.int64()).cast(
+                          pa.timestamp("us"))})
+        ds = rd.from_arrow(t)
+        with pytest.raises(ValueError):
+            drift_stats(ds, value_col="value", ts_col="ts", split_us=0,
+                        lo_cents=0, hi_cents=100, bins=1)
+        with pytest.raises(ValueError):
+            drift_stats(ds, value_col="value", ts_col="ts", split_us=0,
+                        lo_cents=100, hi_cents=100, bins=4)
