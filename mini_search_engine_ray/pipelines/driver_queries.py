@@ -9180,3 +9180,64 @@ SELECT tot.n_a, tot.n_b,
        ks.bucket::BIGINT AS ks_bucket
 FROM tot, psi, ks
 """
+
+
+def q_events_auc(sf_dir: str):
+    """Tie-aware ROC AUC of the (integer-cents) event value ranking
+    the 'purchase' label (stages/stats.py: roc_auc) — the
+    Mann-Whitney rank-sum identity with a pure-integer numerator and
+    ONE normalizing division; auc 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.stats import roc_auc
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0:
+            return pa.schema([("score", pa.int64()),
+                              ("label", pa.int64())]).empty_table()
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100).astype(np.int64)
+        lab = pc.equal(t["event_type"], "purchase")
+        return pa.table({"score": pa.array(cents),
+                         "label": lab.cast(pa.int64())})
+
+    out = roc_auc(ds.map_batches(prep, batch_format="pyarrow"),
+                  score_col="score", label_col="label")
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        v = t["auc"].to_numpy(zero_copy_only=False)
+        return t.set_column(t.schema.get_field_index("auc"), "auc",
+                            pa.array(_r4(v)))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["events_auc"] = q_events_auc
+
+ORACLE_SQL["events_auc"] = f"""
+WITH e AS (
+  SELECT floor(value * 100)::BIGINT AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events),
+g AS (SELECT score, sum(label)::BIGINT AS pos,
+             (count(*) - sum(label))::BIGINT AS neg
+      FROM e GROUP BY 1),
+c AS (SELECT score, pos, neg,
+             (sum(neg) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING)
+              - neg)::BIGINT AS below
+      FROM g),
+tot AS (SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg
+        FROM g),
+num AS (SELECT sum(pos * (2 * below + neg))::BIGINT AS numer2 FROM c)
+SELECT tot.n_pos, tot.n_neg,
+       {{r4}} AS auc
+FROM tot, num
+""".format(r4=_R4.format(
+    expr='(num.numer2::DOUBLE / (2.0 * tot.n_pos::DOUBLE '
+         '* tot.n_neg::DOUBLE))'))

@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from .aggregates import sorted_groupby_agg, static_schema
 
-__all__ = ["association_stats", "cohens_kappa", "drift_stats", "grouped_linear_stats", "key_skew_stats"]
+__all__ = ["association_stats", "cohens_kappa", "drift_stats", "grouped_linear_stats", "key_skew_stats", "roc_auc"]
 
 
 def grouped_linear_stats(ds, *, key_col: str, x_col: str, y_col: str):
@@ -490,4 +490,91 @@ def drift_stats(ds, *, value_col: str, ts_col: str, split_us: int,
         "psi": pa.array([psi], pa.float64()),
         "ks": pa.array([ks], pa.float64()),
         "ks_bucket": pa.array([k], pa.int64()),
+    }))
+
+
+def roc_auc(ds, *, score_col: str, label_col: str):
+    """Exact tie-aware ROC AUC of an integer score ranking a binary
+    label — the Mann-Whitney rank-sum identity every offline model
+    evaluation computes:
+
+      AUC = [ Σ_s pos_s · cumneg_{<s}  +  ½ Σ_s pos_s · neg_s ]
+            / (n_pos · n_neg)
+
+    over DISTINCT score values s ascending (pairs where the positive
+    outranks the negative count 1, ties count ½).  The engine keeps
+    the numerator a PURE INTEGER (`numer2 = Σ pos·(2·cumneg + neg)`,
+    Python-int accumulated so it cannot overflow at any scale) and
+    performs the ONE normalizing division at the end, so the value is
+    deterministic and the SQL oracle replays it with window cumsums.
+
+    Exactness contract: ``score_col`` must be an integer column (cast
+    floats to fixed-point cents upstream — float group-equality is
+    engine-dependent); ``label_col`` must be 0/1 int.
+
+    Exchanges: per-batch (score → pos, neg) bincount partials → ONE
+    distinct-score-bounded grouped sum (sort-based, so its output
+    blocks are globally score-ordered) → a STREAMING ordered sweep on
+    the driver holding one batch + an O(1) carry (cumneg, numer2) —
+    nothing distinct-score-sized is ever materialized at once.
+    Raises when either class is empty (AUC is undefined)."""
+    import ray.data as rd
+
+    part_schema = pa.schema([("score", pa.int64()), ("pos", pa.int64()),
+                             ("neg", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        s_arr = t[score_col]
+        if not pa.types.is_integer(s_arr.type):
+            raise TypeError(
+                f"roc_auc: score column {score_col!r} must be integer "
+                f"(got {s_arr.type}) — cast to fixed-point upstream")
+        s = s_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if y.size and (y.min() < 0 or y.max() > 1):
+            raise ValueError("roc_auc: label column must be 0/1")
+        uniq, inv = np.unique(s, return_inverse=True)
+        pos = np.bincount(inv, weights=y, minlength=uniq.size)
+        cnt = np.bincount(inv, minlength=uniq.size)
+        return pa.table({"score": pa.array(uniq),
+                         "pos": pa.array(pos.astype(np.int64)),
+                         "neg": pa.array((cnt - pos).astype(np.int64))})
+
+    agg = sorted_groupby_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["score"], [("pos", "sum", "pos"), ("neg", "sum", "neg")],
+        in_schema=part_schema)
+
+    # Ordered streaming sweep: sort-based groupby output blocks arrive
+    # in global score order (the same cross-block contract scan.py's
+    # running aggregates rely on).  Carry is two Python ints.
+    cumneg = 0          # negatives at strictly smaller scores
+    numer2 = 0          # 2 * (wins + half-ties), exact arbitrary-precision
+    n_pos = 0
+    n_neg = 0
+    for t in agg.iter_batches(batch_format="pyarrow"):
+        if t.num_rows == 0 or "score" not in t.column_names:
+            continue
+        p = t["pos"].to_numpy(zero_copy_only=False)
+        g = t["neg"].to_numpy(zero_copy_only=False)
+        cn = np.cumsum(g)                       # within-batch cum
+        below = cn - g + cumneg                 # negatives strictly below
+        if cn[-1] + cumneg < 2**31 and (p.max() if p.size else 0) < 2**31:
+            numer2 += int(np.sum(p * (2 * below + g)))
+        else:                                   # exact big-count fallback
+            numer2 += sum(int(pi) * (2 * int(bi) + int(gi))
+                          for pi, bi, gi in zip(p, below, g) if pi)
+        cumneg += int(cn[-1])
+        n_pos += int(p.sum())
+        n_neg += int(g.sum())
+    if n_pos == 0 or n_neg == 0:
+        raise ValueError("roc_auc: need at least one positive and one "
+                         "negative label — AUC is undefined")
+    auc = float(numer2) / (2.0 * float(n_pos) * float(n_neg))
+    return rd.from_arrow(pa.table({
+        "n_pos": pa.array([n_pos], pa.int64()),
+        "n_neg": pa.array([n_neg], pa.int64()),
+        "auc": pa.array([auc], pa.float64()),
     }))

@@ -377,3 +377,67 @@ class TestDriftStats:
         with pytest.raises(ValueError):
             drift_stats(ds, value_col="value", ts_col="ts", split_us=0,
                         lo_cents=100, hi_cents=100, bins=4)
+
+
+class TestRocAuc:
+    @staticmethod
+    def _run(scores, labels, blocks=6):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import roc_auc
+
+        t = pa.table({"s": pa.array(np.asarray(scores, np.int64)),
+                      "y": pa.array(np.asarray(labels, np.int64))})
+        return roc_auc(rd.from_arrow(t).repartition(blocks),
+                       score_col="s", label_col="y").take_all()[0]
+
+    @staticmethod
+    def _ref(scores, labels):
+        """Brute-force pairwise AUC: mean over (pos, neg) pairs of
+        1/0.5/0 for win/tie/loss."""
+        s = np.asarray(scores)
+        y = np.asarray(labels)
+        p, n = s[y == 1], s[y == 0]
+        wins = (p[:, None] > n[None, :]).sum()
+        ties = (p[:, None] == n[None, :]).sum()
+        return (wins + 0.5 * ties) / (len(p) * len(n))
+
+    def test_reference_parity_with_ties(self):
+        rng = np.random.default_rng(11)
+        n = 3000
+        y = (rng.random(n) < 0.3).astype(np.int64)
+        # discriminative integer scores with heavy ties (only 40 levels)
+        s = (rng.integers(0, 40, n) + y * rng.integers(0, 12, n))
+        got = self._run(s, y)
+        assert got["n_pos"] == int(y.sum())
+        assert got["n_neg"] == int((1 - y).sum())
+        assert abs(got["auc"] - self._ref(s, y)) < 1e-12
+
+    def test_block_count_invariance(self):
+        rng = np.random.default_rng(3)
+        s = rng.integers(0, 1000, 2000)
+        y = (rng.random(2000) < 0.5).astype(np.int64)
+        a1 = self._run(s, y, blocks=1)
+        a9 = self._run(s, y, blocks=9)
+        assert a1 == a9
+
+    def test_perfect_and_inverted_and_random(self):
+        # perfectly separated -> 1.0; inverted -> 0.0; all-tied -> 0.5
+        assert self._run([1, 2, 3, 10, 11, 12],
+                         [0, 0, 0, 1, 1, 1])["auc"] == 1.0
+        assert self._run([10, 11, 12, 1, 2, 3],
+                         [0, 0, 0, 1, 1, 1])["auc"] == 0.0
+        assert self._run([5, 5, 5, 5], [0, 1, 0, 1])["auc"] == 0.5
+
+    def test_validation(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import roc_auc
+
+        with pytest.raises(Exception):  # one-class input
+            self._run([1, 2, 3], [1, 1, 1])
+        t = pa.table({"s": pa.array([1.5, 2.5], pa.float64()),
+                      "y": pa.array([0, 1], pa.int64())})
+        with pytest.raises(Exception):  # float score rejected
+            roc_auc(rd.from_arrow(t), score_col="s",
+                    label_col="y").take_all()
