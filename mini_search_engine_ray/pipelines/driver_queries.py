@@ -9241,3 +9241,145 @@ FROM tot, num
 """.format(r4=_R4.format(
     expr='(num.numer2::DOUBLE / (2.0 * tot.n_pos::DOUBLE '
          '* tot.n_neg::DOUBLE))'))
+
+
+def q_user_value_autocorr(sf_dir: str):
+    """Pooled lag-1 autocorrelation of event value-cents within each
+    user's (ts, event_id)-ordered stream — the serial-dependence
+    check for behavioral series.  Composition: stages/scan.py
+    lag_column (one range sort + O(1)-row carry) -> pairs where the
+    lag exists -> EXACT int64 moment sums (n, Σx, Σy, Σx², Σy², Σxy;
+    six scalars per batch) -> the explicit closed-form Pearson r both
+    engines evaluate identically (the corr_qty_price contract);
+    autocorr 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.scan import lag_column
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "event_id": t["event_id"],
+            "cents": pa.array(np.floor(v * 100).astype(np.int64))})
+
+    lagged = lag_column(ds.map_batches(prep, batch_format="pyarrow"),
+                        value_col="cents", order_by=["ts", "event_id"],
+                        key_col="user_id")
+
+    def moments(t: pa.Table) -> pa.Table:
+        x_arr = t["lag_cents"]
+        keep = x_arr.is_valid() if isinstance(x_arr, pa.Array) \
+            else pa.chunked_array([c.is_valid()
+                                   for c in x_arr.chunks]).combine_chunks()
+        t = t.filter(keep)
+        x = t["lag_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = t["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "n": pa.array([np.int64(len(x))]),
+            "sx": pa.array([x.sum()]), "sy": pa.array([y.sum()]),
+            "sxx": pa.array([(x * x).sum()]),
+            "syy": pa.array([(y * y).sum()]),
+            "sxy": pa.array([(x * y).sum()]),
+        })
+
+    parts = lagged.map_batches(moments,
+                               batch_format="pyarrow").take_all()
+    n = float(sum(r["n"] for r in parts))
+    sx = float(sum(r["sx"] for r in parts))
+    sy = float(sum(r["sy"] for r in parts))
+    sxx = float(sum(r["sxx"] for r in parts))
+    syy = float(sum(r["syy"] for r in parts))
+    sxy = float(sum(r["sxy"] for r in parts))
+    r = (n * sxy - sx * sy) / (np.sqrt(n * sxx - sx * sx)
+                               * np.sqrt(n * syy - sy * sy))
+    return pa.table({"n": pa.array([np.int64(n)]),
+                     "autocorr": pa.array(_r4(np.array([r])))})
+
+
+QUERIES["user_value_autocorr"] = q_user_value_autocorr
+
+ORACLE_SQL["user_value_autocorr"] = f"""
+WITH c AS (
+  SELECT user_id, ts, event_id,
+         floor(value * 100)::BIGINT AS cents
+  FROM events),
+l AS (
+  SELECT cents AS y,
+         lag(cents) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS x
+  FROM c),
+p AS (SELECT x, y FROM l WHERE x IS NOT NULL),
+m AS (SELECT count(*)::BIGINT AS n,
+             sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+             sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+             sum(x * y)::BIGINT AS sxy
+      FROM p)
+SELECT n,
+       {{r4}} AS autocorr
+FROM m
+""".format(r4=_R4.format(
+    expr='((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) '
+         '/ (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) '
+         '* sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)))'))
+
+
+def q_source_lang_kl(sf_dir: str):
+    """Per-source KL divergence of the source's language mix from the
+    global mix (stages/stats.py: kl_by_group) — Laplace-smoothed
+    exact-rational terms over the |S|x|L|-bounded contingency; kl
+    4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.stats import kl_by_group
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "lang"])
+    out = kl_by_group(ds, group_col="source", cat_col="lang")
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        v = t["kl"].to_numpy(zero_copy_only=False)
+        t = t.set_column(t.schema.get_field_index("kl"), "kl",
+                         pa.array(_r4(v)))
+        return t.rename_columns(["source", "n", "kl"])
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["source_lang_kl"] = q_source_lang_kl
+
+ORACLE_SQL["source_lang_kl"] = f"""
+WITH c AS (
+  SELECT source, lang, count(*)::BIGINT AS cnt
+  FROM documents GROUP BY 1, 2),
+cats AS (SELECT count(DISTINCT lang)::BIGINT AS n_cats FROM documents),
+grid AS (
+  SELECT s.source, l.lang, coalesce(c.cnt, 0)::BIGINT AS cnt
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT DISTINCT lang FROM documents) l
+  LEFT JOIN c ON c.source = s.source AND c.lang = l.lang),
+gt AS (SELECT source, sum(cnt)::BIGINT AS n_g FROM grid GROUP BY 1),
+ct AS (SELECT lang, sum(cnt)::BIGINT AS n_c FROM grid GROUP BY 1),
+tot AS (SELECT sum(cnt)::BIGINT AS n FROM c),
+terms AS (
+  SELECT grid.source, gt.n_g,
+         ((grid.cnt + 1)::DOUBLE / (gt.n_g + cats.n_cats)::DOUBLE)
+           * ln(((grid.cnt + 1)::DOUBLE
+                 / (gt.n_g + cats.n_cats)::DOUBLE)
+                / ((ct.n_c + 1)::DOUBLE
+                   / (tot.n + cats.n_cats)::DOUBLE)) AS term
+  FROM grid
+  JOIN gt ON gt.source = grid.source
+  JOIN ct ON ct.lang = grid.lang, tot, cats)
+SELECT source, n_g AS n,
+       {{r4}} AS kl
+FROM terms
+GROUP BY source, n_g
+ORDER BY source
+""".format(r4=_R4.format(expr='sum(term)'))

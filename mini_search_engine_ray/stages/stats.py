@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from .aggregates import sorted_groupby_agg, static_schema
 
-__all__ = ["association_stats", "cohens_kappa", "drift_stats", "grouped_linear_stats", "key_skew_stats", "roc_auc"]
+__all__ = ["association_stats", "cohens_kappa", "drift_stats", "grouped_linear_stats", "key_skew_stats", "kl_by_group", "roc_auc"]
 
 
 def grouped_linear_stats(ds, *, key_col: str, x_col: str, y_col: str):
@@ -577,4 +577,54 @@ def roc_auc(ds, *, score_col: str, label_col: str):
         "n_pos": pa.array([n_pos], pa.int64()),
         "n_neg": pa.array([n_neg], pa.int64()),
         "auc": pa.array([auc], pa.float64()),
+    }))
+
+
+def kl_by_group(ds, *, group_col: str, cat_col: str):
+    """Per-group KL divergence of each group's categorical mix from
+    the GLOBAL mix — the domain-composition monitor a corpus-curation
+    pipeline runs per source (which sources deviate most from the
+    overall language/type blend).
+
+    With add-one Laplace smoothing over the global category set C
+    (|C| distinct values observed anywhere):
+
+      p_g(c) = (n_gc + 1) / (n_g + |C|)
+      p(c)   = (n_c  + 1) / (n   + |C|)
+      kl_g   = Σ_c p_g(c) · ln(p_g(c) / p(c))
+
+    Every probability is an exact rational of int64 counts, so only
+    the Σ over the (small, |C|-bounded) category set carries IEEE
+    order drift — callers gate at 4 decimals.  Reuses the shared
+    contingency plan: per-batch (group, cat, cnt) partials → ONE
+    |G|·|C|-bounded grouped sum → contingency-bounded driver collect
+    + a vectorized dense-grid finalize.  Returns one row per group
+    (group, n, kl); raises on NULL categories (the contingency
+    contract) and on empty input."""
+    import ray.data as rd
+
+    cells = _contingency_cells(ds, group_col, cat_col, "kl_by_group")
+    if cells is None:
+        raise ValueError("kl_by_group: empty input")
+    ga = cells["a"].dictionary_encode().combine_chunks()
+    cb = cells["b"].dictionary_encode().combine_chunks()
+    gi = ga.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ci = cb.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = cells["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_groups = len(ga.dictionary)
+    n_cats = len(cb.dictionary)
+    grid = np.zeros((n_groups, n_cats), np.int64)
+    grid[gi, ci] = cnt
+    n_g = grid.sum(axis=1)                     # per-group totals
+    n_c = grid.sum(axis=0)                     # global per-category
+    n = int(n_c.sum())
+    p_g = (grid + 1).astype(np.float64) / (n_g + n_cats)[:, None]
+    p = (n_c + 1).astype(np.float64) / float(n + n_cats)
+    kl = np.sum(p_g * np.log(p_g / p[None, :]), axis=1)
+    order = np.argsort(
+        ga.dictionary.to_numpy(zero_copy_only=False).astype(object))
+    return rd.from_arrow(pa.table({
+        "group": ga.dictionary.take(pa.array(order)),
+        "n": pa.array(n_g[order]),
+        "kl": pa.array(kl[order], pa.float64()),
     }))

@@ -441,3 +441,74 @@ class TestRocAuc:
         with pytest.raises(Exception):  # float score rejected
             roc_auc(rd.from_arrow(t), score_col="s",
                     label_col="y").take_all()
+
+
+class TestKlByGroup:
+    @staticmethod
+    def _run(groups, cats, blocks=5):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import kl_by_group
+
+        t = pa.table({"g": pa.array(list(groups)),
+                      "c": pa.array(list(cats))})
+        out = kl_by_group(rd.from_arrow(t).repartition(blocks),
+                          group_col="g", cat_col="c").take_all()
+        return {r["group"]: (r["n"], r["kl"]) for r in out}
+
+    @staticmethod
+    def _ref(groups, cats):
+        import collections
+        gset = sorted(set(groups))
+        cset = sorted(set(cats))
+        n = len(groups)
+        joint = collections.Counter(zip(groups, cats))
+        glob = collections.Counter(cats)
+        out = {}
+        for g in gset:
+            n_g = sum(v for (gg, _), v in joint.items() if gg == g)
+            kl = 0.0
+            for c in cset:
+                pg = (joint[(g, c)] + 1) / (n_g + len(cset))
+                p = (glob[c] + 1) / (n + len(cset))
+                kl += pg * math.log(pg / p)
+            out[g] = (n_g, kl)
+        return out
+
+    def test_reference_parity(self):
+        rng = np.random.default_rng(5)
+        gs = [f"s{i}" for i in rng.integers(0, 8, 4000)]
+        # group s0 heavily skewed to one category: genuine divergence
+        cs = [("zz" if g == "s0" and r < 0.8 else f"c{k}")
+              for g, r, k in zip(gs, rng.random(4000),
+                                 rng.integers(0, 5, 4000))]
+        got = self._run(gs, cs)
+        ref = self._ref(gs, cs)
+        assert set(got) == set(ref)
+        for g in ref:
+            assert got[g][0] == ref[g][0]
+            assert abs(got[g][1] - ref[g][1]) < 1e-12
+        assert got["s0"][1] == max(v[1] for v in got.values())
+
+    def test_identical_mix_near_zero(self):
+        gs = ["a", "b"] * 500
+        cs = (["x"] * 250 + ["y"] * 250) * 2
+        got = self._run(sorted(gs), cs)
+        for _, kl in got.values():
+            assert kl < 1e-6
+
+    def test_null_and_empty_validation(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import kl_by_group
+
+        t = pa.table({"g": pa.array(["a", None]),
+                      "c": pa.array(["x", "y"])})
+        with pytest.raises(Exception):
+            kl_by_group(rd.from_arrow(t), group_col="g",
+                        cat_col="c").take_all()
+        t0 = pa.table({"g": pa.array([], pa.string()),
+                       "c": pa.array([], pa.string())})
+        with pytest.raises(Exception):
+            kl_by_group(rd.from_arrow(t0), group_col="g",
+                        cat_col="c").take_all()
