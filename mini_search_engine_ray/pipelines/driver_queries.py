@@ -9383,3 +9383,70 @@ FROM terms
 GROUP BY source, n_g
 ORDER BY source
 """.format(r4=_R4.format(expr='sum(term)'))
+
+
+def q_community_modularity(sf_dir: str):
+    """Newman-Girvan modularity of the 3-round label-propagation
+    partition over the chord graph (stages/graph.py: modularity
+    composed with label_propagation): per-community (label, e_in,
+    deg, q_term) with e_in/deg EXACT int64 through two node-keyed
+    sort-merge joins + ONE label-bounded grouped sum; q_term
+    4dp-gated."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.graph import label_propagation, modularity
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    src = np.r_[i, i, i]
+    dst = np.r_[(i + 1) % n, (i + 2) % n, (7 * i + 3) % n]
+    edges = rd.from_arrow(pa.table({"src": pa.array(src),
+                                    "dst": pa.array(dst)}))
+    labels = label_propagation(edges, rounds=3, partitions=4)
+    out = modularity(edges, labels, partitions=4)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        v = t["q_term"].to_numpy(zero_copy_only=False)
+        return t.set_column(t.schema.get_field_index("q_term"),
+                            "q_term", pa.array(_r4(v)))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["community_modularity"] = q_community_modularity
+
+ORACLE_SQL["community_modularity"] = f"""
+WITH lp AS ({ORACLE_SQL["label_prop"]}),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (i + 2) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r),
+und AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v
+        FROM raw WHERE s <> d),
+lj AS (SELECT lu.label AS la, lv.label AS lb
+       FROM und
+       JOIN lp lu ON lu.node = und.u
+       JOIN lp lv ON lv.node = und.v),
+deg AS (SELECT lbl, count(*)::BIGINT AS deg FROM (
+          SELECT la AS lbl FROM lj
+          UNION ALL SELECT lb FROM lj) GROUP BY 1),
+ein AS (SELECT la AS lbl, count(*)::BIGINT AS e_in
+        FROM lj WHERE la = lb GROUP BY 1),
+m AS (SELECT (sum(deg) / 2)::BIGINT AS m,
+             sum(deg)::BIGINT AS two_m FROM deg)
+SELECT deg.lbl AS label,
+       coalesce(ein.e_in, 0)::BIGINT AS e_in,
+       deg.deg,
+       {{r4}} AS q_term
+FROM deg LEFT JOIN ein ON ein.lbl = deg.lbl, m
+ORDER BY label
+""".format(r4=_R4.format(
+    expr='(coalesce(ein.e_in, 0)::DOUBLE / m.m::DOUBLE '
+         '- (deg.deg::DOUBLE / m.two_m::DOUBLE) '
+         '* (deg.deg::DOUBLE / m.two_m::DOUBLE))'))

@@ -31,7 +31,7 @@ from .join import sort_merge_join
 __all__ = ["undirected_edges", "triangle_counts", "local_clustering",
            "bfs_hops", "common_neighbor_pairs", "degree_assortativity",
            "k_core", "feature_propagation", "label_propagation",
-           "shortest_paths"]
+           "modularity", "shortest_paths"]
 
 
 def undirected_edges(ds, src_col: str = "src", dst_col: str = "dst", *,
@@ -1070,3 +1070,85 @@ def negative_edges(edges, *, num_nodes: int, per_node: int = 4,
         left_schema=prop_schema,
         right_schema=pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
         partitions=partitions)
+
+
+def modularity(edges, labels, *, src_col: str = "src",
+               dst_col: str = "dst", node_col: str = "node",
+               label_col: str = "label", partitions: int | None = None):
+    """Newman-Girvan modularity of a node partition over the
+    undirected simple graph — the community-quality score every
+    clustering evaluation reports:
+
+      Q = Σ_c [ e_c/m  −  (deg_c / 2m)² ]
+
+    with e_c = edges whose BOTH endpoints carry label c, deg_c = sum
+    of member degrees, m = |undirected distinct edges|.  e_c and
+    deg_c stay EXACT int64 through the whole plan and 2m = Σ_c deg_c
+    by the handshake identity, so the only float work is the final
+    per-community closed form — deterministic on both engines.
+
+    Plan: canonicalize to distinct undirected edges (one range sort)
+    → labels sort-merge-join onto u then onto v (two node-keyed range
+    sorts; labels must cover every endpoint — inner-join semantics,
+    matching label_propagation's every-edged-node output) → per-batch
+    (label → e_in, deg) partials → ONE label-bounded grouped sum →
+    label-bounded finalize.  Returns one row per community
+    (label, e_in, deg, q_term) with Q = Σ q_term; empty graphs raise
+    (modularity of nothing is undefined)."""
+    und = undirected_edges(edges, src_col, dst_col)
+    lab = labels.map_batches(
+        lambda t: pa.table({"node": t[node_col], "lbl": t[label_col]}),
+        batch_format="pyarrow")
+    lab_schema = pa.schema([("node", pa.int64()), ("lbl", pa.int64())])
+    j1 = sort_merge_join(
+        und, lab, on="u", right_on="node",
+        left_schema=pa.schema([("u", pa.int64()), ("v", pa.int64())]),
+        right_schema=lab_schema, partitions=partitions)
+    j2 = sort_merge_join(
+        j1, lab, on="v", right_on="node", suffix="_v",
+        left_schema=pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                               ("lbl", pa.int64())]),
+        right_schema=lab_schema, partitions=partitions)
+
+    part_schema = pa.schema([("lbl", pa.int64()), ("e_in", pa.int64()),
+                             ("deg", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        lu = t["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lv = t["lbl_v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        both = np.concatenate([lu, lv])
+        u_all, inv = np.unique(both, return_inverse=True)
+        deg = np.bincount(inv, minlength=u_all.size)
+        same = lu == lv
+        e_in = np.bincount(
+            np.searchsorted(u_all, lu[same]), minlength=u_all.size)
+        return pa.table({"lbl": pa.array(u_all),
+                         "e_in": pa.array(e_in.astype(np.int64)),
+                         "deg": pa.array(deg.astype(np.int64))})
+
+    agg = sorted_groupby_agg(
+        j2.map_batches(partials, batch_format="pyarrow"),
+        ["lbl"], [("e_in", "sum", "e_in"), ("deg", "sum", "deg")],
+        in_schema=part_schema)
+
+    tabs = [b for b in agg.iter_batches(batch_format="pyarrow")
+            if b.num_rows and "lbl" in b.column_names]   # label-bounded
+    if not tabs:
+        raise ValueError("modularity: empty graph — undefined")
+    cells = pa.concat_tables(tabs)
+    lbl = cells["lbl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    e_in = cells["e_in"].to_numpy(zero_copy_only=False).astype(np.int64)
+    deg = cells["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    two_m = int(deg.sum())                    # handshake: Σ deg_c = 2m
+    m = two_m // 2
+    q = e_in / float(m) - (deg / float(two_m)) ** 2
+    order = np.argsort(lbl)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "label": pa.array(lbl[order]),
+        "e_in": pa.array(e_in[order]),
+        "deg": pa.array(deg[order]),
+        "q_term": pa.array(q[order], pa.float64()),
+    }))

@@ -710,3 +710,65 @@ class TestNegativeEdges:
             negative_edges(ds, num_nodes=0)
         with pytest.raises(ValueError):
             negative_edges(ds, num_nodes=5, per_node=0)
+
+
+class TestModularity:
+    @staticmethod
+    def _run(src, dst, nodes, labels, blocks=3):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.graph import modularity
+
+        e = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        lab = pa.table({"node": pa.array(nodes, pa.int64()),
+                        "label": pa.array(labels, pa.int64())})
+        return modularity(rd.from_arrow(e).repartition(blocks),
+                          rd.from_arrow(lab)).take_all()
+
+    @staticmethod
+    def _ref_q(und, lab):
+        """Textbook Q over distinct undirected edges."""
+        m = len(und)
+        deg = {}
+        e_in = {}
+        for u, v in und:
+            deg[lab[u]] = deg.get(lab[u], 0) + 1
+            deg[lab[v]] = deg.get(lab[v], 0) + 1
+            if lab[u] == lab[v]:
+                e_in[lab[u]] = e_in.get(lab[u], 0) + 1
+        return sum(e_in.get(c, 0) / m - (d / (2 * m)) ** 2
+                   for c, d in deg.items())
+
+    def test_two_triangles_exact(self):
+        out = self._run([0, 1, 2, 3, 4, 5], [1, 2, 0, 4, 5, 3],
+                        list(range(6)), [0, 0, 0, 3, 3, 3])
+        assert [(r["label"], r["e_in"], r["deg"]) for r in out] == \
+            [(0, 3, 6), (3, 3, 6)]
+        assert abs(sum(r["q_term"] for r in out) - 0.5) < 1e-15
+
+    def test_reference_parity_random(self):
+        rng = np.random.default_rng(9)
+        n = 200
+        src = rng.integers(0, n, 800)
+        dst = rng.integers(0, n, 800)
+        lab = {i: int(i % 7) for i in range(n)}
+        und = sorted({(min(s, d), max(s, d))
+                      for s, d in zip(src.tolist(), dst.tolist())
+                      if s != d})
+        out = self._run(src, dst, list(range(n)),
+                        [lab[i] for i in range(n)])
+        # duplicate/reversed/self edges collapse before scoring
+        assert sum(r["e_in"] for r in out) == \
+            sum(1 for u, v in und if lab[u] == lab[v])
+        assert sum(r["deg"] for r in out) == 2 * len(und)
+        q = sum(r["q_term"] for r in out)
+        assert abs(q - self._ref_q(und, lab)) < 1e-12
+
+    def test_single_community_zero(self):
+        out = self._run([0, 1, 2], [1, 2, 0], [0, 1, 2], [0, 0, 0])
+        assert abs(sum(r["q_term"] for r in out)) < 1e-15
+
+    def test_empty_graph_raises(self):
+        with pytest.raises(Exception):
+            self._run([0], [0], [0], [0])  # only a self-loop -> empty
