@@ -9450,3 +9450,192 @@ ORDER BY label
     expr='(coalesce(ein.e_in, 0)::DOUBLE / m.m::DOUBLE '
          '- (deg.deg::DOUBLE / m.two_m::DOUBLE) '
          '* (deg.deg::DOUBLE / m.two_m::DOUBLE))'))
+
+
+_KNN_K = 3
+
+
+def q_events_knn(sf_dir: str):
+    """Radius-bounded k-nearest-neighbors (k = 3 within r = 0.35) for
+    every event point — the per-point serving form of the spatial
+    family: radius_join pairs (one packed-cell range sort, never
+    all-pairs) symmetrized to both directions, then topk_per_group
+    per center ordered by distance ASC with neighbor-id tiebreak (the
+    one-row-per-(batch, center) local prefilter bounds that
+    exchange).  Ranking happens on the UNROUNDED shared-IEEE
+    distance; dist is 4dp-gated only at output."""
+    import ray.data as rd
+
+    from ..functions.hashing import md5_low64_batch
+    from ..stages.aggregates import topk_per_group
+    from ..stages.spatial import radius_join
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id"])
+
+    def coords(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([("id", pa.int64()), ("x", pa.float64()),
+                              ("y", pa.float64())]).empty_table()
+        ids = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        hx = md5_low64_batch([f"{i},x" for i in ids])
+        hy = md5_low64_batch([f"{i},y" for i in ids])
+        x = (hx % np.uint64(1_000_000)).astype(np.float64) / 10000.0
+        y = (hy % np.uint64(1_000_000)).astype(np.float64) / 10000.0
+        return pa.table({"id": pa.array(ids), "x": pa.array(x),
+                         "y": pa.array(y)})
+
+    pairs = radius_join(ev.map_batches(coords, batch_format="pyarrow"),
+                        r=_RADIUS_R)
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("dist", pa.float64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        a = t["a"].combine_chunks() \
+            if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() \
+            if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        d = t["dist"].combine_chunks() \
+            if isinstance(t["dist"], pa.ChunkedArray) else t["dist"]
+        return pa.table({"a": pa.concat_arrays([a, b]),
+                         "b": pa.concat_arrays([b, a]),
+                         "dist": pa.concat_arrays([d, d])})
+
+    knn = topk_per_group(
+        pairs.map_batches(sym, batch_format="pyarrow"),
+        ["a"], "dist", _KNN_K, descending=False, tiebreak="b",
+        in_schema=pair_schema)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "dist" not in t.column_names:
+            return pair_schema.empty_table()
+        v = t["dist"].to_numpy(zero_copy_only=False)
+        return t.set_column(t.schema.get_field_index("dist"),
+                            "dist", pa.array(_r4(v)))
+
+    return knn.map_batches(rnd, batch_format="pyarrow")
+
+
+QUERIES["events_knn"] = q_events_knn
+
+ORACLE_SQL["events_knn"] = f"""
+WITH p AS MATERIALIZED (
+  SELECT event_id AS id,
+         (md5_number_lower(event_id::VARCHAR || ',x')
+          % 1000000)::DOUBLE / 10000.0 AS x,
+         (md5_number_lower(event_id::VARCHAR || ',y')
+          % 1000000)::DOUBLE / 10000.0 AS y
+  FROM events),
+c AS MATERIALIZED (
+  SELECT *, floor(x / {_RADIUS_R})::BIGINT AS cx,
+         floor(y / {_RADIUS_R})::BIGINT AS cy
+  FROM p),
+n9 AS (SELECT a.id, a.x, a.y, a.cx + dx.o AS cx2, a.cy + dy.o AS cy2
+       FROM c a, (VALUES (-1), (0), (1)) dx(o),
+                 (VALUES (-1), (0), (1)) dy(o)),
+j AS (SELECT n9.id AS a, b.id AS b,
+             (n9.x - b.x) * (n9.x - b.x)
+             + (n9.y - b.y) * (n9.y - b.y) AS d2
+      FROM n9 JOIN c b ON b.cx = n9.cx2 AND b.cy = n9.cy2
+                      AND n9.id <> b.id
+      WHERE (n9.x - b.x) * (n9.x - b.x)
+            + (n9.y - b.y) * (n9.y - b.y)
+            <= {_RADIUS_R} * {_RADIUS_R}),
+r AS (SELECT a, b, d2,
+             -- rank on the same IEEE sqrt the engine ranks on
+             row_number() OVER (PARTITION BY a
+                                ORDER BY sqrt(d2) ASC, b ASC) AS rn
+      FROM j)
+SELECT a, b,
+       {_R4.format(expr='sqrt(d2)')} AS dist
+FROM r WHERE rn <= {_KNN_K}
+"""
+
+
+def q_transition_entropy(sf_dir: str):
+    """Conditional next-event entropy per current type — the
+    predictability profile of the behavioral Markov chain
+    (composition over the event_transitions plan): LAG(event_type)
+    within user by (ts, event_id), ONE |T|²-bounded grouped count,
+    then h_cur = −Σ_next (n_cn/n_c)·ln(n_cn/n_c) over the
+    |T|²-bounded cells — every probability an exact int64 rational,
+    only the ≤|T|-term sum carries gated order drift.  Returns one
+    row per current type (prev_type, n, h); h 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import lag_column
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    lagged = lag_column(ev, value_col="event_type",
+                        order_by=["ts", "event_id"], key_col="user_id",
+                        out_col="prev_type")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table({"prev_type": pa.array([], pa.string()),
+                          "event_type": pa.array([], pa.string()),
+                          "one": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "prev_type" not in t.column_names:
+            return empty
+        f = t.filter(pc.is_valid(t["prev_type"]))
+        return pa.table({
+            "prev_type": pc.cast(f["prev_type"], pa.string()),
+            "event_type": pc.cast(f["event_type"], pa.string()),
+            "one": pa.array(np.ones(f.num_rows, np.int64)),
+        })
+
+    agg = sorted_groupby_agg(
+        lagged.map_batches(pairs, batch_size=None,
+                           batch_format="pyarrow"),
+        ["prev_type", "event_type"], [("one", "sum", "n")],
+        in_schema=pa.schema([("prev_type", pa.string()),
+                             ("event_type", pa.string()),
+                             ("one", pa.int64())]))
+
+    tabs = [b for b in agg.iter_batches(batch_format="pyarrow")
+            if b.num_rows and "prev_type" in b.column_names]
+    cells = pa.concat_tables(tabs)                   # |T|²-bounded
+    prev = cells["prev_type"].to_numpy(zero_copy_only=False) \
+        .astype(object)
+    n = cells["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uprev, inv = np.unique(prev, return_inverse=True)
+    n_c = np.bincount(inv, weights=n).astype(np.int64)
+    p = n / n_c[inv].astype(np.float64)
+    h = np.zeros(uprev.size, np.float64)
+    np.add.at(h, inv, -p * np.log(p))
+    return pa.table({
+        "prev_type": pa.array(uprev.astype(str)),
+        "n": pa.array(n_c),
+        "h": pa.array(_r4(h)),
+    })
+
+
+QUERIES["transition_entropy"] = q_transition_entropy
+
+ORACLE_SQL["transition_entropy"] = f"""
+WITH l AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events),
+c AS (SELECT prev_type, event_type, count(*)::BIGINT AS n
+      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT prev_type, sum(n)::BIGINT AS n_c FROM c GROUP BY 1),
+terms AS (
+  SELECT c.prev_type, t.n_c,
+         -(c.n::DOUBLE / t.n_c::DOUBLE)
+           * ln(c.n::DOUBLE / t.n_c::DOUBLE) AS term
+  FROM c JOIN t ON t.prev_type = c.prev_type)
+SELECT prev_type, n_c AS n,
+       {{r4}} AS h
+FROM terms
+GROUP BY prev_type, n_c
+ORDER BY prev_type
+""".format(r4=_R4.format(expr='sum(term)'))
