@@ -9639,3 +9639,156 @@ FROM terms
 GROUP BY prev_type, n_c
 ORDER BY prev_type
 """.format(r4=_R4.format(expr='sum(term)'))
+
+
+def q_priority_late_orders(sf_dir: str):
+    """TPC-H-Q4-shaped priority report: orders placed in 1995H1 that
+    had AT LEAST ONE lineitem shipped more than 30 days after the
+    order date, counted by o_orderpriority — the EXISTS-with-
+    predicate pattern (orderkey sort-merge join + late filter +
+    per-order collapse + priority-bounded count; all-integer)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_shipdate"])
+    od = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                         columns=["o_orderkey", "o_orderdate",
+                                  "o_orderpriority"])
+
+    def win(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"]
+        d = d.combine_chunks() if isinstance(d, pa.ChunkedArray) else d
+        us = d.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo = int(np.datetime64("1995-01-01", "us").astype(np.int64))
+        hi = int(np.datetime64("1995-07-01", "us").astype(np.int64))
+        return t.filter(pa.array((us >= lo) & (us < hi)))
+
+    j = sort_merge_join(
+        li, od.map_batches(win, batch_format="pyarrow"),
+        on="l_orderkey", right_on="o_orderkey", partitions=4)
+
+    part_schema = pa.schema([("o_orderkey", pa.int64()),
+                             ("o_orderpriority", pa.string()),
+                             ("one", pa.int64())])
+
+    def late(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ship = t["l_shipdate"]
+        ship = ship.combine_chunks() \
+            if isinstance(ship, pa.ChunkedArray) else ship
+        odate = t["o_orderdate"]
+        odate = odate.combine_chunks() \
+            if isinstance(odate, pa.ChunkedArray) else odate
+        sd = ship.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        oo = odate.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        keep = sd > oo + 30 * 86_400_000_000   # strict, exact int µs
+        f = t.filter(pa.array(keep))
+        return pa.table({
+            "o_orderkey": pc.cast(f["l_orderkey"], pa.int64()),
+            "o_orderpriority": pc.cast(f["o_orderpriority"],
+                                       pa.string()),
+            "one": pa.array(np.ones(f.num_rows, np.int64))})
+
+    per_order = sorted_groupby_agg(
+        j.map_batches(late, batch_format="pyarrow"),
+        ["o_orderkey", "o_orderpriority"], [("one", "min", "one")],
+        in_schema=part_schema)
+
+    counts = sorted_groupby_agg(
+        per_order, ["o_orderpriority"], [("one", "sum", "n_orders")],
+        in_schema=pa.schema([("o_orderkey", pa.int64()),
+                             ("o_orderpriority", pa.string()),
+                             ("one", pa.int64())]))
+    return counts
+
+
+QUERIES["priority_late_orders"] = q_priority_late_orders
+
+ORACLE_SQL["priority_late_orders"] = """
+SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+FROM orders
+WHERE o_orderdate >= DATE '1995-01-01'
+  AND o_orderdate < DATE '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_events_constraint_audit(sf_dir: str):
+    """Single-pass data-quality constraint audit over the event log —
+    the Great-Expectations-style gate every ingestion runs: exact
+    primary-key uniqueness (n_rows vs DISTINCT event_id via the
+    id-keyed grouped count, the one data-sized exchange the audit
+    inherently needs), null-value rows, and value-range violations
+    (value < 0 or >= 500), all exact int64 scalars — one row out."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+
+    id_schema = pa.schema([("id", pa.int64()), ("one", pa.int64())])
+
+    def ids(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return id_schema.empty_table()
+        i = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u, c = np.unique(i, return_counts=True)
+        return pa.table({"id": pa.array(u),
+                         "one": pa.array(c.astype(np.int64))})
+
+    n_distinct = sorted_groupby_agg(
+        ds.map_batches(ids, batch_format="pyarrow"),
+        ["id"], [("one", "sum", "cnt")], in_schema=id_schema).count()
+
+    scal_schema = pa.schema([("n", pa.int64()), ("n_null", pa.int64()),
+                             ("n_range", pa.int64())])
+
+    def scalars(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return scal_schema.empty_table()
+        col = t["value"]
+        col = col.combine_chunks() \
+            if isinstance(col, pa.ChunkedArray) else col
+        n_null = col.null_count
+        v = col.drop_null().to_numpy(zero_copy_only=False)
+        n_range = int(np.sum((v < 0) | (v >= 500)))
+        return pa.table({"n": pa.array([np.int64(t.num_rows)]),
+                         "n_null": pa.array([np.int64(n_null)]),
+                         "n_range": pa.array([np.int64(n_range)])})
+
+    parts = ds.map_batches(scalars, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    return pa.table({
+        "n_rows": pa.array([n], pa.int64()),
+        "n_distinct_ids": pa.array([n_distinct], pa.int64()),
+        "n_dup_rows": pa.array([n - n_distinct], pa.int64()),
+        "n_null_value": pa.array([sum(r["n_null"] for r in parts)],
+                                 pa.int64()),
+        "n_range_violations": pa.array(
+            [sum(r["n_range"] for r in parts)], pa.int64()),
+    })
+
+
+QUERIES["events_constraint_audit"] = q_events_constraint_audit
+
+ORACLE_SQL["events_constraint_audit"] = """
+SELECT count(*)::BIGINT AS n_rows,
+       count(DISTINCT event_id)::BIGINT AS n_distinct_ids,
+       (count(*) - count(DISTINCT event_id))::BIGINT AS n_dup_rows,
+       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_null_value,
+       sum(CASE WHEN value < 0 OR value >= 500 THEN 1 ELSE 0 END)
+         ::BIGINT AS n_range_violations
+FROM events
+"""
