@@ -1227,6 +1227,77 @@ def bench_graph_iterative(out: dict) -> None:
     assert n_lbl == n
 
 
+
+def bench_spatial(out: dict) -> None:
+    """Spatial family at 1M points: fixed-grid radius self-join over a
+    deterministic splitmix-hashed uniform [0, 1000)^2 cloud at
+    r = 0.35 (expected ~190k pairs — the sub-critical density regime),
+    then the kNN serving form (symmetrize + topk_per_group k=3).  The
+    only data-sized exchange in each is ONE packed-cell int64 range
+    sort."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import topk_per_group
+    from mini_search_engine_ray.stages.spatial import radius_join
+
+    n = 1_000_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+        def mix(z):
+            z = (z + np.uint64(0x9E3779B97F4A7C15)) \
+                * np.uint64(0xBF58476D1CE4E5B9)
+            z ^= z >> np.uint64(27)
+            z *= np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+        hx = mix(i * np.uint64(2)) >> np.uint64(11)
+        hy = mix(i * np.uint64(2) + np.uint64(1)) >> np.uint64(11)
+        sc = 1000.0 / float(1 << 53)
+        return pa.table({
+            "id": pa.array(i.astype(np.int64)),
+            "x": pa.array(hx.astype(np.float64) * sc),
+            "y": pa.array(hy.astype(np.float64) * sc)})
+
+    pts = rd.range(n).repartition(32) \
+        .map_batches(gen, batch_format="pyarrow").materialize()
+
+    t0 = time.time()
+    pairs = radius_join(pts, r=0.35).materialize()
+    n_pairs = pairs.count()
+    out["queries"]["radius_join_1m"] = round(time.time() - t0, 3)
+    # density check: ~C(n,2) * pi r^2 / 1e6 ~ 192k, wide tolerance
+    assert 100_000 < n_pairs < 400_000, n_pairs
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                             ("dist", pa.float64())])
+
+    def sym(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        a = t["a"].combine_chunks() \
+            if isinstance(t["a"], pa.ChunkedArray) else t["a"]
+        b = t["b"].combine_chunks() \
+            if isinstance(t["b"], pa.ChunkedArray) else t["b"]
+        d = t["dist"].combine_chunks() \
+            if isinstance(t["dist"], pa.ChunkedArray) else t["dist"]
+        return pa.table({"a": pa.concat_arrays([a, b]),
+                         "b": pa.concat_arrays([b, a]),
+                         "dist": pa.concat_arrays([d, d])})
+
+    t0 = time.time()
+    knn = topk_per_group(
+        pairs.map_batches(sym, batch_format="pyarrow"),
+        ["a"], "dist", 3, descending=False, tiebreak="b",
+        in_schema=pair_schema)
+    n_knn = knn.count()
+    out["queries"]["knn_1m"] = round(time.time() - t0, 3)
+    assert 0 < n_knn <= 2 * n_pairs and n_knn >= n_pairs  # k>=1 each side
+
+
 _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",
               "dedup_verify_100k", "ann_cosine", "ann_quantized", "pagerank",
@@ -1234,7 +1305,7 @@ _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "curation", "kmeans", "scrub", "chunk_decontam", "prefix_scan",
               "bounded_window", "dup_passages", "dedup_rewrite", "setsim", "bpe_train",
               "doc_sim", "fuzzy_names", "graph_triangles", "graph_iterative",
-              "cooccur", "analytics")
+              "cooccur", "analytics", "spatial")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -1338,6 +1409,8 @@ def run_all(only: str | None = None) -> dict:
         bench_graph_iterative(out)
     if only in (None, "cooccur"):
         bench_cooccur(out)
+    if only in (None, "spatial"):
+        bench_spatial(out)
     if only in (None, "analytics"):
         bench_analytics(out)
     out["value"] = round(sum(out["queries"].values()), 3)
