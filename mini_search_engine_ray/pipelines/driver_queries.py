@@ -9792,3 +9792,98 @@ SELECT count(*)::BIGINT AS n_rows,
          ::BIGINT AS n_range_violations
 FROM events
 """
+
+
+def q_type_value_drift(sf_dir: str):
+    """Per-event-type value-distribution drift between the log's two
+    halves (stages/stats.py: drift_stats_by_group) — the per-segment
+    PSI/KS monitoring grid, same exact-integer bucket/argmax
+    contracts as value_drift; psi/ks 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.stats import drift_stats_by_group
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts", "value"])
+    out = drift_stats_by_group(
+        ds, group_col="event_type", value_col="value", ts_col="ts",
+        split_us=_DRIFT_SPLIT_US, lo_cents=_DRIFT_LO,
+        hi_cents=_DRIFT_HI, bins=_DRIFT_BINS)
+
+    def fix(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        for name in ("psi", "ks"):
+            col = t[name]
+            col = col.combine_chunks() \
+                if isinstance(col, pa.ChunkedArray) else col
+            mask = np.asarray(col.is_null())
+            v = col.to_numpy(zero_copy_only=False)
+            r = _r4(np.where(mask, 0.0, v))
+            t = t.set_column(t.schema.get_field_index(name), name,
+                             pa.array(r, pa.float64(), mask=mask))
+        return t.rename_columns(
+            ["event_type", "n_a", "n_b", "psi", "ks", "ks_bucket"])
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["type_value_drift"] = q_type_value_drift
+
+ORACLE_SQL["type_value_drift"] = f"""
+WITH e AS (
+  SELECT event_type AS g, floor(value * 100)::BIGINT AS cents,
+         CASE WHEN epoch_us(ts) >= {_DRIFT_SPLIT_US} THEN 1 ELSE 0 END
+           AS per
+  FROM events),
+b AS (SELECT g, least(greatest((cents - {_DRIFT_LO}) * {_DRIFT_BINS}
+                               // {_DRIFT_HI - _DRIFT_LO}, 0),
+                      {_DRIFT_BINS - 1}) AS bucket, per
+      FROM e),
+c AS (SELECT g, bucket,
+             sum(CASE WHEN per = 0 THEN 1 ELSE 0 END)::BIGINT AS na,
+             sum(per)::BIGINT AS nb
+      FROM b GROUP BY 1, 2),
+grid AS (SELECT gs.g, t.i AS bucket, coalesce(c.na, 0)::BIGINT AS na,
+                coalesce(c.nb, 0)::BIGINT AS nb
+         FROM (SELECT DISTINCT g FROM c) gs
+         CROSS JOIN range({_DRIFT_BINS}) t(i)
+         LEFT JOIN c ON c.g = gs.g AND c.bucket = t.i),
+tot AS (SELECT g, sum(na)::BIGINT AS n_a, sum(nb)::BIGINT AS n_b
+        FROM grid GROUP BY 1),
+psi AS (
+  SELECT grid.g,
+         sum(((na + 1)::DOUBLE / (n_a + {_DRIFT_BINS})
+              - (nb + 1)::DOUBLE / (n_b + {_DRIFT_BINS}))
+             * ln(((na + 1)::DOUBLE / (n_a + {_DRIFT_BINS}))
+                  / ((nb + 1)::DOUBLE / (n_b + {_DRIFT_BINS}))))
+           AS psi
+  FROM grid JOIN tot ON tot.g = grid.g GROUP BY grid.g),
+cum AS (SELECT g, bucket,
+               sum(na) OVER (PARTITION BY g ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS ca,
+               sum(nb) OVER (PARTITION BY g ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) AS cb
+        FROM grid),
+ks AS (SELECT g, bucket, gap FROM (
+         SELECT cum.g, bucket,
+                abs(ca * n_b - cb * n_a)::BIGINT AS gap,
+                row_number() OVER (PARTITION BY cum.g
+                                   ORDER BY abs(ca * n_b - cb * n_a)
+                                     DESC, bucket ASC) AS rn
+         FROM cum JOIN tot ON tot.g = cum.g)
+       WHERE rn = 1)
+SELECT tot.g AS event_type, tot.n_a, tot.n_b,
+       CASE WHEN tot.n_a = 0 OR tot.n_b = 0 THEN NULL
+            ELSE {_R4.format(expr='psi.psi')} END AS psi,
+       CASE WHEN tot.n_a = 0 OR tot.n_b = 0 THEN NULL
+            ELSE {_R4.format(expr='(ks.gap::DOUBLE '
+                             '/ (tot.n_a::DOUBLE * tot.n_b::DOUBLE))')}
+            END AS ks,
+       CASE WHEN tot.n_a = 0 OR tot.n_b = 0 THEN NULL
+            ELSE ks.bucket::BIGINT END AS ks_bucket
+FROM tot
+JOIN psi ON psi.g = tot.g
+JOIN ks ON ks.g = tot.g
+ORDER BY event_type
+"""

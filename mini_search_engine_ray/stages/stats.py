@@ -35,7 +35,7 @@ import pyarrow as pa
 
 from .aggregates import sorted_groupby_agg, static_schema
 
-__all__ = ["association_stats", "cohens_kappa", "drift_stats", "grouped_linear_stats", "key_skew_stats", "kl_by_group", "roc_auc"]
+__all__ = ["association_stats", "cohens_kappa", "drift_stats", "drift_stats_by_group", "grouped_linear_stats", "key_skew_stats", "kl_by_group", "roc_auc"]
 
 
 def grouped_linear_stats(ds, *, key_col: str, x_col: str, y_col: str):
@@ -627,4 +627,104 @@ def kl_by_group(ds, *, group_col: str, cat_col: str):
         "group": ga.dictionary.take(pa.array(order)),
         "n": pa.array(n_g[order]),
         "kl": pa.array(kl[order], pa.float64()),
+    }))
+
+
+def drift_stats_by_group(ds, *, group_col: str, value_col: str,
+                         ts_col: str, split_us: int, lo_cents: int,
+                         hi_cents: int, bins: int = 32):
+    """Per-segment distribution drift — :func:`drift_stats` computed
+    independently for every category of ``group_col`` (the
+    per-feature-per-segment monitoring grid production ML runs).
+    Identical bucket/smoothing/argmax contracts: exact int64 buckets,
+    add-one-Laplace PSI rationals, integer-selected KS argmax.
+
+    Exchanges: per-batch (group, bucket, period) bincount partials →
+    ONE |G|·bins·2-bounded grouped sum → bounded collect + a
+    vectorized dense-grid closed form.  Returns one row per group
+    (group, n_a, n_b, psi, ks, ks_bucket); a group with an EMPTY
+    period gets NULL psi/ks/ks_bucket (the SQL convention — unlike
+    the global operator, which raises, a per-segment report must
+    still list the segment).  Empty input raises."""
+    import ray.data as rd
+
+    if not (isinstance(bins, int) and bins >= 2):
+        raise ValueError(f"bins must be an int >= 2, got {bins!r}")
+    if not hi_cents > lo_cents:
+        raise ValueError("hi_cents must exceed lo_cents")
+    span = hi_cents - lo_cents
+
+    part_schema = pa.schema([("g", pa.string()), ("bucket", pa.int64()),
+                             ("period", pa.int64()), ("cnt", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        g = t[group_col]
+        g = g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
+        if g.null_count:
+            raise ValueError("drift_stats_by_group: NULL group")
+        dg = g.dictionary_encode()
+        gi = dg.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+        if pa.types.is_timestamp(ts.type):
+            ts = ts.cast(pa.int64())
+        us = ts.to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(v * 100).astype(np.int64)
+        b = np.clip((cents - lo_cents) * bins // span, 0, bins - 1)
+        per = (us >= split_us).astype(np.int64)
+        code = (gi * bins + b) * 2 + per
+        cnt = np.bincount(code, minlength=len(dg.dictionary) * bins * 2)
+        nz = np.flatnonzero(cnt)
+        return pa.table({
+            "g": dg.dictionary.take(pa.array(nz // (2 * bins))),
+            "bucket": pa.array((nz // 2) % bins),
+            "period": pa.array(nz % 2),
+            "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+    agg = sorted_groupby_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["g", "bucket", "period"], [("cnt", "sum", "cnt")],
+        in_schema=part_schema)
+
+    tabs = [b for b in agg.iter_batches(batch_format="pyarrow")
+            if b.num_rows and "g" in b.column_names]  # |G|·bins·2-bounded
+    if not tabs:
+        raise ValueError("drift_stats_by_group: empty input")
+    cells = pa.concat_tables(tabs)
+    dg = cells["g"].dictionary_encode().combine_chunks()
+    gi = dg.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    bk = cells["bucket"].to_numpy(zero_copy_only=False)
+    pr = cells["period"].to_numpy(zero_copy_only=False)
+    cn = cells["cnt"].to_numpy(zero_copy_only=False)
+    n_groups = len(dg.dictionary)
+    na = np.zeros((n_groups, bins), np.int64)
+    nb = np.zeros((n_groups, bins), np.int64)
+    na[gi[pr == 0], bk[pr == 0]] = cn[pr == 0]
+    nb[gi[pr == 1], bk[pr == 1]] = cn[pr == 1]
+    n_a = na.sum(axis=1)
+    n_b = nb.sum(axis=1)
+    ok = (n_a > 0) & (n_b > 0)
+    p = (na + 1).astype(np.float64) / np.maximum(n_a + bins, 1)[:, None]
+    q = (nb + 1).astype(np.float64) / np.maximum(n_b + bins, 1)[:, None]
+    psi = np.sum((p - q) * np.log(p / q), axis=1)
+    ca = np.cumsum(na, axis=1)
+    cb = np.cumsum(nb, axis=1)
+    gap = np.abs(ca * n_b[:, None] - cb * n_a[:, None])
+    k = np.argmax(gap, axis=1)                 # first max: smallest bucket
+    ks = gap[np.arange(n_groups), k] / np.maximum(
+        n_a.astype(np.float64) * n_b.astype(np.float64), 1.0)
+    order = np.argsort(
+        dg.dictionary.to_numpy(zero_copy_only=False).astype(object))
+    null_mask = ~ok[order]                     # True → Arrow NULL
+    return rd.from_arrow(pa.table({
+        "group": dg.dictionary.take(pa.array(order)),
+        "n_a": pa.array(n_a[order]),
+        "n_b": pa.array(n_b[order]),
+        "psi": pa.array(psi[order], pa.float64(), mask=null_mask),
+        "ks": pa.array(ks[order], pa.float64(), mask=null_mask),
+        "ks_bucket": pa.array(k[order].astype(np.int64),
+                              pa.int64(), mask=null_mask),
     }))

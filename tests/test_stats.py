@@ -512,3 +512,71 @@ class TestKlByGroup:
         with pytest.raises(Exception):
             kl_by_group(rd.from_arrow(t0), group_col="g",
                         cat_col="c").take_all()
+
+
+class TestDriftStatsByGroup:
+    @staticmethod
+    def _run(groups, values, ts_us, split, lo, hi, bins, blocks=5):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.stats import (
+            drift_stats, drift_stats_by_group)
+
+        t = pa.table({
+            "g": pa.array(list(groups)),
+            "value": pa.array(np.asarray(values, np.float64)),
+            "ts": pa.array(np.asarray(ts_us, np.int64)).cast(
+                pa.timestamp("us"))})
+        out = drift_stats_by_group(
+            rd.from_arrow(t).repartition(blocks), group_col="g",
+            value_col="value", ts_col="ts", split_us=split,
+            lo_cents=lo, hi_cents=hi, bins=bins).take_all()
+        return {r["group"]: r for r in out}
+
+    def test_matches_global_operator_per_group(self):
+        from mini_search_engine_ray.stages.stats import drift_stats
+        import ray.data as rd
+
+        rng = np.random.default_rng(13)
+        n = 6000
+        gs = np.array([f"t{i}" for i in rng.integers(0, 3, n)])
+        v = np.where(gs == "t0",
+                     rng.uniform(1, 100, n),      # t0 drifts below
+                     rng.uniform(1, 300, n))
+        ts = rng.integers(0, 2 * 10**9, n)
+        v = np.where((gs == "t0") & (ts >= 10**9), v + 150, v)
+        got = self._run(gs, v, ts, 10**9, 0, 40_000, 16)
+        for g in ("t0", "t1", "t2"):
+            sel = gs == g
+            t = pa.table({
+                "value": pa.array(v[sel]),
+                "ts": pa.array(ts[sel].astype(np.int64)).cast(
+                    pa.timestamp("us"))})
+            ref = drift_stats(rd.from_arrow(t), value_col="value",
+                              ts_col="ts", split_us=10**9, lo_cents=0,
+                              hi_cents=40_000, bins=16).take_all()[0]
+            assert got[g]["n_a"] == ref["n_a"]
+            assert got[g]["n_b"] == ref["n_b"]
+            assert abs(got[g]["psi"] - ref["psi"]) < 1e-12
+            assert abs(got[g]["ks"] - ref["ks"]) < 1e-12
+            assert got[g]["ks_bucket"] == ref["ks_bucket"]
+        assert got["t0"]["psi"] == max(r["psi"] for r in got.values())
+
+    def test_empty_period_group_is_null(self):
+        # group "b" exists only in period A -> NULL psi/ks/ks_bucket
+        gs = ["a"] * 100 + ["b"] * 20
+        v = list(np.linspace(1, 100, 100)) + [50.0] * 20
+        ts = [0, 2 * 10**9] * 50 + [0] * 20
+        got = self._run(gs, v, ts, 10**9, 0, 20_000, 8)
+        assert got["b"]["psi"] is None
+        assert got["b"]["ks"] is None
+        assert got["b"]["ks_bucket"] is None
+        assert got["b"]["n_a"] == 20 and got["b"]["n_b"] == 0
+        assert got["a"]["psi"] is not None
+
+    def test_validation(self):
+        with pytest.raises(Exception):   # null group
+            self._run(["a", None], [1.0, 2.0], [0, 2 * 10**9],
+                      10**9, 0, 1000, 4)
+        with pytest.raises(Exception):   # bins < 2
+            self._run(["a"], [1.0], [0], 10**9, 0, 1000, 1)
