@@ -9887,3 +9887,103 @@ JOIN psi ON psi.g = tot.g
 JOIN ks ON ks.g = tot.g
 ORDER BY event_type
 """
+
+
+_RFM_K = 4
+
+
+def q_user_rfm(sf_dir: str):
+    """RFM segmentation — the classic behavioral-marketing scoring:
+    per user recency (last-event µs), frequency (event count) and
+    monetary (Σ cents; all exact int64 via ONE user-keyed grouped
+    sum), then three global NTILE(4) passes over the user-sized table
+    — recency DESC (most recent = tile 1), frequency DESC, monetary
+    DESC, each with the user_id ASC tiebreak the unique-sort-tuple
+    contract requires — composed into segment = r·100 + f·10 + m.
+    All-integer end to end."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import ntile
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+
+    prep_schema = pa.schema([("user_id", pa.int64()),
+                             ("last_us", pa.int64()),
+                             ("one", pa.int64()),
+                             ("cents", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "last_us": pa.array(us),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "cents": pa.array(np.floor(v * 100).astype(np.int64))})
+
+    per_user = sorted_groupby_agg(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [("last_us", "max", "last_us"), ("one", "sum", "freq"),
+         ("cents", "sum", "monetary")],
+        in_schema=prep_schema)
+
+    # descending recency: most recent first → flip by ordering DESC.
+    # ntile() has no descending flag; order on the NEGATED key instead
+    # (exact for int64 µs), keeping user_id ASC as tiebreak.
+
+    def neg(t: pa.Table, col: str, out: str) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return t.append_column(out, pa.array(-v))
+
+    step = per_user.map_batches(
+        lambda t: neg(neg(neg(t, "last_us", "neg_r"), "freq", "neg_f"),
+                      "monetary", "neg_m"),
+        batch_format="pyarrow")
+    step = ntile(step, k=_RFM_K, order_by=["neg_r", "user_id"],
+                 out_col="r_tile")
+    step = ntile(step, k=_RFM_K, order_by=["neg_f", "user_id"],
+                 out_col="f_tile")
+    step = ntile(step, k=_RFM_K, order_by=["neg_m", "user_id"],
+                 out_col="m_tile")
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        r = t["r_tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t["f_tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = t["m_tile"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "freq": pc.cast(t["freq"], pa.int64()),
+            "monetary": pc.cast(t["monetary"], pa.int64()),
+            "segment": pa.array(r * 100 + f * 10 + m)})
+
+    return step.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["user_rfm"] = q_user_rfm
+
+ORACLE_SQL["user_rfm"] = f"""
+WITH u AS (
+  SELECT user_id, max(epoch_us(ts))::BIGINT AS last_us,
+         count(*)::BIGINT AS freq,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS monetary
+  FROM events GROUP BY 1),
+t AS (
+  SELECT user_id, freq, monetary,
+         ntile({_RFM_K}) OVER (ORDER BY last_us DESC, user_id)
+           AS r_tile,
+         ntile({_RFM_K}) OVER (ORDER BY freq DESC, user_id) AS f_tile,
+         ntile({_RFM_K}) OVER (ORDER BY monetary DESC, user_id)
+           AS m_tile
+  FROM u)
+SELECT user_id, freq, monetary,
+       (r_tile * 100 + f_tile * 10 + m_tile)::BIGINT AS segment
+FROM t
+"""
