@@ -9987,3 +9987,187 @@ SELECT user_id, freq, monetary,
        (r_tile * 100 + f_tile * 10 + m_tile)::BIGINT AS segment
 FROM t
 """
+
+
+_CAL_BINS = 10
+_CAL_LO, _CAL_HI = 0, 50_000   # cents domain, matches drift constants
+
+
+def q_value_calibration(sf_dir: str):
+    """Reliability / calibration table for the value-cents score
+    against the purchase label (the diagram every deployed classifier
+    is monitored with): scores bucket into 10 fixed integer bins
+    (exact int64 floor-division with clipping — the drift_stats
+    bucket contract), and per bin the report carries n, n_pos, the
+    mean score and the positive rate.  ONE bins-bounded grouped sum
+    over per-batch bincount partials; sums exact int64, the two
+    divisions 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+    span = _CAL_HI - _CAL_LO
+    part_schema = pa.schema([("bucket", pa.int64()), ("n", pa.int64()),
+                             ("n_pos", pa.int64()),
+                             ("sum_cents", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100).astype(np.int64)
+        b = np.clip((cents - _CAL_LO) * _CAL_BINS // span, 0,
+                    _CAL_BINS - 1)
+        y = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = np.bincount(b, minlength=_CAL_BINS)
+        npos = np.bincount(b, weights=y, minlength=_CAL_BINS)
+        s = np.bincount(b, weights=cents, minlength=_CAL_BINS)
+        nz = np.flatnonzero(n)
+        return pa.table({
+            "bucket": pa.array(nz),
+            "n": pa.array(n[nz].astype(np.int64)),
+            "n_pos": pa.array(npos[nz].astype(np.int64)),
+            "sum_cents": pa.array(s[nz].astype(np.int64))})
+
+    agg = sorted_groupby_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["bucket"],
+        [("n", "sum", "n"), ("n_pos", "sum", "n_pos"),
+         ("sum_cents", "sum", "sum_cents")],
+        in_schema=part_schema)
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bucket" not in t.column_names:
+            return pa.schema([
+                ("bucket", pa.int64()), ("n", pa.int64()),
+                ("n_pos", pa.int64()), ("mean_cents", pa.float64()),
+                ("pos_rate", pa.float64())]).empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        npos = t["n_pos"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s = t["sum_cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "bucket": t["bucket"], "n": t["n"], "n_pos": t["n_pos"],
+            "mean_cents": pa.array(_r4(s / n)),
+            "pos_rate": pa.array(_r4(npos / n))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["value_calibration"] = q_value_calibration
+
+ORACLE_SQL["value_calibration"] = f"""
+WITH e AS (
+  SELECT floor(value * 100)::BIGINT AS cents,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+b AS (SELECT least(greatest((cents - {_CAL_LO}) * {_CAL_BINS}
+                            // {_CAL_HI - _CAL_LO}, 0),
+                   {_CAL_BINS - 1}) AS bucket, cents, y
+      FROM e),
+g AS (SELECT bucket, count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+             sum(cents)::BIGINT AS sum_cents
+      FROM b GROUP BY 1)
+SELECT bucket, n, n_pos,
+       {_R4.format(expr='(sum_cents::DOUBLE / n::DOUBLE)')}
+         AS mean_cents,
+       {_R4.format(expr='(n_pos::DOUBLE / n::DOUBLE)')} AS pos_rate
+FROM g ORDER BY bucket
+"""
+
+
+def q_time_to_convert(sf_dir: str):
+    """Time-to-first-purchase funnel timing: per user, the gap in
+    seconds between their FIRST event and their FIRST purchase (users
+    who never purchase are excluded), summarized as n_converted,
+    mean_s and max_s — the activation-latency report product
+    analytics runs.  ONE user-keyed grouped min pass carrying two
+    exact int64 µs minima per user (first event, first purchase),
+    then a scalar-partial reduce; mean 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_type"])
+
+    part_schema = pa.schema([("user_id", pa.int64()),
+                             ("first_us", pa.int64()),
+                             ("first_buy_us", pa.int64())])
+    _SENTINEL = np.iinfo(np.int64).max
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        buy = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "first_us": pa.array(us),
+            "first_buy_us": pa.array(
+                np.where(buy, us, _SENTINEL))})
+
+    per_user = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"],
+        [("first_us", "min", "first_us"),
+         ("first_buy_us", "min", "first_buy_us")],
+        in_schema=part_schema)
+
+    scal_schema = pa.schema([("n", pa.int64()), ("sum_s", pa.int64()),
+                             ("max_s", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "first_us" not in t.column_names:
+            return scal_schema.empty_table()
+        f = t["first_us"].to_numpy(zero_copy_only=False)
+        b = t["first_buy_us"].to_numpy(zero_copy_only=False)
+        conv = b != _SENTINEL
+        gap_s = (b[conv] - f[conv]) // 1_000_000   # floor seconds
+        if gap_s.size == 0:
+            return scal_schema.empty_table()
+        return pa.table({
+            "n": pa.array([np.int64(gap_s.size)]),
+            "sum_s": pa.array([gap_s.sum()]),
+            "max_s": pa.array([gap_s.max()])})
+
+    parts = per_user.map_batches(partials,
+                                 batch_format="pyarrow").take_all()
+    n = int(sum(r["n"] for r in parts))
+    if n == 0:
+        raise ValueError("time_to_convert: no converted users")
+    sum_s = int(sum(r["sum_s"] for r in parts))
+    max_s = max(int(r["max_s"]) for r in parts)
+    return pa.table({
+        "n_converted": pa.array([n], pa.int64()),
+        "mean_s": pa.array(_r4(np.array([sum_s / n]))),
+        "max_s": pa.array([max_s], pa.int64()),
+    })
+
+
+QUERIES["time_to_convert"] = q_time_to_convert
+
+ORACLE_SQL["time_to_convert"] = f"""
+WITH u AS (
+  SELECT user_id,
+         min(epoch_us(ts))::BIGINT AS first_us,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END)::BIGINT AS first_buy_us
+  FROM events GROUP BY 1),
+c AS (SELECT ((first_buy_us - first_us) // 1000000)::BIGINT AS gap_s
+      FROM u WHERE first_buy_us IS NOT NULL)
+SELECT count(*)::BIGINT AS n_converted,
+       {_R4.format(expr='(sum(gap_s)::DOUBLE / count(*)::DOUBLE)')}
+         AS mean_s,
+       max(gap_s)::BIGINT AS max_s
+FROM c
+"""
