@@ -10171,3 +10171,73 @@ SELECT count(*)::BIGINT AS n_converted,
        max(gap_s)::BIGINT AS max_s
 FROM c
 """
+
+
+_DYM_Q, _DYM_K = "sow", 3
+
+
+def q_did_you_mean(sf_dir: str):
+    """Did-you-mean spell suggestion from the SERVING vocabulary: the
+    (term, df) dictionary read back from the built index shards (the
+    term_stats surface), filtered to terms within edit distance ≤ 1
+    of the query ('sow' → {slow, row}), ranked df DESC with term ASC
+    tiebreak, top-3.  Per-batch length-prefilter + the fuzzy family's
+    capped edit-1 check; the collect is candidate-sized."""
+    import ray.data as rd
+
+    from ..functions.fuzzy_edit import edit1_distance
+    from ..stages.shards import list_shards, open_shard
+
+    index_dir = get_index(sf_dir)
+    sids = list_shards(index_dir)
+
+    cand_schema = pa.schema([("term", pa.string()), ("df", pa.int64()),
+                             ("dist", pa.int64())])
+
+    def read(batch: pa.Table) -> pa.Table:
+        parts = []
+        for sid in batch["sid"].to_pylist():
+            t = open_shard(index_dir, sid)
+            if t is None:
+                continue
+            terms = t["term"].to_numpy(zero_copy_only=False) \
+                .astype(object)
+            lens = np.char.str_len(terms.astype(str))
+            near = np.abs(lens - len(_DYM_Q)) <= 1   # length prefilter
+            idx = np.flatnonzero(near)
+            keep, dist = [], []
+            for i in idx:
+                d = edit1_distance(_DYM_Q, terms[i])
+                if d <= 1:
+                    keep.append(i)
+                    dist.append(d)
+            if keep:
+                sel = t.take(pa.array(np.asarray(keep, np.int64)))
+                parts.append(pa.table({
+                    "term": sel["term"],
+                    "df": sel["df"],
+                    "dist": pa.array(np.asarray(dist, np.int64))}))
+        return pa.concat_tables(parts) if parts \
+            else cand_schema.empty_table()
+
+    cands = rd.from_arrow(pa.table(
+        {"sid": pa.array(sids)})).map_batches(
+        read, batch_format="pyarrow").take_all()   # candidate-sized
+    rows = sorted(cands, key=lambda r: (-r["df"], r["term"]))[:_DYM_K]
+    return pa.table({
+        "term": pa.array([r["term"] for r in rows], pa.string()),
+        "df": pa.array([r["df"] for r in rows], pa.int64()),
+        "dist": pa.array([r["dist"] for r in rows], pa.int64()),
+    })
+
+
+QUERIES["did_you_mean"] = q_did_you_mean
+
+ORACLE_SQL["did_you_mean"] = f"""
+WITH ts AS ({ORACLE_SQL["term_stats"]})
+SELECT term, df, levenshtein(term, '{_DYM_Q}')::BIGINT AS dist
+FROM ts
+WHERE levenshtein(term, '{_DYM_Q}') <= 1
+ORDER BY df DESC, term ASC
+LIMIT {_DYM_K}
+"""

@@ -29,21 +29,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-def _edit1(a: str, b: str) -> int:
-    """Edit distance capped at 2: returns 0, 1, or 2 (2 = 'more than
-    1').  Only called on candidate pairs with |len diff| <= 1."""
-    if a == b:
-        return 0
-    la, lb = len(a), len(b)
-    if la == lb:
-        return 1 if sum(x != y for x, y in zip(a, b)) == 1 else 2
-    if la > lb:
-        a, b, la, lb = b, a, lb, la
-    # lb == la + 1: b minus one char == a ?
-    i = 0
-    while i < la and a[i] == b[i]:
-        i += 1
-    return 1 if a[i:] == b[i + 1:] else 2
+from ..functions.fuzzy_edit import edit1_distance as _edit1  # noqa: E402
+# (shared capped edit-distance-1 primitive — also used by the
+# did_you_mean suggestion query; semantics match SQL levenshtein <= 1)
 
 
 def deletion_variants(names: pa.Array):
