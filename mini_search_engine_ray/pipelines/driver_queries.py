@@ -10241,3 +10241,148 @@ WHERE levenshtein(term, '{_DYM_Q}') <= 1
 ORDER BY df DESC, term ASC
 LIMIT {_DYM_K}
 """
+
+
+_PATHS_K = 5
+
+
+def q_top_event_paths(sf_dir: str):
+    """Top-5 most common 3-step behavioral paths (the path-mining
+    report product analytics runs): two LAG(event_type) passes within
+    user by (ts, event_id) — each ONE range sort + O(offset)-row
+    carry — then a |T|³-bounded grouped count and a global top-5
+    ranked n DESC with lexicographic path tiebreak.  All-integer."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import lag_column
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+    l1 = lag_column(ev, value_col="event_type",
+                    order_by=["ts", "event_id"], key_col="user_id",
+                    out_col="t2")
+    l2 = lag_column(l1, value_col="t2",
+                    order_by=["ts", "event_id"], key_col="user_id",
+                    out_col="t1")
+
+    trip_schema = pa.schema([("t1", pa.string()), ("t2", pa.string()),
+                             ("t3", pa.string()), ("one", pa.int64())])
+
+    def trips(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0 or "t1" not in t.column_names:
+            return trip_schema.empty_table()
+        keep = pc.and_(pc.is_valid(t["t1"]), pc.is_valid(t["t2"]))
+        f = t.filter(keep)
+        return pa.table({
+            "t1": pc.cast(f["t1"], pa.string()),
+            "t2": pc.cast(f["t2"], pa.string()),
+            "t3": pc.cast(f["event_type"], pa.string()),
+            "one": pa.array(np.ones(f.num_rows, np.int64))})
+
+    agg = sorted_groupby_agg(
+        l2.map_batches(trips, batch_format="pyarrow"),
+        ["t1", "t2", "t3"], [("one", "sum", "n")],
+        in_schema=trip_schema)
+
+    rows = [r for b in agg.iter_batches(batch_format="pyarrow")
+            if b.num_rows and "t1" in b.column_names
+            for r in b.to_pylist()]              # |T|³-bounded
+    rows.sort(key=lambda r: (-r["n"], r["t1"], r["t2"], r["t3"]))
+    rows = rows[:_PATHS_K]
+    return pa.table({
+        "t1": pa.array([r["t1"] for r in rows], pa.string()),
+        "t2": pa.array([r["t2"] for r in rows], pa.string()),
+        "t3": pa.array([r["t3"] for r in rows], pa.string()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
+QUERIES["top_event_paths"] = q_top_event_paths
+
+ORACLE_SQL["top_event_paths"] = f"""
+WITH l AS (
+  SELECT event_type AS t3,
+         lag(event_type) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT t1, t2, t3, count(*)::BIGINT AS n
+      FROM l WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+      GROUP BY 1, 2, 3)
+SELECT t1, t2, t3, n
+FROM c ORDER BY n DESC, t1, t2, t3
+LIMIT {_PATHS_K}
+"""
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf's-law fit of the corpus term-frequency distribution — the
+    corpus-health diagnostic (natural text slopes ≈ −1): least-squares
+    regression of ln(total_tf) on ln(rank) over the serving
+    vocabulary ranked total_tf DESC with term ASC tiebreak.  The
+    (term, total_tf) table is vocabulary-bounded (the index
+    dictionary); ranks and the six moment sums are computed on that
+    bounded set with the EXPLICIT closed form both engines share;
+    slope/intercept 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.shards import list_shards, open_shard
+
+    index_dir = get_index(sf_dir)
+    sids = list_shards(index_dir)
+
+    def read(batch: pa.Table) -> pa.Table:
+        parts = []
+        for sid in batch["sid"].to_pylist():
+            t = open_shard(index_dir, sid)
+            if t is not None:
+                parts.append(t.select(["term", "total_tf"]))
+        return pa.concat_tables(parts) if parts else pa.table(
+            {"term": pa.array([], pa.string()),
+             "total_tf": pa.array([], pa.int64())})
+
+    rows = rd.from_arrow(pa.table(
+        {"sid": pa.array(sids)})).map_batches(
+        read, batch_format="pyarrow").take_all()   # vocabulary-bounded
+    rows.sort(key=lambda r: (-r["total_tf"], r["term"]))
+    tf = np.array([r["total_tf"] for r in rows], np.float64)
+    n = tf.size
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(tf)
+    sx, sy = x.sum(), y.sum()
+    sxx, sxy = (x * x).sum(), (x * y).sum()
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    return pa.table({
+        "n_terms": pa.array([np.int64(n)]),
+        "slope": pa.array(_r4(np.array([slope]))),
+        "intercept": pa.array(_r4(np.array([intercept]))),
+    })
+
+
+QUERIES["zipf_slope"] = q_zipf_slope
+
+_ZIPF_R4S = _R4.format(
+    expr='((n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx))')
+_ZIPF_R4I = _R4.format(
+    expr='((sy - ((n::DOUBLE * sxy - sx * sy) '
+         '/ (n::DOUBLE * sxx - sx * sx)) * sx) / n::DOUBLE)')
+
+ORACLE_SQL["zipf_slope"] = f"""
+WITH ts AS ({ORACLE_SQL["term_stats"]}),
+r AS (SELECT ln(row_number() OVER (ORDER BY total_tf DESC, term ASC)
+              ::DOUBLE) AS x,
+             ln(total_tf::DOUBLE) AS y
+      FROM ts),
+m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM r)
+SELECT n AS n_terms,
+       {_ZIPF_R4S} AS slope,
+       {_ZIPF_R4I} AS intercept
+FROM m
+"""
