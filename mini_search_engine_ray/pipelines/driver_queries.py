@@ -10386,3 +10386,150 @@ SELECT n AS n_terms,
        {_ZIPF_R4I} AS intercept
 FROM m
 """
+
+
+_CHURN_FRAC_NUM, _CHURN_FRAC_DEN = 3, 4   # cutoff at 3/4 of the span
+
+
+def q_user_churn_labels(sf_dir: str):
+    """Churn label generation — the supervised-learning label every
+    retention model trains on: a user is churned when they have NO
+    event after the cutoff at 3/4 of the log's time span.  The span
+    comes from exact int64 µs min/max scalar partials (one cheap
+    pre-pass), the cutoff is integer arithmetic (min + span·3//4, so
+    the boundary decision replays exactly), and labels come from ONE
+    user-keyed grouped max.  Returns (user_id, last_us, churned)."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    prep_schema = pa.schema([("user_id", pa.int64()),
+                             ("us", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        return pa.table({"user_id": t["user_id"],
+                         "us": ts.cast(pa.int64())})
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+
+    span_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def span(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return span_schema.empty_table()
+        us = t["us"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([us.min()]),
+                         "hi": pa.array([us.max()])})
+
+    parts = base.map_batches(span, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("user_churn_labels: empty input")
+    lo = min(r["lo"] for r in parts)
+    hi = max(r["hi"] for r in parts)
+    cutoff = lo + (hi - lo) * _CHURN_FRAC_NUM // _CHURN_FRAC_DEN
+
+    per_user = sorted_groupby_agg(
+        base, ["user_id"], [("us", "max", "last_us")],
+        in_schema=prep_schema)
+
+    def label(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0 or "last_us" not in t.column_names:
+            return pa.schema([("user_id", pa.int64()),
+                              ("last_us", pa.int64()),
+                              ("churned", pa.int64())]).empty_table()
+        last = t["last_us"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "last_us": pc.cast(t["last_us"], pa.int64()),
+            "churned": pa.array((last <= cutoff).astype(np.int64))})
+
+    return per_user.map_batches(label, batch_format="pyarrow")
+
+
+QUERIES["user_churn_labels"] = q_user_churn_labels
+
+ORACLE_SQL["user_churn_labels"] = f"""
+WITH b AS (SELECT user_id, epoch_us(ts)::BIGINT AS us FROM events),
+s AS (SELECT min(us)::BIGINT AS lo, max(us)::BIGINT AS hi FROM b),
+u AS (SELECT user_id, max(us)::BIGINT AS last_us FROM b GROUP BY 1)
+SELECT u.user_id, u.last_us,
+       CASE WHEN u.last_us <= s.lo + (s.hi - s.lo)
+                 * {_CHURN_FRAC_NUM} // {_CHURN_FRAC_DEN}
+            THEN 1 ELSE 0 END::BIGINT AS churned
+FROM u, s
+"""
+
+
+def q_peak_hour_by_type(sf_dir: str):
+    """Peak activity hour per event type — the seasonality profile:
+    UTC hour-of-day from exact integer µs arithmetic ((us // 3_600e6)
+    % 24, identical on both engines), ONE |T|·24-bounded grouped
+    count, argmax per type with smallest-hour tiebreak."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "ts"])
+
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("hour", pa.int64()), ("one", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000) % 24
+        return pa.table({"event_type": t["event_type"],
+                         "hour": pa.array(hour),
+                         "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour"], [("one", "sum", "n")],
+        in_schema=part_schema)
+
+    rows = [r for b in agg.iter_batches(batch_format="pyarrow")
+            if b.num_rows and "event_type" in b.column_names
+            for r in b.to_pylist()]              # |T|·24-bounded
+    best = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"],
+                                         -r["n"], r["hour"])):
+        best.setdefault(r["event_type"], r)
+    out = sorted(best.values(), key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in out],
+                               pa.string()),
+        "peak_hour": pa.array([r["hour"] for r in out], pa.int64()),
+        "n": pa.array([r["n"] for r in out], pa.int64()),
+    })
+
+
+QUERIES["peak_hour_by_type"] = q_peak_hour_by_type
+
+ORACLE_SQL["peak_hour_by_type"] = """
+WITH h AS (
+  SELECT event_type,
+         ((epoch_us(ts)::BIGINT // 3600000000) % 24)::BIGINT AS hour
+  FROM events),
+c AS (SELECT event_type, hour, count(*)::BIGINT AS n
+      FROM h GROUP BY 1, 2),
+r AS (SELECT event_type, hour, n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY n DESC, hour ASC) AS rn
+      FROM c)
+SELECT event_type, hour AS peak_hour, n
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
