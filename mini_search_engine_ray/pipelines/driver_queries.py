@@ -10533,3 +10533,112 @@ r AS (SELECT event_type, hour, n,
 SELECT event_type, hour AS peak_hour, n
 FROM r WHERE rn = 1 ORDER BY event_type
 """
+
+
+def q_user_burstiness(sf_dir: str):
+    """Inter-event burstiness per user (Goh & Barabási 2008):
+    B = (σ − μ)/(σ + μ) over the user's inter-event gaps in seconds —
+    −1 = perfectly regular, 0 = Poisson, →1 = bursty.  Composition:
+    LAG(ts) within user by (ts, event_id) → integer floor-second gaps
+    → ONE user-keyed grouped sum of EXACT int64 moments (n, Σg, Σg²)
+    → the explicit population-σ closed form both engines share.
+    Users with <2 gaps get NULL B (σ and μ of one gap are degenerate
+    only when σ+μ=0; the n≥2 floor matches the metric's definition);
+    mean_gap_s/burstiness 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import lag_column
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id"])
+
+    def us_col(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        return pa.table({"user_id": t["user_id"],
+                         "event_id": t["event_id"],
+                         "us": ts.cast(pa.int64())})
+
+    lagged = lag_column(ev.map_batches(us_col, batch_format="pyarrow"),
+                        value_col="us", order_by=["us", "event_id"],
+                        key_col="user_id", out_col="prev_us")
+
+    mom_schema = pa.schema([("user_id", pa.int64()), ("n", pa.int64()),
+                            ("sg", pa.int64()), ("sgg", pa.int64())])
+
+    def moments(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0 or "prev_us" not in t.column_names:
+            return mom_schema.empty_table()
+        f = t.filter(pc.is_valid(t["prev_us"]))
+        if f.num_rows == 0:
+            return mom_schema.empty_table()
+        cur = f["us"].to_numpy(zero_copy_only=False)
+        prev = f["prev_us"].to_numpy(zero_copy_only=False)
+        g = (cur - prev) // 1_000_000            # floor seconds
+        return pa.table({
+            "user_id": f["user_id"],
+            "n": pa.array(np.ones(f.num_rows, np.int64)),
+            "sg": pa.array(g), "sgg": pa.array(g * g)})
+
+    agg = sorted_groupby_agg(
+        lagged.map_batches(moments, batch_format="pyarrow"),
+        ["user_id"],
+        [("n", "sum", "n"), ("sg", "sum", "sg"), ("sgg", "sum", "sgg")],
+        in_schema=mom_schema)
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out_schema = pa.schema([
+            ("user_id", pa.int64()), ("n_gaps", pa.int64()),
+            ("mean_gap_s", pa.float64()), ("burstiness", pa.float64())])
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return out_schema.empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sg = t["sg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sgg = t["sgg"].to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = sg / n
+        var = sgg / n - mu * mu
+        sd = np.sqrt(np.maximum(var, 0.0))
+        ok = (n >= 2) & (sd + mu > 0)   # σ+μ=0 (all-zero gaps) → NULL
+        with np.errstate(invalid="ignore", divide="ignore"):
+            b = (sd - mu) / (sd + mu)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "n_gaps": pc.cast(t["n"], pa.int64()),
+            "mean_gap_s": pa.array(_r4(mu)),
+            "burstiness": pa.array(_r4(np.where(ok, b, 0.0)),
+                                   pa.float64(), mask=~ok)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["user_burstiness"] = q_user_burstiness
+
+_BURST_B = ('((sqrt(greatest(sgg::DOUBLE / n::DOUBLE '
+            '- (sg::DOUBLE / n::DOUBLE) * (sg::DOUBLE / n::DOUBLE), '
+            '0.0)) - sg::DOUBLE / n::DOUBLE) '
+            '/ (sqrt(greatest(sgg::DOUBLE / n::DOUBLE '
+            '- (sg::DOUBLE / n::DOUBLE) * (sg::DOUBLE / n::DOUBLE), '
+            '0.0)) + sg::DOUBLE / n::DOUBLE))')
+
+ORACLE_SQL["user_burstiness"] = f"""
+WITH l AS (
+  SELECT user_id, epoch_us(ts)::BIGINT AS us,
+         lag(epoch_us(ts)::BIGINT)
+           OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS prev_us
+  FROM events),
+g AS (SELECT user_id, ((us - prev_us) // 1000000)::BIGINT AS gap
+      FROM l WHERE prev_us IS NOT NULL),
+m AS (SELECT user_id, count(*)::BIGINT AS n, sum(gap)::BIGINT AS sg,
+             sum(gap * gap)::BIGINT AS sgg
+      FROM g GROUP BY 1)
+SELECT user_id, n AS n_gaps,
+       {_R4.format(expr='(sg::DOUBLE / n::DOUBLE)')} AS mean_gap_s,
+       CASE WHEN n >= 2 AND sg > 0 THEN {_R4.format(expr=_BURST_B)}
+            ELSE NULL END AS burstiness
+FROM m
+"""
