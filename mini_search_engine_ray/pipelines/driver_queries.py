@@ -10642,3 +10642,189 @@ SELECT user_id, n AS n_gaps,
             ELSE NULL END AS burstiness
 FROM m
 """
+
+
+_KANON_K, _LDIV_BUCKET = 5, 100
+
+
+def q_k_anonymity_audit(sf_dir: str):
+    """Privacy-governance audit over the document corpus: treating
+    (lang, source) as the quasi-identifier and the n_chars
+    length-bucket (floor-division by 100) as the sensitive attribute,
+    report k-anonymity and l-diversity in one pass — n_groups, rows
+    in QI groups smaller than k = 5 (the re-identification risk
+    surface), the minimum group size, and the minimum per-group count
+    of DISTINCT sensitive buckets.  ONE (lang, source,
+    bucket)-bounded grouped count carries everything; distinct-count
+    and minima fold over the bounded cells.  All-integer."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["lang", "source", "n_chars"])
+
+    part_schema = pa.schema([("lang", pa.string()),
+                             ("source", pa.string()),
+                             ("bucket", pa.int64()),
+                             ("one", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        nc = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "lang": t["lang"], "source": t["source"],
+            "bucket": pa.array(nc // _LDIV_BUCKET),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cells = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["lang", "source", "bucket"], [("one", "sum", "n")],
+        in_schema=part_schema)
+
+    rows = [r for b in cells.iter_batches(batch_format="pyarrow")
+            if b.num_rows and "lang" in b.column_names
+            for r in b.to_pylist()]           # |L|·|S|·buckets-bounded
+    if not rows:
+        raise ValueError("k_anonymity_audit: empty input")
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        g = groups.setdefault((r["lang"], r["source"]), [0, 0])
+        g[0] += r["n"]          # group size
+        g[1] += 1               # distinct sensitive buckets
+    sizes = np.array([v[0] for v in groups.values()], np.int64)
+    ldivs = np.array([v[1] for v in groups.values()], np.int64)
+    return pa.table({
+        "n_groups": pa.array([len(groups)], pa.int64()),
+        "n_at_risk_rows": pa.array(
+            [int(sizes[sizes < _KANON_K].sum())], pa.int64()),
+        "min_group_size": pa.array([int(sizes.min())], pa.int64()),
+        "min_l_diversity": pa.array([int(ldivs.min())], pa.int64()),
+    })
+
+
+QUERIES["k_anonymity_audit"] = q_k_anonymity_audit
+
+ORACLE_SQL["k_anonymity_audit"] = f"""
+WITH c AS (
+  SELECT lang, source, (n_chars // {_LDIV_BUCKET})::BIGINT AS bucket,
+         count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2, 3),
+g AS (SELECT lang, source, sum(n)::BIGINT AS sz,
+             count(*)::BIGINT AS l_div
+      FROM c GROUP BY 1, 2)
+SELECT count(*)::BIGINT AS n_groups,
+       coalesce(sum(CASE WHEN sz < {_KANON_K} THEN sz END), 0)::BIGINT
+         AS n_at_risk_rows,
+       min(sz)::BIGINT AS min_group_size,
+       min(l_div)::BIGINT AS min_l_diversity
+FROM g
+"""
+
+
+def q_user_twap(sf_dir: str):
+    """Per-user time-weighted average value (left-Riemann TWAP, the
+    financial/metering aggregate): Σ cents_prev·gap_s / Σ gap_s over
+    the user's (ts, event_id)-ordered stream — the value holds until
+    the next observation.  LAG carries the previous (cents, µs) pair;
+    numerator and denominator stay EXACT int64 through ONE user-keyed
+    grouped sum; single-event users and zero-span users get NULL (no
+    elapsed time to weight); twap 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import lag_column
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id",
+                                  "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        v = t["value"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "us": ts.cast(pa.int64()),
+            "cents": pa.array(np.floor(v * 100).astype(np.int64))})
+
+    base = ev.map_batches(prep, batch_format="pyarrow")
+    l1 = lag_column(base, value_col="us",
+                    order_by=["us", "event_id"], key_col="user_id",
+                    out_col="prev_us")
+    l2 = lag_column(l1, value_col="cents",
+                    order_by=["us", "event_id"], key_col="user_id",
+                    out_col="prev_cents")
+
+    mom_schema = pa.schema([("user_id", pa.int64()),
+                            ("num", pa.int64()), ("den", pa.int64())])
+
+    def moments(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if t.num_rows == 0 or "prev_us" not in t.column_names:
+            return mom_schema.empty_table()
+        f = t.filter(pc.is_valid(t["prev_us"]))
+        if f.num_rows == 0:
+            return mom_schema.empty_table()
+        cur = f["us"].to_numpy(zero_copy_only=False)
+        prev = f["prev_us"].to_numpy(zero_copy_only=False)
+        pc_ = f["prev_cents"].to_numpy(zero_copy_only=False)
+        gap = (cur - prev) // 1_000_000
+        return pa.table({
+            "user_id": f["user_id"],
+            "num": pa.array(pc_ * gap), "den": pa.array(gap)})
+
+    agg = sorted_groupby_agg(
+        l2.map_batches(moments, batch_format="pyarrow"),
+        ["user_id"], [("num", "sum", "num"), ("den", "sum", "den")],
+        in_schema=mom_schema)
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out_schema = pa.schema([("user_id", pa.int64()),
+                                ("span_s", pa.int64()),
+                                ("twap", pa.float64())])
+        if t.num_rows == 0 or "num" not in t.column_names:
+            return out_schema.empty_table()
+        num = t["num"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        den = t["den"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = den > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            tw = num / den / 100.0              # back to dollars
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "span_s": pc.cast(t["den"], pa.int64()),
+            "twap": pa.array(_r4(np.where(ok, tw, 0.0)),
+                             pa.float64(), mask=~ok)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["user_twap"] = q_user_twap
+
+ORACLE_SQL["user_twap"] = f"""
+WITH l AS (
+  SELECT user_id,
+         epoch_us(ts)::BIGINT AS us,
+         lag(epoch_us(ts)::BIGINT)
+           OVER w AS prev_us,
+         lag(floor(value * 100)::BIGINT) OVER w AS prev_cents
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+g AS (SELECT user_id,
+             prev_cents * ((us - prev_us) // 1000000) AS num,
+             ((us - prev_us) // 1000000)::BIGINT AS den
+      FROM l WHERE prev_us IS NOT NULL),
+m AS (SELECT user_id, sum(num)::BIGINT AS num, sum(den)::BIGINT AS den
+      FROM g GROUP BY 1)
+SELECT user_id, den AS span_s,
+       CASE WHEN den > 0
+            THEN {_R4.format(expr='(num::DOUBLE / den::DOUBLE / 100.0)')}
+            ELSE NULL END AS twap
+FROM m
+"""
