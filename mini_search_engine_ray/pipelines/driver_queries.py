@@ -10828,3 +10828,133 @@ SELECT user_id, den AS span_s,
             ELSE NULL END AS twap
 FROM m
 """
+
+
+_MKT_REGION = "ASIA"
+
+
+def q_market_share_by_year(sf_dir: str):
+    """TPC-H-Q8-shaped market share: per order YEAR, the revenue
+    share attributable to customers of one region ('ASIA').  Revenue
+    is kept EXACT int64 — rev_milli = floor(price·100) ·
+    (100 − floor(discount·100)) — so numerator and denominator replay
+    bit-for-bit and only the final share division is 4dp-gated.
+    Plan: lineitem ⨝ orders ⨝ customer via two sort-merge joins (the
+    data-sized sides), nation⨝region folded driver-side into a
+    25-row nationkey→region map broadcast into the last hash join,
+    year from exact integer µs arithmetic, ONE year-bounded grouped
+    sum."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import broadcast_join, sort_merge_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    j1 = sort_merge_join(li, orders, "l_orderkey", "o_orderkey",
+                         partitions=8)
+    j1_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_extendedprice", pa.float64()),
+                           ("l_discount", pa.float64()),
+                           ("o_custkey", pa.int64()),
+                           ("o_orderdate", pa.timestamp("us"))])
+    j2 = sort_merge_join(j1, cust, "o_custkey", "c_custkey",
+                         left_schema=j1_schema, partitions=8)
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                           columns=["n_nationkey", "n_name",
+                                    "n_regionkey"])
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"),
+                           columns=["r_regionkey", "r_name"])
+    rmap = {r["r_regionkey"]: r["r_name"]
+            for r in region.to_pylist()}
+    nr = pa.table({
+        "n_nationkey": nation["n_nationkey"],
+        "r_name": pa.array([rmap[k]
+                            for k in nation["n_regionkey"].to_pylist()],
+                           pa.string())})
+    j3 = broadcast_join(j2, nr, "c_nationkey", right_on="n_nationkey")
+
+    part_schema = pa.schema([("year", pa.int64()),
+                             ("region_rev", pa.int64()),
+                             ("total_rev", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        od = t["o_orderdate"]
+        od = od.combine_chunks() if isinstance(od, pa.ChunkedArray) \
+            else od
+        us = od.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        year = (us.astype("datetime64[us]")
+                .astype("datetime64[Y]").astype(np.int64) + 1970)
+        price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = t["l_discount"].to_numpy(zero_copy_only=False)
+        rev = (np.floor(price * 100).astype(np.int64)
+               * (100 - np.floor(disc * 100).astype(np.int64)))
+        rn = t["r_name"]
+        rn = rn.combine_chunks() if isinstance(rn, pa.ChunkedArray) \
+            else rn
+        in_region = (rn.to_numpy(zero_copy_only=False)
+                     .astype(object) == _MKT_REGION)
+        return pa.table({
+            "year": pa.array(year),
+            "region_rev": pa.array(np.where(in_region, rev, 0)),
+            "total_rev": pa.array(rev)})
+
+    agg = sorted_groupby_agg(
+        j3.map_batches(prep, batch_format="pyarrow"),
+        ["year"],
+        [("region_rev", "sum", "region_rev"),
+         ("total_rev", "sum", "total_rev")],
+        in_schema=part_schema)
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out_schema = pa.schema([
+            ("year", pa.int64()), ("region_rev", pa.int64()),
+            ("total_rev", pa.int64()), ("share", pa.float64())])
+        if t.num_rows == 0 or "year" not in t.column_names:
+            return out_schema.empty_table()
+        rr = t["region_rev"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tr = t["total_rev"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "year": pc.cast(t["year"], pa.int64()),
+            "region_rev": pc.cast(t["region_rev"], pa.int64()),
+            "total_rev": pc.cast(t["total_rev"], pa.int64()),
+            "share": pa.array(_r4(rr / tr))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["market_share_by_year"] = q_market_share_by_year
+
+ORACLE_SQL["market_share_by_year"] = f"""
+WITH j AS (
+  SELECT year(o_orderdate)::BIGINT AS year,
+         floor(l_extendedprice * 100)::BIGINT
+           * (100 - floor(l_discount * 100)::BIGINT) AS rev,
+         r_name
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = n_regionkey),
+g AS (SELECT year,
+             sum(CASE WHEN r_name = '{_MKT_REGION}' THEN rev
+                      ELSE 0 END)::BIGINT AS region_rev,
+             sum(rev)::BIGINT AS total_rev
+      FROM j GROUP BY 1)
+SELECT year, region_rev, total_rev,
+       {_R4.format(expr='(region_rev::DOUBLE / total_rev::DOUBLE)')}
+         AS share
+FROM g ORDER BY year
+"""
