@@ -10958,3 +10958,179 @@ SELECT year, region_rev, total_rev,
          AS share
 FROM g ORDER BY year
 """
+
+
+def q_cf_hit_rate(sf_dir: str):
+    """Offline hit-rate@3 evaluation of the item-CF serving table —
+    the recommender sanity eval: per eligible user (2–50 distinct
+    items, the CF cap), hold out the item of their HIGHEST-event_id
+    interaction, recommend the union of top-3 similar partners of
+    their remaining items (the item_similar_topk table, trained on
+    the full log — the standard cheap leak-tolerant sanity eval,
+    documented as such), and count users whose holdout appears.
+    All set logic integer/join-exact; hit_rate 4dp-gated."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+    from ..stages.semistructured import json_int_field
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_id", "props"])
+    ui0 = json_int_field(ev, field="k", out_col="item")
+
+    base_schema = pa.schema([("user_id", pa.int64()),
+                             ("event_id", pa.int64()),
+                             ("item", pa.int64())])
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return base_schema.empty_table()
+        keep = pc.and_(pc.is_valid(t["item"]),
+                       pc.is_valid(t["user_id"]))
+        f = t.filter(keep)
+        return pa.table({
+            "user_id": pc.cast(f["user_id"], pa.int64()),
+            "event_id": pc.cast(f["event_id"], pa.int64()),
+            "item": pc.cast(f["item"], pa.int64())})
+
+    base = ui0.map_batches(clean, batch_format="pyarrow").materialize()
+
+    # holdout: item of each user's max event_id
+    ho = sorted_groupby_agg(base, ["user_id"],
+                            [("event_id", "max", "max_eid")],
+                            in_schema=base_schema)
+    ho_schema = pa.schema([("user_id", pa.int64()),
+                           ("max_eid", pa.int64())])
+    hoj = sort_merge_join(
+        ho,
+        base.map_batches(
+            lambda t: pa.table({"eid2": t["event_id"],
+                                "h_item": t["item"]}),
+            batch_format="pyarrow"),
+        on="max_eid", right_on="eid2",
+        left_schema=ho_schema,
+        right_schema=pa.schema([("eid2", pa.int64()),
+                                ("h_item", pa.int64())]),
+        partitions=4)
+
+    # distinct (user, item) + per-user distinct-item counts
+    d = sorted_groupby_agg(base, ["user_id", "item"],
+                           [("event_id", "count", "n_ev")],
+                           in_schema=base_schema)
+    d_schema = pa.schema([("user_id", pa.int64()),
+                          ("item", pa.int64()), ("n_ev", pa.int64())])
+    cnt = sorted_groupby_agg(d, ["user_id"],
+                             [("item", "count", "n_items")],
+                             in_schema=d_schema)
+    elig = cnt.filter(
+        lambda r: 2 <= r["n_items"] <= COOC_MAX_USER_ITEMS)
+
+    # history = eligible users' items joined with their holdout,
+    # excluding the holdout item itself
+    hj = sort_merge_join(
+        d, hoj, on="user_id", right_on="user_id", suffix="_h",
+        left_schema=d_schema,
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("max_eid", pa.int64()),
+                                ("h_item", pa.int64())]),
+        partitions=4)
+    ej = sort_merge_join(
+        hj, elig.map_batches(
+            lambda t: pa.table({"u2": t["user_id"]})
+            if t.num_rows else pa.table({"u2": pa.array([], pa.int64())}),
+            batch_format="pyarrow"),
+        on="user_id", right_on="u2", how="semi",
+        partitions=4)
+
+    hist_schema = pa.schema([("user_id", pa.int64()),
+                             ("item", pa.int64()),
+                             ("h_item", pa.int64())])
+
+    def drop_holdout(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "item" not in t.column_names:
+            return hist_schema.empty_table()
+        keep = pc.not_equal(t["item"], t["h_item"])
+        f = t.filter(keep)
+        return pa.table({"user_id": pc.cast(f["user_id"], pa.int64()),
+                         "item": pc.cast(f["item"], pa.int64()),
+                         "h_item": pc.cast(f["h_item"], pa.int64())})
+
+    hist = ej.map_batches(drop_holdout, batch_format="pyarrow")
+
+    serving = q_item_similar_topk(sf_dir)   # (item, partner, ...)
+    recs = sort_merge_join(
+        hist, serving.map_batches(
+            lambda t: pa.table({"s_item": t["item"],
+                                "partner": t["partner"]})
+            if t.num_rows else
+            pa.table({"s_item": pa.array([], pa.int64()),
+                      "partner": pa.array([], pa.int64())}),
+            batch_format="pyarrow"),
+        on="item", right_on="s_item",
+        left_schema=hist_schema,
+        right_schema=pa.schema([("s_item", pa.int64()),
+                                ("partner", pa.int64())]),
+        partitions=4)
+
+    hit_schema = pa.schema([("user_id", pa.int64()),
+                            ("one", pa.int64())])
+
+    def hits_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "partner" not in t.column_names:
+            return hit_schema.empty_table()
+        f = t.filter(pc.equal(t["partner"], t["h_item"]))
+        return pa.table({"user_id": pc.cast(f["user_id"], pa.int64()),
+                         "one": pa.array(np.ones(f.num_rows,
+                                                 np.int64))})
+
+    hit_users = sorted_groupby_agg(
+        recs.map_batches(hits_only, batch_format="pyarrow"),
+        ["user_id"], [("one", "min", "one")], in_schema=hit_schema)
+    n_hits = hit_users.count()
+    n_eval = elig.count()
+    if n_eval == 0:
+        raise ValueError("cf_hit_rate: no eligible users")
+    return pa.table({
+        "n_eval_users": pa.array([n_eval], pa.int64()),
+        "n_hits": pa.array([n_hits], pa.int64()),
+        "hit_rate": pa.array(_r4(np.array([n_hits / n_eval]))),
+    })
+
+
+QUERIES["cf_hit_rate"] = q_cf_hit_rate
+
+ORACLE_SQL["cf_hit_rate"] = f"""
+WITH serving AS ({ORACLE_SQL["item_similar_topk"]}),
+ui0 AS (SELECT user_id, event_id,
+               json_extract(props, '$.k')::BIGINT AS item
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND json_extract(props, '$.k') IS NOT NULL),
+d AS (SELECT DISTINCT user_id, item FROM ui0),
+cnt AS (SELECT user_id, count(*)::BIGINT AS n_items
+        FROM d GROUP BY 1),
+elig AS (SELECT user_id FROM cnt
+         WHERE n_items BETWEEN 2 AND {COOC_MAX_USER_ITEMS}),
+ho AS (SELECT u.user_id, u.item AS h_item
+       FROM ui0 u
+       JOIN (SELECT user_id, max(event_id) AS max_eid
+             FROM ui0 GROUP BY 1) m
+         ON m.user_id = u.user_id AND m.max_eid = u.event_id),
+hist AS (SELECT d.user_id, d.item, ho.h_item
+         FROM d
+         JOIN ho ON ho.user_id = d.user_id
+         WHERE d.item <> ho.h_item
+           AND d.user_id IN (SELECT user_id FROM elig)),
+hits AS (SELECT DISTINCT hist.user_id
+         FROM hist
+         JOIN serving s ON s.item = hist.item
+         WHERE s.partner = hist.h_item),
+m AS (SELECT (SELECT count(*) FROM elig)::BIGINT AS n_eval_users,
+             (SELECT count(*) FROM hits)::BIGINT AS n_hits)
+SELECT n_eval_users, n_hits,
+       {_R4.format(expr='(n_hits::DOUBLE / n_eval_users::DOUBLE)')}
+         AS hit_rate
+FROM m
+"""
