@@ -11134,3 +11134,106 @@ SELECT n_eval_users, n_hits,
          AS hit_rate
 FROM m
 """
+
+
+def q_weekend_value_ttest(sf_dir: str):
+    """Welch's two-sample t statistic for event value, weekend vs
+    weekday — the A/B-significance arithmetic every experimentation
+    platform runs: group by UTC day-of-week from exact integer µs
+    arithmetic (epoch day + 4) % 7 ∈ {5, 6} = weekend (1970-01-01 was
+    a Thursday), carry EXACT int64 cents moments (n, Σx, Σx²) per
+    group through scalar partials, and evaluate the EXPLICIT Welch
+    formula — mean difference over √(s²_a/n_a + s²_b/n_b) with
+    SAMPLE variances — identically on both engines; means/t
+    4dp-gated.  Raises when either group has < 2 rows (variance
+    undefined)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+
+    part_schema = pa.schema([
+        ("g", pa.int64()), ("n", pa.int64()),
+        ("sx", pa.int64()), ("sxx", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // 86_400_000_000 + 4) % 7
+        wk = (dow >= 5).astype(np.int64)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        rows = []
+        for g in (0, 1):
+            m = wk == g
+            if m.any():
+                x = cents[m]
+                rows.append((g, int(m.sum()), int(x.sum()),
+                             int((x * x).sum())))
+        if not rows:
+            return part_schema.empty_table()
+        gs, ns, sxs, sxxs = zip(*rows)
+        return pa.table({"g": pa.array(gs, pa.int64()),
+                         "n": pa.array(ns, pa.int64()),
+                         "sx": pa.array(sxs, pa.int64()),
+                         "sxx": pa.array(sxxs, pa.int64())})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    agg = {0: [0, 0, 0], 1: [0, 0, 0]}
+    for r in parts:
+        a = agg[r["g"]]
+        a[0] += r["n"]; a[1] += r["sx"]; a[2] += r["sxx"]
+    (n_a, sx_a, sxx_a), (n_b, sx_b, sxx_b) = agg[0], agg[1]
+    if n_a < 2 or n_b < 2:
+        raise ValueError("weekend_value_ttest: a group has < 2 rows")
+    mu_a, mu_b = sx_a / n_a, sx_b / n_b
+    var_a = (sxx_a - sx_a * sx_a / n_a) / (n_a - 1)
+    var_b = (sxx_b - sx_b * sx_b / n_b) / (n_b - 1)
+    t_stat = (mu_b - mu_a) / np.sqrt(var_a / n_a + var_b / n_b)
+    return pa.table({
+        "n_weekday": pa.array([n_a], pa.int64()),
+        "n_weekend": pa.array([n_b], pa.int64()),
+        "mean_weekday": pa.array(_r4(np.array([mu_a / 100.0]))),
+        "mean_weekend": pa.array(_r4(np.array([mu_b / 100.0]))),
+        "t_stat": pa.array(_r4(np.array([t_stat]))),
+    })
+
+
+QUERIES["weekend_value_ttest"] = q_weekend_value_ttest
+
+_TT_VAR_A = ('((sxx_a::DOUBLE - sx_a::DOUBLE * sx_a::DOUBLE '
+             '/ n_a::DOUBLE) / (n_a - 1)::DOUBLE)')
+_TT_VAR_B = ('((sxx_b::DOUBLE - sx_b::DOUBLE * sx_b::DOUBLE '
+             '/ n_b::DOUBLE) / (n_b - 1)::DOUBLE)')
+
+ORACLE_SQL["weekend_value_ttest"] = f"""
+WITH e AS (
+  SELECT CASE WHEN ((epoch_us(ts)::BIGINT // 86400000000 + 4) % 7)
+              >= 5 THEN 1 ELSE 0 END AS g,
+         floor(value * 100)::BIGINT AS cents
+  FROM events),
+m AS (SELECT
+        sum(CASE WHEN g = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        sum(CASE WHEN g = 0 THEN cents ELSE 0 END)::BIGINT AS sx_a,
+        sum(CASE WHEN g = 0 THEN cents * cents ELSE 0 END)::BIGINT
+          AS sxx_a,
+        sum(CASE WHEN g = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        sum(CASE WHEN g = 1 THEN cents ELSE 0 END)::BIGINT AS sx_b,
+        sum(CASE WHEN g = 1 THEN cents * cents ELSE 0 END)::BIGINT
+          AS sxx_b
+      FROM e)
+SELECT n_a AS n_weekday, n_b AS n_weekend,
+       {_R4.format(expr='(sx_a::DOUBLE / n_a::DOUBLE / 100.0)')}
+         AS mean_weekday,
+       {_R4.format(expr='(sx_b::DOUBLE / n_b::DOUBLE / 100.0)')}
+         AS mean_weekend,
+       {_R4.format(expr=f'((sx_b::DOUBLE / n_b::DOUBLE '
+                         f'- sx_a::DOUBLE / n_a::DOUBLE) '
+                         f'/ sqrt({_TT_VAR_A} / n_a::DOUBLE '
+                         f'+ {_TT_VAR_B} / n_b::DOUBLE))')} AS t_stat
+FROM m
+"""
