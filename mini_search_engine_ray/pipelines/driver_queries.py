@@ -11237,3 +11237,95 @@ SELECT n_a AS n_weekday, n_b AS n_weekend,
                          f'+ {_TT_VAR_B} / n_b::DOUBLE))')} AS t_stat
 FROM m
 """
+
+
+def q_edge_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity (the mutual-link fraction social
+    networks report): over the DISTINCT directed chord edges plus the
+    reversed copies of even-source successor edges (so both
+    reciprocal and one-way links exist by construction), count edges
+    whose reverse is also present through ONE packed-int64 semi join
+    — code = s·2³² + d vs the swapped code — and report
+    n_edges, n_reciprocal and their 4dp-gated ratio."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+    i = np.arange(n, dtype=np.int64)
+    ev = i[i % 2 == 0]
+    src = np.r_[i, i, ev + 1]
+    dst = np.r_[(i + 1) % n, (7 * i + 3) % n, ev]
+    raw = rd.from_arrow(pa.table({"s": pa.array(src % n),
+                                  "d": pa.array(dst % n)}))
+
+    e_schema = pa.schema([("s", pa.int64()), ("d", pa.int64()),
+                          ("one", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return e_schema.empty_table()
+        s = t["s"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table({"s": pa.array(s[keep]),
+                         "d": pa.array(d[keep]),
+                         "one": pa.array(np.ones(keep.sum(),
+                                                 np.int64))})
+
+    edges = sorted_groupby_agg(
+        raw.map_batches(prep, batch_format="pyarrow"),
+        ["s", "d"], [("one", "min", "one")], in_schema=e_schema)
+
+    code_schema = pa.schema([("code", pa.int64())])
+
+    def codes(swap: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "s" not in t.column_names:
+                return code_schema.empty_table()
+            s = t["s"].to_numpy(zero_copy_only=False)
+            d = t["d"].to_numpy(zero_copy_only=False)
+            c = (d * (1 << 32) + s) if swap else (s * (1 << 32) + d)
+            return pa.table({"code": pa.array(c)})
+        return fn
+
+    fwd = edges.map_batches(codes(False), batch_format="pyarrow")
+    rev = edges.map_batches(codes(True), batch_format="pyarrow")
+    recip = sort_merge_join(fwd, rev, on="code", how="semi",
+                            left_schema=code_schema,
+                            right_schema=code_schema, partitions=4)
+    n_edges = edges.count()
+    n_recip = recip.count()
+    return pa.table({
+        "n_edges": pa.array([n_edges], pa.int64()),
+        "n_reciprocal": pa.array([n_recip], pa.int64()),
+        "reciprocity": pa.array(_r4(np.array([n_recip / n_edges]))),
+    })
+
+
+QUERIES["edge_reciprocity"] = q_edge_reciprocity
+
+ORACLE_SQL["edge_reciprocity"] = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+r AS (SELECT unnest(range((SELECT n FROM nn)))::BIGINT AS i),
+raw AS (
+  SELECT i AS s, (i + 1) % (SELECT n FROM nn) AS d FROM r
+  UNION ALL SELECT i, (7 * i + 3) % (SELECT n FROM nn) FROM r
+  UNION ALL SELECT (i + 1) % (SELECT n FROM nn), i
+    FROM r WHERE i % 2 = 0),
+e AS (SELECT DISTINCT s, d FROM raw WHERE s <> d),
+m AS (SELECT
+        (SELECT count(*) FROM e)::BIGINT AS n_edges,
+        (SELECT count(*) FROM e a
+         WHERE EXISTS (SELECT 1 FROM e b
+                       WHERE b.s = a.d AND b.d = a.s))::BIGINT
+          AS n_reciprocal)
+SELECT n_edges, n_reciprocal,
+       {_R4.format(expr='(n_reciprocal::DOUBLE / n_edges::DOUBLE)')}
+         AS reciprocity
+FROM m
+"""
