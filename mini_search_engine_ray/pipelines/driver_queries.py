@@ -11329,3 +11329,120 @@ SELECT n_edges, n_reciprocal,
          AS reciprocity
 FROM m
 """
+
+
+_ANOM_W = 7
+
+
+def q_daily_value_anomaly(sf_dir: str):
+    """Trailing-window anomaly score per day — the metric-monitoring
+    alert arithmetic: daily cents totals (exact int64 via ONE
+    day-keyed grouped sum), then two distributed rolling sums (w = 7,
+    ROWS 6 PRECEDING AND CURRENT ROW) over the day series carrying
+    Σx and Σx² as EXACT int64, and the population z-score of each day
+    against its own trailing window evaluated with the shared
+    explicit closed form; the integer window sums are emitted
+    alongside so the float z is pure presentation.  Days whose window
+    has zero variance get NULL z on both engines; z 4dp-gated."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import rolling_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+
+    part_schema = pa.schema([("day", pa.int64()),
+                             ("cents", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": pa.array(us // 86_400_000_000),
+            "cents": pa.array(np.floor(
+                t["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64))})
+
+    daily = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "total")],
+        in_schema=part_schema)
+
+    def sq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "day" not in t.column_names:
+            return pa.schema([("day", pa.int64()),
+                              ("total", pa.int64()),
+                              ("total_sq", pa.int64())]).empty_table()
+        v = t["total"].to_numpy(zero_copy_only=False)
+        return t.append_column("total_sq", pa.array(v * v))
+
+    daily = daily.map_batches(sq, batch_format="pyarrow")
+    r1 = rolling_agg(daily, order_by="day", window=_ANOM_W, op="sum",
+                     value_col="total", out_col="w_sum")
+    r2 = rolling_agg(r1, order_by="day", window=_ANOM_W, op="sum",
+                     value_col="total_sq", out_col="w_sumsq")
+    r3 = rolling_agg(r2, order_by="day", window=_ANOM_W, op="count",
+                     out_col="w_n")
+
+    def fin(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("day", pa.int64()), ("total", pa.int64()),
+            ("w_n", pa.int64()), ("w_sum", pa.int64()),
+            ("z", pa.float64())])
+        if t.num_rows == 0 or "w_sum" not in t.column_names:
+            return out_schema.empty_table()
+        x = t["total"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = t["w_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = t["w_sum"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ss = t["w_sumsq"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        mu = s / n
+        var = ss / n - mu * mu
+        sd = np.sqrt(np.maximum(var, 0.0))
+        ok = sd > 0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            z = (x - mu) / sd
+        return pa.table({
+            "day": pc.cast(t["day"], pa.int64()),
+            "total": pc.cast(t["total"], pa.int64()),
+            "w_n": pc.cast(t["w_n"], pa.int64()),
+            "w_sum": pc.cast(t["w_sum"], pa.int64()),
+            "z": pa.array(_r4(np.where(ok, z, 0.0)), pa.float64(),
+                          mask=~ok)})
+
+    return r3.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["daily_value_anomaly"] = q_daily_value_anomaly
+
+_ANOM_MU = '(w_sum::DOUBLE / w_n::DOUBLE)'
+_ANOM_SD = (f'sqrt(greatest(w_sumsq::DOUBLE / w_n::DOUBLE '
+            f'- {_ANOM_MU} * {_ANOM_MU}, 0.0))')
+
+ORACLE_SQL["daily_value_anomaly"] = f"""
+WITH d AS (
+  SELECT (epoch_us(ts)::BIGINT // 86400000000)::BIGINT AS day,
+         sum(floor(value * 100)::BIGINT)::BIGINT AS total
+  FROM events GROUP BY 1),
+w AS (SELECT day, total,
+             count(*) OVER win::BIGINT AS w_n,
+             sum(total) OVER win::BIGINT AS w_sum,
+             sum(total * total) OVER win::BIGINT AS w_sumsq
+      FROM d
+      WINDOW win AS (ORDER BY day
+                     ROWS BETWEEN {_ANOM_W - 1} PRECEDING
+                     AND CURRENT ROW))
+SELECT day, total, w_n, w_sum,
+       CASE WHEN {_ANOM_SD} > 0
+            THEN {_R4.format(expr=f'((total::DOUBLE - {_ANOM_MU}) / {_ANOM_SD})')}
+            ELSE NULL END AS z
+FROM w
+"""
