@@ -11446,3 +11446,179 @@ SELECT day, total, w_n, w_sum,
             ELSE NULL END AS z
 FROM w
 """
+
+
+def q_heaps_fit(sf_dir: str):
+    """Heaps'-law fit of vocabulary growth — corpus law #2 next to
+    zipf_slope (natural text: V ≈ K·N^β, β ≈ 0.4–0.6): per doc (in
+    doc_id order) the cumulative analyzed-token count N and the
+    cumulative distinct-term count V (a term is NEW in the doc that
+    is its MINIMUM doc_id — one term-keyed grouped min, the plan's
+    only data-sized exchange), both cumulative sums running through
+    the distributed scan, then least squares of ln V on ln N over the
+    per-doc points.  Tokenization = the oracle's base contract
+    (Java-trim + punctuation split + lowercase + stopword filter);
+    slope(=β)/intercept 4dp-gated."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..functions.tokenizers import JAVA_TRIM_CHARS
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+    from ..stages.scan import running_agg
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+
+    tok_schema = pa.schema([("doc_id", pa.int64()),
+                            ("term", pa.string())])
+
+    def explode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return tok_schema.empty_table()
+        arr = pc.utf8_lower(pc.utf8_trim(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+            characters=JAVA_TRIM_CHARS))
+        toks = pc.split_pattern_regex(arr, pattern=PUNCT_SPLIT_RE2)
+        flat = pc.list_flatten(toks)
+        par = pc.list_parent_indices(toks)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = pc.and_(
+            pc.not_equal(flat, ""),
+            pc.invert(pc.is_in(flat, value_set=pa.array(
+                sorted(STOP_WORDS), pa.string()))))
+        flat = flat.filter(keep)
+        par = par.filter(keep)
+        return pa.table({
+            "doc_id": pa.array(
+                ids[par.to_numpy(zero_copy_only=False)]),
+            "term": flat})
+
+    exploded = docs.map_batches(explode,
+                                batch_format="pyarrow").materialize()
+
+    # per-doc token counts
+    cnt_schema = pa.schema([("doc_id", pa.int64()),
+                            ("one", pa.int64())])
+    per_doc = sorted_groupby_agg(
+        exploded.map_batches(
+            lambda t: pa.table({
+                "doc_id": t["doc_id"],
+                "one": pa.array(np.ones(t.num_rows, np.int64))})
+            if t.num_rows else cnt_schema.empty_table(),
+            batch_format="pyarrow"),
+        ["doc_id"], [("one", "sum", "n_tok")], in_schema=cnt_schema)
+
+    # terms are NEW in their minimum doc_id
+    first = sorted_groupby_agg(exploded, ["term"],
+                               [("doc_id", "min", "first_doc")],
+                               in_schema=tok_schema)
+    new_schema = pa.schema([("first_doc", pa.int64()),
+                            ("one", pa.int64())])
+    new_per_doc = sorted_groupby_agg(
+        first.map_batches(
+            lambda t: pa.table({
+                "first_doc": t["first_doc"],
+                "one": pa.array(np.ones(t.num_rows, np.int64))})
+            if (t.num_rows and "first_doc" in t.column_names)
+            else new_schema.empty_table(),
+            batch_format="pyarrow"),
+        ["first_doc"], [("one", "sum", "n_new")],
+        in_schema=new_schema)
+
+    j = sort_merge_join(
+        per_doc, new_per_doc, on="doc_id", right_on="first_doc",
+        how="left",
+        left_schema=pa.schema([("doc_id", pa.int64()),
+                               ("n_tok", pa.int64())]),
+        right_schema=pa.schema([("first_doc", pa.int64()),
+                                ("n_new", pa.int64())]),
+        partitions=4)
+
+    fill_schema = pa.schema([("doc_id", pa.int64()),
+                             ("n_tok", pa.int64()),
+                             ("n_new", pa.int64())])
+
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return fill_schema.empty_table()
+        nn = t["n_new"]
+        nn = nn.combine_chunks() if isinstance(nn, pa.ChunkedArray) \
+            else nn
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_tok": pc.cast(t["n_tok"], pa.int64()),
+            "n_new": pc.fill_null(nn, 0).cast(pa.int64())})
+
+    filled = j.map_batches(fill, batch_format="pyarrow")
+    r1 = running_agg(filled, order_by="doc_id", op="sum",
+                     value_col="n_tok", out_col="cum_n")
+    r2 = running_agg(r1, order_by="doc_id", op="sum",
+                     value_col="n_new", out_col="cum_v")
+
+    mom_schema = pa.schema([("n", pa.int64()), ("sx", pa.float64()),
+                            ("sy", pa.float64()), ("sxx", pa.float64()),
+                            ("sxy", pa.float64())])
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cum_n" not in t.column_names:
+            return mom_schema.empty_table()
+        cn = t["cum_n"].to_numpy(zero_copy_only=False)
+        cv = t["cum_v"].to_numpy(zero_copy_only=False)
+        m = (cn > 0) & (cv > 0)
+        x = np.log(cn[m].astype(np.float64))
+        y = np.log(cv[m].astype(np.float64))
+        return pa.table({
+            "n": pa.array([np.int64(x.size)]),
+            "sx": pa.array([x.sum()]), "sy": pa.array([y.sum()]),
+            "sxx": pa.array([(x * x).sum()]),
+            "sxy": pa.array([(x * y).sum()])})
+
+    parts = r2.map_batches(moments, batch_format="pyarrow").take_all()
+    n = float(sum(r["n"] for r in parts))
+    sx = sum(r["sx"] for r in parts)
+    sy = sum(r["sy"] for r in parts)
+    sxx = sum(r["sxx"] for r in parts)
+    sxy = sum(r["sxy"] for r in parts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table({
+        "n_docs": pa.array([np.int64(n)]),
+        "beta": pa.array(_r4(np.array([slope]))),
+        "intercept": pa.array(_r4(np.array([intercept]))),
+    })
+
+
+QUERIES["heaps_fit"] = q_heaps_fit
+
+_HEAPS_SLOPE = '((n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx))'
+
+ORACLE_SQL["heaps_fit"] = f"""
+WITH {_BASE_CTE},
+pd AS (SELECT doc_id, len(terms)::BIGINT AS n_tok FROM base),
+ex AS (SELECT doc_id, unnest(terms) AS term FROM base),
+fd AS (SELECT term, min(doc_id)::BIGINT AS first_doc
+       FROM ex GROUP BY 1),
+nw AS (SELECT first_doc, count(*)::BIGINT AS n_new
+       FROM fd GROUP BY 1),
+cum AS (SELECT pd.doc_id,
+               sum(pd.n_tok) OVER (ORDER BY pd.doc_id
+                                   ROWS UNBOUNDED PRECEDING)::BIGINT
+                 AS cum_n,
+               sum(coalesce(nw.n_new, 0))
+                 OVER (ORDER BY pd.doc_id
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_v
+        FROM pd LEFT JOIN nw ON nw.first_doc = pd.doc_id),
+pts AS (SELECT ln(cum_n::DOUBLE) AS x, ln(cum_v::DOUBLE) AS y
+        FROM cum WHERE cum_n > 0 AND cum_v > 0),
+m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(x * y) AS sxy
+      FROM pts)
+SELECT n AS n_docs,
+       {_R4.format(expr=_HEAPS_SLOPE)} AS beta,
+       {_R4.format(expr=f'((sy - {_HEAPS_SLOPE} * sx) / n::DOUBLE)')}
+         AS intercept
+FROM m
+"""
