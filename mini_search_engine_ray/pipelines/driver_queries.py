@@ -11622,3 +11622,96 @@ SELECT n AS n_docs,
          AS intercept
 FROM m
 """
+
+
+def q_peak_concurrency(sf_dir: str):
+    """Peak concurrent sessions — the classic sweep-line
+    interval-overlap maximum (capacity-planning's load question):
+    sessions from the ★ sessionize plan become (+1 at start, −1 at
+    end, inclusive bounds) boundary deltas, aggregated per distinct
+    timestamp into (net, n_starts) through ONE ts-keyed grouped sum,
+    and the peak is max over timestamps of (running net THROUGH t
+    minus net(t) plus n_starts(t)) — i.e. the count after all starts
+    and before any end at that instant, which is order-independent
+    within the tie group and therefore deterministic on both engines.
+    All-integer; running scan + scalar-partial max."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import running_agg
+    from ..stages.windows import sessionize
+
+    sess = sessionize(_events_ds(sf_dir), gap_s=SESSION_GAP_S)
+
+    b_schema = pa.schema([("tu", pa.int64()), ("delta", pa.int64()),
+                          ("pos", pa.int64())])
+
+    def bounds(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "session_start_us" not in t.column_names:
+            return b_schema.empty_table()
+        s = t["session_start_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        e = t["session_end_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = s.size
+        return pa.table({
+            "tu": pa.array(np.r_[s, e]),
+            "delta": pa.array(np.r_[np.ones(n, np.int64),
+                                    -np.ones(n, np.int64)]),
+            "pos": pa.array(np.r_[np.ones(n, np.int64),
+                                  np.zeros(n, np.int64)])})
+
+    per_ts = sorted_groupby_agg(
+        sess.map_batches(bounds, batch_format="pyarrow"),
+        ["tu"], [("delta", "sum", "net"), ("pos", "sum", "n_starts")],
+        in_schema=pa.schema([("tu", pa.int64()), ("delta", pa.int64()),
+                             ("pos", pa.int64())]))
+
+    run = running_agg(per_ts, order_by="tu", op="sum",
+                      value_col="net", out_col="cum_net")
+
+    peak_schema = pa.schema([("peak", pa.int64()), ("n", pa.int64())])
+
+    def local_peak(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cum_net" not in t.column_names:
+            return peak_schema.empty_table()
+        cum = t["cum_net"].to_numpy(zero_copy_only=False)
+        net = t["net"].to_numpy(zero_copy_only=False)
+        pos = t["n_starts"].to_numpy(zero_copy_only=False)
+        cand = cum - net + pos      # after all starts, before any end
+        return pa.table({
+            "peak": pa.array([cand.max() if cand.size else 0]),
+            "n": pa.array([np.int64(0)])})
+
+    parts = run.map_batches(local_peak,
+                            batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("peak_concurrency: no sessions")
+    peak = max(int(r["peak"]) for r in parts)
+    n_sessions = sess.count()
+    return pa.table({
+        "n_sessions": pa.array([n_sessions], pa.int64()),
+        "peak_concurrent": pa.array([peak], pa.int64()),
+    })
+
+
+QUERIES["peak_concurrency"] = q_peak_concurrency
+
+ORACLE_SQL["peak_concurrency"] = f"""
+WITH sess AS ({_sessionize_sql()}),
+b AS (
+  SELECT session_start_us AS tu, 1 AS delta, 1 AS pos FROM sess
+  UNION ALL
+  SELECT session_end_us, -1, 0 FROM sess),
+g AS (SELECT tu, sum(delta)::BIGINT AS net,
+             sum(pos)::BIGINT AS n_starts
+      FROM b GROUP BY 1),
+c AS (SELECT tu, net, n_starts,
+             sum(net) OVER (ORDER BY tu
+                            ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum_net
+      FROM g)
+SELECT (SELECT count(*) FROM sess)::BIGINT AS n_sessions,
+       max(cum_net - net + n_starts)::BIGINT AS peak_concurrent
+FROM c
+"""
