@@ -1113,3 +1113,116 @@ def ewma_column(ds, *, value_col: str, order_by: list[str] | str,
 
     out_refs = [apply.remote(r, next(carry_it)) for r in refs]
     return rd.from_arrow_refs(out_refs)
+
+
+def locf_fill(ds, *, value_col: str, order_by: list[str] | str,
+              key_col: str | None = None, out_col: str | None = None):
+    """Forward-fill (LOCF — last observation carried forward): append
+    ``out_col`` = the most recent NON-NULL ``value_col`` at or before
+    each row in ``order_by`` order, restarting per ``key_col`` — SQL's
+    ``last_value(v IGNORE NULLS) OVER (PARTITION BY key ORDER BY ...
+    ROWS UNBOUNDED PRECEDING)``.  The gap-repair primitive every
+    time-series cleaning pass runs.
+
+    Same plan as the rest of the scan family: ONE range sort, a
+    per-block summary carrying each edge key's last observed value
+    (one scalar per block), an O(num_blocks) driver carry thread, and
+    a vectorized per-block apply (index-take fill — type-generic, so
+    strings and timestamps fill as exactly as ints).  Rows before any
+    observation stay NULL.  ``(key, *order_by)`` must be unique per
+    row (enforced in-block and across block boundaries)."""
+    import ray
+    import ray.data as rd
+
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    if not order_by:
+        raise ValueError("order_by must name at least one column")
+    out_col = out_col or f"locf_{value_col}"
+    sort_cols = ([key_col] if key_col else []) + order_by
+    sorted_ds = ds.sort(sort_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def summarize(t: pa.Table):
+        """(first_key, last_key, last_valid_of_last_run | _NOVAL,
+        first_tuple, last_tuple)."""
+        n = t.num_rows
+        if n == 0:
+            return None
+        tfirst, tlast = _edge_check_tuples(t, sort_cols, "locf_fill")
+        keys = _keys_np(t, key_col) if key_col else None
+        brk = _key_breaks(keys, n)
+        last_start = int(np.flatnonzero(brk)[-1]) + 1 if np.any(brk) \
+            else 0
+        col = t[value_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        idx = np.flatnonzero(valid[last_start:])
+        last_val = col[last_start + int(idx[-1])].as_py() if idx.size \
+            else None
+        has = bool(idx.size)
+        return (keys[0] if keys is not None else None,
+                keys[-1] if keys is not None else None,
+                has, last_val, tfirst, tlast)
+
+    summaries = ray.get([summarize.remote(r) for r in refs])
+
+    carries: list = []
+    cur_key, acc = object(), None     # acc: last observed value or None
+    prev_last_tuple = None
+    for s in summaries:
+        if s is None:
+            carries.append(None)
+            continue
+        first_key, last_key, has, last_val, tfirst, tlast = s
+        if prev_last_tuple is not None and tfirst == prev_last_tuple:
+            raise ValueError(
+                f"locf_fill requires unique {sort_cols} per row; "
+                f"duplicate sort tuple {tfirst!r} across sorted blocks")
+        prev_last_tuple = tlast
+        same_key = (key_col is None) or (first_key == cur_key)
+        carries.append(acc if same_key else None)
+        if has:
+            acc = last_val
+        elif key_col is not None and last_key != first_key:
+            acc = None         # last key started fresh, saw no value
+        elif not same_key:
+            acc = None         # new single-key block with no value
+        # else: same key, nothing observed — acc carries through
+        if key_col is not None:
+            cur_key = last_key
+    carry_it = iter(carries)
+
+    val_type = sorted_ds.schema().base_schema.field(value_col).type
+
+    @ray.remote
+    def apply(t: pa.Table, carry):
+        n = t.num_rows
+        if n == 0:
+            return t.append_column(out_col, pa.array([], val_type))
+        keys = _keys_np(t, key_col) if key_col else None
+        brk = _key_breaks(keys, n)
+        starts = np.flatnonzero(brk) + 1
+        seg = np.zeros(n, dtype=np.int64)
+        seg[starts] = 1
+        run_id = np.cumsum(seg)
+        run_start = np.concatenate(([0], starts))[run_id]
+        col = t[value_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        pos = np.arange(n, dtype=np.int64)
+        ff = np.maximum.accumulate(np.where(valid, pos, -1))
+        ff = np.where(ff < run_start, -1, ff)   # never cross a key break
+        filled = col.take(pa.array(ff, pa.int64(),
+                                   mask=ff < 0))
+        if carry is not None:
+            need = (run_id == 0) & (ff < 0)
+            if need.any():
+                filled = pa.compute.if_else(
+                    pa.array(need), pa.scalar(carry, val_type), filled)
+        return t.append_column(out_col, filled)
+
+    out_refs = [apply.remote(r, next(carry_it)) for r in refs]
+    return rd.from_arrow_refs(out_refs)

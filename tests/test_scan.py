@@ -387,3 +387,80 @@ class TestEwmaColumn:
         with pytest.raises(ValueError):
             ewma_column(ds.repartition(1), value_col="v", order_by="o",
                         key_col="k", alpha=0.5).materialize()
+
+
+class TestLocfFill:
+    @staticmethod
+    def _run(keys, order, vals, blocks=4, key_col="k"):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import locf_fill
+
+        t = pa.table({"k": pa.array(keys, pa.int64()),
+                      "o": pa.array(order, pa.int64()),
+                      "v": pa.array(vals, pa.float64())})
+        out = locf_fill(rd.from_arrow(t).repartition(blocks),
+                        value_col="v", order_by="o",
+                        key_col=key_col).take_all()
+        out.sort(key=lambda r: (r["k"], r["o"]))
+        return [r["locf_v"] for r in out]
+
+    @staticmethod
+    def _ref(keys, order, vals):
+        rows = sorted(zip(keys, order, vals))
+        out, last = [], {}
+        for k, _, v in rows:
+            if v is not None:
+                last[k] = v
+            out.append(last.get(k))
+        return out
+
+    def test_reference_parity_random(self):
+        rng = np.random.default_rng(21)
+        n = 3000
+        keys = rng.integers(0, 7, n).tolist()
+        order = rng.permutation(n).tolist()
+        vals = [None if r < 0.6 else float(i)
+                for i, r in enumerate(rng.random(n))]
+        assert self._run(keys, order, vals) == \
+            self._ref(keys, order, vals)
+
+    def test_block_count_invariance_and_leading_nulls(self):
+        keys = [1] * 10 + [2] * 10
+        order = list(range(10)) * 2
+        vals = [None, None, 5.0, None, None, 6.0, None, None, None,
+                7.0] + [None] * 9 + [9.0]
+        a = self._run(keys, order, vals, blocks=1)
+        b = self._run(keys, order, vals, blocks=7)
+        assert a == b
+        assert a[:3] == [None, None, 5.0]       # leading nulls stay
+        assert a[10:19] == [None] * 9           # key 2 restarts
+        assert a[19] == 9.0
+
+    def test_carry_across_many_blocks_single_key(self):
+        # one key, one early value, then a long null tail spanning
+        # several sorted blocks: the carry must thread through blocks
+        # that observe nothing
+        n = 400
+        keys = [3] * n
+        order = list(range(n))
+        vals = [None] * 5 + [42.0] + [None] * (n - 6)
+        got = self._run(keys, order, vals, blocks=8)
+        assert got[:5] == [None] * 5
+        assert got[5:] == [42.0] * (n - 5)
+
+    def test_type_generic_strings(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import locf_fill
+
+        t = pa.table({"o": pa.array([0, 1, 2, 3], pa.int64()),
+                      "v": pa.array([None, "a", None, "b"])})
+        out = locf_fill(rd.from_arrow(t).repartition(2),
+                        value_col="v", order_by="o").take_all()
+        out.sort(key=lambda r: r["o"])
+        assert [r["locf_v"] for r in out] == [None, "a", "a", "b"]
+
+    def test_duplicate_sort_tuple_raises(self):
+        with pytest.raises(Exception):
+            self._run([1, 1], [5, 5], [1.0, 2.0], blocks=2)
