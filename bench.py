@@ -1298,6 +1298,49 @@ def bench_spatial(out: dict) -> None:
     assert 0 < n_knn <= 2 * n_pairs and n_knn >= n_pairs  # k>=1 each side
 
 
+
+def bench_eval_metrics(out: dict) -> None:
+    """Evaluation-metric family at 10M rows: exact tie-aware ROC AUC
+    over a deterministic splitmix-scored binary stream with 100k
+    distinct integer score levels — per-batch (score -> pos, neg)
+    partials, ONE distinct-score-bounded grouped sum, streaming
+    ordered driver sweep.  The planted signal (positives drawn from a
+    shifted score range) pins the expected AUC band."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.stats import roc_auc
+
+    n = 10_000_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+        def mix(z):
+            z = (z + np.uint64(0x9E3779B97F4A7C15)) \
+                * np.uint64(0xBF58476D1CE4E5B9)
+            z ^= z >> np.uint64(27)
+            z *= np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+        h1 = mix(i * np.uint64(2))
+        h2 = mix(i * np.uint64(2) + np.uint64(1))
+        y = (h1 % np.uint64(5) == 0).astype(np.int64)   # 20% positive
+        base = (h2 % np.uint64(100_000)).astype(np.int64)
+        score = base + y * 25_000                       # planted lift
+        return pa.table({"s": pa.array(score), "y": pa.array(y)})
+
+    ds = rd.range(n).repartition(32) \
+        .map_batches(gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    row = roc_auc(ds, score_col="s", label_col="y").take_all()[0]
+    out["queries"]["roc_auc_10m"] = round(time.time() - t0, 3)
+    assert row["n_pos"] + row["n_neg"] == n
+    # closed form for U+0.25 lift: P(X+.25>Y) = 0.71875
+    assert 0.70 < row["auc"] < 0.74, row["auc"]
+
+
 _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",
               "dedup_verify_100k", "ann_cosine", "ann_quantized", "pagerank",
@@ -1305,7 +1348,7 @@ _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "curation", "kmeans", "scrub", "chunk_decontam", "prefix_scan",
               "bounded_window", "dup_passages", "dedup_rewrite", "setsim", "bpe_train",
               "doc_sim", "fuzzy_names", "graph_triangles", "graph_iterative",
-              "cooccur", "analytics", "spatial")
+              "cooccur", "analytics", "spatial", "eval_metrics")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -1411,6 +1454,8 @@ def run_all(only: str | None = None) -> dict:
         bench_cooccur(out)
     if only in (None, "spatial"):
         bench_spatial(out)
+    if only in (None, "eval_metrics"):
+        bench_eval_metrics(out)
     if only in (None, "analytics"):
         bench_analytics(out)
     out["value"] = round(sum(out["queries"].values()), 3)
