@@ -11775,3 +11775,190 @@ SELECT event_id,
                ROWS UNBOUNDED PRECEDING) AS last_purchase_cents
 FROM events
 """
+
+
+def q_user_stickiness(sf_dir: str):
+    """DAU/WAU stickiness — the product-engagement ratio: mean daily
+    distinct users over mean weekly (7-day tumbling) distinct users.
+    Exact plan: distinct (bucket, user) via grouped count (the one
+    data-sized exchange, done once per granularity), bucket-bounded
+    per-bucket distinct counts, integer sums, three 4dp-gated
+    divisions."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "user_id"])
+
+    def counts_per_bucket(div_us: int, tag: str):
+        part_schema = pa.schema([("b", pa.int64()),
+                                 ("user_id", pa.int64()),
+                                 ("one", pa.int64())])
+
+        def prep(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return part_schema.empty_table()
+            ts = t["ts"]
+            ts = ts.combine_chunks() \
+                if isinstance(ts, pa.ChunkedArray) else ts
+            us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "b": pa.array(us // div_us), "user_id": t["user_id"],
+                "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+        d = sorted_groupby_agg(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            ["b", "user_id"], [("one", "min", "one")],
+            in_schema=part_schema)
+        per_b = sorted_groupby_agg(
+            d, ["b"], [("user_id", "count", "n_users")],
+            in_schema=pa.schema([("b", pa.int64()),
+                                 ("user_id", pa.int64()),
+                                 ("one", pa.int64())]))
+        rows = [r for t in per_b.iter_batches(batch_format="pyarrow")
+                if t.num_rows and "b" in t.column_names
+                for r in t.to_pylist()]          # bucket-bounded
+        return rows
+
+    day = counts_per_bucket(86_400_000_000, "day")
+    week = counts_per_bucket(7 * 86_400_000_000, "week")
+    n_days, sum_dau = len(day), sum(r["n_users"] for r in day)
+    n_weeks, sum_wau = len(week), sum(r["n_users"] for r in week)
+    mean_dau = sum_dau / n_days
+    mean_wau = sum_wau / n_weeks
+    return pa.table({
+        "n_days": pa.array([n_days], pa.int64()),
+        "n_weeks": pa.array([n_weeks], pa.int64()),
+        "mean_dau": pa.array(_r4(np.array([mean_dau]))),
+        "mean_wau": pa.array(_r4(np.array([mean_wau]))),
+        "stickiness": pa.array(_r4(np.array([mean_dau / mean_wau]))),
+    })
+
+
+QUERIES["user_stickiness"] = q_user_stickiness
+
+ORACLE_SQL["user_stickiness"] = f"""
+WITH d AS (SELECT (epoch_us(ts)::BIGINT // 86400000000)::BIGINT AS b,
+                  count(DISTINCT user_id)::BIGINT AS n
+           FROM events GROUP BY 1),
+w AS (SELECT (epoch_us(ts)::BIGINT // {7 * 86_400_000_000})::BIGINT
+         AS b, count(DISTINCT user_id)::BIGINT AS n
+      FROM events GROUP BY 1),
+m AS (SELECT (SELECT count(*) FROM d)::BIGINT AS n_days,
+             (SELECT count(*) FROM w)::BIGINT AS n_weeks,
+             (SELECT sum(n) FROM d)::BIGINT AS sum_dau,
+             (SELECT sum(n) FROM w)::BIGINT AS sum_wau)
+SELECT n_days, n_weeks,
+       {_R4.format(expr='(sum_dau::DOUBLE / n_days::DOUBLE)')}
+         AS mean_dau,
+       {_R4.format(expr='(sum_wau::DOUBLE / n_weeks::DOUBLE)')}
+         AS mean_wau,
+       {_R4.format(expr='((sum_dau::DOUBLE / n_days::DOUBLE) '
+                        '/ (sum_wau::DOUBLE / n_weeks::DOUBLE))')}
+         AS stickiness
+FROM m
+"""
+
+
+def q_revenue_pareto(sf_dir: str):
+    """80/20 revenue concentration — how many top spenders cover 80%
+    of total monetary value: per-user exact int64 cents sums (ONE
+    user-keyed grouped sum), ranked monetary DESC with user_id ASC
+    tiebreak through the distributed running scan, and the cutoff
+    decided with PURE INTEGERS (5·cum ≥ 4·total — no float boundary
+    anywhere); share 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import running_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+
+    part_schema = pa.schema([("user_id", pa.int64()),
+                             ("cents", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        return pa.table({
+            "user_id": t["user_id"],
+            "cents": pa.array(np.floor(
+                t["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64))})
+
+    per_user = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], [("cents", "sum", "monetary")],
+        in_schema=part_schema)
+
+    def neg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "monetary" not in t.column_names:
+            return pa.schema([("user_id", pa.int64()),
+                              ("monetary", pa.int64()),
+                              ("nm", pa.int64())]).empty_table()
+        m = t["monetary"].to_numpy(zero_copy_only=False)
+        return t.append_column("nm", pa.array(-m))
+
+    run = running_agg(per_user.map_batches(neg, batch_format="pyarrow"),
+                      order_by=["nm", "user_id"], op="sum",
+                      value_col="monetary", out_col="cum")
+
+    scal_schema = pa.schema([("tot", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "monetary" not in t.column_names:
+            return scal_schema.empty_table()
+        mon = t["monetary"].to_numpy(zero_copy_only=False)
+        return pa.table({"tot": pa.array([mon.sum()])})
+
+    # the cutoff needs the GLOBAL total first: one scalar-partial
+    # pass for it, then a streaming ordered sweep for the integer
+    # boundary (driver holds one batch + two ints)
+    tot = int(sum(r["tot"] for r in
+                  run.map_batches(partials,
+                                  batch_format="pyarrow").take_all()))
+    k = 0
+    n_users = 0
+    done = False
+    for t in run.iter_batches(batch_format="pyarrow"):  # ordered scan
+        if t.num_rows == 0 or "cum" not in t.column_names:
+            continue
+        cum = t["cum"].to_numpy(zero_copy_only=False)
+        n_users += t.num_rows
+        if not done:
+            hit = np.flatnonzero(5 * cum >= 4 * tot)
+            if hit.size:
+                k += int(hit[0]) + 1
+                done = True
+            else:
+                k += t.num_rows
+    return pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "top_users_for_80pct": pa.array([k], pa.int64()),
+        "share_of_users": pa.array(_r4(np.array([k / n_users]))),
+    })
+
+
+QUERIES["revenue_pareto"] = q_revenue_pareto
+
+ORACLE_SQL["revenue_pareto"] = f"""
+WITH u AS (SELECT user_id,
+                  sum(floor(value * 100)::BIGINT)::BIGINT AS monetary
+           FROM events GROUP BY 1),
+c AS (SELECT user_id, monetary,
+             sum(monetary) OVER (ORDER BY monetary DESC, user_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum
+      FROM u),
+tot AS (SELECT sum(monetary)::BIGINT AS tot,
+               count(*)::BIGINT AS n_users FROM u),
+k AS (SELECT count(*)::BIGINT AS before_k
+      FROM c, tot WHERE 5 * c.cum < 4 * tot.tot)
+SELECT tot.n_users,
+       (k.before_k + 1)::BIGINT AS top_users_for_80pct,
+       {_R4.format(expr='((k.before_k + 1)::DOUBLE '
+                        '/ tot.n_users::DOUBLE)')} AS share_of_users
+FROM tot, k
+"""
