@@ -11962,3 +11962,66 @@ SELECT tot.n_users,
                         '/ tot.n_users::DOUBLE)')} AS share_of_users
 FROM tot, k
 """
+
+
+def q_bfs_hop_profile(sf_dir: str):
+    """Reachability profile of the multi-source BFS (crawl-depth
+    histogram): nodes per hop level from the ★ bfs_hops plan plus
+    each level's cumulative share of ALL graph nodes — the
+    coverage-per-depth curve crawl planning reads.  Hop-bounded
+    grouped count + integer cumulative; share 4dp-gated."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    hops = q_bfs_hops(sf_dir)
+    n = pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows
+
+    h_schema = pa.schema([("hop", pa.int64()), ("one", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "hop" not in t.column_names:
+            return h_schema.empty_table()
+        return pa.table({
+            "hop": pc.cast(t["hop"], pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = sorted_groupby_agg(
+        hops.map_batches(prep, batch_format="pyarrow"),
+        ["hop"], [("one", "sum", "n_nodes")], in_schema=h_schema)
+
+    rows = [r for t in agg.iter_batches(batch_format="pyarrow")
+            if t.num_rows and "hop" in t.column_names
+            for r in t.to_pylist()]              # ≤ max_hops+1 rows
+    rows.sort(key=lambda r: r["hop"])
+    cum = 0
+    out = []
+    for r in rows:
+        cum += r["n_nodes"]
+        out.append((r["hop"], r["n_nodes"], cum))
+    return pa.table({
+        "hop": pa.array([r[0] for r in out], pa.int64()),
+        "n_nodes": pa.array([r[1] for r in out], pa.int64()),
+        "cum_share": pa.array(_r4(np.array(
+            [r[2] / n for r in out], np.float64))),
+    })
+
+
+QUERIES["bfs_hop_profile"] = q_bfs_hop_profile
+
+ORACLE_SQL["bfs_hop_profile"] = f"""
+WITH bh AS ({ORACLE_SQL["bfs_hops"]}),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+g AS (SELECT hop, count(*)::BIGINT AS n_nodes FROM bh GROUP BY 1),
+c AS (SELECT hop, n_nodes,
+             sum(n_nodes) OVER (ORDER BY hop
+                                ROWS UNBOUNDED PRECEDING)::BIGINT
+               AS cum
+      FROM g)
+SELECT hop, n_nodes,
+       {_R4.format(expr='(cum::DOUBLE / (SELECT n FROM nn)::DOUBLE)')}
+         AS cum_share
+FROM c ORDER BY hop
+"""
