@@ -12025,3 +12025,64 @@ SELECT hop, n_nodes,
          AS cum_share
 FROM c ORDER BY hop
 """
+
+
+def q_purchase_value_nocb(sf_dir: str):
+    """Backward-fill sibling of purchase_value_locf (stages/scan.py:
+    locf_fill(direction='backward')): each event carries the user's
+    NEXT purchase value at or after it — the identical carry plan
+    over the descending sort; rows after a user's last purchase stay
+    NULL."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.scan import locf_fill
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "event_id",
+                                  "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        v = t["value"].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100).astype(np.int64)
+        buy = pc.equal(t["event_type"], "purchase") \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "us": ts.cast(pa.int64()),
+            "pv": pa.array(cents, pa.int64(), mask=~buy)})
+
+    out = locf_fill(ev.map_batches(prep, batch_format="pyarrow"),
+                    value_col="pv", order_by=["us", "event_id"],
+                    key_col="user_id", direction="backward",
+                    out_col="next_purchase_cents")
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.column_names:
+            return pa.schema([
+                ("event_id", pa.int64()),
+                ("next_purchase_cents", pa.int64())]).empty_table()
+        return pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "next_purchase_cents": pc.cast(t["next_purchase_cents"],
+                                           pa.int64())})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["purchase_value_nocb"] = q_purchase_value_nocb
+
+ORACLE_SQL["purchase_value_nocb"] = """
+SELECT event_id,
+       first_value(CASE WHEN event_type = 'purchase'
+                        THEN floor(value * 100)::BIGINT END
+                   IGNORE NULLS)
+         OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         AS next_purchase_cents
+FROM events
+"""

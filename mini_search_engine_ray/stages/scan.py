@@ -1116,7 +1116,8 @@ def ewma_column(ds, *, value_col: str, order_by: list[str] | str,
 
 
 def locf_fill(ds, *, value_col: str, order_by: list[str] | str,
-              key_col: str | None = None, out_col: str | None = None):
+              key_col: str | None = None, out_col: str | None = None,
+              direction: str = "forward"):
     """Forward-fill (LOCF — last observation carried forward): append
     ``out_col`` = the most recent NON-NULL ``value_col`` at or before
     each row in ``order_by`` order, restarting per ``key_col`` — SQL's
@@ -1130,16 +1131,27 @@ def locf_fill(ds, *, value_col: str, order_by: list[str] | str,
     a vectorized per-block apply (index-take fill — type-generic, so
     strings and timestamps fill as exactly as ints).  Rows before any
     observation stay NULL.  ``(key, *order_by)`` must be unique per
-    row (enforced in-block and across block boundaries)."""
+    row (enforced in-block and across block boundaries).
+
+    ``direction="backward"`` gives NOCB (next observation carried
+    backward — SQL ``first_value(v IGNORE NULLS) OVER (... ROWS
+    BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)``): the identical
+    plan over the DESCENDING sort, so every carry/uniqueness
+    contract holds unchanged."""
     import ray
     import ray.data as rd
 
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
     if not order_by:
         raise ValueError("order_by must name at least one column")
-    out_col = out_col or f"locf_{value_col}"
+    if direction not in ("forward", "backward"):
+        raise ValueError(
+            f"direction must be 'forward' or 'backward', got {direction!r}")
+    out_col = out_col or (f"locf_{value_col}" if direction == "forward"
+                          else f"nocb_{value_col}")
     sort_cols = ([key_col] if key_col else []) + order_by
-    sorted_ds = ds.sort(sort_cols).materialize()
+    desc = [direction == "backward"] * len(sort_cols)
+    sorted_ds = ds.sort(sort_cols, descending=desc).materialize()
     refs = sorted_ds.to_arrow_refs()
 
     @ray.remote

@@ -464,3 +464,38 @@ class TestLocfFill:
     def test_duplicate_sort_tuple_raises(self):
         with pytest.raises(Exception):
             self._run([1, 1], [5, 5], [1.0, 2.0], blocks=2)
+
+
+class TestNocbFill:
+    def test_backward_fill_reference(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import locf_fill
+
+        keys = [1] * 6 + [2] * 4
+        order = list(range(6)) + list(range(4))
+        vals = [None, 3.0, None, None, 8.0, None,
+                None, None, 4.0, None]
+        t = pa.table({"k": pa.array(keys, pa.int64()),
+                      "o": pa.array(order, pa.int64()),
+                      "v": pa.array(vals, pa.float64())})
+        out = locf_fill(rd.from_arrow(t).repartition(4),
+                        value_col="v", order_by="o", key_col="k",
+                        direction="backward").take_all()
+        out.sort(key=lambda r: (r["k"], r["o"]))
+        got = [r["nocb_v"] for r in out]
+        # key 1: next non-null at-or-after each row; trailing stays null
+        assert got[:6] == [3.0, 3.0, 8.0, 8.0, 8.0, None]
+        # key 2 restarts
+        assert got[6:] == [4.0, 4.0, 4.0, None]
+
+    def test_direction_validation(self):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.scan import locf_fill
+
+        t = pa.table({"o": pa.array([0], pa.int64()),
+                      "v": pa.array([1.0], pa.float64())})
+        with pytest.raises(Exception):
+            locf_fill(rd.from_arrow(t), value_col="v", order_by="o",
+                      direction="sideways")
