@@ -12086,3 +12086,72 @@ SELECT event_id,
          AS next_purchase_cents
 FROM events
 """
+
+
+def q_benford_value_test(sf_dir: str):
+    """Benford's-law first-digit audit of the value column (the
+    fraud / fabricated-data screen): the leading digit of each
+    positive cents amount (taken from the DECIMAL STRING — no
+    float log10 boundary anywhere), one 9-bounded grouped count,
+    and per digit the observed share next to Benford's expected
+    log10(1 + 1/d); shares 4dp-gated, counts exact."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+
+    part_schema = pa.schema([("digit", pa.int64()),
+                             ("cnt", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        cents = cents[cents > 0]
+        if cents.size == 0:
+            return part_schema.empty_table()
+        # leading digit via the decimal string: exact on both engines
+        first = np.frombuffer(
+            np.char.ljust(cents.astype("U20"), 1).astype("U1")
+            .tobytes(), dtype="<u4").astype(np.int64) - ord("0")
+        cnt = np.bincount(first, minlength=10)
+        nz = np.flatnonzero(cnt[1:]) + 1
+        return pa.table({"digit": pa.array(nz),
+                         "cnt": pa.array(cnt[nz].astype(np.int64))})
+
+    agg = sorted_groupby_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["digit"], [("cnt", "sum", "n")], in_schema=part_schema)
+
+    rows = [r for t in agg.iter_batches(batch_format="pyarrow")
+            if t.num_rows and "digit" in t.column_names
+            for r in t.to_pylist()]              # 9-bounded
+    rows.sort(key=lambda r: r["digit"])
+    total = sum(r["n"] for r in rows)
+    dig = np.array([r["digit"] for r in rows], np.int64)
+    n = np.array([r["n"] for r in rows], np.int64)
+    return pa.table({
+        "digit": pa.array(dig),
+        "n": pa.array(n),
+        "obs_p": pa.array(_r4(n / total)),
+        "exp_p": pa.array(_r4(np.log10(1.0 + 1.0 / dig))),
+    })
+
+
+QUERIES["benford_value_test"] = q_benford_value_test
+
+ORACLE_SQL["benford_value_test"] = f"""
+WITH c AS (SELECT floor(value * 100)::BIGINT AS cents FROM events
+           WHERE floor(value * 100) > 0),
+d AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit,
+             count(*)::BIGINT AS n
+      FROM c GROUP BY 1),
+tot AS (SELECT sum(n)::BIGINT AS total FROM d)
+SELECT digit, n,
+       {_R4.format(expr='(n::DOUBLE / tot.total::DOUBLE)')} AS obs_p,
+       {_R4.format(expr='log10(1.0 + 1.0 / digit::DOUBLE)')} AS exp_p
+FROM d, tot ORDER BY digit
+"""
