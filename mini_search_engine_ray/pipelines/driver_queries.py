@@ -12155,3 +12155,69 @@ SELECT digit, n,
        {_R4.format(expr='log10(1.0 + 1.0 / digit::DOUBLE)')} AS exp_p
 FROM d, tot ORDER BY digit
 """
+
+
+def q_ivm_status_totals(sf_dir: str):
+    """Incremental view maintenance (the streaming-warehouse
+    invariant): maintain the per-status (n_orders, cents_sum)
+    aggregate under the orders_cdc_merge change stream by applying a
+    CHANGED-KEYS-ONLY delta to the base aggregate — updates
+    contribute cents_new − cents_old (both floors of the same IEEE
+    expressions the oracle evaluates), deletes contribute
+    (−1, −cents_old) and WIN over same-key updates (the merge's
+    version rule) — and assert-by-oracle that the incrementally
+    maintained view equals a full recompute over the merged state.
+    One batch pass emits base + delta partials; ONE status-bounded
+    grouped sum; all-integer."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"])
+
+    part_schema = pa.schema([("o_orderstatus", pa.string()),
+                             ("n", pa.int64()), ("cents", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        st = t["o_orderstatus"]
+        st = st.combine_chunks() if isinstance(st, pa.ChunkedArray) \
+            else st
+        cents_old = np.floor(p * 100).astype(np.int64)
+        cents_new = np.floor((p + 1000.0) * 100).astype(np.int64)
+        is_del = k % 17 == 0
+        is_upd = (k % 10 == 0) & ~is_del
+        # base contribution: every row counts once
+        n = np.ones(t.num_rows, np.int64)
+        cents = cents_old.copy()
+        # delta: deletes remove the original row; updates shift price
+        n = n - is_del.astype(np.int64)
+        cents = cents - np.where(is_del, cents_old, 0) \
+            + np.where(is_upd, cents_new - cents_old, 0)
+        return pa.table({"o_orderstatus": st,
+                         "n": pa.array(n), "cents": pa.array(cents)})
+
+    agg = sorted_groupby_agg(
+        orders.map_batches(partials, batch_format="pyarrow"),
+        ["o_orderstatus"],
+        [("n", "sum", "n_orders"), ("cents", "sum", "cents_sum")],
+        in_schema=part_schema)
+    return agg
+
+
+QUERIES["ivm_status_totals"] = q_ivm_status_totals
+
+ORACLE_SQL["ivm_status_totals"] = f"""
+WITH merged AS ({ORACLE_SQL["orders_cdc_merge"]})
+SELECT o_orderstatus,
+       count(*)::BIGINT AS n_orders,
+       sum(floor(o_totalprice * 100)::BIGINT)::BIGINT AS cents_sum
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
