@@ -12221,3 +12221,165 @@ FROM merged
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """
+
+
+_Q18_MIN_QTY = 180
+
+
+def q_large_volume_orders(sf_dir: str):
+    """TPC-H-Q18-shaped large-volume-customer report: orders whose
+    TOTAL lineitem quantity exceeds a threshold, joined back to the
+    customer — the HAVING-subquery pattern: ONE orderkey grouped
+    int64 quantity sum, integer threshold filter (sum > 180), then
+    two key joins (orders, customer) on the tiny surviving side;
+    all-integer output ordered by the driver compare."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    li = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_orderkey", "l_quantity"])
+
+    part_schema = pa.schema([("l_orderkey", pa.int64()),
+                             ("qty", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        q = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "qty": pa.array(q)})
+
+    totals = sorted_groupby_agg(
+        li.map_batches(prep, batch_format="pyarrow"),
+        ["l_orderkey"], [("qty", "sum", "sum_qty")],
+        in_schema=part_schema)
+    big = totals.filter(lambda r: r["sum_qty"] > _Q18_MIN_QTY)
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    j1 = sort_merge_join(
+        big, orders, on="l_orderkey", right_on="o_orderkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("sum_qty", pa.int64())]),
+        partitions=4)
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_name"])
+    j2 = sort_merge_join(
+        j1, cust, on="o_custkey", right_on="c_custkey",
+        left_schema=pa.schema([("l_orderkey", pa.int64()),
+                               ("sum_qty", pa.int64()),
+                               ("o_custkey", pa.int64())]),
+        partitions=4)
+
+    def fin(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("c_name", pa.string()), ("o_orderkey", pa.int64()),
+            ("sum_qty", pa.int64())])
+        if t.num_rows == 0 or "c_name" not in t.column_names:
+            return out_schema.empty_table()
+        return pa.table({
+            "c_name": pc.cast(t["c_name"], pa.string()),
+            "o_orderkey": pc.cast(t["l_orderkey"], pa.int64()),
+            "sum_qty": pc.cast(t["sum_qty"], pa.int64())})
+
+    return j2.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["large_volume_orders"] = q_large_volume_orders
+
+ORACLE_SQL["large_volume_orders"] = f"""
+SELECT c_name, o_orderkey, t.sum_qty
+FROM (SELECT l_orderkey, sum(l_quantity)::BIGINT AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(l_quantity) > {_Q18_MIN_QTY}) t
+JOIN orders ON o_orderkey = t.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_orderkey
+"""
+
+
+def q_orders_above_cust_avg(sf_dir: str):
+    """Correlated-scalar-subquery pattern, decided with PURE
+    INTEGERS: per customer, how many of their orders exceed THEIR OWN
+    average order value — cents·n_c > sum_c (cross-multiplied, no
+    float average anywhere).  ONE custkey grouped sum for
+    (n, Σcents), one custkey sort-merge join back, per-customer
+    integer compare, grouped count; customers with ≥1 such order
+    only (inner-join semantics mirror the SQL)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey", "o_totalprice"])
+
+    part_schema = pa.schema([("o_custkey", pa.int64()),
+                             ("cents", pa.int64()),
+                             ("one", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_custkey": t["o_custkey"],
+            "cents": pa.array(np.floor(p * 100).astype(np.int64)),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    base = orders.map_batches(prep,
+                              batch_format="pyarrow").materialize()
+    per_cust = sorted_groupby_agg(
+        base, ["o_custkey"],
+        [("cents", "sum", "sum_c"), ("one", "sum", "n_c")],
+        in_schema=part_schema)
+    j = sort_merge_join(
+        base, per_cust, on="o_custkey", right_on="o_custkey",
+        suffix="_t",
+        left_schema=part_schema,
+        right_schema=pa.schema([("o_custkey", pa.int64()),
+                                ("sum_c", pa.int64()),
+                                ("n_c", pa.int64())]),
+        partitions=4)
+
+    above_schema = pa.schema([("o_custkey", pa.int64()),
+                              ("one", pa.int64())])
+
+    def above(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cents" not in t.column_names:
+            return above_schema.empty_table()
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        s = t["sum_c"].to_numpy(zero_copy_only=False)
+        n = t["n_c"].to_numpy(zero_copy_only=False)
+        keep = c * n > s                     # exact cross-multiply
+        f = t.filter(pa.array(keep))
+        return pa.table({
+            "o_custkey": pc.cast(f["o_custkey"], pa.int64()),
+            "one": pa.array(np.ones(f.num_rows, np.int64))})
+
+    agg = sorted_groupby_agg(
+        j.map_batches(above, batch_format="pyarrow"),
+        ["o_custkey"], [("one", "sum", "n_above")],
+        in_schema=above_schema)
+    return agg
+
+
+QUERIES["orders_above_cust_avg"] = q_orders_above_cust_avg
+
+ORACLE_SQL["orders_above_cust_avg"] = """
+WITH b AS (SELECT o_custkey,
+                  floor(o_totalprice * 100)::BIGINT AS cents
+           FROM orders),
+t AS (SELECT o_custkey, sum(cents)::BIGINT AS sum_c,
+             count(*)::BIGINT AS n_c
+      FROM b GROUP BY 1)
+SELECT b.o_custkey, count(*)::BIGINT AS n_above
+FROM b JOIN t ON t.o_custkey = b.o_custkey
+WHERE b.cents * t.n_c > t.sum_c
+GROUP BY b.o_custkey
+"""
