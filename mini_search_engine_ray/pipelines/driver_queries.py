@@ -12383,3 +12383,86 @@ FROM b JOIN t ON t.o_custkey = b.o_custkey
 WHERE b.cents * t.n_c > t.sum_c
 GROUP BY b.o_custkey
 """
+
+
+def q_user_day_streaks(sf_dir: str):
+    """Gaps-and-islands — the canonical consecutive-streak pattern:
+    each user's LONGEST run of consecutive active days.  Classic
+    island id = day − row_number() within user by day (consecutive
+    days share it); plan = distinct (user, day) via grouped count,
+    the distributed row_number scan keyed by user, an island grouped
+    count, and a per-user grouped max.  All-integer, every exchange
+    keyed and bounded by distinct active days."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import running_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    part_schema = pa.schema([("user_id", pa.int64()),
+                             ("day", pa.int64()), ("one", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": t["user_id"],
+            "day": pa.array(us // 86_400_000_000),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    days = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "day"], [("one", "min", "one")],
+        in_schema=part_schema)
+
+    rn = running_agg(days, order_by="day", op="count",
+                     key_col="user_id", out_col="rn")
+
+    isl_schema = pa.schema([("user_id", pa.int64()),
+                            ("island", pa.int64()),
+                            ("one", pa.int64())])
+
+    def island(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rn" not in t.column_names:
+            return isl_schema.empty_table()
+        d = t["day"].to_numpy(zero_copy_only=False)
+        r = t["rn"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(t["user_id"], pa.int64()),
+            "island": pa.array(d - r),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    runs = sorted_groupby_agg(
+        rn.map_batches(island, batch_format="pyarrow"),
+        ["user_id", "island"], [("one", "sum", "streak")],
+        in_schema=isl_schema)
+    best = sorted_groupby_agg(
+        runs, ["user_id"], [("streak", "max", "max_streak")],
+        in_schema=pa.schema([("user_id", pa.int64()),
+                             ("island", pa.int64()),
+                             ("streak", pa.int64())]))
+    return best
+
+
+QUERIES["user_day_streaks"] = q_user_day_streaks
+
+ORACLE_SQL["user_day_streaks"] = """
+WITH d AS (SELECT DISTINCT user_id,
+                  (epoch_us(ts)::BIGINT // 86400000000)::BIGINT AS day
+           FROM events),
+r AS (SELECT user_id, day,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY day)::BIGINT AS rn
+      FROM d),
+g AS (SELECT user_id, day - rn AS island, count(*)::BIGINT AS streak
+      FROM r GROUP BY 1, 2)
+SELECT user_id, max(streak)::BIGINT AS max_streak
+FROM g GROUP BY user_id
+"""
