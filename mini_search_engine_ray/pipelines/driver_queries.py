@@ -12466,3 +12466,111 @@ g AS (SELECT user_id, day - rn AS island, count(*)::BIGINT AS streak
 SELECT user_id, max(streak)::BIGINT AS max_streak
 FROM g GROUP BY user_id
 """
+
+
+def q_orders_scd2(sf_dir: str):
+    """SCD Type 2 history table from the orders_cdc_merge change
+    stream — the slowly-changing-dimension pattern every lakehouse
+    materializes: each key's version stream (original row; +1000
+    update at date+1d for keys %10; delete tombstone at date+2d for
+    keys %17) becomes validity intervals — valid_from = the version's
+    timestamp, valid_to = LEAD(version ts) within key (NULL = open),
+    tombstones CLOSE the prior interval but emit no row, and
+    is_current marks open non-deleted intervals.  One key-ordered
+    LEAD scan over the ≤3-rows-per-key stream; all-integer µs
+    boundaries."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..stages.scan import lead_column
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    st_schema = pa.schema([("o_orderkey", pa.int64()),
+                           ("cents", pa.int64()), ("ver", pa.int64()),
+                           ("is_del", pa.int64())])
+
+    def stream(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return st_schema.empty_table()
+        k = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        p = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        od = t["o_orderdate"]
+        od = od.combine_chunks() if isinstance(od, pa.ChunkedArray) \
+            else od
+        ver = od.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100).astype(np.int64)
+        cents_new = np.floor((p + 1000.0) * 100).astype(np.int64)
+        upd = k % 10 == 0
+        dl = k % 17 == 0
+        ks = [k]; cs = [cents]; vs = [ver]; ds_ = [np.zeros(k.size,
+                                                            np.int64)]
+        if upd.any():
+            ks.append(k[upd]); cs.append(cents_new[upd])
+            vs.append(ver[upd] + _CDC_DAY_US)
+            ds_.append(np.zeros(int(upd.sum()), np.int64))
+        if dl.any():
+            ks.append(k[dl]); cs.append(cents[dl])
+            vs.append(ver[dl] + 2 * _CDC_DAY_US)
+            ds_.append(np.ones(int(dl.sum()), np.int64))
+        return pa.table({
+            "o_orderkey": pa.array(np.concatenate(ks)),
+            "cents": pa.array(np.concatenate(cs)),
+            "ver": pa.array(np.concatenate(vs)),
+            "is_del": pa.array(np.concatenate(ds_))})
+
+    led = lead_column(
+        orders.map_batches(stream, batch_format="pyarrow"),
+        value_col="ver", order_by=["ver"], key_col="o_orderkey",
+        out_col="valid_to")
+
+    def fin(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("o_orderkey", pa.int64()), ("cents", pa.int64()),
+            ("valid_from", pa.int64()), ("valid_to", pa.int64()),
+            ("is_current", pa.int64())])
+        if t.num_rows == 0 or "valid_to" not in t.column_names:
+            return out_schema.empty_table()
+        f = t.filter(pc.equal(t["is_del"], 0))
+        vt = f["valid_to"]
+        vt = vt.combine_chunks() if isinstance(vt, pa.ChunkedArray) \
+            else vt
+        cur = vt.is_null().cast(pa.int64())
+        return pa.table({
+            "o_orderkey": pc.cast(f["o_orderkey"], pa.int64()),
+            "cents": pc.cast(f["cents"], pa.int64()),
+            "valid_from": pc.cast(f["ver"], pa.int64()),
+            "valid_to": pc.cast(vt, pa.int64()),
+            "is_current": cur})
+
+    return led.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["orders_scd2"] = q_orders_scd2
+
+ORACLE_SQL["orders_scd2"] = f"""
+WITH b AS (SELECT o_orderkey,
+                  floor(o_totalprice * 100)::BIGINT AS cents,
+                  floor((o_totalprice + 1000.0) * 100)::BIGINT
+                    AS cents_new,
+                  epoch_us(o_orderdate)::BIGINT AS ver
+           FROM orders),
+s AS (
+  SELECT o_orderkey, cents, ver, 0 AS is_del FROM b
+  UNION ALL
+  SELECT o_orderkey, cents_new, ver + {_CDC_DAY_US}, 0
+  FROM b WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey, cents, ver + {2 * _CDC_DAY_US}, 1
+  FROM b WHERE o_orderkey % 17 = 0),
+l AS (SELECT *, lead(ver) OVER (PARTITION BY o_orderkey
+                                ORDER BY ver) AS valid_to
+      FROM s)
+SELECT o_orderkey, cents, ver AS valid_from,
+       valid_to::BIGINT AS valid_to,
+       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END::BIGINT
+         AS is_current
+FROM l WHERE is_del = 0
+"""
