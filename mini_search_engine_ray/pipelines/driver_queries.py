@@ -12574,3 +12574,375 @@ SELECT o_orderkey, cents, ver AS valid_from,
          AS is_current
 FROM l WHERE is_del = 0
 """
+
+
+# ---------------------------------------------------------------------
+# wave 9: interpolated quantiles, PRF query expansion, chi-square
+# independence, time-decayed counts
+# ---------------------------------------------------------------------
+
+CONT_PCTS = [10, 25, 50, 75, 90, 99]
+
+
+def q_value_quantiles_cont(sf_dir: str):
+    """Exact INTERPOLATED whole-table quantiles of event value (SQL
+    ``percentile_cont`` semantics) — the continuous sibling of the
+    discrete `value_quantiles_global`: values become exact int64
+    cents, the target position h = (n−1)·p/100 and the interpolation
+    weight are PURE INTEGERS (lo = ⌊(n−1)p/100⌋, num = (n−1)p mod
+    100), and the interpolated value is the exact int64 numerator
+    v_lo·(100−num) + v_hi·num divided once by 10000.0 — both engines
+    divide the SAME integer by the same scale, so the doubles are
+    bit-identical with no rounding gate needed.  ONE range sort;
+    ranks located via sorted-block metadata (two block fetches per
+    percentile at most)."""
+    from ..stages.aggregates import global_quantiles_cont
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t["value"]
+        v = v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+        v = v.drop_null()
+        cents = np.floor(v.to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({"cents": pa.array(cents)})
+
+    ds = _events_ds(sf_dir).map_batches(prep, batch_format="pyarrow")
+    out = global_quantiles_cont(ds, "cents", CONT_PCTS)
+    val = out["interp_num"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64) / 10000.0
+    return pa.table({"p": out["p"], "value": pa.array(val)})
+
+
+QUERIES["value_quantiles_cont"] = q_value_quantiles_cont
+
+ORACLE_SQL["value_quantiles_cont"] = f"""
+WITH v AS (SELECT floor(value * 100)::BIGINT AS cents
+           FROM events WHERE value IS NOT NULL),
+o AS (SELECT cents, row_number() OVER (ORDER BY cents) - 1 AS rk
+      FROM v),
+n AS (SELECT count(*)::BIGINT AS n FROM v),
+ps(p) AS (VALUES {", ".join(f"({p})" for p in CONT_PCTS)}),
+sel AS (SELECT p, ((n.n - 1) * p) // 100 AS lo,
+               ((n.n - 1) * p) % 100 AS num
+        FROM ps, n)
+SELECT sel.p::BIGINT AS p,
+       (olo.cents * (100 - sel.num) + ohi.cents * sel.num)::DOUBLE
+         / 10000.0 AS value
+FROM sel
+JOIN o olo ON olo.rk = sel.lo
+JOIN o ohi ON ohi.rk = CASE WHEN sel.num = 0 THEN sel.lo
+                            ELSE sel.lo + 1 END
+ORDER BY p
+"""
+
+
+PRF_FB_K = 5    # pseudo-relevant feedback docs (top-F of the base run)
+PRF_EXP_K = 3   # expansion terms taken from the feedback docs
+
+
+def q_search_prf(sf_dir: str):
+    """Rocchio-style pseudo-relevance feedback (the classic IR query
+    expansion, Rocchio 1971 / standard PRF as in Manning et al. IIR
+    §9.1.6): run BM25 for the base query, take the top-5
+    docs as pseudo-relevant, extract the 3 most frequent
+    non-stopword non-query terms from their text (summed tf DESC,
+    term ASC tiebreak), append them to the query, and re-rank with
+    BM25.  The feedback selection uses the same rounded-score
+    (round4 DESC, doc_id ASC) plateau-safe tiebreak as
+    `_rounded_topk`, so the doc set replays exactly in SQL; the
+    feedback docs hydrate via a row-group-pruned parquet point
+    lookup (k-sized, never a scan)."""
+    import pyarrow.dataset as pads
+
+    from collections import Counter
+
+    from ..functions.tokenizers import punctuation_tokenize
+
+    s = _searcher(sf_dir)
+    ids, sc = s.search_bm25(BM25_TERMS, None, prune=False)
+    fb = _rounded_topk(ids, sc, PRF_FB_K)
+    fb_ids = fb["doc_id"].to_pylist()
+    dset = pads.dataset(os.path.join(sf_dir, "documents.parquet"),
+                        format="parquet")
+    docs = dset.to_table(
+        columns=["text"],
+        filter=pads.field("doc_id").isin(pa.array(fb_ids, pa.int64())))
+    orig = set(BM25_TERMS)
+    cnt: Counter = Counter()
+    for txt in docs["text"].to_pylist():
+        for tok in punctuation_tokenize(txt):
+            if tok not in STOP_WORDS and tok not in orig:
+                cnt[tok] += 1
+    exp = [t for t, _ in
+           sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:PRF_EXP_K]]
+    ids2, sc2 = s.search_bm25(BM25_TERMS + exp, None, prune=False)
+    return _rounded_topk(ids2, sc2, TOPK)
+
+
+def _bm25_prf_sql() -> str:
+    qlist = ",".join(f"'{t}'" for t in BM25_TERMS)
+    qarr = ",".join(f"'{t}'" for t in BM25_TERMS)
+    r4s = _R4.format(expr="score")
+    return f"""
+WITH {_BASE_CTE},
+meta AS (SELECT count(*)::DOUBLE AS n,
+                sum(len(terms))::DOUBLE / count(*)::DOUBLE AS avgdl
+         FROM base),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+       FROM (SELECT doc_id, unnest(terms) AS term FROM base)
+       GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(terms)::DOUBLE AS dl FROM base),
+dfq0 AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+         WHERE term IN ({qlist}) GROUP BY term),
+s0 AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (meta.n - dfq0.df + 0.5) / (dfq0.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / meta.avgdl)) )
+           AS score
+  FROM tf
+  JOIN dfq0 ON dfq0.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN meta
+  GROUP BY tf.doc_id),
+fb AS (SELECT doc_id FROM s0
+       ORDER BY {r4s} DESC, doc_id LIMIT {PRF_FB_K}),
+ex AS (SELECT term FROM tf JOIN fb USING (doc_id)
+       WHERE term NOT IN ({qlist})
+       GROUP BY term
+       ORDER BY sum(tf)::BIGINT DESC, term LIMIT {PRF_EXP_K}),
+qt AS (SELECT unnest([{qarr}]) AS term UNION ALL SELECT term FROM ex),
+dfq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+        WHERE term IN (SELECT term FROM qt) GROUP BY term),
+scores AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (meta.n - dfq.df + 0.5) / (dfq.df + 0.5))
+              * tf.tf * (1.2 + 1.0)
+              / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / meta.avgdl)) )
+           AS score
+  FROM tf
+  JOIN dfq ON dfq.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN meta
+  GROUP BY tf.doc_id)
+SELECT doc_id, {r4s} AS score
+FROM scores ORDER BY {r4s} DESC, doc_id LIMIT {TOPK}
+"""
+
+
+QUERIES["search_prf"] = q_search_prf
+ORACLE_SQL["search_prf"] = _bm25_prf_sql()
+
+
+def q_type_weekend_chisq(sf_dir: str):
+    """Chi-square test of independence for the event_type × weekend
+    contingency table — the categorical-association sibling of the
+    Welch t (`weekend_value_ttest`): weekend from exact integer µs
+    day-of-week arithmetic, EXACT int64 cell counts via per-batch
+    np.unique partials (bounded: |T|·2 rows per batch), and the
+    per-cell expected count r·c/n and contribution (o−e)²/e each a
+    SINGLE shared float expression over identical integers, so both
+    engines produce identical doubles cell by cell.  The statistic
+    is the sum of `contrib`; emitting the per-cell table instead of
+    the scalar keeps the comparison free of cross-engine float
+    summation order (the same reason `value_calibration` reports per
+    bin).  Raises when either day-class column total is 0 (the test
+    is undefined)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("g", pa.int64()),
+                             ("c", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wk = ((us // 86_400_000_000 + 4) % 7 >= 5).astype(np.int64)
+        types = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        rows_t, rows_g, rows_c = [], [], []
+        for g in (0, 1):
+            m = wk == g
+            if m.any():
+                u, c = np.unique(types[m].astype(str),
+                                 return_counts=True)
+                rows_t.extend(u.tolist())
+                rows_g.extend([g] * len(u))
+                rows_c.extend(c.astype(np.int64).tolist())
+        return pa.table({"event_type": pa.array(rows_t, pa.string()),
+                         "g": pa.array(rows_g, pa.int64()),
+                         "c": pa.array(rows_c, pa.int64())})
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    cells: dict[tuple[str, int], int] = {}
+    for r in parts:
+        k = (r["event_type"], r["g"])
+        cells[k] = cells.get(k, 0) + r["c"]
+    types = sorted({t for t, _ in cells})
+    col = {g: sum(c for (_, gg), c in cells.items() if gg == g)
+           for g in (0, 1)}
+    if col[0] == 0 or col[1] == 0:
+        raise ValueError("type_weekend_chisq: a day-class column "
+                         "total is 0 — the test is undefined")
+    n = col[0] + col[1]
+    row = {t: cells.get((t, 0), 0) + cells.get((t, 1), 0)
+           for t in types}
+    out_t, out_g, out_o, out_e, out_x = [], [], [], [], []
+    for t in types:
+        for g in (0, 1):
+            o = cells.get((t, g), 0)
+            e = float(row[t]) * float(col[g]) / float(n)
+            d = float(o) - e
+            out_t.append(t); out_g.append(g); out_o.append(o)
+            out_e.append(e); out_x.append(d * d / e)
+    return pa.table({
+        "event_type": pa.array(out_t, pa.string()),
+        "is_weekend": pa.array(out_g, pa.int64()),
+        "observed": pa.array(out_o, pa.int64()),
+        "expected": pa.array(_r4(np.array(out_e))),
+        "contrib": pa.array(_r4(np.array(out_x))),
+    })
+
+
+QUERIES["type_weekend_chisq"] = q_type_weekend_chisq
+
+_CHI_E = "(rt.r::DOUBLE * ct.c::DOUBLE / n.n::DOUBLE)"
+
+ORACLE_SQL["type_weekend_chisq"] = f"""
+WITH e AS (SELECT event_type,
+                  CASE WHEN ((epoch_us(ts)::BIGINT // 86400000000 + 4)
+                             % 7) >= 5 THEN 1 ELSE 0 END AS g
+           FROM events),
+cells AS (SELECT event_type, g, count(*)::BIGINT AS o
+          FROM e GROUP BY 1, 2),
+grid AS (SELECT t.event_type, gg.g
+         FROM (SELECT DISTINCT event_type FROM e) t
+         CROSS JOIN (SELECT unnest([0, 1]) AS g) gg),
+fc AS (SELECT grid.event_type, grid.g,
+              coalesce(cells.o, 0)::BIGINT AS o
+       FROM grid LEFT JOIN cells USING (event_type, g)),
+rt AS (SELECT event_type, sum(o)::BIGINT AS r FROM fc GROUP BY 1),
+ct AS (SELECT g, sum(o)::BIGINT AS c FROM fc GROUP BY 1),
+n AS (SELECT sum(o)::BIGINT AS n FROM fc)
+SELECT fc.event_type, fc.g AS is_weekend, fc.o AS observed,
+       {_R4.format(expr=_CHI_E)} AS expected,
+       {_R4.format(expr=f"((fc.o::DOUBLE - {_CHI_E}) * "
+                        f"(fc.o::DOUBLE - {_CHI_E}) / {_CHI_E})")}
+         AS contrib
+FROM fc
+JOIN rt USING (event_type)
+JOIN ct USING (g)
+CROSS JOIN n
+"""
+
+
+DECAY_WINDOW_DAYS = 30   # ages 0..29 contribute; older events decay out
+
+
+def q_decayed_event_counts(sf_dir: str):
+    """Exponentially time-decayed event counts per type (half-life =
+    1 day, horizon 30 days) — the trending-topics /
+    decayed-counter arithmetic streaming dashboards run, made EXACT:
+    age_days is integer µs arithmetic against the corpus max
+    timestamp, each event's weight 2^−age is carried as the int64
+    numerator 2^(29−age) (max Σ ≤ n·2²⁹ ≪ 2⁵³), and the decayed count
+    is that exact integer divided once by 2²⁹ — a power-of-two
+    division, so the double is EXACT and both engines agree
+    bit-for-bit with no rounding gate.  Plan: one scalar max-ts
+    partial pass, then per-batch (type, age) bincount partials with a
+    bounded (|T| × 30) driver combine — nothing
+    data-sized ever leaves the workers."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type"])
+
+    mx_schema = pa.schema([("mx", pa.int64())])
+
+    def mx_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mx_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"mx": pa.array([int(us.max())], pa.int64())})
+
+    parts = ds.map_batches(mx_part, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("decayed_event_counts: empty input")
+    mx = max(r["mx"] for r in parts)
+
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("age", pa.int64()),
+                             ("c", pa.int64())])
+
+    def age_parts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        age = (mx - us) // 86_400_000_000
+        keep = age < DECAY_WINDOW_DAYS
+        if not keep.any():
+            return part_schema.empty_table()
+        types = np.asarray(t["event_type"].to_pylist(),
+                           dtype=object)[keep].astype(str)
+        age = age[keep]
+        ut, inv = np.unique(types, return_inverse=True)
+        code = inv.astype(np.int64) * DECAY_WINDOW_DAYS + age
+        uc, cc = np.unique(code, return_counts=True)
+        return pa.table({
+            "event_type": pa.array(
+                ut[(uc // DECAY_WINDOW_DAYS)].tolist(), pa.string()),
+            "age": pa.array(uc % DECAY_WINDOW_DAYS, type=pa.int64()),
+            "c": pa.array(cc.astype(np.int64))})
+
+    rows = ds.map_batches(age_parts, batch_format="pyarrow").take_all()
+    agg: dict[tuple[str, int], int] = {}
+    for r in rows:
+        k = (r["event_type"], r["age"])
+        agg[k] = agg.get(k, 0) + r["c"]
+    types = sorted({t for t, _ in agg})
+    out_t, out_n, out_d = [], [], []
+    top = DECAY_WINDOW_DAYS - 1
+    for t in types:
+        n_recent = 0
+        num = 0
+        for (tt, a), c in agg.items():
+            if tt == t:
+                n_recent += c
+                num += c * (1 << (top - a))
+        out_t.append(t)
+        out_n.append(n_recent)
+        out_d.append(num / float(1 << top))
+    return pa.table({"event_type": pa.array(out_t, pa.string()),
+                     "n_recent": pa.array(out_n, pa.int64()),
+                     "decayed": pa.array(out_d, pa.float64())})
+
+
+QUERIES["decayed_event_counts"] = q_decayed_event_counts
+
+ORACLE_SQL["decayed_event_counts"] = f"""
+WITH m AS (SELECT max(epoch_us(ts))::BIGINT AS mx FROM events),
+a AS (SELECT event_type,
+             ((m.mx - epoch_us(ts)::BIGINT) // 86400000000)::BIGINT
+               AS age
+      FROM events, m),
+w AS (SELECT event_type, age FROM a
+      WHERE age < {DECAY_WINDOW_DAYS}),
+c AS (SELECT event_type, age, count(*)::BIGINT AS c
+      FROM w GROUP BY 1, 2)
+SELECT event_type, sum(c)::BIGINT AS n_recent,
+       sum(c * (1::BIGINT << ({DECAY_WINDOW_DAYS - 1} - age)))::BIGINT
+         ::DOUBLE / {float(1 << (DECAY_WINDOW_DAYS - 1))} AS decayed
+FROM c GROUP BY event_type
+"""

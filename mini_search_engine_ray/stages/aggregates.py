@@ -195,6 +195,61 @@ def global_quantiles(ds, value_col: str, qs: list[float]) -> pa.Table:
                      "value": pa.array(out_v)})
 
 
+def global_quantiles_cont(ds, value_col: str,
+                          percentiles: list[int]) -> pa.Table:
+    """Exact INTERPOLATED whole-dataset quantiles (SQL
+    ``percentile_cont`` semantics) over an INTEGER column, decided
+    with pure integers: for percentile p the target position is
+    h = (n−1)·p/100, and the linear interpolation between the sorted
+    neighbours v[⌊h⌋] and v[⌊h⌋+1] is carried as the EXACT int64
+    numerator ``v_lo·(100−num) + v_hi·num`` with ``num = ((n−1)·p) mod
+    100`` — no float position or fraction exists anywhere, so the
+    value replays bit-for-bit on any engine that divides the same
+    integer by the same scale.  Same scale plan as
+    :func:`global_quantiles`: ONE range sort, ranks located via
+    sorted-block row-count METADATA, one block fetched per distinct
+    rank — the driver never materializes the dataset.  Returns
+    (p:int64, interp_num:int64) where the continuous quantile equals
+    ``interp_num / 100`` on the input column's own scale."""
+    import ray
+
+    for p in percentiles:
+        if not isinstance(p, (int, np.integer)) or not 0 <= p <= 100:
+            raise ValueError(f"percentile must be an int in [0, 100]: {p}")
+    blocks: list[tuple] = []  # (ref, num_rows) in global sorted order
+    for bundle in ds.sort(value_col).iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            blocks.append((ref, int(meta.num_rows)))
+    counts = np.array([nr for _, nr in blocks], dtype=np.int64)
+    n = int(counts.sum())
+    if n == 0:
+        return pa.table({"p": pa.array([], pa.int64()),
+                         "interp_num": pa.array([], pa.int64())})
+    cum = np.cumsum(counts)
+    fetched: dict[int, pa.Table] = {}
+
+    def value_at(rank: int) -> int:
+        bi = int(np.searchsorted(cum, rank, side="right"))
+        if bi not in fetched:
+            fetched[bi] = ray.get(blocks[bi][0])
+        t = fetched[bi]
+        off = rank - (int(cum[bi - 1]) if bi else 0)
+        col = t[value_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+        return int(col[off].as_py())
+
+    out = []
+    for p in percentiles:
+        lo, num = divmod((n - 1) * int(p), 100)
+        v_lo = value_at(lo)
+        v_hi = value_at(lo + 1) if num else v_lo
+        out.append(v_lo * (100 - num) + v_hi * num)
+    return pa.table({"p": pa.array([int(p) for p in percentiles],
+                                   pa.int64()),
+                     "interp_num": pa.array(out, pa.int64())})
+
+
 def count_distinct_per_group(ds, keys: list[str], value_col: str, *,
                              alias: str = "n_distinct"):
     """Exact per-group COUNT(DISTINCT value): per-batch local dedup of

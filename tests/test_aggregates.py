@@ -633,3 +633,57 @@ class TestHistogramQuantilesPerGroupNullKeys:
         # key 1's median estimate must be near 2, NOT dragged to 100
         assert abs(by_k[1] - 2.0) <= 2 * width
         assert abs(by_k[None] - 100.0) <= 2 * width
+
+
+class TestGlobalQuantilesCont:
+    def test_vs_duckdb_percentile_cont(self, ray_session):
+        import duckdb
+
+        from mini_search_engine_ray.stages.aggregates import (
+            global_quantiles_cont,
+        )
+
+        rng = np.random.default_rng(33)
+        vals = rng.integers(-10_000, 10_000, 30_001).astype(np.int64)
+        t = pa.table({"v": pa.array(vals)})
+        pcts = [0, 10, 25, 50, 75, 90, 99, 100]
+        out = global_quantiles_cont(_ds(t, parts=9), "v", pcts)
+        got = out["interp_num"].to_numpy() / 100.0
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        exprs = ", ".join(
+            f"percentile_cont({p / 100.0}) WITHIN GROUP (ORDER BY v)"
+            for p in pcts)
+        exp = np.array(con.sql(f"SELECT {exprs} FROM t").fetchone(),
+                       dtype=np.float64)
+        np.testing.assert_allclose(got, exp, rtol=0, atol=1e-9)
+
+    def test_block_count_invariance_and_exact_ranks(self, ray_session):
+        from mini_search_engine_ray.stages.aggregates import (
+            global_quantiles_cont,
+        )
+
+        # n = 5: p=25 -> h = 1.0 exactly (no interpolation), p=30 ->
+        # h = 1.2 -> v[1]*80 + v[2]*20
+        t = pa.table({"v": pa.array([10, 20, 40, 80, 160],
+                                    pa.int64())})
+        for parts in (1, 2, 5):
+            out = global_quantiles_cont(_ds(t, parts=parts), "v",
+                                        [25, 30, 100])
+            assert out["interp_num"].to_pylist() == [
+                20 * 100, 20 * 80 + 40 * 20, 160 * 100]
+
+    def test_empty_and_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.aggregates import (
+            global_quantiles_cont,
+        )
+
+        t = pa.table({"v": pa.array([], pa.int64())})
+        out = global_quantiles_cont(rd.from_arrow(t), "v", [50])
+        assert out.num_rows == 0
+        with pytest.raises(ValueError):
+            global_quantiles_cont(rd.from_arrow(t), "v", [101])
+        with pytest.raises(ValueError):
+            global_quantiles_cont(rd.from_arrow(t), "v", [-1])
