@@ -12946,3 +12946,321 @@ SELECT event_type, sum(c)::BIGINT AS n_recent,
          ::DOUBLE / {float(1 << (DECAY_WINDOW_DAYS - 1))} AS decayed
 FROM c GROUP BY event_type
 """
+
+
+UVQC_PCTS = [25, 50, 75, 90]
+_UVQC_SHIFT = 32  # code = user_id << 32 | 0-based rank (ranks < 2^32)
+
+
+def q_user_value_quantiles_cont(sf_dir: str):
+    """PER-USER interpolated quantiles (SQL ``percentile_cont`` ...
+    ``PARTITION BY user_id``) as a FULLY DISTRIBUTED plan — unlike the
+    driver-bounded global operator, nothing here is ever user-sized on
+    the driver: ranks come from the keyed distributed row_number scan
+    ordered by (cents, event_id) (the PK tiebreak makes every rank
+    deterministic even among duplicate values), each user's needed
+    ranks expand from the per-user count into at most 2 weighted
+    selector rows per percentile (weight = the EXACT integer
+    interpolation split 100−num / num), ONE packed-int64 sort-merge
+    join fetches the selected cents, and ONE (user × percentile)-
+    bounded grouped sum assembles the exact int64 numerator
+    Σ cents·w.  The only data-sized exchanges are the rank sort and
+    the join sort; the final value is the shared integer divided once
+    by 10000.0, bit-identical on both engines."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+    from ..stages.scan import row_number
+
+    ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value", "event_id"])
+
+    prep_schema = pa.schema([("user_id", pa.int64()),
+                             ("cents", pa.int64()),
+                             ("event_id", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.is_valid(t["user_id"]),
+                       pc.is_valid(t["value"]))
+        f = t.filter(keep)
+        if f.num_rows == 0:
+            return prep_schema.empty_table()
+        cents = np.floor(f["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({"user_id": f["user_id"],
+                         "cents": pa.array(cents),
+                         "event_id": f["event_id"]})
+
+    base = ev.map_batches(prep, batch_format="pyarrow")
+
+    ranked = row_number(base, order_by=["cents", "event_id"],
+                        key_col="user_id", out_col="rn")
+
+    ranked_schema = pa.schema([("code", pa.int64()),
+                               ("cents", pa.int64())])
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rn" not in t.column_names:
+            return ranked_schema.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "code": pa.array((uid << _UVQC_SHIFT) | (rn - 1)),
+            "cents": t["cents"]})
+
+    packed = ranked.map_batches(pack, batch_format="pyarrow")
+
+    nper = sorted_groupby_agg(base, ["user_id"],
+                              [("cents", "count", "n")],
+                              in_schema=prep_schema)
+
+    sel_schema = pa.schema([("code", pa.int64()),
+                            ("user_id", pa.int64()),
+                            ("p", pa.int64()),
+                            ("w", pa.int64())])
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return sel_schema.empty_table()
+        uids = t["user_id"].to_numpy(zero_copy_only=False)
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        oc, ou, op, ow = [], [], [], []
+        for uid, n in zip(uids.tolist(), ns.tolist()):
+            for p in UVQC_PCTS:
+                lo, num = divmod((n - 1) * p, 100)
+                if num:
+                    oc.append((uid << _UVQC_SHIFT) | lo)
+                    ou.append(uid); op.append(p); ow.append(100 - num)
+                    oc.append((uid << _UVQC_SHIFT) | (lo + 1))
+                    ou.append(uid); op.append(p); ow.append(num)
+                else:
+                    oc.append((uid << _UVQC_SHIFT) | lo)
+                    ou.append(uid); op.append(p); ow.append(100)
+        return pa.table({"code": pa.array(oc, pa.int64()),
+                         "user_id": pa.array(ou, pa.int64()),
+                         "p": pa.array(op, pa.int64()),
+                         "w": pa.array(ow, pa.int64())})
+
+    sel = nper.map_batches(expand, batch_format="pyarrow")
+
+    joined = sort_merge_join(sel, packed, "code",
+                             left_schema=sel_schema,
+                             right_schema=ranked_schema)
+
+    wc_schema = pa.schema([("user_id", pa.int64()),
+                           ("p", pa.int64()),
+                           ("wc", pa.int64())])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cents" not in t.column_names:
+            return wc_schema.empty_table()
+        w = t["w"].to_numpy(zero_copy_only=False)
+        c = t["cents"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"], "p": t["p"],
+                         "wc": pa.array(w * c)})
+
+    agg = sorted_groupby_agg(
+        joined.map_batches(weigh, batch_format="pyarrow"),
+        ["user_id", "p"], [("wc", "sum", "interp_num")],
+        in_schema=wc_schema)
+
+    fin_schema = pa.schema([("user_id", pa.int64()),
+                            ("p", pa.int64()),
+                            ("value", pa.float64())])
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "interp_num" not in t.column_names:
+            return fin_schema.empty_table()
+        num = t["interp_num"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"user_id": t["user_id"], "p": t["p"],
+                         "value": pa.array(num / 10000.0)})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["user_value_quantiles_cont"] = q_user_value_quantiles_cont
+
+ORACLE_SQL["user_value_quantiles_cont"] = f"""
+WITH v AS (SELECT user_id, event_id,
+                  floor(value * 100)::BIGINT AS cents
+           FROM events
+           WHERE user_id IS NOT NULL AND value IS NOT NULL),
+o AS (SELECT user_id, cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY cents, event_id) - 1 AS rk
+      FROM v),
+n AS (SELECT user_id, count(*)::BIGINT AS n FROM v GROUP BY 1),
+ps(p) AS (VALUES {", ".join(f"({p})" for p in UVQC_PCTS)}),
+sel AS (SELECT user_id, p, ((n - 1) * p) // 100 AS lo,
+               ((n - 1) * p) % 100 AS num
+        FROM n, ps)
+SELECT sel.user_id, sel.p::BIGINT AS p,
+       (olo.cents * (100 - sel.num) + ohi.cents * sel.num)::DOUBLE
+         / 10000.0 AS value
+FROM sel
+JOIN o olo ON olo.user_id = sel.user_id AND olo.rk = sel.lo
+JOIN o ohi ON ohi.user_id = sel.user_id
+          AND ohi.rk = CASE WHEN sel.num = 0 THEN sel.lo
+                            ELSE sel.lo + 1 END
+"""
+
+
+MARKOV_ITERS = 50
+
+
+def q_event_markov_stationary(sf_dir: str):
+    """Stationary distribution of the empirical event-type Markov
+    chain — the long-run state occupancy behavioral models quote:
+    builds on the oracle-tested `event_transitions` counts, restricts
+    the chain to states WITH outgoing transitions (dropping
+    transitions that leak to states without any, then re-normalizing
+    rows over the kept counts so the matrix is exactly row-stochastic
+    in both engines), and runs 50 explicit power
+    iterations from the uniform start 1/|S|.  The transition matrix
+    is bounded (|T|² ≤ 25 here), so the iteration is driver-side
+    numpy over exact-integer-derived doubles; the oracle unrolls the
+    SAME 50 iterations as chained SQL CTEs (the
+    `pagerank` oracle pattern), an independent arithmetic replay.
+    States with no incoming transitions report prob 0 on both
+    engines.  Raises if a kept state's row sum is 0 (the chain would
+    not be stochastic)."""
+    rows = q_event_transitions(sf_dir).take_all()
+    states = sorted({r["prev_type"] for r in rows})
+    sset = set(states)
+    k = len(states)
+    if k == 0:
+        raise ValueError("event_markov_stationary: no transitions")
+    idx = {s: i for i, s in enumerate(states)}
+    C = np.zeros((k, k), dtype=np.int64)
+    for r in rows:
+        if r["event_type"] in sset:
+            C[idx[r["prev_type"]], idx[r["event_type"]]] += r["n"]
+    rsum = C.sum(axis=1)
+    if (rsum == 0).any():
+        raise ValueError("event_markov_stationary: a kept state has "
+                         "no surviving outgoing transitions")
+    P = C.astype(np.float64) / rsum.astype(np.float64)[:, None]
+    s = np.full(k, 1.0 / k, dtype=np.float64)
+    for _ in range(MARKOV_ITERS):
+        s = s @ P
+    return pa.table({"event_type": pa.array(states, pa.string()),
+                     "prob": pa.array(_r4(s))})
+
+
+def _markov_stationary_sql() -> str:
+    its = []
+    prev = "s0"
+    for i in range(1, MARKOV_ITERS + 1):
+        cur = f"s{i}"
+        its.append(f"""{cur} AS MATERIALIZED (
+  SELECT p.next AS state, sum({prev}.score * p.p) AS score
+  FROM p JOIN {prev} ON {prev}.state = p.prev
+  GROUP BY p.next)""")
+        prev = cur
+    return f"""
+WITH tc AS ({ORACLE_SQL["event_transitions"]}),
+st AS MATERIALIZED (SELECT DISTINCT prev_type AS state FROM tc),
+kept AS (SELECT prev_type AS prev, event_type AS next, n FROM tc
+         WHERE event_type IN (SELECT state FROM st)),
+r AS (SELECT prev, sum(n)::BIGINT AS r FROM kept GROUP BY 1),
+p AS MATERIALIZED (SELECT kept.prev, kept.next,
+                          kept.n::DOUBLE / r.r::DOUBLE AS p
+                   FROM kept JOIN r USING (prev)),
+s0 AS (SELECT state,
+              1.0::DOUBLE / (SELECT count(*) FROM st)::DOUBLE AS score
+       FROM st),
+{",".join(its)}
+SELECT st.state AS event_type,
+       {_R4.format(expr=f"coalesce({prev}.score, 0.0)")} AS prob
+FROM st LEFT JOIN {prev} ON {prev}.state = st.state
+ORDER BY event_type
+"""
+
+
+QUERIES["event_markov_stationary"] = q_event_markov_stationary
+ORACLE_SQL["event_markov_stationary"] = _markov_stationary_sql()
+
+
+def q_doc_contact_stats(sf_dir: str):
+    """Per-document PII/contact-surface extraction counts — the
+    per-category breakdown the redaction sweep (`scrub_pii`) and the
+    governance audits consume: email, URL and long-digit-run match
+    counts per doc using the SAME patterns `stages/scrub.PII_RULES`
+    redacts with.  The synthetic corpus carries no contacts, so the
+    query PLANTS them deterministically first (the CDC/SCD planted-
+    stream pattern): docs with doc_id % 7 = 0 gain an email, % 5 = 0
+    a URL, % 3 = 0 a 7+-digit reference number — appended with pure
+    integer string concatenation both engines replay exactly — and
+    each pattern is then counted INDEPENDENTLY over the planted text
+    with Arrow's RE2 `count_substring_regex` (DuckDB
+    `regexp_extract_all` is the same RE2 dialect, non-overlapping
+    leftmost on both sides; digits inside the planted email/URL stay
+    below 7, so categories never cross-fire).  Pure streaming map —
+    no shuffle, no state."""
+    from ..stages.scrub import PII_RULES
+
+    pats = [p for p, _ in PII_RULES]
+
+    def stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        s = t["text"]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        texts = s.to_pylist()
+        planted = []
+        for i, txt in enumerate(texts):
+            d = int(did[i])
+            out = txt
+            if d % 7 == 0:
+                out += f" contact: u{d % 1000}@example.com"
+            if d % 5 == 0:
+                out += f" see https://example.com/d/{d % 1000}"
+            if d % 3 == 0:
+                out += f" ref {d % 1000 + 9000000}"
+            planted.append(out)
+        arr = pa.array(planted, pa.string())
+        cols = {"doc_id": t["doc_id"]}
+        for name, pat in zip(("n_email", "n_url", "n_num"), pats):
+            cols[name] = pc.cast(
+                pc.count_substring_regex(arr, pattern=pat).fill_null(0),
+                pa.int64())
+        return pa.table(cols)
+
+    return _docs_ds(sf_dir).map_batches(stats, batch_format="pyarrow")
+
+
+QUERIES["doc_contact_stats"] = q_doc_contact_stats
+
+
+def _doc_contact_sql() -> str:
+    from ..stages.scrub import PII_RULES
+
+    pats = [p for p, _ in PII_RULES]
+    cols = ", ".join(
+        f"len(regexp_extract_all(planted, '{pat}'))::BIGINT AS {name}"
+        for name, pat in zip(("n_email", "n_url", "n_num"), pats))
+    return f"""
+WITH pl AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact: u' || (doc_id % 1000)::VARCHAR
+                      || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' see https://example.com/d/'
+                      || (doc_id % 1000)::VARCHAR ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' ref ' || (doc_id % 1000 + 9000000)::VARCHAR
+                 ELSE '' END AS planted
+  FROM documents)
+SELECT doc_id, {cols} FROM pl
+"""
+
+
+ORACLE_SQL["doc_contact_stats"] = _doc_contact_sql()
