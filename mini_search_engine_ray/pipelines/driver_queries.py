@@ -13264,3 +13264,174 @@ SELECT doc_id, {cols} FROM pl
 
 
 ORACLE_SQL["doc_contact_stats"] = _doc_contact_sql()
+
+
+def q_cust_order_count_dist(sf_dir: str):
+    """TPC-H Q13 shape — the customer distribution by order count
+    (the canonical aggregate-of-aggregate with a LEFT-join zero
+    class): composes the oracle-tested `customer_order_counts`
+    (customer LEFT join orders + per-customer sorted reduction,
+    zero-order customers included) with ONE bounded grouped count
+    over the distinct order-count values.  All-integer; the second
+    exchange is bounded by the number of distinct counts."""
+    from ..stages.aggregates import sorted_groupby_agg
+
+    per_cust = q_customer_order_counts(sf_dir)
+
+    one_schema = pa.schema([("c_count", pa.int64()),
+                            ("one", pa.int64())])
+
+    def one(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "n_orders" not in t.column_names:
+            return one_schema.empty_table()
+        return pa.table({
+            "c_count": pc.cast(t["n_orders"], pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = sorted_groupby_agg(
+        per_cust.map_batches(one, batch_format="pyarrow"),
+        ["c_count"], [("one", "sum", "custdist")],
+        in_schema=one_schema)
+
+    fin_schema = pa.schema([("c_count", pa.int64()),
+                            ("custdist", pa.int64())])
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "c_count" not in t.column_names:
+            return fin_schema.empty_table()
+        return pa.table({"c_count": pc.cast(t["c_count"], pa.int64()),
+                         "custdist": pc.cast(t["custdist"],
+                                             pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["cust_order_count_dist"] = q_cust_order_count_dist
+
+ORACLE_SQL["cust_order_count_dist"] = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (SELECT c.c_custkey,
+             count(o.o_orderkey)::BIGINT AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1)
+GROUP BY c_count
+"""
+
+
+# lineitem numeric columns and their exact integer encodings (shared
+# with the oracle): quantity is integral, price/discount/tax scale by
+# 100 with the repo's standard IEEE floor contract
+_CORR_COLS = [("l_quantity", "qty", 1),
+              ("l_extendedprice", "price", 100),
+              ("l_discount", "disc", 100),
+              ("l_tax", "tax", 100)]
+
+
+def q_lineitem_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation MATRIX over the four lineitem
+    numeric columns — the feature-screening pass every modeling
+    pipeline runs, generalizing the single-pair `corr_qty_price`: all
+    sums (Σx, Σx², Σxy, n over the shared integer encodings) stay
+    EXACT — int64 per batch (batch_size capped at 4096 so Σ price² ≤
+    4096·10¹⁴ never overflows), arbitrary-precision Python ints in
+    the bounded driver fold (15 integers per batch row) — and each
+    correlation is the shared closed form (n·Σxy − Σx·Σy) /
+    (√(n·Σx²−Σx²)·√(n·Σy²−Σy²)) evaluated over identical integers
+    (the oracle's HUGEINT sums are exact the same way), 4dp-gated.
+    One streaming pass; nothing data-sized on the driver."""
+    import ray.data as rd
+
+    cols = [c for c, _, _ in _CORR_COLS]
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=cols)
+    k = len(_CORR_COLS)
+    pair_idx = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    names = (["n"] + [f"s{i}" for i in range(k)]
+             + [f"q{i}" for i in range(k)]
+             + [f"x{i}_{j}" for i, j in pair_idx])
+    part_schema = pa.schema([(nm, pa.int64()) for nm in names])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        xs = []
+        for col, _, scale in _CORR_COLS:
+            v = t[col].to_numpy(zero_copy_only=False)
+            if scale == 1:
+                xs.append(np.asarray(v, np.float64).astype(np.int64))
+            else:
+                xs.append(np.floor(np.asarray(v, np.float64)
+                                   * scale).astype(np.int64))
+        vals = [t.num_rows]
+        vals += [int(x.sum()) for x in xs]
+        vals += [int((x * x).sum()) for x in xs]
+        vals += [int((xs[i] * xs[j]).sum()) for i, j in pair_idx]
+        return pa.table({nm: pa.array([v], pa.int64())
+                         for nm, v in zip(names, vals)})
+
+    rows = ds.map_batches(partials, batch_size=4096,
+                          batch_format="pyarrow").take_all()
+    if not rows:
+        raise ValueError("lineitem_corr_matrix: empty input")
+    acc = {nm: 0 for nm in names}
+    for r in rows:
+        for nm in names:
+            acc[nm] += r[nm]
+    n = acc["n"]
+    out_a, out_b, out_c = [], [], []
+    for i, j in pair_idx:
+        num = n * acc[f"x{i}_{j}"] - acc[f"s{i}"] * acc[f"s{j}"]
+        va = n * acc[f"q{i}"] - acc[f"s{i}"] * acc[f"s{i}"]
+        vb = n * acc[f"q{j}"] - acc[f"s{j}"] * acc[f"s{j}"]
+        if va == 0 or vb == 0:
+            raise ValueError("lineitem_corr_matrix: zero variance")
+        out_a.append(_CORR_COLS[i][1])
+        out_b.append(_CORR_COLS[j][1])
+        out_c.append(float(num)
+                     / (np.sqrt(float(va)) * np.sqrt(float(vb))))
+    return pa.table({"col_a": pa.array(out_a, pa.string()),
+                     "col_b": pa.array(out_b, pa.string()),
+                     "corr": pa.array(_r4(np.array(out_c)))})
+
+
+QUERIES["lineitem_corr_matrix"] = q_lineitem_corr_matrix
+
+
+def _lineitem_corr_sql() -> str:
+    enc = {alias: (col if scale == 1
+                   else f"floor({col} * {scale})")
+           for col, alias, scale in _CORR_COLS}
+    sums = ", ".join(
+        [f"count(*)::HUGEINT AS n"]
+        + [f"sum({e}::BIGINT)::HUGEINT AS s_{a}"
+           for a, e in enc.items()]
+        + [f"sum({e}::BIGINT * {e}::BIGINT)::HUGEINT AS q_{a}"
+           for a, e in enc.items()])
+    aliases = [a for _, a, _ in _CORR_COLS]
+    xsums = ", ".join(
+        f"sum({enc[aliases[i]]}::BIGINT * {enc[aliases[j]]}::BIGINT)"
+        f"::HUGEINT AS x_{aliases[i]}_{aliases[j]}"
+        for i in range(len(aliases)) for j in range(i + 1, len(aliases)))
+    pair_rows = "\nUNION ALL\n".join(
+        f"""SELECT '{aliases[i]}' AS col_a, '{aliases[j]}' AS col_b,
+       {_R4.format(expr=(
+           f"((n * x_{aliases[i]}_{aliases[j]} "
+           f"- s_{aliases[i]} * s_{aliases[j]})::DOUBLE "
+           f"/ (sqrt((n * q_{aliases[i]} "
+           f"- s_{aliases[i]} * s_{aliases[i]})::DOUBLE) "
+           f"* sqrt((n * q_{aliases[j]} "
+           f"- s_{aliases[j]} * s_{aliases[j]})::DOUBLE)))"))} AS corr
+FROM m"""
+        for i in range(len(aliases)) for j in range(i + 1, len(aliases)))
+    return f"""
+WITH m AS (SELECT {sums}, {xsums} FROM lineitem)
+{pair_rows}
+"""
+
+
+ORACLE_SQL["lineitem_corr_matrix"] = _lineitem_corr_sql()
