@@ -1341,6 +1341,55 @@ def bench_eval_metrics(out: dict) -> None:
     assert 0.70 < row["auc"] < 0.74, row["auc"]
 
 
+def bench_quantiles_cont(out: dict) -> None:
+    """Grouped interpolated quantiles at 10M rows x 1000 groups: the
+    fully distributed percentile_cont plan (keyed row_number ranks,
+    exact-integer selector expansion, ONE packed-int64 sort-merge
+    join, ONE bounded grouped sum).  Values are splitmix-uniform over
+    [0, 100000), so each group's percentile p has the closed form
+    ~ p/100 * 99999 — asserted within the 10k-samples-per-group
+    sampling band as an independent large-scale correctness pin."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.stages.aggregates import (
+        grouped_quantiles_cont,
+    )
+
+    n = 10_000_000
+    groups = 1000
+    pcts = [25, 50, 75, 90]
+
+    def gen(b: pa.Table) -> pa.Table:
+        i = b["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+        def mix(z):
+            z = (z + np.uint64(0x9E3779B97F4A7C15)) \
+                * np.uint64(0xBF58476D1CE4E5B9)
+            z ^= z >> np.uint64(27)
+            z *= np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+        v = (mix(i) % np.uint64(100_000)).astype(np.int64)
+        return pa.table({
+            "k": pa.array((i % np.uint64(groups)).astype(np.int64)),
+            "v": pa.array(v),
+            "id": pa.array(i.astype(np.int64))})
+
+    ds = rd.range(n).repartition(32) \
+        .map_batches(gen, batch_format="pyarrow").materialize()
+    t0 = time.time()
+    rows = grouped_quantiles_cont(ds, "k", "v", "id", pcts).take_all()
+    out["queries"]["quantiles_cont_10m"] = round(time.time() - t0, 3)
+    assert len(rows) == groups * len(pcts), len(rows)
+    # uniform closed form per group; 10k samples -> generous band
+    for r in rows[:: max(1, len(rows) // 40)]:
+        expect = r["p"] / 100.0 * 99_999
+        got = r["interp_num"] / 100.0
+        assert abs(got - expect) < 3_000, (r["k"], r["p"], got)
+
+
 _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "query_distributed", "dedup_minhash", "dedup_minhash_100k",
               "dedup_verify_100k", "ann_cosine", "ann_quantized", "pagerank",
@@ -1348,7 +1397,7 @@ _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "curation", "kmeans", "scrub", "chunk_decontam", "prefix_scan",
               "bounded_window", "dup_passages", "dedup_rewrite", "setsim", "bpe_train",
               "doc_sim", "fuzzy_names", "graph_triangles", "graph_iterative",
-              "cooccur", "analytics", "spatial", "eval_metrics")
+              "cooccur", "analytics", "spatial", "eval_metrics", "quantiles_cont")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -1456,6 +1505,8 @@ def run_all(only: str | None = None) -> dict:
         bench_spatial(out)
     if only in (None, "eval_metrics"):
         bench_eval_metrics(out)
+    if only in (None, "quantiles_cont"):
+        bench_quantiles_cont(out)
     if only in (None, "analytics"):
         bench_analytics(out)
     out["value"] = round(sum(out["queries"].values()), 3)

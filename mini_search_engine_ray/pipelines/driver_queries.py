@@ -12954,24 +12954,19 @@ _UVQC_SHIFT = 32  # code = user_id << 32 | 0-based rank (ranks < 2^32)
 
 def q_user_value_quantiles_cont(sf_dir: str):
     """PER-USER interpolated quantiles (SQL ``percentile_cont`` ...
-    ``PARTITION BY user_id``) as a FULLY DISTRIBUTED plan — unlike the
-    driver-bounded global operator, nothing here is ever user-sized on
-    the driver: ranks come from the keyed distributed row_number scan
-    ordered by (cents, event_id) (the PK tiebreak makes every rank
-    deterministic even among duplicate values), each user's needed
-    ranks expand from the per-user count into at most 2 weighted
-    selector rows per percentile (weight = the EXACT integer
-    interpolation split 100−num / num), ONE packed-int64 sort-merge
-    join fetches the selected cents, and ONE (user × percentile)-
-    bounded grouped sum assembles the exact int64 numerator
-    Σ cents·w.  The only data-sized exchanges are the rank sort and
-    the join sort; the final value is the shared integer divided once
-    by 10000.0, bit-identical on both engines."""
+    ``PARTITION BY user_id``) through the fully distributed
+    :func:`stages.aggregates.grouped_quantiles_cont` plan — unlike
+    the driver-bounded global operator, nothing here is ever
+    user-sized on the driver: keyed distributed row_number ranks with
+    the event_id PK tiebreak, per-user counts expanding into ≤ 2
+    weighted selector rows per percentile (the EXACT integer
+    interpolation split), ONE packed-int64 sort-merge join, ONE
+    (user × percentile)-bounded grouped sum.  The final value is the
+    shared int64 numerator divided once by 10000.0 — bit-identical on
+    both engines."""
     import ray.data as rd
 
-    from ..stages.aggregates import sorted_groupby_agg
-    from ..stages.join import sort_merge_join
-    from ..stages.scan import row_number
+    from ..stages.aggregates import grouped_quantiles_cont
 
     ev = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["user_id", "value", "event_id"])
@@ -12995,77 +12990,8 @@ def q_user_value_quantiles_cont(sf_dir: str):
                          "event_id": f["event_id"]})
 
     base = ev.map_batches(prep, batch_format="pyarrow")
-
-    ranked = row_number(base, order_by=["cents", "event_id"],
-                        key_col="user_id", out_col="rn")
-
-    ranked_schema = pa.schema([("code", pa.int64()),
-                               ("cents", pa.int64())])
-
-    def pack(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "rn" not in t.column_names:
-            return ranked_schema.empty_table()
-        uid = t["user_id"].to_numpy(zero_copy_only=False)
-        rn = t["rn"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "code": pa.array((uid << _UVQC_SHIFT) | (rn - 1)),
-            "cents": t["cents"]})
-
-    packed = ranked.map_batches(pack, batch_format="pyarrow")
-
-    nper = sorted_groupby_agg(base, ["user_id"],
-                              [("cents", "count", "n")],
-                              in_schema=prep_schema)
-
-    sel_schema = pa.schema([("code", pa.int64()),
-                            ("user_id", pa.int64()),
-                            ("p", pa.int64()),
-                            ("w", pa.int64())])
-
-    def expand(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "n" not in t.column_names:
-            return sel_schema.empty_table()
-        uids = t["user_id"].to_numpy(zero_copy_only=False)
-        ns = t["n"].to_numpy(zero_copy_only=False)
-        oc, ou, op, ow = [], [], [], []
-        for uid, n in zip(uids.tolist(), ns.tolist()):
-            for p in UVQC_PCTS:
-                lo, num = divmod((n - 1) * p, 100)
-                if num:
-                    oc.append((uid << _UVQC_SHIFT) | lo)
-                    ou.append(uid); op.append(p); ow.append(100 - num)
-                    oc.append((uid << _UVQC_SHIFT) | (lo + 1))
-                    ou.append(uid); op.append(p); ow.append(num)
-                else:
-                    oc.append((uid << _UVQC_SHIFT) | lo)
-                    ou.append(uid); op.append(p); ow.append(100)
-        return pa.table({"code": pa.array(oc, pa.int64()),
-                         "user_id": pa.array(ou, pa.int64()),
-                         "p": pa.array(op, pa.int64()),
-                         "w": pa.array(ow, pa.int64())})
-
-    sel = nper.map_batches(expand, batch_format="pyarrow")
-
-    joined = sort_merge_join(sel, packed, "code",
-                             left_schema=sel_schema,
-                             right_schema=ranked_schema)
-
-    wc_schema = pa.schema([("user_id", pa.int64()),
-                           ("p", pa.int64()),
-                           ("wc", pa.int64())])
-
-    def weigh(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "cents" not in t.column_names:
-            return wc_schema.empty_table()
-        w = t["w"].to_numpy(zero_copy_only=False)
-        c = t["cents"].to_numpy(zero_copy_only=False)
-        return pa.table({"user_id": t["user_id"], "p": t["p"],
-                         "wc": pa.array(w * c)})
-
-    agg = sorted_groupby_agg(
-        joined.map_batches(weigh, batch_format="pyarrow"),
-        ["user_id", "p"], [("wc", "sum", "interp_num")],
-        in_schema=wc_schema)
+    agg = grouped_quantiles_cont(base, "user_id", "cents", "event_id",
+                                 UVQC_PCTS)
 
     fin_schema = pa.schema([("user_id", pa.int64()),
                             ("p", pa.int64()),

@@ -1260,3 +1260,140 @@ def value_histogram(ds, value_col: str, *, bins: int = 64):
         })
 
     return hist.map_batches(edges, batch_format="pyarrow")
+
+
+def grouped_quantiles_cont(ds, key_col: str, value_col: str,
+                           tiebreak_col: str,
+                           percentiles: list[int]):
+    """PER-GROUP interpolated quantiles (SQL ``percentile_cont`` over
+    ``PARTITION BY key``) as a FULLY DISTRIBUTED plan over an INTEGER
+    value column — unlike :func:`global_quantiles_cont`, nothing here
+    is ever group-sized on the driver:
+
+    1. ranks: the keyed distributed row_number scan ordered by
+       (value, tiebreak) — the tiebreak column (a PK) makes every
+       rank deterministic even among duplicate values;
+    2. selectors: each group's per-percentile needed ranks expand
+       from the per-group count into ≤ 2 weighted rows carrying the
+       EXACT integer interpolation split (100−num / num, with
+       num = ((n−1)·p) mod 100);
+    3. fetch: ONE packed-int64 (key << 32 | rank) sort-merge join;
+    4. assemble: ONE (key × percentile)-bounded grouped sum of the
+       exact int64 numerator Σ value·weight.
+
+    Returns a Dataset (key_col, p, interp_num) where the continuous
+    quantile equals ``interp_num / 100`` on the value column's own
+    scale.  Contract: keys are non-negative int64 < 2³¹ and group
+    sizes < 2³² (the packed-code layout); violations raise in the
+    expanding map."""
+    from .join import sort_merge_join
+    from .scan import row_number
+
+    for p in percentiles:
+        if not isinstance(p, (int, np.integer)) or not 0 <= p <= 100:
+            raise ValueError(f"percentile must be an int in [0, 100]: {p}")
+    pcts = [int(p) for p in percentiles]
+
+    ranked = row_number(ds, order_by=[value_col, tiebreak_col],
+                        key_col=key_col, out_col="rn")
+
+    packed_schema = pa.schema([("code", pa.int64()),
+                               (value_col, pa.int64())])
+
+    def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rn" not in t.column_names:
+            return packed_schema.empty_table()
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        rn = t["rn"].to_numpy(zero_copy_only=False)
+        if (k < 0).any() or (k >= (1 << 31)).any():
+            raise ValueError("grouped_quantiles_cont: key out of the "
+                             "packed-code range [0, 2^31)")
+        return pa.table({"code": pa.array((k << 32) | (rn - 1)),
+                         value_col: t[value_col]})
+
+    packed = ranked.map_batches(pack, batch_format="pyarrow")
+
+    # per-group counts via per-batch partials: the count exchange is
+    # (batches × groups)-sized, not data-sized — the rank sort and the
+    # fetch-join sort stay the plan's only corpus-sized exchanges
+    cnt_schema = pa.schema([(key_col, pa.int64()),
+                            ("c", pa.int64())])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return cnt_schema.empty_table()
+        k = t[key_col].to_numpy(zero_copy_only=False)
+        u, c = np.unique(k, return_counts=True)
+        return pa.table({key_col: pa.array(u.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    nper = sorted_groupby_agg(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        [key_col], [("c", "sum", "n")], in_schema=cnt_schema)
+
+    sel_schema = pa.schema([("code", pa.int64()),
+                            (key_col, pa.int64()),
+                            ("p", pa.int64()),
+                            ("w", pa.int64())])
+
+    def expand(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return sel_schema.empty_table()
+        keys = t[key_col].to_numpy(zero_copy_only=False)
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        oc, ok, op, ow = [], [], [], []
+        for kk, n in zip(keys.tolist(), ns.tolist()):
+            if n >= (1 << 32):
+                raise ValueError("grouped_quantiles_cont: group size "
+                                 "exceeds the packed-code rank range")
+            for p in pcts:
+                lo, num = divmod((n - 1) * p, 100)
+                if num:
+                    oc.append((kk << 32) | lo)
+                    ok.append(kk); op.append(p); ow.append(100 - num)
+                    oc.append((kk << 32) | (lo + 1))
+                    ok.append(kk); op.append(p); ow.append(num)
+                else:
+                    oc.append((kk << 32) | lo)
+                    ok.append(kk); op.append(p); ow.append(100)
+        return pa.table({"code": pa.array(oc, pa.int64()),
+                         key_col: pa.array(ok, pa.int64()),
+                         "p": pa.array(op, pa.int64()),
+                         "w": pa.array(ow, pa.int64())})
+
+    sel = nper.map_batches(expand, batch_format="pyarrow")
+
+    joined = sort_merge_join(sel, packed, "code",
+                             left_schema=sel_schema,
+                             right_schema=packed_schema)
+
+    wc_schema = pa.schema([(key_col, pa.int64()),
+                           ("p", pa.int64()),
+                           ("wc", pa.int64())])
+
+    def weigh(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or value_col not in t.column_names:
+            return wc_schema.empty_table()
+        w = t["w"].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        return pa.table({key_col: t[key_col], "p": t["p"],
+                         "wc": pa.array(w * v)})
+
+    agg = sorted_groupby_agg(
+        joined.map_batches(weigh, batch_format="pyarrow"),
+        [key_col, "p"], [("wc", "sum", "interp_num")],
+        in_schema=wc_schema)
+
+    out_schema = pa.schema([(key_col, pa.int64()),
+                            ("p", pa.int64()),
+                            ("interp_num", pa.int64())])
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "interp_num" not in t.column_names:
+            return out_schema.empty_table()
+        return pa.table({key_col: pc.cast(t[key_col], pa.int64()),
+                         "p": pc.cast(t["p"], pa.int64()),
+                         "interp_num": pc.cast(t["interp_num"],
+                                               pa.int64())})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
