@@ -13361,3 +13361,299 @@ WITH m AS (SELECT {sums}, {xsums} FROM lineitem)
 
 
 ORACLE_SQL["lineitem_corr_matrix"] = _lineitem_corr_sql()
+
+
+# ---------------------------------------------------------------------------
+# wave-10: rank/distribution statistics classics
+# ---------------------------------------------------------------------------
+
+_WEEKEND_CENTS_SQL_E = """
+  SELECT CASE WHEN ((epoch_us(ts)::BIGINT // 86400000000 + 4) % 7)
+              >= 5 THEN 1 ELSE 0 END AS g,
+         floor(value * 100)::BIGINT AS cents
+  FROM events"""
+
+
+def _weekend_cents_grouped(sf_dir: str):
+    """(cents, c, b) — total and weekend-row counts per DISTINCT event
+    cents value: per-batch ``np.unique`` partials (so the exchange is
+    batches × distinct-cents, bounded by the cents DOMAIN — the value
+    range × 100 — not by corpus size), then ONE cents-keyed grouped
+    sum.  Weekend = UTC (epoch_day + 4) % 7 ∈ {5, 6}, the exact
+    integer µs arithmetic the ★ ``weekend_value_ttest`` operator
+    pinned (1970-01-01 was a Thursday).  Shared prologue of the
+    rank-statistics queries below."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+    part_schema = pa.schema([("cents", pa.int64()),
+                             ("c", pa.int64()), ("b", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wk = ((us // 86_400_000_000 + 4) % 7 >= 5).astype(np.int64)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        u, inv = np.unique(cents, return_inverse=True)
+        c = np.bincount(inv).astype(np.int64)
+        # float weights are exact for counts < 2^53
+        b = np.bincount(inv, weights=wk).astype(np.int64)
+        return pa.table({"cents": pa.array(u), "c": pa.array(c),
+                         "b": pa.array(b)})
+
+    return sorted_groupby_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["cents"], [("c", "sum", "c"), ("b", "sum", "b")],
+        in_schema=part_schema)
+
+
+def q_weekend_value_mwu(sf_dir: str):
+    """Tie-aware Mann-Whitney U (Wilcoxon rank-sum) for event value,
+    weekend vs weekday — the nonparametric A/B test run when the
+    t-test's normality assumption is off.  Plan: the shared
+    domain-bounded (cents, c, b) grouped table, one TINY cents sort,
+    then a streaming ordered driver fold with arbitrary-precision
+    Python ints (the stream is bounded by the cents DOMAIN, not the
+    corpus, so the fold is O(|domain|) regardless of scale): average
+    ranks over ties enter as the exact integer double-rank-sum
+    R2_b = Σ b·(2F + c + 1) (F = count strictly below the tie
+    block), the tie correction as T = Σ (c³ − c) — both exact at ANY
+    corpus size.  U, its null mean n_a·n_b/2 and the tie-corrected
+    variance n_a·n_b/12·((N+1) − T/(N(N−1))) evaluate as ONE shared
+    closed form from identical integers on both engines; u/z
+    4dp-gated."""
+    g = _weekend_cents_grouped(sf_dir).sort("cents")
+    n_b = r2b = tt = cum = 0
+    for t in g.iter_batches(batch_format="pyarrow"):
+        if t.num_rows == 0 or "c" not in t.column_names:
+            continue
+        for c, b in zip(t["c"].to_pylist(), t["b"].to_pylist()):
+            r2b += b * (2 * cum + c + 1)
+            tt += c * c * c - c
+            cum += c
+            n_b += b
+    n = cum
+    n_a = n - n_b
+    if n_a < 1 or n_b < 1:
+        raise ValueError("weekend_value_mwu: a group is empty")
+    u = (r2b - n_b * (n_b + 1)) / 2.0
+    mean_u = (n_a * n_b) / 2.0
+    var_u = ((n_a * n_b) / 12.0
+             * ((n + 1) - tt / float(n * (n - 1))))
+    z = (u - mean_u) / np.sqrt(var_u)
+    return pa.table({
+        "n_weekday": pa.array([n_a], pa.int64()),
+        "n_weekend": pa.array([n_b], pa.int64()),
+        "u_weekend": pa.array(_r4(np.array([u]))),
+        "z_stat": pa.array(_r4(np.array([z]))),
+    })
+
+
+QUERIES["weekend_value_mwu"] = q_weekend_value_mwu
+
+_MWU_U = "((r2b - nb * (nb + 1))::DOUBLE / 2)"
+_MWU_MEAN = "(((nn - nb) * nb)::DOUBLE / 2)"
+_MWU_VAR = ("(((nn - nb) * nb)::DOUBLE / 12 "
+            "* ((nn + 1)::DOUBLE "
+            "- tt::DOUBLE / (nn * (nn - 1))::DOUBLE))")
+
+ORACLE_SQL["weekend_value_mwu"] = f"""
+WITH e AS ({_WEEKEND_CENTS_SQL_E}),
+gr AS (SELECT cents, count(*)::HUGEINT AS c, sum(g)::HUGEINT AS b
+       FROM e GROUP BY 1),
+w AS (SELECT c, b,
+             sum(c) OVER (ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM gr),
+s AS (SELECT sum(b * (2 * (cum - c) + c + 1))::HUGEINT AS r2b,
+             sum(c * c * c - c)::HUGEINT AS tt,
+             sum(c)::HUGEINT AS nn,
+             sum(b)::HUGEINT AS nb
+      FROM w)
+SELECT (nn - nb)::BIGINT AS n_weekday, nb::BIGINT AS n_weekend,
+       {_R4.format(expr=_MWU_U)} AS u_weekend,
+       {_R4.format(expr=f'(({_MWU_U} - {_MWU_MEAN}) '
+                        f'/ sqrt({_MWU_VAR}))')} AS z_stat
+FROM s
+"""
+
+
+def q_weekend_value_ks(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov statistic for event value,
+    weekend vs weekday — the distribution-shift detector (maximum
+    ECDF gap).  The boundary never touches a float: D's numerator is
+    the PURE INTEGER max over distinct cents of |A·n_b − B·n_a| (A/B
+    the groups' cumulative counts), compared and arg-maxed with
+    arbitrary-precision Python ints in the same domain-bounded
+    ordered fold as the MWU operator; the reported location is the
+    SMALLEST cents attaining the max (an integer tiebreak both
+    engines replay) and only the final D division is 4dp-gated."""
+    gm = _weekend_cents_grouped(sf_dir).sort("cents").materialize()
+    n = n_b = 0
+    for t in gm.iter_batches(batch_format="pyarrow"):
+        if t.num_rows == 0 or "c" not in t.column_names:
+            continue
+        n += int(t["c"].to_numpy(zero_copy_only=False).sum())
+        n_b += int(t["b"].to_numpy(zero_copy_only=False).sum())
+    n_a = n - n_b
+    if n_a < 1 or n_b < 1:
+        raise ValueError("weekend_value_ks: a group is empty")
+    acc_a = acc_b = 0
+    best_num = -1
+    best_cents = None
+    for t in gm.iter_batches(batch_format="pyarrow"):
+        if t.num_rows == 0 or "c" not in t.column_names:
+            continue
+        for cents, c, b in zip(t["cents"].to_pylist(),
+                               t["c"].to_pylist(),
+                               t["b"].to_pylist()):
+            acc_a += c - b
+            acc_b += b
+            d = abs(acc_a * n_b - acc_b * n_a)
+            if d > best_num:
+                best_num = d
+                best_cents = cents
+    d_stat = best_num / float(n_a * n_b)
+    return pa.table({
+        "n_weekday": pa.array([n_a], pa.int64()),
+        "n_weekend": pa.array([n_b], pa.int64()),
+        "d_stat": pa.array(_r4(np.array([d_stat]))),
+        "d_at_cents": pa.array([best_cents], pa.int64()),
+    })
+
+
+QUERIES["weekend_value_ks"] = q_weekend_value_ks
+
+ORACLE_SQL["weekend_value_ks"] = f"""
+WITH e AS ({_WEEKEND_CENTS_SQL_E}),
+gr AS (SELECT cents, count(*)::HUGEINT AS c, sum(g)::HUGEINT AS b
+       FROM e GROUP BY 1),
+tot AS (SELECT sum(c)::HUGEINT AS nn, sum(b)::HUGEINT AS nb FROM gr),
+w AS (SELECT cents,
+             sum(c - b) OVER (ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS ca,
+             sum(b) OVER (ORDER BY cents
+                          ROWS UNBOUNDED PRECEDING) AS cb
+      FROM gr),
+d AS (SELECT cents,
+             abs(ca * (SELECT nb FROM tot)
+                 - cb * ((SELECT nn FROM tot)
+                         - (SELECT nb FROM tot))) AS dn
+      FROM w),
+mx AS (SELECT max(dn) AS m FROM d),
+pick AS (SELECT min(cents) AS c FROM d, mx WHERE d.dn = mx.m)
+SELECT ((SELECT nn FROM tot) - (SELECT nb FROM tot))::BIGINT
+         AS n_weekday,
+       (SELECT nb FROM tot)::BIGINT AS n_weekend,
+       {_R4.format(expr='((SELECT m FROM mx)::DOUBLE '
+                        '/ (((SELECT nn FROM tot) '
+                        '- (SELECT nb FROM tot)) '
+                        '* (SELECT nb FROM tot))::DOUBLE)')}
+         AS d_stat,
+       (SELECT c FROM pick)::BIGINT AS d_at_cents
+"""
+
+
+def q_user_spend_gini(sf_dir: str):
+    """Gini coefficient of per-user total spend — the inequality
+    summary (0 = everyone equal, → 1 = one user is all the revenue)
+    every marketplace-concentration report leads with.  Exact at ANY
+    scale with NO big per-row products: the rank-weighted sum uses
+    the identity Σ i·x_(i) = (n+1)·S − Σ C_i over the INCLUSIVE
+    running cumsum C from the distributed scan (monetary ASC with the
+    user_id tiebreak the unique-sort-tuple contract requires — tie
+    order provably cancels, equal x contribute x·Σi either way), so
+    the only unbounded integer is Σ C_i, which per batch splits into
+    (>> 40, & (2⁴⁰−1)) component sums that each fit int64 (C_i ≤ S
+    fits int64 by the same contract every scan cumsum carries) and
+    fold to ONE arbitrary-precision Python int on the driver —
+    partial rows are batch-count-bounded.  The final
+    G = ((n+1)·S − 2·ΣC) / (n·S) is ONE shared closed form over
+    identical integers; gini 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import running_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "value"])
+
+    prep_schema = pa.schema([("user_id", pa.int64()),
+                             ("cents", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        return pa.table({
+            "user_id": t["user_id"],
+            "cents": pa.array(np.floor(
+                t["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64))})
+
+    per_user = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], [("cents", "sum", "monetary")],
+        in_schema=prep_schema)
+
+    run = running_agg(per_user, order_by=["monetary", "user_id"],
+                      op="sum", value_col="monetary", out_col="cum")
+
+    part_schema = pa.schema([("n", pa.int64()), ("s", pa.int64()),
+                             ("c_hi", pa.int64()),
+                             ("c_lo", pa.int64())])
+    mask = (1 << 40) - 1
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cum" not in t.column_names:
+            return part_schema.empty_table()
+        cum = t["cum"].to_numpy(zero_copy_only=False)
+        mon = t["monetary"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "s": pa.array([int(mon.sum())], pa.int64()),
+            "c_hi": pa.array([int((cum >> 40).sum())], pa.int64()),
+            "c_lo": pa.array([int((cum & mask).sum())], pa.int64())})
+
+    n = s = sc = 0
+    for r in run.map_batches(partials,
+                             batch_format="pyarrow").take_all():
+        n += r["n"]
+        s += r["s"]
+        sc += (r["c_hi"] << 40) + r["c_lo"]
+    if n < 1 or s < 1:
+        raise ValueError("user_spend_gini: empty or zero-spend input")
+    gini = ((n + 1) * s - 2 * sc) / float(n * s)
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "total_cents": pa.array([s], pa.int64()),
+        "gini": pa.array(_r4(np.array([gini]))),
+    })
+
+
+QUERIES["user_spend_gini"] = q_user_spend_gini
+
+ORACLE_SQL["user_spend_gini"] = f"""
+WITH u AS (SELECT user_id,
+                  sum(floor(value * 100)::BIGINT)::BIGINT AS monetary
+           FROM events GROUP BY 1),
+c AS (SELECT monetary,
+             sum(monetary) OVER (ORDER BY monetary, user_id
+                                 ROWS UNBOUNDED PRECEDING)::HUGEINT
+               AS cum
+      FROM u),
+m AS (SELECT count(*)::HUGEINT AS n, sum(monetary)::HUGEINT AS s,
+             sum(cum)::HUGEINT AS sc
+      FROM c)
+SELECT n::BIGINT AS n_users, s::BIGINT AS total_cents,
+       {_R4.format(expr='(((n + 1) * s - 2 * sc)::DOUBLE '
+                        '/ (n * s)::DOUBLE)')} AS gini
+FROM m
+"""
