@@ -13657,3 +13657,196 @@ SELECT n::BIGINT AS n_users, s::BIGINT AS total_cents,
                         '/ (n * s)::DOUBLE)')} AS gini
 FROM m
 """
+
+
+def q_session_overlap_pairs(sf_dir: str):
+    """Interval-overlap self-join COUNT: how many unordered pairs of
+    sessions overlap in time (inclusive bounds, a.start ≤ b.end AND
+    b.start ≤ a.end) — the load-correlation question behind
+    capacity planning, answered WITHOUT the quadratic join: the
+    ★ sessionize intervals become the same per-timestamp
+    (net, n_starts) boundary deltas as ★ peak_concurrency, and each
+    distinct start instant t contributes
+    n_starts(t)·A_before(t) + C(n_starts(t), 2) pairs, where
+    A_before(t) = cum_net(t) − net(t) counts intervals started
+    strictly before t and (inclusively) not yet ended — an
+    order-independent tie rule both engines replay.  Same-user
+    sessions never overlap by the gap rule (> timeout), so the total
+    equals the cross-user pair count the ORACLE computes with an
+    INDEPENDENT direct self-join.  Contract: n_sessions < 2³¹ (so
+    per-row products stay < 2⁶², raised loudly); batch sums carry
+    the (>> 40, & 2⁴⁰−1) exact split."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.scan import running_agg
+    from ..stages.windows import sessionize
+
+    sess = sessionize(_events_ds(sf_dir), gap_s=SESSION_GAP_S)
+
+    b_schema = pa.schema([("tu", pa.int64()), ("delta", pa.int64()),
+                          ("pos", pa.int64())])
+
+    def bounds(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "session_start_us" not in t.column_names:
+            return b_schema.empty_table()
+        s = t["session_start_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        e = t["session_end_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n = s.size
+        return pa.table({
+            "tu": pa.array(np.r_[s, e]),
+            "delta": pa.array(np.r_[np.ones(n, np.int64),
+                                    -np.ones(n, np.int64)]),
+            "pos": pa.array(np.r_[np.ones(n, np.int64),
+                                  np.zeros(n, np.int64)])})
+
+    per_ts = sorted_groupby_agg(
+        sess.map_batches(bounds, batch_format="pyarrow"),
+        ["tu"], [("delta", "sum", "net"), ("pos", "sum", "n_starts")],
+        in_schema=b_schema)
+
+    run = running_agg(per_ts, order_by="tu", op="sum",
+                      value_col="net", out_col="cum_net")
+
+    part_schema = pa.schema([("p_hi", pa.int64()),
+                             ("p_lo", pa.int64())])
+    mask = (1 << 40) - 1
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cum_net" not in t.column_names:
+            return part_schema.empty_table()
+        cum = t["cum_net"].to_numpy(zero_copy_only=False)
+        net = t["net"].to_numpy(zero_copy_only=False)
+        pos = t["n_starts"].to_numpy(zero_copy_only=False)
+        if cum.max(initial=0) >= (1 << 31) \
+                or pos.max(initial=0) >= (1 << 31):
+            raise ValueError("session_overlap_pairs: > 2^31 "
+                             "concurrent sessions — per-row pair "
+                             "products would overflow int64")
+        contrib = pos * (cum - net) + pos * (pos - 1) // 2
+        return pa.table({
+            "p_hi": pa.array([int((contrib >> 40).sum())], pa.int64()),
+            "p_lo": pa.array([int((contrib & mask).sum())],
+                             pa.int64())})
+
+    pairs = 0
+    for r in run.map_batches(pair_partial,
+                             batch_format="pyarrow").take_all():
+        pairs += (r["p_hi"] << 40) + r["p_lo"]
+    n_sessions = sess.count()
+    return pa.table({
+        "n_sessions": pa.array([n_sessions], pa.int64()),
+        "overlapping_pairs": pa.array([pairs], pa.int64()),
+    })
+
+
+QUERIES["session_overlap_pairs"] = q_session_overlap_pairs
+
+ORACLE_SQL["session_overlap_pairs"] = f"""
+WITH sess AS ({_sessionize_sql()})
+SELECT (SELECT count(*) FROM sess)::BIGINT AS n_sessions,
+       (SELECT count(*)
+        FROM sess a, sess b
+        WHERE (a.user_id, a.session_start_us)
+              < (b.user_id, b.session_start_us)
+          AND a.session_start_us <= b.session_end_us
+          AND b.session_start_us <= a.session_end_us)::BIGINT
+         AS overlapping_pairs
+"""
+
+
+def q_daily_value_changepoint(sf_dir: str):
+    """CUSUM changepoint detection over the daily revenue series —
+    where does the cumulative deviation from the global mean peak?
+    The boundary is PURE INTEGERS: with daily cents totals x over n
+    days (ordered), inclusive cumsum C_i and grand total S, the
+    deviation numerator is n·C_i − i·S (= n·CUSUM_i, all exact), and
+    the detected changepoint is the day maximizing |n·C_i − i·S|
+    with the SMALLEST-day tiebreak — no float enters the argmax on
+    either engine.  Plan: exact int64 daily sums through ONE
+    day-keyed grouped sum (days-bounded), one tiny day sort, then an
+    ordered arbitrary-precision driver fold over the days-bounded
+    stream; only the reported deviation-in-value-units division is
+    4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+
+    d_schema = pa.schema([("day", pa.int64()), ("cents", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return d_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        return pa.table({"day": pa.array(us // 86_400_000_000),
+                         "cents": pa.array(cents)})
+
+    daily = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "x")],
+        in_schema=d_schema).sort("day").materialize()
+
+    n = s = 0
+    for t in daily.iter_batches(batch_format="pyarrow"):
+        if t.num_rows == 0 or "x" not in t.column_names:
+            continue
+        n += t.num_rows
+        s += int(t["x"].to_numpy(zero_copy_only=False).sum())
+    if n < 2:
+        raise ValueError("daily_value_changepoint: need >= 2 days")
+    cum = i = 0
+    best = -1
+    best_day = None
+    for t in daily.iter_batches(batch_format="pyarrow"):
+        if t.num_rows == 0 or "x" not in t.column_names:
+            continue
+        for day, x in zip(t["day"].to_pylist(), t["x"].to_pylist()):
+            cum += x
+            i += 1
+            dev = abs(n * cum - i * s)
+            if dev > best:
+                best = dev
+                best_day = day
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "changepoint_day": pa.array([best_day], pa.int64()),
+        "max_dev_value": pa.array(_r4(np.array(
+            [best / float(n) / 100.0]))),
+    })
+
+
+QUERIES["daily_value_changepoint"] = q_daily_value_changepoint
+
+ORACLE_SQL["daily_value_changepoint"] = f"""
+WITH d AS (SELECT (epoch_us(ts)::BIGINT // 86400000000) AS day,
+                  sum(floor(value * 100)::BIGINT)::BIGINT AS x
+           FROM events GROUP BY 1),
+tot AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s FROM d),
+c AS (SELECT day,
+             sum(x) OVER (ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum,
+             row_number() OVER (ORDER BY day)::HUGEINT AS i
+      FROM d),
+dev AS (SELECT day,
+               abs((SELECT n FROM tot) * cum
+                   - i * (SELECT s FROM tot)) AS dv
+        FROM c),
+mx AS (SELECT max(dv) AS m FROM dev),
+pick AS (SELECT min(day) AS day FROM dev, mx WHERE dev.dv = mx.m)
+SELECT (SELECT n FROM tot)::BIGINT AS n_days,
+       (SELECT day FROM pick)::BIGINT AS changepoint_day,
+       {_R4.format(expr='((SELECT m FROM mx)::DOUBLE '
+                        '/ (SELECT n FROM tot)::DOUBLE / 100.0)')}
+         AS max_dev_value
+FROM tot
+"""
