@@ -13850,3 +13850,199 @@ SELECT (SELECT n FROM tot)::BIGINT AS n_days,
          AS max_dev_value
 FROM tot
 """
+
+
+def _qty_disc_cells(sf_dir: str):
+    """Bounded contingency table of (l_quantity, discount cents) —
+    the 50 × 11 grid both rank-correlation operators below reduce
+    to: per-batch ``np.unique`` partials over the packed code
+    q·1000 + d (the exchange is batches × cells, bounded by the two
+    value DOMAINS, never by corpus size), ONE cell-keyed grouped
+    sum, then a cells-bounded ``take_all``.  Returns the sorted list
+    of (q, d, m) Python-int triples."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "lineitem.parquet"),
+                         columns=["l_quantity", "l_discount"])
+
+    part_schema = pa.schema([("code", pa.int64()), ("m", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        q = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = np.floor(t["l_discount"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        u, cnt = np.unique(q * 1000 + d, return_counts=True)
+        return pa.table({"code": pa.array(u),
+                         "m": pa.array(cnt.astype(np.int64))})
+
+    cells = sorted_groupby_agg(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["code"], [("m", "sum", "m")], in_schema=part_schema)
+    rows = sorted((int(r["code"]), int(r["m"]))
+                  for r in cells.take_all())
+    return [(code // 1000, code % 1000, m) for code, m in rows]
+
+
+def q_qty_discount_kendall(sf_dir: str):
+    """Kendall's tau-b between lineitem quantity and discount — the
+    tie-robust ordinal-association screen, EXACT because both
+    columns live on tiny integer domains (50 quantities × 11
+    discount-cents), so concordant/discordant pair counts reduce to
+    the bounded contingency table: C = Σ m·(mass strictly greater in
+    both dims), D = Σ m·(mass greater in q, smaller in d), tie terms
+    from the marginals — every count an arbitrary-precision Python
+    int over ≤ 550 cells, with corpus-sized work confined to ONE
+    domain-bounded grouped count.  tau_b = (C − D) /
+    √((n0−n1)(n0−n2)) is ONE shared closed form; 4dp-gated.  Oracle
+    = the INDEPENDENT quadratic cell self-join."""
+    cells = _qty_disc_cells(sf_dir)
+    n = sum(m for _, _, m in cells)
+    qs = sorted({q for q, _, _ in cells})
+    dss = sorted({d for _, d, _ in cells})
+    qi = {q: i for i, q in enumerate(qs)}
+    di = {d: i for i, d in enumerate(dss)}
+    grid = [[0] * len(dss) for _ in qs]
+    for q, d, m in cells:
+        grid[qi[q]][di[d]] = m
+    # suffix[i][j] = mass with q-index > i AND d-index > j
+    nq, nd = len(qs), len(dss)
+    suf = [[0] * (nd + 1) for _ in range(nq + 1)]
+    for i in range(nq - 1, -1, -1):
+        for j in range(nd - 1, -1, -1):
+            suf[i][j] = (grid[i][j] + suf[i + 1][j]
+                         + suf[i][j + 1] - suf[i + 1][j + 1])
+    # pre[i][j] = mass with q-index > i AND d-index < j
+    conc = disc = 0
+    for i in range(nq):
+        for j in range(nd):
+            m = grid[i][j]
+            if not m:
+                continue
+            conc += m * suf[i + 1][j + 1]
+            below = sum(grid[k][jj] for k in range(i + 1, nq)
+                        for jj in range(j))
+            disc += m * below
+    tq = [sum(row) for row in grid]
+    td = [sum(grid[i][j] for i in range(nq)) for j in range(nd)]
+    n0 = n * (n - 1) // 2
+    n1 = sum(t * (t - 1) // 2 for t in tq)
+    n2 = sum(t * (t - 1) // 2 for t in td)
+    tau = (conc - disc) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "concordant": pa.array([conc], pa.int64()),
+        "discordant": pa.array([disc], pa.int64()),
+        "tau_b": pa.array(_r4(np.array([tau]))),
+    })
+
+
+QUERIES["qty_discount_kendall"] = q_qty_discount_kendall
+
+_QD_CELLS_SQL = """
+l AS (SELECT l_quantity::BIGINT AS q,
+             floor(l_discount * 100)::BIGINT AS d
+      FROM lineitem),
+cells AS (SELECT q, d, count(*)::HUGEINT AS m FROM l GROUP BY 1, 2)"""
+
+ORACLE_SQL["qty_discount_kendall"] = f"""
+WITH {_QD_CELLS_SQL},
+pairs AS (SELECT
+    (SELECT sum(a.m * b.m) FROM cells a, cells b
+     WHERE b.q > a.q AND b.d > a.d)::HUGEINT AS conc,
+    (SELECT sum(a.m * b.m) FROM cells a, cells b
+     WHERE b.q > a.q AND b.d < a.d)::HUGEINT AS disc),
+marg AS (SELECT
+    (SELECT sum(m) FROM cells)::HUGEINT AS n,
+    (SELECT sum(tm * (tm - 1) / 2) FROM
+       (SELECT sum(m) AS tm FROM cells GROUP BY q))::HUGEINT AS n1,
+    (SELECT sum(tm * (tm - 1) / 2) FROM
+       (SELECT sum(m) AS tm FROM cells GROUP BY d))::HUGEINT AS n2)
+SELECT n::BIGINT AS n, conc::BIGINT AS concordant,
+       disc::BIGINT AS discordant,
+       {_R4.format(expr='((conc - disc)::DOUBLE '
+                        '/ sqrt((n * (n - 1) / 2 - n1)::DOUBLE '
+                        '* (n * (n - 1) / 2 - n2)::DOUBLE))')}
+         AS tau_b
+FROM pairs, marg
+"""
+
+
+def q_qty_discount_spearman(sf_dir: str):
+    """Spearman's rho between lineitem quantity and discount — the
+    monotone-association screen, EXACT over ties: average ranks
+    enter as the integer double-ranks 2r = 2F + t + 1 from the
+    marginal cumulative counts of the same bounded contingency
+    table, and rho is the Pearson closed form over the cell-weighted
+    double-ranks — n·Σm·x·y, Σm·x, … all arbitrary-precision Python
+    ints over ≤ 550 cells (HUGEINT on the oracle side), corpus-sized
+    work confined to ONE domain-bounded grouped count; rho
+    4dp-gated."""
+    cells = _qty_disc_cells(sf_dir)
+    n = sum(m for _, _, m in cells)
+    tq: dict = {}
+    td: dict = {}
+    for q, d, m in cells:
+        tq[q] = tq.get(q, 0) + m
+        td[d] = td.get(d, 0) + m
+    x2 = {}
+    cum = 0
+    for q in sorted(tq):
+        x2[q] = 2 * cum + tq[q] + 1
+        cum += tq[q]
+    y2 = {}
+    cum = 0
+    for d in sorted(td):
+        y2[d] = 2 * cum + td[d] + 1
+        cum += td[d]
+    sx = sy = sxx = syy = sxy = 0
+    for q, d, m in cells:
+        x, y = x2[q], y2[d]
+        sx += m * x
+        sy += m * y
+        sxx += m * x * x
+        syy += m * y * y
+        sxy += m * x * y
+    num = n * sxy - sx * sy
+    rho = num / (np.sqrt(float(n * sxx - sx * sx))
+                 * np.sqrt(float(n * syy - sy * sy)))
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "rho": pa.array(_r4(np.array([rho]))),
+    })
+
+
+QUERIES["qty_discount_spearman"] = q_qty_discount_spearman
+
+ORACLE_SQL["qty_discount_spearman"] = f"""
+WITH {_QD_CELLS_SQL},
+rq AS (SELECT q,
+              2 * (sum(sum(m)) OVER (ORDER BY q
+                                     ROWS UNBOUNDED PRECEDING)
+                   - sum(m)) + sum(m) + 1 AS x
+       FROM cells GROUP BY q),
+rd AS (SELECT d,
+              2 * (sum(sum(m)) OVER (ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING)
+                   - sum(m)) + sum(m) + 1 AS y
+       FROM cells GROUP BY d),
+j AS (SELECT c.m::HUGEINT AS m, rq.x::HUGEINT AS x,
+             rd.y::HUGEINT AS y
+      FROM cells c JOIN rq USING (q) JOIN rd USING (d)),
+s AS (SELECT sum(m)::HUGEINT AS n, sum(m * x)::HUGEINT AS sx,
+             sum(m * y)::HUGEINT AS sy,
+             sum(m * x * x)::HUGEINT AS sxx,
+             sum(m * y * y)::HUGEINT AS syy,
+             sum(m * x * y)::HUGEINT AS sxy
+      FROM j)
+SELECT n::BIGINT AS n,
+       {_R4.format(expr='((n * sxy - sx * sy)::DOUBLE '
+                        '/ (sqrt((n * sxx - sx * sx)::DOUBLE) '
+                        '* sqrt((n * syy - sy * sy)::DOUBLE)))')}
+         AS rho
+FROM s
+"""
