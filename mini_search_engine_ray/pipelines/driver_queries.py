@@ -14046,3 +14046,197 @@ SELECT n::BIGINT AS n,
          AS rho
 FROM s
 """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (completing the float -> SQ8 -> PQ serving ladder)
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8
+PQ_CENTROIDS = 16
+
+
+def _pq_codebook(sf_dir: str):
+    """Deterministic (m, k, dsub) PQ codebook from the embeddings of
+    the PQ_CENTROIDS smallest vec_ids — the kmeans-seed determinism
+    convention, read via a row-group-pruned point read (k-sized)."""
+    import pyarrow.parquet as pq
+
+    from ..stages.quantize import pq_codebook_from_seeds
+
+    st = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                       filters=[("vec_id", "<", PQ_CENTROIDS)])
+    st = st.sort_by("vec_id")
+    seeds = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in st["embedding"].to_pylist()])
+    return pq_codebook_from_seeds(seeds, n_subspaces=PQ_SUBSPACES)
+
+
+def q_embedding_pq_codes(sf_dir: str):
+    """Product-quantization codes (Jégou et al. 2011): each vector's
+    8 sub-vectors assigned to the nearest of 16 deterministic
+    per-subspace codebook rows — m·log₂k = 32 BITS per vector vs 4d
+    bytes float, the standard billion-scale ANN store.  Distances
+    are 4dp-ROUNDED before the argmin (the kmeans ``round_dist``
+    contract) so the first-minimum tie rule is ORDER BY dist, cid on
+    both engines; output integer (vec_id, subspace, code) rows are
+    compared exactly.  Codebook broadcast once; one vectorized
+    assign per batch."""
+    import ray.data as rd
+
+    from ..stages.quantize import pq_encode
+
+    emb = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+    return pq_encode(emb, _pq_codebook(sf_dir))
+
+
+def q_ann_pq_topk(sf_dir: str):
+    """Asymmetric PQ ANN (ADC): full-precision queries scored by
+    cosine against each vector's codebook RECONSTRUCTION — the third
+    rung of the quantized-serving ladder (float → SQ8 → PQ), same
+    broadcast + tree-merge shape as both baselines; scores
+    4dp-gated, ties by vec_id."""
+    from ..stages.quantize import ann_pq_topk
+
+    ds, qm = _ann_inputs(sf_dir)
+    out = ann_pq_topk(ds, qm, _pq_codebook(sf_dir), k=ANN_K)
+    return out.drop_columns(["rank"]).map_batches(
+        _ann_fix, batch_format="pyarrow")
+
+
+QUERIES["embedding_pq_codes"] = q_embedding_pq_codes
+QUERIES["ann_pq_topk"] = q_ann_pq_topk
+
+_PQ_DSUB = f"(64 // {PQ_SUBSPACES})"
+
+_PQ_CTE = f"""
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+              embedding AS cemb
+       FROM (SELECT * FROM embeddings ORDER BY vec_id
+             LIMIT {PQ_CENTROIDS})),
+cbx AS (SELECT cid, (dim - 1) // {_PQ_DSUB} AS s,
+               (dim - 1) % {_PQ_DSUB} AS sd, cv
+        FROM (SELECT cid, generate_subscripts(cemb, 1) AS dim,
+                     unnest(cemb)::DOUBLE AS cv
+              FROM cb)),
+x AS (SELECT vec_id, (dim - 1) // {_PQ_DSUB} AS s,
+             (dim - 1) % {_PQ_DSUB} AS sd, v
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+                   unnest(embedding)::DOUBLE AS v
+            FROM embeddings)),
+pqd AS (SELECT x.vec_id, x.s, cbx.cid,
+               {_R4.format(expr='sqrt(sum((x.v - cbx.cv) '
+                                '* (x.v - cbx.cv)))')} AS dist
+        FROM x JOIN cbx ON x.s = cbx.s AND x.sd = cbx.sd
+        GROUP BY 1, 2, 3),
+pqr AS (SELECT vec_id, s, cid,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY dist, cid) AS rn
+        FROM pqd),
+codes AS (SELECT vec_id, s, cid AS code FROM pqr WHERE rn = 1)
+"""
+
+ORACLE_SQL["embedding_pq_codes"] = f"""
+WITH {_PQ_CTE}
+SELECT vec_id, s::BIGINT AS subspace, code::BIGINT AS code FROM codes
+"""
+
+ORACLE_SQL["ann_pq_topk"] = f"""
+WITH {_PQ_CTE},
+recon AS (SELECT codes.vec_id,
+                 cbx.s * {_PQ_DSUB} + cbx.sd AS dim0, cbx.cv AS rv
+          FROM codes JOIN cbx ON cbx.cid = codes.code
+                             AND cbx.s = codes.s),
+nv AS (SELECT vec_id, sqrt(sum(rv * rv)) AS nrm
+       FROM recon GROUP BY vec_id),
+qx AS (SELECT vec_id AS query_id,
+              (s * {_PQ_DSUB} + sd) AS dim0, v AS val
+       FROM x WHERE vec_id < {ANN_QUERY_IDS}),
+nq AS (SELECT query_id, sqrt(sum(val * val)) AS nrm
+       FROM qx GROUP BY query_id),
+sc AS (SELECT qx.query_id, recon.vec_id, sum(qx.val * recon.rv) AS dot
+       FROM qx JOIN recon USING (dim0)
+       GROUP BY qx.query_id, recon.vec_id),
+sim AS (SELECT sc.query_id, sc.vec_id,
+               CASE WHEN nv.nrm = 0 OR nq.nrm = 0 THEN 0
+                    ELSE sc.dot / (nv.nrm * nq.nrm) END AS sim
+        FROM sc JOIN nv ON nv.vec_id = sc.vec_id
+                JOIN nq ON nq.query_id = sc.query_id),
+rr AS (SELECT query_id, vec_id, sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, vec_id) AS rn
+       FROM sim)
+SELECT query_id, vec_id, {_R4.format(expr="sim")} AS score
+FROM rr WHERE rn <= {ANN_K}
+"""
+
+
+def q_daily_seasonal_naive_mae(sf_dir: str):
+    """Seasonal-naïve forecasting baseline (the yardstick every
+    forecast evaluation reports first): predict each day's revenue by
+    the SAME WEEKDAY one week earlier (x̂_t = x_{t−7}, calendar
+    join, days with no t−7 observation excluded), and report the
+    EXACT int64 total absolute error plus the 4dp-gated MAE — the
+    error a real model must beat.  Daily cents totals through ONE
+    day-keyed grouped sum (days-bounded); the scoring join runs over
+    the days-bounded table on the driver with arbitrary-precision
+    ints."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+
+    d_schema = pa.schema([("day", pa.int64()), ("cents", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return d_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": pa.array(us // 86_400_000_000),
+            "cents": pa.array(np.floor(
+                t["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64))})
+
+    daily = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "x")], in_schema=d_schema)
+
+    series = {int(r["day"]): int(r["x"]) for r in daily.take_all()}
+    n_scored = tot_err = 0
+    for day, x in series.items():
+        prev = series.get(day - 7)
+        if prev is None:
+            continue
+        n_scored += 1
+        tot_err += abs(x - prev)
+    if n_scored < 1:
+        raise ValueError("daily_seasonal_naive_mae: no scorable days")
+    return pa.table({
+        "n_scored_days": pa.array([n_scored], pa.int64()),
+        "total_abs_err_cents": pa.array([tot_err], pa.int64()),
+        "mae_value": pa.array(_r4(np.array(
+            [tot_err / float(n_scored) / 100.0]))),
+    })
+
+
+QUERIES["daily_seasonal_naive_mae"] = q_daily_seasonal_naive_mae
+
+ORACLE_SQL["daily_seasonal_naive_mae"] = f"""
+WITH d AS (SELECT (epoch_us(ts)::BIGINT // 86400000000) AS day,
+                  sum(floor(value * 100)::BIGINT)::BIGINT AS x
+           FROM events GROUP BY 1),
+j AS (SELECT a.day, abs(a.x - b.x)::BIGINT AS err
+      FROM d a JOIN d b ON b.day = a.day - 7)
+SELECT count(*)::BIGINT AS n_scored_days,
+       sum(err)::BIGINT AS total_abs_err_cents,
+       {_R4.format(expr='(sum(err)::DOUBLE / count(*)::DOUBLE '
+                        '/ 100.0)')} AS mae_value
+FROM j
+"""

@@ -183,3 +183,114 @@ def ann_quantized_topk(ds, queries: np.ndarray, *, k: int = 10,
 
     partial = ds.map_batches(score, batch_format="pyarrow")
     return _tree_merge_topk(partial, id_col=id_col, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the sub-vector codebook scheme
+# ---------------------------------------------------------------------------
+
+def pq_codebook_from_seeds(seeds: np.ndarray, *, n_subspaces: int):
+    """Deterministic PQ codebook from a (k, d) seed matrix (the
+    kmeans-seed convention: the embeddings of the k smallest ids, no
+    training iterations — same determinism contract as
+    ``kmeans_init``): returns (n_subspaces, k, d/n_subspaces)
+    float64.  Raises when d is not divisible by n_subspaces."""
+    seeds = np.ascontiguousarray(seeds, dtype=np.float64)
+    k, d = seeds.shape
+    if d % n_subspaces:
+        raise ValueError(f"pq: dim {d} not divisible by "
+                         f"{n_subspaces} subspaces")
+    dsub = d // n_subspaces
+    return np.transpose(seeds.reshape(k, n_subspaces, dsub), (1, 0, 2))
+
+
+def pq_assign(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Per-subspace nearest-centroid codes for a (n, d) matrix
+    against the (m, k, dsub) codebook: per-subspace L2 distances
+    ROUNDED to 4dp before the argmin (the ``round_dist`` trick the
+    kmeans oracle contract pinned — rounding makes the first-minimum
+    tie rule identical to SQL's ORDER BY dist, cid across engines).
+    Returns int64 codes (n, m)."""
+    from .textstats import round4
+
+    m, _, dsub = cb.shape
+    xs = x.reshape(len(x), m, dsub)
+    d2 = ((xs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+    dist = round4(np.sqrt(np.maximum(d2, 0.0)))
+    return np.argmin(dist, axis=2).astype(np.int64)
+
+
+def pq_encode(ds, cb: np.ndarray, *, emb_col: str = "embedding",
+              id_col: str = "vec_id"):
+    """PQ-encode the embedding column: codebook broadcast once via
+    ``ray.put``, one vectorized assign per batch, exploded to
+    (id, subspace, code) integer rows the oracle replays exactly."""
+    import ray
+
+    m = cb.shape[0]
+    ref = ray.put(np.ascontiguousarray(cb, dtype=np.float64))
+    out_schema = pa.schema([(id_col, pa.int64()),
+                            ("subspace", pa.int64()),
+                            ("code", pa.int64())])
+
+    def encode(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        codes = pq_assign(_emb_matrix(t, emb_col).astype(np.float64),
+                          ray.get(ref))
+        n = len(codes)
+        ids = t[id_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, m)),
+            "subspace": pa.array(np.tile(np.arange(m, dtype=np.int64),
+                                         n)),
+            "code": pa.array(codes.ravel())})
+
+    return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def ann_pq_topk(ds, queries: np.ndarray, cb: np.ndarray, *,
+                k: int = 10, emb_col: str = "embedding",
+                id_col: str = "vec_id"):
+    """Asymmetric PQ ANN (ADC): full-precision queries scored by
+    cosine against each vector's RECONSTRUCTION (the per-subspace
+    codebook rows its codes select) — the memory-bandwidth serving
+    path where the store holds m log2(k) bits per vector instead of
+    4d bytes.  Each batch assigns codes, gathers the reconstruction
+    and scores in one fused pass; same broadcast + tree-merge shape
+    as the float and SQ8 baselines.  Returns
+    (query_id, rank, id_col, score)."""
+    import ray
+
+    m, _, dsub = cb.shape
+    qn = _normalize(np.ascontiguousarray(queries, dtype=np.float64))
+    ref = ray.put((qn, np.ascontiguousarray(cb, dtype=np.float64)))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        qm, c = ray.get(ref)
+        x = _emb_matrix(t, emb_col).astype(np.float64)
+        codes = pq_assign(x, c)
+        n = len(codes)
+        recon = c[np.arange(m)[None, :], codes].reshape(n, m * dsub)
+        sims = _normalize(recon) @ qm.T
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(qm.shape[0]):
+            sv = sims[:, qi]
+            order = _topk_ids_scores(ids, sv, k)
+            out_q.append(np.full(len(order), qi, dtype=np.int64))
+            out_id.append(ids[order])
+            out_s.append(sv[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id)),
+            "score": pa.array(np.concatenate(out_s)),
+        })
+
+    partial = ds.map_batches(score, batch_format="pyarrow")
+    return _tree_merge_topk(partial, id_col=id_col, k=k)

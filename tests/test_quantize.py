@@ -154,3 +154,69 @@ class TestRandomSignProjection:
         assert len(out) == 0
         with pytest.raises(ValueError):
             random_sign_projection(_ds(np.zeros((2, 4)), 1), 0)
+
+
+class TestProductQuantization:
+    """PQ codebook / assign / encode / ADC top-k
+    (stages/quantize.py: pq_codebook_from_seeds, pq_assign,
+    pq_encode, ann_pq_topk)."""
+
+    def test_codebook_shape_and_validation(self):
+        from mini_search_engine_ray.stages.quantize import (
+            pq_codebook_from_seeds)
+
+        rng = np.random.default_rng(7)
+        seeds = rng.standard_normal((16, 64))
+        cb = pq_codebook_from_seeds(seeds, n_subspaces=8)
+        assert cb.shape == (8, 16, 8)
+        # subspace s of centroid c IS the seed's slice
+        np.testing.assert_array_equal(cb[3, 5], seeds[5, 24:32])
+        with pytest.raises(ValueError):
+            pq_codebook_from_seeds(seeds, n_subspaces=7)
+
+    def test_assign_matches_bruteforce(self):
+        from mini_search_engine_ray.stages.quantize import (
+            pq_assign, pq_codebook_from_seeds)
+        from mini_search_engine_ray.stages.textstats import round4
+
+        rng = np.random.default_rng(8)
+        x = rng.standard_normal((100, 32))
+        cb = pq_codebook_from_seeds(rng.standard_normal((4, 32)),
+                                    n_subspaces=4)
+        codes = pq_assign(x, cb)
+        assert codes.shape == (100, 4)
+        for i in (0, 17, 99):
+            for s in range(4):
+                sub = x[i, s * 8:(s + 1) * 8]
+                d = round4(np.sqrt(
+                    ((sub[None, :] - cb[s]) ** 2).sum(axis=1)))
+                assert codes[i, s] == int(np.argmin(d))
+
+    def test_encode_and_adc_vs_reconstruction(self, ray_session):
+        from mini_search_engine_ray.stages.quantize import (
+            ann_pq_topk, pq_assign, pq_codebook_from_seeds, pq_encode)
+
+        rng = np.random.default_rng(9)
+        x = rng.standard_normal((60, 16))
+        cb = pq_codebook_from_seeds(x[:8], n_subspaces=4)
+        enc = pq_encode(_ds(x, 5), cb).to_pandas() \
+            .sort_values(["vec_id", "subspace"])
+        assert len(enc) == 60 * 4
+        np.testing.assert_array_equal(
+            enc["code"].to_numpy().reshape(60, 4), pq_assign(x, cb))
+        # a codebook seed reconstructs to itself -> its own query
+        # ranks it at similarity ~1
+        q = x[:2]
+        top = ann_pq_topk(_ds(x, 5), q, cb, k=3).to_pandas()
+        for qi in (0, 1):
+            rows = top[top.query_id == qi].sort_values("rank")
+            assert rows.iloc[0]["score"] >= rows.iloc[-1]["score"]
+            # exact ADC replay: cosine vs the gathered reconstruction
+            codes = pq_assign(x, cb)
+            recon = cb[np.arange(4)[None, :], codes].reshape(60, 16)
+            qs = q[qi] / np.linalg.norm(q[qi])
+            rn = recon / np.linalg.norm(recon, axis=1, keepdims=True)
+            sims = rn @ qs
+            order = np.lexsort((np.arange(60), -sims))[:3]
+            np.testing.assert_array_equal(
+                rows["vec_id"].to_numpy(), order)
