@@ -460,6 +460,19 @@ def bench_ann_quantized(out: dict) -> None:
     ann_quantized_topk(ds, qm, k=10, bits=8).count()
     out["queries"]["ann_quantized_1m"] = round(time.time() - t0, 3)
 
+    # PQ (8 subspaces x 16 centroids, deterministic seed codebook):
+    # the 32-bit-per-vector rung of the same ladder — assign + ADC
+    # gather + matmul per batch, same tree merge
+    from mini_search_engine_ray.stages.quantize import (
+        ann_pq_topk, pq_codebook_from_seeds)
+
+    seeds_rng = np.random.default_rng(3)
+    cb = pq_codebook_from_seeds(seeds_rng.normal(size=(16, d)),
+                                n_subspaces=8)
+    t0 = time.time()
+    ann_pq_topk(ds, qm, cb, k=10).count()
+    out["queries"]["ann_pq_1m"] = round(time.time() - t0, 3)
+
 
 def bench_pagerank(out: dict) -> None:
     import numpy as np

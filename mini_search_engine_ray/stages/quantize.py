@@ -201,7 +201,8 @@ def pq_codebook_from_seeds(seeds: np.ndarray, *, n_subspaces: int):
         raise ValueError(f"pq: dim {d} not divisible by "
                          f"{n_subspaces} subspaces")
     dsub = d // n_subspaces
-    return np.transpose(seeds.reshape(k, n_subspaces, dsub), (1, 0, 2))
+    return np.ascontiguousarray(
+        np.transpose(seeds.reshape(k, n_subspaces, dsub), (1, 0, 2)))
 
 
 def pq_assign(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
@@ -211,13 +212,30 @@ def pq_assign(x: np.ndarray, cb: np.ndarray) -> np.ndarray:
     kmeans oracle contract pinned — rounding makes the first-minimum
     tie rule identical to SQL's ORDER BY dist, cid across engines).
     Returns int64 codes (n, m)."""
-    from .textstats import round4
-
     m, _, dsub = cb.shape
     xs = x.reshape(len(x), m, dsub)
-    d2 = ((xs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
-    dist = round4(np.sqrt(np.maximum(d2, 0.0)))
-    return np.argmin(dist, axis=2).astype(np.int64)
+    # ||x-c||^2 expansion with ONE batched (m, n, d) @ (m, d, k)
+    # matmul (the kmeans_assign_batch device) instead of an
+    # (n, m, k, dsub) broadcast temporary, and every elementwise pass
+    # IN PLACE in the matmul's own contiguous (m, n, k) layout —
+    # operating on the transposed view was measured 3-5x slower per
+    # pass.  argmin over floor(dist*1e4 + 0.5) is EXACTLY argmin over
+    # the 4dp-rounded distance (equal floors == equal round4 values,
+    # order preserved), so the /1e4 never needs to run.
+    x2 = (xs * xs).sum(axis=2)                       # (n, m)
+    c2 = (cb * cb).sum(axis=2)                       # (m, k)
+    cbc = cb if cb.flags["C_CONTIGUOUS"] else np.ascontiguousarray(cb)
+    dm = np.matmul(np.transpose(xs, (1, 0, 2)),
+                   np.transpose(cbc, (0, 2, 1)))     # (m, n, k)
+    dm *= -2.0
+    dm += x2.T[:, :, None]
+    dm += c2[:, None, :]
+    np.maximum(dm, 0.0, out=dm)
+    np.sqrt(dm, out=dm)
+    dm *= 1e4
+    dm += 0.5
+    np.floor(dm, out=dm)
+    return np.argmin(dm, axis=2).T.astype(np.int64)
 
 
 def pq_encode(ds, cb: np.ndarray, *, emb_col: str = "embedding",
