@@ -265,7 +265,11 @@ def pq_encode(ds, cb: np.ndarray, *, emb_col: str = "embedding",
                                          n)),
             "code": pa.array(codes.ravel())})
 
-    return ds.map_batches(encode, batch_format="pyarrow")
+    # 64k-row cap: the per-batch (m, n, k) distance table is the
+    # working set — at an uncapped 1M-row block it is ~1 GB/task
+    # (measured 17x-for-10x at 10M rows from spill pressure)
+    return ds.map_batches(encode, batch_size=65536,
+                          batch_format="pyarrow")
 
 
 def ann_pq_topk(ds, queries: np.ndarray, cb: np.ndarray, *,
@@ -310,5 +314,7 @@ def ann_pq_topk(ds, queries: np.ndarray, cb: np.ndarray, *,
             "score": pa.array(np.concatenate(out_s)),
         })
 
-    partial = ds.map_batches(score, batch_format="pyarrow")
+    # same 64k-row cap as pq_encode (bounds the distance table)
+    partial = ds.map_batches(score, batch_size=65536,
+                             batch_format="pyarrow")
     return _tree_merge_topk(partial, id_col=id_col, k=k)
