@@ -14240,3 +14240,263 @@ SELECT count(*)::BIGINT AS n_scored_days,
                         '/ 100.0)')} AS mae_value
 FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# causal-inference / experimentation tier
+# ---------------------------------------------------------------------------
+
+def _events_span_cutoff(base, frac_num: int, frac_den: int) -> int:
+    """Integer µs cutoff at frac of the log's span — exact min/max
+    scalar partials + pure integer arithmetic, the churn-labels
+    boundary contract (every period decision replays bit-for-bit)."""
+    span_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def span(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "us" not in t.column_names:
+            return span_schema.empty_table()
+        us = t["us"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([us.min()]),
+                         "hi": pa.array([us.max()])})
+
+    parts = base.map_batches(span, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("empty event log")
+    lo = min(r["lo"] for r in parts)
+    hi = max(r["hi"] for r in parts)
+    return lo + (hi - lo) * frac_num // frac_den
+
+
+_DID_PREP_SCHEMA = pa.schema([("user_id", pa.int64()),
+                              ("us", pa.int64()),
+                              ("cents", pa.int64())])
+
+
+def _did_prep(t: pa.Table) -> pa.Table:
+    if t.num_rows == 0:
+        return _DID_PREP_SCHEMA.empty_table()
+    ts = t["ts"]
+    ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) else ts
+    return pa.table({
+        "user_id": t["user_id"],
+        "us": ts.cast(pa.int64()),
+        "cents": pa.array(np.floor(
+            t["value"].to_numpy(zero_copy_only=False) * 100)
+            .astype(np.int64))})
+
+
+def q_value_diff_in_diff(sf_dir: str):
+    """Difference-in-differences — the panel-data causal baseline:
+    treatment = the user-parity assignment user_id % 2 (the same
+    deterministic split the hash-split curation family pins), period
+    = before/after the integer midpoint of the log's span (exact
+    min/max µs partials + lo + span·1//2, so the boundary replays
+    bit-for-bit), and DiD = (treated post−pre) − (control post−pre)
+    over per-cell means from EXACT int64 (n, Σcents) partials — a
+    4-cell bounded combine, ONE shared closed form, means/DiD
+    4dp-gated.  Raises on an empty cell (DiD undefined)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    base = ds.map_batches(_did_prep, batch_format="pyarrow")
+    cutoff = _events_span_cutoff(base, 1, 2)
+
+    cell_schema = pa.schema([("cell", pa.int64()), ("n", pa.int64()),
+                             ("s", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cents" not in t.column_names:
+            return cell_schema.empty_table()
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        us = t["us"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        cell = (uid % 2) * 2 + (us > cutoff)
+        n = np.bincount(cell, minlength=4).astype(np.int64)
+        s = np.bincount(cell, weights=cents, minlength=4) \
+            .astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(4, dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    n = [0] * 4
+    s = [0] * 4
+    for r in base.map_batches(partials,
+                              batch_format="pyarrow").take_all():
+        n[r["cell"]] += r["n"]
+        s[r["cell"]] += r["s"]
+    if min(n) < 1:
+        raise ValueError("value_diff_in_diff: an (arm, period) cell "
+                         "is empty")
+    m = [s[i] / n[i] / 100.0 for i in range(4)]
+    did = (m[3] - m[2]) - (m[1] - m[0])
+    return pa.table({
+        "n_ctrl_pre": pa.array([n[0]], pa.int64()),
+        "n_ctrl_post": pa.array([n[1]], pa.int64()),
+        "n_treat_pre": pa.array([n[2]], pa.int64()),
+        "n_treat_post": pa.array([n[3]], pa.int64()),
+        "mean_ctrl_pre": pa.array(_r4(np.array([m[0]]))),
+        "mean_ctrl_post": pa.array(_r4(np.array([m[1]]))),
+        "mean_treat_pre": pa.array(_r4(np.array([m[2]]))),
+        "mean_treat_post": pa.array(_r4(np.array([m[3]]))),
+        "did": pa.array(_r4(np.array([did]))),
+    })
+
+
+QUERIES["value_diff_in_diff"] = q_value_diff_in_diff
+
+_DID_CELLS_SQL = """
+b AS (SELECT user_id, epoch_us(ts)::BIGINT AS us,
+             floor(value * 100)::BIGINT AS cents
+      FROM events),
+sp AS (SELECT min(us)::BIGINT AS lo, max(us)::BIGINT AS hi FROM b),
+e AS (SELECT (user_id % 2) AS g,
+             CASE WHEN us > (SELECT lo + (hi - lo) * 1 // 2 FROM sp)
+                  THEN 1 ELSE 0 END AS p,
+             cents
+      FROM b)"""
+
+_DID_MEAN = "(s{i}::DOUBLE / n{i}::DOUBLE / 100.0)"
+
+ORACLE_SQL["value_diff_in_diff"] = f"""
+WITH {_DID_CELLS_SQL},
+m AS (SELECT
+  {', '.join(f'''sum(CASE WHEN g * 2 + p = {i} THEN 1 ELSE 0 END)
+    ::BIGINT AS n{i},
+  sum(CASE WHEN g * 2 + p = {i} THEN cents ELSE 0 END)
+    ::BIGINT AS s{i}''' for i in range(4))}
+  FROM e)
+SELECT n0 AS n_ctrl_pre, n1 AS n_ctrl_post,
+       n2 AS n_treat_pre, n3 AS n_treat_post,
+       {_R4.format(expr=_DID_MEAN.format(i=0))} AS mean_ctrl_pre,
+       {_R4.format(expr=_DID_MEAN.format(i=1))} AS mean_ctrl_post,
+       {_R4.format(expr=_DID_MEAN.format(i=2))} AS mean_treat_pre,
+       {_R4.format(expr=_DID_MEAN.format(i=3))} AS mean_treat_post,
+       {_R4.format(expr=(
+           f'(({_DID_MEAN.format(i=3)} - {_DID_MEAN.format(i=2)}) '
+           f'- ({_DID_MEAN.format(i=1)} - {_DID_MEAN.format(i=0)}))'))}
+         AS did
+FROM m
+"""
+
+
+def q_cuped_adjustment(sf_dir: str):
+    """CUPED (controlled experiments using pre-experiment data, Deng
+    et al. 2013) — the variance-reduction step every modern A/B
+    platform applies before the t-test: per user, covariate x =
+    pre-period spend and outcome y = post-period spend (midpoint
+    split, same exact integer cutoff as DiD; a user missing a period
+    contributes 0 there), θ = cov(x,y)/var(x) and the achieved
+    variance reduction ρ² from EXACT integer moment sums — per-user
+    cents sums < 2³¹ by loud contract so each xy/x²/y² product fits
+    int64, batch sums carried as the (>> 40, & 2⁴⁰−1) split and
+    folded to Python ints; θ/ρ² are ONE shared closed form over
+    identical integers (HUGEINT on the oracle side), 4dp-gated.
+    Raises when var(x) or var(y) is zero."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+    base = ds.map_batches(_did_prep, batch_format="pyarrow")
+    cutoff = _events_span_cutoff(base, 1, 2)
+
+    xy_schema = pa.schema([("user_id", pa.int64()),
+                           ("x", pa.int64()), ("y", pa.int64())])
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cents" not in t.column_names:
+            return xy_schema.empty_table()
+        us = t["us"].to_numpy(zero_copy_only=False)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        post = us > cutoff
+        return pa.table({"user_id": t["user_id"],
+                         "x": pa.array(np.where(post, 0, cents)),
+                         "y": pa.array(np.where(post, cents, 0))})
+
+    per_user = sorted_groupby_agg(
+        base.map_batches(split, batch_format="pyarrow"),
+        ["user_id"], [("x", "sum", "x"), ("y", "sum", "y")],
+        in_schema=xy_schema)
+
+    mask = (1 << 40) - 1
+    mom_schema = pa.schema([
+        ("n", pa.int64()), ("sx", pa.int64()), ("sy", pa.int64()),
+        ("xy_hi", pa.int64()), ("xy_lo", pa.int64()),
+        ("xx_hi", pa.int64()), ("xx_lo", pa.int64()),
+        ("yy_hi", pa.int64()), ("yy_lo", pa.int64())])
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "x" not in t.column_names:
+            return mom_schema.empty_table()
+        x = t["x"].to_numpy(zero_copy_only=False)
+        y = t["y"].to_numpy(zero_copy_only=False)
+        if x.max(initial=0) >= (1 << 31) or y.max(initial=0) >= (1 << 31):
+            raise ValueError("cuped_adjustment: a per-user period sum "
+                             "exceeds 2^31 cents — moment products "
+                             "would overflow int64")
+        xy, xx, yy = x * y, x * x, y * y
+        return pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "xy_hi": pa.array([int((xy >> 40).sum())], pa.int64()),
+            "xy_lo": pa.array([int((xy & mask).sum())], pa.int64()),
+            "xx_hi": pa.array([int((xx >> 40).sum())], pa.int64()),
+            "xx_lo": pa.array([int((xx & mask).sum())], pa.int64()),
+            "yy_hi": pa.array([int((yy >> 40).sum())], pa.int64()),
+            "yy_lo": pa.array([int((yy & mask).sum())], pa.int64())})
+
+    n = sx = sy = sxy = sxx = syy = 0
+    for r in per_user.map_batches(moments,
+                                  batch_format="pyarrow").take_all():
+        n += r["n"]
+        sx += r["sx"]
+        sy += r["sy"]
+        sxy += (r["xy_hi"] << 40) + r["xy_lo"]
+        sxx += (r["xx_hi"] << 40) + r["xx_lo"]
+        syy += (r["yy_hi"] << 40) + r["yy_lo"]
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    den_y = n * syy - sy * sy
+    if den_x <= 0 or den_y <= 0:
+        raise ValueError("cuped_adjustment: zero pre- or post-period "
+                         "variance")
+    theta = num / float(den_x)
+    var_reduction = float(num) * float(num) \
+        / (float(den_x) * float(den_y))
+    return pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "theta": pa.array(_r4(np.array([theta]))),
+        "var_reduction": pa.array(_r4(np.array([var_reduction]))),
+    })
+
+
+QUERIES["cuped_adjustment"] = q_cuped_adjustment
+
+ORACLE_SQL["cuped_adjustment"] = f"""
+WITH {_DID_CELLS_SQL},
+u AS (SELECT user_id,
+             sum(CASE WHEN us <= (SELECT lo + (hi - lo) * 1 // 2
+                                  FROM sp)
+                      THEN cents ELSE 0 END)::BIGINT AS x,
+             sum(CASE WHEN us > (SELECT lo + (hi - lo) * 1 // 2
+                                 FROM sp)
+                      THEN cents ELSE 0 END)::BIGINT AS y
+      FROM b GROUP BY 1),
+m AS (SELECT count(*)::HUGEINT AS n,
+             sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             sum(x::HUGEINT * y)::HUGEINT AS sxy,
+             sum(x::HUGEINT * x)::HUGEINT AS sxx,
+             sum(y::HUGEINT * y)::HUGEINT AS syy
+      FROM u)
+SELECT n::BIGINT AS n_users,
+       {_R4.format(expr='((n * sxy - sx * sy)::DOUBLE '
+                        '/ (n * sxx - sx * sx)::DOUBLE)')} AS theta,
+       {_R4.format(expr='((n * sxy - sx * sy)::DOUBLE '
+                        '* (n * sxy - sx * sy)::DOUBLE '
+                        '/ ((n * sxx - sx * sx)::DOUBLE '
+                        '* (n * syy - sy * sy)::DOUBLE))')}
+         AS var_reduction
+FROM m
+"""
