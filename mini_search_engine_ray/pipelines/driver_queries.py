@@ -14500,3 +14500,151 @@ SELECT n::BIGINT AS n_users,
          AS var_reduction
 FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# robust trend pair over the daily revenue series
+# ---------------------------------------------------------------------------
+
+_DAILY_CENTS_SQL = """
+d AS (SELECT (epoch_us(ts)::BIGINT // 86400000000) AS day,
+             sum(floor(value * 100)::BIGINT)::BIGINT AS x
+      FROM events GROUP BY 1)"""
+
+
+def _daily_cents_rows(sf_dir: str):
+    """Ordered (day, cents) pairs of the daily revenue series — ONE
+    day-keyed grouped sum is the only corpus-sized work; the result
+    is days-bounded and feeds the trend statistics' driver folds."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+
+    d_schema = pa.schema([("day", pa.int64()), ("cents", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return d_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "day": pa.array(us // 86_400_000_000),
+            "cents": pa.array(np.floor(
+                t["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64))})
+
+    daily = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["day"], [("cents", "sum", "x")], in_schema=d_schema)
+    return sorted((int(r["day"]), int(r["x"]))
+                  for r in daily.take_all())
+
+
+def q_daily_mann_kendall(sf_dir: str):
+    """Mann-Kendall trend test over daily revenue — the standard
+    nonparametric is-this-metric-drifting monitor: S = Σ_{i<j}
+    sign(x_j − x_i) over the days-bounded series (a Python-int
+    pairwise fold over D(D−1)/2 pairs, D bounded by the calendar),
+    variance with the tie correction Var = (n(n−1)(2n+5) −
+    Σ t(t−1)(2t+5)) / 18, and the continuity-corrected
+    z = (S ∓ 1)/√Var — S, the pair counts and the tie term all exact
+    integers, z ONE shared closed form 4dp-gated.  The ORACLE is the
+    INDEPENDENT quadratic day self-join."""
+    rows = _daily_cents_rows(sf_dir)
+    n = len(rows)
+    if n < 3:
+        raise ValueError("daily_mann_kendall: need >= 3 days")
+    xs = [x for _, x in rows]
+    s = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = xs[j] - xs[i]
+            s += (d > 0) - (d < 0)
+    ties: dict = {}
+    for x in xs:
+        ties[x] = ties.get(x, 0) + 1
+    tie_term = sum(t * (t - 1) * (2 * t + 5)
+                   for t in ties.values() if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tie_term
+    if var18 <= 0:
+        raise ValueError("daily_mann_kendall: zero variance")
+    if s > 0:
+        z = (s - 1) / np.sqrt(var18 / 18.0)
+    elif s < 0:
+        z = (s + 1) / np.sqrt(var18 / 18.0)
+    else:
+        z = 0.0
+    return pa.table({
+        "n_days": pa.array([n], pa.int64()),
+        "s_stat": pa.array([s], pa.int64()),
+        "z_stat": pa.array(_r4(np.array([z]))),
+    })
+
+
+QUERIES["daily_mann_kendall"] = q_daily_mann_kendall
+
+ORACLE_SQL["daily_mann_kendall"] = f"""
+WITH {_DAILY_CENTS_SQL},
+p AS (SELECT sum(CASE WHEN b.x > a.x THEN 1
+                      WHEN b.x < a.x THEN -1 ELSE 0 END)::BIGINT AS s
+      FROM d a, d b WHERE b.day > a.day),
+t AS (SELECT coalesce(sum(c * (c - 1) * (2 * c + 5)), 0)::BIGINT
+         AS tie_term
+      FROM (SELECT count(*)::BIGINT AS c FROM d GROUP BY x)
+      WHERE c > 1),
+m AS (SELECT (SELECT count(*) FROM d)::BIGINT AS n,
+             (SELECT s FROM p) AS s,
+             (SELECT tie_term FROM t) AS tie_term)
+SELECT n AS n_days, s AS s_stat,
+       {_R4.format(expr='(CASE WHEN s > 0 THEN (s - 1)::DOUBLE '
+                        'WHEN s < 0 THEN (s + 1)::DOUBLE '
+                        'ELSE 0.0 END '
+                        '/ sqrt((n * (n - 1) * (2 * n + 5) '
+                        '- tie_term)::DOUBLE / 18.0))')} AS z_stat
+FROM m
+"""
+
+
+def q_daily_theil_sen(sf_dir: str):
+    """Theil-Sen slope of daily revenue — the robust trend estimator
+    (median of all pairwise slopes) monitoring dashboards prefer over
+    OLS when single days spike: each slope is ONE division of
+    identical exact integers (x_j − x_i cents over j − i days), so
+    every candidate is the same IEEE double on both engines and the
+    LOWER-median order statistic picks the same element; reported in
+    value units per day, 4dp-gated, with the exact pair count."""
+    rows = _daily_cents_rows(sf_dir)
+    n = len(rows)
+    if n < 2:
+        raise ValueError("daily_theil_sen: need >= 2 days")
+    slopes = []
+    for i in range(n):
+        di, xi = rows[i]
+        for j in range(i + 1, n):
+            dj, xj = rows[j]
+            slopes.append((xj - xi) / float(dj - di))
+    slopes.sort()
+    med = slopes[(len(slopes) - 1) // 2]
+    return pa.table({
+        "n_pairs": pa.array([len(slopes)], pa.int64()),
+        "slope_value_per_day": pa.array(_r4(np.array([med / 100.0]))),
+    })
+
+
+QUERIES["daily_theil_sen"] = q_daily_theil_sen
+
+ORACLE_SQL["daily_theil_sen"] = f"""
+WITH {_DAILY_CENTS_SQL},
+s AS (SELECT (b.x - a.x)::DOUBLE / (b.day - a.day)::DOUBLE AS sl
+      FROM d a, d b WHERE b.day > a.day),
+r AS (SELECT sl, row_number() OVER (ORDER BY sl) AS rn,
+             count(*) OVER () AS np FROM s)
+SELECT (SELECT count(*) FROM s)::BIGINT AS n_pairs,
+       {_R4.format(expr='(sl / 100.0)')} AS slope_value_per_day
+FROM r WHERE rn = (np - 1) // 2 + 1
+"""
