@@ -14648,3 +14648,242 @@ SELECT (SELECT count(*) FROM s)::BIGINT AS n_pairs,
        {_R4.format(expr='(sl / 100.0)')} AS slope_value_per_day
 FROM r WHERE rn = (np - 1) // 2 + 1
 """
+
+
+def q_dow_value_anova(sf_dir: str):
+    """One-way ANOVA F statistic of event value across the 7 UTC
+    days-of-week — the multi-group generalization of the Welch pair
+    test (the seasonality-significance screen): per-group EXACT int64
+    moments (n, Σcents, Σcents²) through 7-bounded bincount partials,
+    then SSB = Σ s_g²/n_g − S²/N and SSW = Σq − Σ s_g²/n_g with
+    F = (SSB/(k−1)) / (SSW/(N−k)) — ONE shared closed form over
+    identical integers on both engines, F and the grand mean
+    4dp-gated.  Groups with no rows are excluded from k on both
+    sides; raises when fewer than 2 groups or SSW is zero."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+
+    part_schema = pa.schema([("g", pa.int64()), ("n", pa.int64()),
+                             ("s", pa.int64()), ("q", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((us // 86_400_000_000 + 4) % 7).astype(np.int64)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        n = np.bincount(dow, minlength=7).astype(np.int64)
+        s = np.bincount(dow, weights=cents, minlength=7) \
+            .astype(np.int64)
+        q = np.bincount(dow, weights=(cents * cents).astype(
+            np.float64), minlength=7).astype(np.int64)
+        return pa.table({"g": pa.array(np.arange(7, dtype=np.int64)),
+                         "n": pa.array(n), "s": pa.array(s),
+                         "q": pa.array(q)})
+
+    n = [0] * 7
+    s = [0] * 7
+    qq = [0] * 7
+    # cents^2 bincount uses float64 weights: exact only below 2^53,
+    # so cap the batch contribution via a loud contract
+    for r in ds.map_batches(partials, batch_format="pyarrow",
+                            batch_size=4096).take_all():
+        n[r["g"]] += r["n"]
+        s[r["g"]] += r["s"]
+        qq[r["g"]] += r["q"]
+    groups = [g for g in range(7) if n[g] > 0]
+    k = len(groups)
+    if k < 2:
+        raise ValueError("dow_value_anova: need >= 2 non-empty groups")
+    nn = sum(n)
+    ss = sum(s)
+    sq = sum(qq)
+    # float(s) BEFORE squaring, matching the oracle's s::DOUBLE *
+    # s::DOUBLE expression order exactly
+    sb = sum(float(s[g]) * float(s[g]) / float(n[g]) for g in groups)
+    between = sb - float(ss) * float(ss) / float(nn)
+    within = float(sq) - sb
+    if within <= 0:
+        raise ValueError("dow_value_anova: zero within-group variance")
+    f_stat = (between / (k - 1)) / (within / (nn - k))
+    return pa.table({
+        "n": pa.array([nn], pa.int64()),
+        "k_groups": pa.array([k], pa.int64()),
+        "grand_mean": pa.array(_r4(np.array([ss / nn / 100.0]))),
+        "f_stat": pa.array(_r4(np.array([f_stat]))),
+    })
+
+
+QUERIES["dow_value_anova"] = q_dow_value_anova
+
+ORACLE_SQL["dow_value_anova"] = f"""
+WITH e AS (
+  SELECT ((epoch_us(ts)::BIGINT // 86400000000 + 4) % 7) AS g,
+         floor(value * 100)::BIGINT AS cents
+  FROM events),
+gr AS (SELECT g, count(*)::HUGEINT AS n, sum(cents)::HUGEINT AS s,
+              sum(cents * cents)::HUGEINT AS q
+       FROM e GROUP BY 1),
+m AS (SELECT count(*)::BIGINT AS k, sum(n)::HUGEINT AS nn,
+             sum(s)::HUGEINT AS ss, sum(q)::HUGEINT AS sq,
+             sum(s::DOUBLE * s::DOUBLE / n::DOUBLE) AS sb
+      FROM gr)
+SELECT nn::BIGINT AS n, k AS k_groups,
+       {_R4.format(expr='(ss::DOUBLE / nn::DOUBLE / 100.0)')}
+         AS grand_mean,
+       {_R4.format(expr='(((sb - ss::DOUBLE * ss::DOUBLE '
+                        '/ nn::DOUBLE) / (k - 1)::DOUBLE) '
+                        '/ ((sq::DOUBLE - sb) '
+                        '/ (nn - k)::DOUBLE))')} AS f_stat
+FROM m
+"""
+
+
+def q_daily_runs_test(sf_dir: str):
+    """Wald-Wolfowitz runs test over the daily revenue series — the
+    is-this-sequence-random screen: dichotomize each day against the
+    LOWER MEDIAN of the daily totals (an order statistic, itself an
+    exact integer both engines select identically; days equal to the
+    median are DROPPED per the standard convention), count runs of
+    consecutive same-side days, and z-score against the exact null
+    moments μ = 2n₁n₂/(n₁+n₂) + 1 and σ² = 2n₁n₂(2n₁n₂−n₁−n₂) /
+    ((n₁+n₂)²(n₁+n₂−1)) — runs, n₁, n₂ all exact integers from the
+    days-bounded ordered fold, z ONE shared closed form 4dp-gated."""
+    rows = _daily_cents_rows(sf_dir)
+    xs = [x for _, x in rows]
+    med = sorted(xs)[(len(xs) - 1) // 2]
+    sides = [1 if x > med else 0 for x in xs if x != med]
+    n1 = sum(sides)
+    n2 = len(sides) - n1
+    if n1 < 1 or n2 < 1:
+        raise ValueError("daily_runs_test: a side is empty")
+    runs = 1 + sum(1 for a, b in zip(sides, sides[1:]) if a != b)
+    nt = n1 + n2
+    mu = 2 * n1 * n2 / float(nt) + 1
+    var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+           / (float(nt) * nt * (nt - 1)))
+    z = (runs - mu) / np.sqrt(var)
+    return pa.table({
+        "n_above": pa.array([n1], pa.int64()),
+        "n_below": pa.array([n2], pa.int64()),
+        "n_runs": pa.array([runs], pa.int64()),
+        "z_stat": pa.array(_r4(np.array([z]))),
+    })
+
+
+QUERIES["daily_runs_test"] = q_daily_runs_test
+
+ORACLE_SQL["daily_runs_test"] = f"""
+WITH {_DAILY_CENTS_SQL},
+med AS (SELECT x AS m FROM
+          (SELECT x, row_number() OVER (ORDER BY x) AS rn,
+                  count(*) OVER () AS nd FROM d)
+        WHERE rn = (nd - 1) // 2 + 1),
+sd AS (SELECT day, CASE WHEN x > (SELECT m FROM med) THEN 1 ELSE 0
+              END AS side
+       FROM d WHERE x <> (SELECT m FROM med)),
+lg AS (SELECT side, lag(side) OVER (ORDER BY day) AS pside FROM sd),
+c AS (SELECT
+        (SELECT sum(side) FROM sd)::BIGINT AS n1,
+        (SELECT count(*) - sum(side) FROM sd)::BIGINT AS n2,
+        (1 + sum(CASE WHEN pside IS NOT NULL AND side <> pside
+                      THEN 1 ELSE 0 END))::BIGINT AS runs
+      FROM lg)
+SELECT n1 AS n_above, n2 AS n_below, runs AS n_runs,
+       {_R4.format(expr='((runs::DOUBLE - (2.0 * n1 * n2 '
+                        '/ (n1 + n2)::DOUBLE + 1)) '
+                        '/ sqrt(2.0 * n1 * n2 '
+                        '* (2.0 * n1 * n2 - n1 - n2) '
+                        '/ ((n1 + n2)::DOUBLE * (n1 + n2) '
+                        '* (n1 + n2 - 1))))')} AS z_stat
+FROM c
+"""
+
+
+def q_source_lang_hhi(sf_dir: str):
+    """Herfindahl-Hirschman concentration of languages per source —
+    the how-diverse-is-this-domain's-content screen (HHI = Σ share²;
+    1/HHI = the effective number of languages): ONE (source ×
+    lang)-bounded grouped count, per-source integer numerators
+    Σ n_i² and totals, only the two final divisions 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["source", "lang"])
+
+    part_schema = pa.schema([("source", pa.string()),
+                             ("lang", pa.string()),
+                             ("one", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        return pa.table({"source": t["source"], "lang": t["lang"],
+                         "one": pa.array(np.ones(t.num_rows,
+                                                 np.int64))})
+
+    cells = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["source", "lang"], [("one", "sum", "n")],
+        in_schema=part_schema)
+
+    def sq(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return pa.schema([("source", pa.string()),
+                              ("n", pa.int64()),
+                              ("n2", pa.int64())]).empty_table()
+        nv = t["n"].to_numpy(zero_copy_only=False)
+        return pa.table({"source": t["source"], "n": t["n"],
+                         "n2": pa.array(nv * nv)})
+
+    per_src = sorted_groupby_agg(
+        cells.map_batches(sq, batch_format="pyarrow"),
+        ["source"], [("n", "sum", "tot"), ("n2", "sum", "sq")],
+        in_schema=pa.schema([("source", pa.string()),
+                             ("n", pa.int64()), ("n2", pa.int64())]))
+
+    out_schema = pa.schema([("source", pa.string()),
+                            ("n_docs", pa.int64()),
+                            ("hhi", pa.float64()),
+                            ("effective_langs", pa.float64())])
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "tot" not in t.column_names:
+            return out_schema.empty_table()
+        tot = t["tot"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sqv = t["sq"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        hhi = sqv / (tot * tot)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": t["tot"].cast(pa.int64()),
+            "hhi": pa.array(_r4(hhi)),
+            "effective_langs": pa.array(_r4(tot * tot / sqv))})
+
+    return per_src.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["source_lang_hhi"] = q_source_lang_hhi
+
+ORACLE_SQL["source_lang_hhi"] = f"""
+WITH c AS (SELECT source, lang, count(*)::BIGINT AS n
+           FROM documents GROUP BY 1, 2),
+s AS (SELECT source, sum(n)::BIGINT AS tot,
+             sum(n * n)::BIGINT AS sq
+      FROM c GROUP BY 1)
+SELECT source, tot AS n_docs,
+       {_R4.format(expr='(sq::DOUBLE / (tot::DOUBLE * tot::DOUBLE))')}
+         AS hhi,
+       {_R4.format(expr='(tot::DOUBLE * tot::DOUBLE / sq::DOUBLE)')}
+         AS effective_langs
+FROM s
+"""
