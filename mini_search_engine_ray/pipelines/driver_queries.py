@@ -14887,3 +14887,255 @@ SELECT source, tot AS n_docs,
          AS effective_langs
 FROM s
 """
+
+
+# ---------------------------------------------------------------------
+# Wave 14 — search-core dictionary-serving closers: autocomplete over
+# the built term dictionary, the df (posting-length) histogram, and
+# doc-co-occurrence related-terms (query expansion suggestions).
+# ---------------------------------------------------------------------
+
+AUTOCOMPLETE_K = 10
+AUTOCOMPLETE_PREFIX = "s"  # richest prefix in the synthetic vocabulary
+RELATED_K = 10
+RELATED_SEED = KW  # "spark" — guaranteed present in the vocabulary
+
+
+def q_term_autocomplete(sf_dir: str):
+    """Query-box autocomplete over the BUILT index's term dictionary:
+    the AUTOCOMPLETE_K most-frequent index terms with prefix
+    ``AUTOCOMPLETE_PREFIX``, ranked by document frequency desc (ties by ascending
+    term) — the same serving-side prefix range scan (two binary
+    searches per shard dictionary) ``search_prefix`` uses, surfacing
+    (term, df) suggestions instead of the OR'd postings.  Ranking is
+    exact-integer; df is the posting-list length, so this doubles as
+    a check that dictionary + postings survive the build byte-exactly
+    on the prefix slice."""
+    s = _searcher(sf_dir)
+    terms = s.expand_prefix(AUTOCOMPLETE_PREFIX, max_expansion=1 << 20)
+    if not terms:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    df = np.array([s.df(t) for t in terms], dtype=np.int64)
+    # expand_prefix returns terms lexicographically ascending; a STABLE
+    # argsort on -df therefore yields (df desc, term asc) exactly.
+    order = np.argsort(-df, kind="stable")[:AUTOCOMPLETE_K]
+    return pa.table({
+        "term": pa.array([terms[i] for i in order], pa.string()),
+        "df": pa.array(df[order]),
+    })
+
+
+QUERIES["term_autocomplete"] = q_term_autocomplete
+
+ORACLE_SQL["term_autocomplete"] = f"""
+WITH {_BASE_CTE},
+d AS (SELECT DISTINCT doc_id, term
+      FROM (SELECT doc_id, unnest(terms) AS term FROM base)),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM d
+        WHERE starts_with(term, '{AUTOCOMPLETE_PREFIX}') GROUP BY 1)
+SELECT term, df FROM dfs ORDER BY df DESC, term LIMIT {AUTOCOMPLETE_K}
+"""
+
+
+def q_term_df_hist(sf_dir: str):
+    """Posting-list-length (document-frequency) histogram of the BUILT
+    index — the dictionary-statistics screen that sizes skip pointers
+    and decides which hot terms need salted sub-shards: (df, number
+    of index terms with that df).  Terms are hash-disjoint across
+    shards, so per-shard (df, 1) rows are already global partials;
+    ONE df-keyed bounded grouped count (distinct df values ≤ corpus
+    doc count, in practice a few hundred) finishes it — the term
+    strings themselves never leave the shard readers."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.shards import list_shards, open_shard
+
+    index_dir = get_index(sf_dir)
+    sids = list_shards(index_dir)
+    part_schema = pa.schema([("df", pa.int64()), ("one", pa.int64())])
+
+    def read(batch: pa.Table) -> pa.Table:
+        parts = []
+        for sid in batch["sid"].to_pylist():
+            t = open_shard(index_dir, sid)
+            if t is not None and t.num_rows:
+                parts.append(pa.table({
+                    "df": t["df"].cast(pa.int64()),
+                    "one": pa.array(np.ones(t.num_rows, np.int64)),
+                }))
+        return pa.concat_tables(parts) if parts else \
+            part_schema.empty_table()
+
+    shards_ds = rd.from_items(
+        [{"sid": s} for s in sids],
+        override_num_blocks=max(1, len(sids)))
+    return sorted_groupby_agg(
+        shards_ds.map_batches(read, batch_size=1, batch_format="pyarrow"),
+        ["df"], [("one", "sum", "n_terms")], in_schema=part_schema)
+
+
+QUERIES["term_df_hist"] = q_term_df_hist
+
+ORACLE_SQL["term_df_hist"] = f"""
+WITH {_BASE_CTE},
+d AS (SELECT DISTINCT doc_id, term
+      FROM (SELECT doc_id, unnest(terms) AS term FROM base)),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM d GROUP BY 1)
+SELECT df, count(*)::BIGINT AS n_terms FROM dfs GROUP BY 1 ORDER BY df
+"""
+
+
+def q_related_terms(sf_dir: str):
+    """Doc-co-occurrence related terms (query-expansion suggestions)
+    for the seed term ``RELATED_SEED``: PMI = ln(cooc·N / (df_seed·df))
+    over DISTINCT (doc, term) incidences, top ``RELATED_K`` by
+    (4dp-rounded PMI desc, term asc) among co-occurring non-seed
+    terms.  ONE term-keyed grouped sum carries BOTH df and cooc (each
+    doc's distinct stopword-filtered terms emit (term, 1, seed∈doc)),
+    so the vocabulary-sized exchange happens once; the vocab table is
+    materialized (vocabulary-sized by construction — term strings ×
+    two int64 columns, the same boundedness contract as the unigram-LM
+    top-V table), the seed row supplies df_seed, and the cooc>0 slice
+    is ranked with a per-block top-k prefilter so only ≤ K·num_blocks
+    candidate rows ever reach the driver."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.textstats import _split_tokens
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text"])
+    n_docs = docs.count()  # parquet metadata, no scan
+
+    part_schema = pa.schema([("term", pa.large_string()),
+                             ("df", pa.int64()),
+                             ("cooc", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        content = t["text"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        if len(values) == 0:
+            return part_schema.empty_table()
+        td = values.dictionary_encode()
+        codes = td.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = td.dictionary
+        # stopword mask over the (small) per-batch dictionary, applied
+        # to the flat code stream — matches the oracle's `terms` CTE
+        stop = np.array([v in STOP_WORDS for v in vocab.to_pylist()])
+        keep = ~stop[codes]
+        parents_k = parents[keep]
+        codes_k = codes[keep]
+        if len(codes_k) == 0:
+            return part_schema.empty_table()
+        # distinct (doc, term) pairs via one composite unique
+        card = len(vocab)
+        pairs = np.unique(parents_k.astype(np.int64) * card + codes_k)
+        pdoc = pairs // card
+        pcode = pairs % card
+        # docs (of this batch) containing the seed
+        seed_idx = None
+        for i, v in enumerate(vocab.to_pylist()):
+            if v == RELATED_SEED:
+                seed_idx = i
+                break
+        has_seed = np.zeros(t.num_rows, dtype=bool)
+        if seed_idx is not None:
+            has_seed[np.unique(pdoc[pcode == seed_idx])] = True
+        w = has_seed[pdoc].astype(np.int64)
+        # per-batch (term, df, cooc) partials: one bincount pair over
+        # the pair stream, emitted only for terms that occur
+        dfp = np.bincount(pcode, minlength=card)
+        coocp = np.bincount(pcode, weights=w, minlength=card) \
+            .astype(np.int64)
+        nz = np.flatnonzero(dfp)
+        return pa.table({
+            "term": vocab.take(pa.array(nz)).cast(pa.large_string()),
+            "df": pa.array(dfp[nz].astype(np.int64)),
+            "cooc": pa.array(coocp[nz]),
+        })
+
+    agg = sorted_groupby_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["term"], [("df", "sum", "df"), ("cooc", "sum", "cooc")],
+        in_schema=part_schema).materialize()  # vocabulary-sized
+
+    def seed_pick(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "term" not in t.column_names:
+            return part_schema.empty_table()
+        return t.filter(pc.equal(t["term"], RELATED_SEED))
+
+    seed_rows = agg.map_batches(seed_pick, batch_format="pyarrow").take(1)
+    out_schema = pa.schema([("term", pa.string()),
+                            ("df", pa.int64()),
+                            ("cooc", pa.int64()),
+                            ("pmi", pa.float64())])
+    if not seed_rows:
+        return out_schema.empty_table()
+    df_seed = int(seed_rows[0]["df"])
+    n_f = float(n_docs)
+    dfs_f = float(df_seed)
+
+    def pmi_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "df" not in t.column_names:
+            return out_schema.empty_table()
+        terms_np = np.asarray(t["term"].to_pylist(), dtype=object)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cooc = t["cooc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = (cooc > 0) & (terms_np != RELATED_SEED)
+        if not m.any():
+            return out_schema.empty_table()
+        terms_np, dfv, cooc = terms_np[m], dfv[m], cooc[m]
+        # expression order mirrors the oracle exactly:
+        # ln((cooc·N) / (df·df_seed)) with float multiplies
+        pmi = _r4(np.log((cooc.astype(np.float64) * n_f)
+                         / (dfv.astype(np.float64) * dfs_f)))
+        # local (pmi desc, term asc) top-k: stable sort by term asc,
+        # then stable sort by -pmi
+        o1 = np.argsort(terms_np, kind="stable")
+        o2 = o1[np.argsort(-pmi[o1], kind="stable")][:RELATED_K]
+        return pa.table({
+            "term": pa.array(terms_np[o2].tolist(), pa.string()),
+            "df": pa.array(dfv[o2]),
+            "cooc": pa.array(cooc[o2]),
+            "pmi": pa.array(pmi[o2]),
+        })
+
+    cand = pa.concat_tables([
+        b for b in agg.map_batches(pmi_topk, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ] + [out_schema.empty_table()]).combine_chunks()
+    # final selection over <= K·num_blocks candidate rows
+    terms_np = np.asarray(cand["term"].to_pylist(), dtype=object)
+    pmi = cand["pmi"].to_numpy(zero_copy_only=False)
+    o1 = np.argsort(terms_np, kind="stable")
+    o2 = o1[np.argsort(-pmi[o1], kind="stable")][:RELATED_K]
+    return cand.take(pa.array(o2))
+
+
+QUERIES["related_terms"] = q_related_terms
+
+ORACLE_SQL["related_terms"] = f"""
+WITH {_BASE_CTE},
+d AS (SELECT DISTINCT doc_id, term
+      FROM (SELECT doc_id, unnest(terms) AS term FROM base)),
+sd AS (SELECT doc_id FROM d WHERE term = '{RELATED_SEED}'),
+n AS (SELECT count(*)::BIGINT AS n FROM documents),
+dfs AS (SELECT term, count(*)::BIGINT AS df FROM d GROUP BY 1),
+sdf AS (SELECT df AS df_seed FROM dfs WHERE term = '{RELATED_SEED}'),
+co AS (SELECT term, count(*)::BIGINT AS cooc
+       FROM d JOIN sd USING (doc_id) GROUP BY 1),
+p AS (SELECT co.term, dfs.df, co.cooc,
+             {_R4.format(expr="ln((co.cooc::DOUBLE * n.n::DOUBLE) / "
+                              "(dfs.df::DOUBLE * sdf.df_seed::DOUBLE))")}
+               AS pmi
+      FROM co JOIN dfs USING (term), n, sdf
+      WHERE co.term <> '{RELATED_SEED}')
+SELECT term, df, cooc, pmi FROM p
+ORDER BY pmi DESC, term LIMIT {RELATED_K}
+"""
