@@ -15139,3 +15139,317 @@ p AS (SELECT co.term, dfs.df, co.cooc,
 SELECT term, df, cooc, pmi FROM p
 ORDER BY pmi DESC, term LIMIT {RELATED_K}
 """
+
+
+# ---------------------------------------------------------------------
+# Wave 15 — cross-split n-gram novelty (corpus-sized reference side,
+# so membership travels through the hash sort, NOT a broadcast),
+# Kaplan-Meier survival over user lifetimes, and per-language
+# tokenizer fertility.
+# ---------------------------------------------------------------------
+
+NOVELTY_N = 3
+NOVELTY_SPLIT_MOD = 2
+KM_CENSOR_DAYS = 1
+_US_PER_DAY = 86_400_000_000
+
+
+def q_cross_split_novelty(sf_dir: str):
+    """Train/holdout n-gram memorization screen: for every HOLDOUT
+    document (doc_id % 2 != 0), the fraction of its token trigram
+    occurrences whose gram also appears anywhere in the TRAIN split
+    (doc_id % 2 == 0).  Unlike the decontamination family (benchmark
+    side broadcast by contract), the reference side here is half the
+    corpus — membership goes through ONE uint64 gram-hash range sort
+    (`stages/dedup.py: cross_split_seen_stats`), the only data-sized
+    exchange; DuckDB's md5_number_lower replays the hash (collisions
+    included).  Holdout docs with < n tokens emit (0, 0, 0.0)."""
+    import ray.data as rd
+
+    from ..stages.dedup import cross_split_seen_stats
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["doc_id", "text"])
+    out = cross_split_seen_stats(docs, n=NOVELTY_N,
+                                 split_mod=NOVELTY_SPLIT_MOD)
+
+    def fix(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.schema([("doc_id", pa.int64()),
+                              ("n_grams", pa.int64()),
+                              ("n_seen", pa.int64()),
+                              ("seen_frac", pa.float64())]).empty_table()
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_grams": pc.cast(t["n_grams"], pa.int64()),
+            "n_seen": pc.cast(t["n_seen"], pa.int64()),
+            "seen_frac": pa.array(_r4(t["seen_frac"].to_numpy(
+                zero_copy_only=False))),
+        })
+
+    return out.map_batches(fix, batch_format="pyarrow")
+
+
+QUERIES["cross_split_novelty"] = q_cross_split_novelty
+
+ORACLE_SQL["cross_split_novelty"] = f"""
+WITH {_TOK_CTE},
+g AS (
+  SELECT doc_id,
+         md5_number_lower(toks[p] || ' ' || toks[p+1] || ' ' ||
+                          toks[p+2]) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks)-2)) AS p
+        FROM tok WHERE len(toks) >= {NOVELTY_N})
+),
+tr AS (SELECT DISTINCT h FROM g
+       WHERE doc_id % {NOVELTY_SPLIT_MOD} = 0),
+st AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         sum(CASE WHEN h IN (SELECT h FROM tr)
+                  THEN 1 ELSE 0 END)::BIGINT AS n_seen
+  FROM g WHERE doc_id % {NOVELTY_SPLIT_MOD} <> 0 GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(st.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(st.n_seen, 0)::BIGINT AS n_seen,
+       {_R4.format(expr="CASE WHEN coalesce(st.n_grams, 0) = 0 THEN 0.0 "
+                        "ELSE coalesce(st.n_seen, 0) / st.n_grams END")}
+         AS seen_frac
+FROM documents d LEFT JOIN st USING (doc_id)
+WHERE d.doc_id % {NOVELTY_SPLIT_MOD} <> 0
+"""
+
+
+def q_user_survival_km(sf_dir: str):
+    """Kaplan-Meier survival over user lifetimes — the product-limit
+    estimator of "how long does a user stay active": lifetime = whole
+    days between a user's first and last event (exact integer µs
+    floor-division), right-CENSORED when the last event falls within
+    the final KM_CENSOR_DAYS days of the log span (the user may still
+    be active; the synthetic log is dense — users go at most ~2 days
+    quiet — so the window is 1 day to make both outcomes populated).  One user-keyed grouped min/max is the only
+    data-sized exchange; the (lifetime-day × death) table is
+    days-domain bounded (bincount partials folded on the driver), and
+    at each death time t: n_risk = users with lifetime ≥ t, S(t) =
+    cumulative product of (1 − d_t/n_risk_t) in ascending-t order —
+    the same sequential multiply DuckDB's windowed product() runs, so
+    both engines hold identical doubles before the 4dp gate."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    prep_schema = pa.schema([("user_id", pa.int64()),
+                             ("us", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        return pa.table({"user_id": t["user_id"],
+                         "us": ts.cast(pa.int64())})
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+
+    # global log end: one scalar max partial per batch -> driver max
+    def mx(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "us" not in t.column_names:
+            return pa.schema([("m", pa.int64())]).empty_table()
+        return pa.table({"m": pa.array(
+            [int(t["us"].to_numpy(zero_copy_only=False).max())],
+            pa.int64())})
+
+    mrows = base.map_batches(mx, batch_format="pyarrow").take_all()
+    if not mrows:
+        raise ValueError("user_survival_km: empty event log")
+    log_end = max(r["m"] for r in mrows)
+
+    users = sorted_groupby_agg(
+        base, ["user_id"],
+        [("us", "min", "f"), ("us", "max", "l")],
+        in_schema=prep_schema)
+
+    # (lifetime-day, death) bounded bincount partials -> driver fold
+    def cells(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("t", pa.int64()), ("death", pa.int64()),
+                         ("n", pa.int64())])
+        if t.num_rows == 0 or "f" not in t.column_names:
+            return sch.empty_table()
+        f = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t["l"].to_numpy(zero_copy_only=False).astype(np.int64)
+        life = (l - f) // _US_PER_DAY
+        death = ((log_end - l)
+                 >= KM_CENSOR_DAYS * _US_PER_DAY).astype(np.int64)
+        comp = life * 2 + death
+        cnt = np.bincount(comp)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"t": pa.array((nz // 2).astype(np.int64)),
+                         "death": pa.array((nz % 2).astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    acc: dict[tuple[int, int], int] = {}
+    for r in users.map_batches(cells, batch_format="pyarrow").take_all():
+        k = (r["t"], r["death"])
+        acc[k] = acc.get(k, 0) + r["n"]
+
+    ts_sorted = sorted({t for t, _ in acc})
+    n_total = sum(acc.values())
+    rows = []
+    at_risk = n_total
+    for t in ts_sorted:
+        d = acc.get((t, 1), 0)
+        c = acc.get((t, 0), 0)
+        if d > 0:
+            rows.append((t, at_risk, d, c))
+        at_risk -= d + c
+    t_arr = np.array([r[0] for r in rows], dtype=np.int64)
+    n_risk = np.array([r[1] for r in rows], dtype=np.int64)
+    n_event = np.array([r[2] for r in rows], dtype=np.int64)
+    n_cens = np.array([r[3] for r in rows], dtype=np.int64)
+    surv = np.cumprod(1.0 - (n_event.astype(np.float64)
+                             / n_risk.astype(np.float64)))
+    return pa.table({
+        "t_days": pa.array(t_arr),
+        "n_risk": pa.array(n_risk),
+        "n_event": pa.array(n_event),
+        "n_censored": pa.array(n_cens),
+        "survival": pa.array(_r4(surv)),
+    })
+
+
+QUERIES["user_survival_km"] = q_user_survival_km
+
+ORACLE_SQL["user_survival_km"] = f"""
+WITH u AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS f,
+                  max(epoch_us(ts))::BIGINT AS l
+           FROM events GROUP BY 1),
+g AS (SELECT max(epoch_us(ts))::BIGINT AS log_end FROM events),
+d AS (SELECT (l - f) // {_US_PER_DAY} AS t,
+             CASE WHEN ((SELECT log_end FROM g) - l)
+                       >= {KM_CENSOR_DAYS} * {_US_PER_DAY}
+                  THEN 1 ELSE 0 END AS death
+      FROM u),
+ev AS (SELECT t, sum(death)::BIGINT AS n_event,
+              sum(1 - death)::BIGINT AS n_censored,
+              count(*)::BIGINT AS n_at
+       FROM d GROUP BY t),
+o AS (SELECT t, n_event, n_censored,
+             ((SELECT count(*) FROM d)
+              - coalesce(sum(n_at) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0))::BIGINT AS n_risk
+      FROM ev),
+k AS (SELECT t, n_risk, n_event, n_censored,
+             product(1.0 - n_event::DOUBLE / n_risk::DOUBLE)
+               OVER (ORDER BY t) AS survival
+      FROM o WHERE n_event > 0)
+SELECT t AS t_days, n_risk, n_event, n_censored,
+       {_R4.format(expr='survival')} AS survival
+FROM k
+"""
+
+
+def q_lang_fertility(sf_dir: str):
+    """Per-language tokenizer fertility — the chars-per-token /
+    tokens-per-doc profile a BPE-budget planner reads before picking
+    vocabulary allocations: ONE lang-keyed bounded grouped sum over
+    per-batch (docs, tokens, chars) integer partials (tokens = the
+    raw punctuation-split stream, stopwords INCLUDED, mirroring
+    `_TOK_CTE`; chars = the exact n_chars column)."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.textstats import _split_tokens
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=["text", "lang", "n_chars"])
+
+    part_schema = pa.schema([("lang", pa.string()),
+                             ("docs", pa.int64()),
+                             ("toks", pa.int64()),
+                             ("chars", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        content = t["text"]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, _ = _split_tokens(content)
+        tokc = np.bincount(parents, minlength=t.num_rows) \
+            .astype(np.int64)
+        lang = t["lang"]
+        lang = lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) \
+            else lang
+        ld = lang.dictionary_encode()
+        codes = ld.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        card = len(ld.dictionary)
+        chars = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nd = np.bincount(codes, minlength=card).astype(np.int64)
+        nt = np.bincount(codes, weights=tokc, minlength=card) \
+            .astype(np.int64)
+        nc = np.bincount(codes, weights=chars, minlength=card) \
+            .astype(np.int64)
+        return pa.table({
+            "lang": ld.dictionary.cast(pa.string()),
+            "docs": pa.array(nd), "toks": pa.array(nt),
+            "chars": pa.array(nc),
+        })
+
+    agg = sorted_groupby_agg(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["lang"], [("docs", "sum", "n_docs"), ("toks", "sum", "n_tokens"),
+                   ("chars", "sum", "n_chars")],
+        in_schema=part_schema)
+
+    out_schema = pa.schema([("lang", pa.string()),
+                            ("n_docs", pa.int64()),
+                            ("n_tokens", pa.int64()),
+                            ("n_chars", pa.int64()),
+                            ("chars_per_token", pa.float64()),
+                            ("tokens_per_doc", pa.float64())])
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_docs" not in t.column_names:
+            return out_schema.empty_table()
+        nd = t["n_docs"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nc = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({
+            "lang": t["lang"], "n_docs": t["n_docs"],
+            "n_tokens": t["n_tokens"], "n_chars": t["n_chars"],
+            "chars_per_token": pa.array(_r4(nc / nt)),
+            "tokens_per_doc": pa.array(_r4(nt / nd)),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["lang_fertility"] = q_lang_fertility
+
+ORACLE_SQL["lang_fertility"] = f"""
+WITH {_TOK_CTE},
+j AS (SELECT d.lang, len(t.toks)::BIGINT AS ntok, d.n_chars
+      FROM tok t JOIN documents d USING (doc_id)),
+s AS (SELECT lang, count(*)::BIGINT AS n_docs,
+             sum(ntok)::BIGINT AS n_tokens,
+             sum(n_chars)::BIGINT AS n_chars
+      FROM j GROUP BY 1)
+SELECT lang, n_docs, n_tokens, n_chars,
+       {_R4.format(expr='(n_chars::DOUBLE / n_tokens::DOUBLE)')}
+         AS chars_per_token,
+       {_R4.format(expr='(n_tokens::DOUBLE / n_docs::DOUBLE)')}
+         AS tokens_per_doc
+FROM s
+"""

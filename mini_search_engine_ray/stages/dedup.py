@@ -1299,3 +1299,129 @@ def verify_pairs_containment(
 
     return back.map_batches(finish, batch_size=None,
                             batch_format="pyarrow")
+
+
+def cross_split_seen_stats(ds, *, n: int = 3, split_mod: int = 2,
+                           text_col: str = "text", id_col: str = "doc_id"):
+    """Cross-split n-gram novelty screen (the train/holdout
+    memorization check): for every document in the HOLDOUT split
+    (``doc_id % split_mod != 0``), the count and fraction of its token
+    n-gram occurrences whose gram also appears anywhere in the TRAIN
+    split (``doc_id % split_mod == 0``).  A holdout doc whose grams
+    are mostly "seen" adds no novelty — the screen a training-data
+    pipeline runs before trusting held-out eval loss.
+
+    Scale shape: unlike the decontamination family
+    (``stages/decontam.py``), whose reference side is benchmark-sized
+    BY CONTRACT and therefore broadcast, here the reference side is
+    HALF THE CORPUS — membership must travel through the shuffle.
+    Each batch explodes to (doc_id, uint64 gram hash, in-train flag)
+    rows (md5-low-64 of the space-joined gram, replayed exactly by
+    DuckDB's ``md5_number_lower``, collisions included); ONE range
+    sort by hash groups equal grams, a per-block sweep flags runs
+    containing ≥1 train row and reduces to per-(block, holdout-doc)
+    seen counts; those partials union with per-batch holdout total
+    partials into a single doc-keyed grouped sum — the hash sort is
+    the only data-sized exchange, and gram text never leaves the
+    explode stage.  Returns (id_col, n_grams, n_seen, seen_frac) for
+    every holdout document (short docs emit (0, 0, 0.0))."""
+    from ..functions.hashing import md5_low64_batch
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.textstats import _split_tokens, ngram_strings
+
+    if not (isinstance(n, int) and n >= 1):
+        raise ValueError(f"n must be a positive int, got {n!r}")
+    if not (isinstance(split_mod, int) and split_mod >= 2):
+        raise ValueError(f"split_mod must be an int >= 2, got {split_mod!r}")
+
+    def _doc_ids(t: pa.Table) -> np.ndarray:
+        ids = t[id_col]
+        ids = ids.combine_chunks() if isinstance(ids, pa.ChunkedArray) \
+            else ids
+        return ids.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        gp, grams = ngram_strings(parents, values, n)
+        if len(gp) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "h": pa.array([], pa.uint64()),
+                             "a": pa.array([], pa.int8())})
+        ids = _doc_ids(t)
+        h = md5_low64_batch(grams.to_pylist())
+        gids = ids[gp]
+        return pa.table({id_col: pa.array(gids), "h": pa.array(h),
+                         "a": pa.array((gids % split_mod == 0)
+                                       .astype(np.int8))})
+
+    def totals(t: pa.Table) -> pa.Table:
+        ids = _doc_ids(t)
+        hold = ids % split_mod != 0
+        if not hold.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "g": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64())})
+        content = t[text_col]
+        if isinstance(content, pa.ChunkedArray):
+            content = content.combine_chunks()
+        parents, values = _split_tokens(content)
+        gp, _ = ngram_strings(parents, values, n)
+        cnt = np.bincount(gp, minlength=t.num_rows).astype(np.int64)
+        return pa.table({id_col: pa.array(ids[hold]),
+                         "g": pa.array(cnt[hold]),
+                         "s": pa.array(np.zeros(int(hold.sum()),
+                                                np.int64))})
+
+    def seen_sweep(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "g": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        h = t["h"].to_numpy(zero_copy_only=False)
+        ids = _doc_ids(t)
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(h, kind="stable")
+        hs, ds_, as_ = h[order], ids[order], a[order]
+        run_brk = hs[1:] != hs[:-1]
+        run_id = np.cumsum(np.r_[0, run_brk.astype(np.int64)])
+        n_runs = run_id[-1] + 1
+        # a holdout occurrence is "seen" iff its run contains >= 1
+        # train row (equal hashes land in one block by the sort
+        # invariant, same contract as dup_passage_stats)
+        train_in_run = np.bincount(run_id, weights=as_,
+                                   minlength=n_runs) > 0
+        seen_row = train_in_run[run_id] & (as_ == 0)
+        if not seen_row.any():
+            return empty
+        vc = pa.array(ds_[seen_row]).value_counts()
+        docs = vc.field("values")
+        return pa.table({id_col: docs,
+                         "g": pa.array(np.zeros(len(docs), np.int64)),
+                         "s": vc.field("counts").cast(pa.int64())})
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    seen_partials = exploded.sort("h").map_batches(
+        seen_sweep, batch_size=None, batch_format="pyarrow")
+    tot_partials = ds.map_batches(totals, batch_format="pyarrow")
+    agg = sorted_groupby_agg(
+        tot_partials.union(seen_partials), [id_col],
+        [("g", "sum", "n_grams"), ("s", "sum", "n_seen")],
+        in_schema=pa.schema([(id_col, pa.int64()), ("g", pa.int64()),
+                             ("s", pa.int64())]))
+
+    def fin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("seen_frac",
+                                   pa.array([], pa.float64()))
+        g = t["n_grams"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s = t["n_seen"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        frac = np.divide(s, g, out=np.zeros_like(s), where=g > 0)
+        return t.append_column("seen_frac", pa.array(frac))
+
+    return agg.map_batches(fin, batch_format="pyarrow")

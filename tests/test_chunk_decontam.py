@@ -406,3 +406,77 @@ class TestContaminationFraction:
             .to_pandas()
         assert (out["n_contaminated"] == 0).all()
         assert (out["contam_frac"] == 0.0).all()
+
+
+class TestCrossSplitSeenStats:
+    def _run(self, docs, n=2, split_mod=2, parts=5):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import (
+            cross_split_seen_stats,
+        )
+
+        t = pa.table({"doc_id": np.arange(len(docs), dtype=np.int64),
+                      "text": docs})
+        return cross_split_seen_stats(
+            rd.from_arrow(t).repartition(parts), n=n,
+            split_mod=split_mod).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+    def _brute(self, docs, n, split_mod):
+        grams = []
+        for s in docs:
+            ts = _toks(s)
+            grams.append([" ".join(ts[j:j + n])
+                          for j in range(len(ts) - n + 1)])
+        train = set()
+        for i, gs in enumerate(grams):
+            if i % split_mod == 0:
+                train.update(gs)
+        out = []
+        for i, gs in enumerate(grams):
+            if i % split_mod == 0:
+                continue
+            seen = sum(1 for g in gs if g in train)
+            out.append((i, len(gs), seen,
+                        seen / len(gs) if gs else 0.0))
+        return out
+
+    def test_brute_force_parity(self, ray_session):
+        rng = np.random.default_rng(92)
+        vocab = [f"w{i}" for i in range(10)]
+        docs = [" ".join(rng.choice(vocab, rng.integers(0, 16)))
+                for _ in range(150)]
+        got = self._run(docs, n=2, parts=7)
+        exp = self._brute(docs, 2, 2)
+        assert got["doc_id"].tolist() == [i for i, _, _, _ in exp]
+        assert got["n_grams"].tolist() == [g for _, g, _, _ in exp]
+        assert got["n_seen"].tolist() == [s for _, _, s, _ in exp]
+        assert np.allclose(got["seen_frac"],
+                           [f for _, _, _, f in exp])
+
+    def test_holdout_only_and_short_docs(self, ray_session):
+        # doc 1 short (0 grams), doc 3 entirely seen, doc 5 unseen
+        docs = ["a b c d", "x", "c d a b", "a b c", "q r s t",
+                "q q q q"]
+        got = self._run(docs, n=2, split_mod=2, parts=3)
+        assert got["doc_id"].tolist() == [1, 3, 5]
+        row1 = got[got.doc_id == 1].iloc[0]
+        assert (row1.n_grams, row1.n_seen, row1.seen_frac) == (0, 0, 0.0)
+        row3 = got[got.doc_id == 3].iloc[0]  # "a b", "b c" both in train
+        assert (row3.n_grams, row3.n_seen) == (2, 2)
+        row5 = got[got.doc_id == 5].iloc[0]  # "q q" never in train
+        assert (row5.n_grams, row5.n_seen) == (3, 0)
+
+    def test_validation(self, ray_session):
+        import ray.data as rd
+
+        from mini_search_engine_ray.stages.dedup import (
+            cross_split_seen_stats,
+        )
+
+        ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["x"]}))
+        with pytest.raises(ValueError):
+            cross_split_seen_stats(ds, n=0)
+        with pytest.raises(ValueError):
+            cross_split_seen_stats(ds, split_mod=1)
