@@ -15453,3 +15453,239 @@ SELECT lang, n_docs, n_tokens, n_chars,
          AS tokens_per_doc
 FROM s
 """
+
+
+# ---------------------------------------------------------------------
+# Wave 16 — one-pass deterministic Poisson bootstrap CI (the
+# web-scale resampling estimator) and one ALS alternation at k=1
+# (the iterative matrix-factorization training step).
+# ---------------------------------------------------------------------
+
+BOOT_B = 200
+# Poisson(1) inverse-CDF thresholds: T_k = floor(P(X <= k) * 2^64) as
+# EXACT integer constants (Decimal-computed once, hard-coded so both
+# engines compare the same integers; w = #{k : u >= T_k}, capped at 8)
+_POIS1_T = np.array([
+    6786177901268885274, 13572355802537770549, 16965444753172213186,
+    18096474403383694065, 18379231815936564285, 18435783298447138329,
+    18445208545532234003, 18446555009401533385], dtype=np.uint64)
+_BOOT_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def q_value_mean_bootstrap_ci(sf_dir: str):
+    """One-pass Poisson bootstrap of the mean event value — the
+    web-scale resampling CI (each of B resamples weights every row by
+    an independent Poisson(1) count, so no resample ever needs the
+    whole dataset co-located): the per-(row, b) weight is DERIVED,
+    not sampled — u = ((event_id·B + b + 1)·MIX64) mod 2⁶⁴ compared
+    against hard-coded integer Poisson(1) CDF thresholds, so both
+    engines hold identical integer weights (contract: event_id·B + b
+    + 1 < 2⁶⁴, loud in the synthetic id domain).  Per batch: one
+    (rows × B) uint64 mix + searchsorted, exact int64 (n_b, Σw·cents)
+    partials, a 201-bounded driver fold; each bootstrap mean is one
+    division of identical exact integers, and the 95% CI picks the
+    rank-5 / rank-195 order statistics of the B means (LOWER
+    convention) — elements both engines select identically.  Mean and
+    CI 4dp-gated."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "value"])
+
+    part_schema = pa.schema([("b", pa.int64()), ("n", pa.int64()),
+                             ("s", pa.int64())])
+    barr = np.arange(BOOT_B, dtype=np.uint64)[None, :] + np.uint64(1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ids = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        u = (ids[:, None] * np.uint64(BOOT_B) + barr) * _BOOT_MIX
+        w = np.searchsorted(_POIS1_T, u, side="right").astype(np.int64)
+        n_b = w.sum(axis=0)
+        s_b = cents @ w
+        return pa.table({
+            "b": pa.array(np.r_[np.arange(BOOT_B, dtype=np.int64),
+                                BOOT_B]),
+            "n": pa.array(np.r_[n_b, t.num_rows]),
+            "s": pa.array(np.r_[s_b, int(cents.sum())]),
+        })
+
+    acc_n = np.zeros(BOOT_B + 1, dtype=np.int64)
+    acc_s = np.zeros(BOOT_B + 1, dtype=np.int64)
+    for r in ds.map_batches(partial, batch_size=8192,
+                            batch_format="pyarrow").take_all():
+        acc_n[r["b"]] += r["n"]
+        acc_s[r["b"]] += r["s"]
+    if acc_n[BOOT_B] == 0 or (acc_n[:BOOT_B] == 0).any():
+        raise ValueError("value_mean_bootstrap_ci: empty log or an "
+                         "empty bootstrap resample")
+    means = acc_s[:BOOT_B].astype(np.float64) \
+        / acc_n[:BOOT_B].astype(np.float64) / 100.0
+    means.sort()
+    mean = float(acc_s[BOOT_B]) / float(acc_n[BOOT_B]) / 100.0
+    return pa.table({
+        "mean": pa.array(_r4(np.array([mean]))),
+        "ci_lo": pa.array(_r4(np.array([means[4]]))),
+        "ci_hi": pa.array(_r4(np.array([means[194]]))),
+        "n_boot": pa.array([BOOT_B], pa.int64()),
+    })
+
+
+QUERIES["value_mean_bootstrap_ci"] = q_value_mean_bootstrap_ci
+
+_BOOT_W_SQL = " + ".join(
+    f"(CASE WHEN h >= {int(t)}::UHUGEINT THEN 1 ELSE 0 END)"
+    for t in _POIS1_T)
+
+ORACLE_SQL["value_mean_bootstrap_ci"] = f"""
+WITH e AS (SELECT event_id, floor(value * 100)::BIGINT AS cents
+           FROM events),
+r AS (SELECT e.event_id, e.cents, g.b
+      FROM e CROSS JOIN
+           (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) g),
+u AS (SELECT cents, b,
+             ((event_id::UHUGEINT * {BOOT_B} + b + 1) * {_MIX64})
+               % {_M64} AS h
+      FROM r),
+w AS (SELECT cents, b, ({_BOOT_W_SQL})::BIGINT AS w FROM u),
+agg AS (SELECT b, sum(w)::BIGINT AS n,
+               sum(w * cents)::BIGINT AS s
+        FROM w GROUP BY b),
+m AS (SELECT s::DOUBLE / n::DOUBLE / 100.0 AS m FROM agg),
+o AS (SELECT m, row_number() OVER (ORDER BY m) AS rn FROM m),
+g2 AS (SELECT sum(cents)::BIGINT AS s, count(*)::BIGINT AS n FROM e)
+SELECT {_R4.format(expr='(g2.s::DOUBLE / g2.n::DOUBLE / 100.0)')}
+         AS mean,
+       {_R4.format(expr='(SELECT m FROM o WHERE rn = 5)')} AS ci_lo,
+       {_R4.format(expr='(SELECT m FROM o WHERE rn = 195)')} AS ci_hi,
+       {BOOT_B}::BIGINT AS n_boot
+FROM g2
+"""
+
+
+def q_als_one_step(sf_dir: str):
+    """One ALS alternation at k=1 over the implicit (user ×
+    event_type) rating matrix r_ui = Σ value — the
+    matrix-factorization TRAINING step (complementing the serving-side
+    item-CF family): item factors start at v=1, the closed-form user
+    step u_u = (Σ_i r_ui)/(n_u + λ) and item step v_i = Σ_u r_ui·u_u /
+    (Σ_u u_u² + λ) with λ=1.  Scale shape: ONE (user, item)-keyed
+    grouped sum builds the rating matrix (the only data-sized
+    exchange), the user step is a user-keyed grouped sum over it,
+    factors flow back through one user-keyed sort-merge join, and the
+    item step is an item-domain-bounded grouped sum of per-batch
+    float partials.  Every u_u is one division of identical exact
+    integers; the item-step float sums are 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "event_type", "value"])
+
+    prep_schema = pa.schema([("user_id", pa.int64()),
+                             ("event_type", pa.string()),
+                             ("cents", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "cents": pa.array(np.floor(
+                t["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64))})
+
+    ui = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id", "event_type"], [("cents", "sum", "s")],
+        in_schema=prep_schema)
+
+    uu = sorted_groupby_agg(
+        ui, ["user_id"], [("s", "sum", "su"), ("s", "count", "nu")])
+
+    def ufac(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("user_id", pa.int64()), ("u", pa.float64())])
+        if t.num_rows == 0 or "su" not in t.column_names:
+            return sch.empty_table()
+        su = t["su"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nu = t["nu"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"user_id": t["user_id"],
+                         "u": pa.array((su / 100.0) / (nu + 1.0))})
+
+    uf = uu.map_batches(ufac, batch_format="pyarrow")
+    joined = sort_merge_join(ui, uf, "user_id")
+
+    item_schema = pa.schema([("event_type", pa.string()),
+                             ("num", pa.float64()),
+                             ("den", pa.float64()),
+                             ("n", pa.int64())])
+
+    def item_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return item_schema.empty_table()
+        it = t["event_type"]
+        it = it.combine_chunks() if isinstance(it, pa.ChunkedArray) \
+            else it
+        d = it.dictionary_encode()
+        codes = d.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        card = len(d.dictionary)
+        s = t["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = t["u"].to_numpy(zero_copy_only=False)
+        num = np.bincount(codes, weights=(s / 100.0) * u,
+                          minlength=card)
+        den = np.bincount(codes, weights=u * u, minlength=card)
+        n = np.bincount(codes, minlength=card).astype(np.int64)
+        return pa.table({"event_type": d.dictionary.cast(pa.string()),
+                         "num": pa.array(num), "den": pa.array(den),
+                         "n": pa.array(n)})
+
+    items = sorted_groupby_agg(
+        joined.map_batches(item_partial, batch_format="pyarrow"),
+        ["event_type"],
+        [("num", "sum", "num"), ("den", "sum", "den"),
+         ("n", "sum", "n_users")],
+        in_schema=item_schema)
+
+    def fin(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_type", pa.string()),
+                         ("n_users", pa.int64()),
+                         ("v", pa.float64())])
+        if t.num_rows == 0 or "num" not in t.column_names:
+            return sch.empty_table()
+        num = t["num"].to_numpy(zero_copy_only=False)
+        den = t["den"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_users": t["n_users"].cast(pa.int64()),
+            "v": pa.array(_r4(num / (den + 1.0)))})
+
+    return items.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["als_one_step"] = q_als_one_step
+
+ORACLE_SQL["als_one_step"] = f"""
+WITH ui AS (SELECT user_id, event_type,
+                   sum(floor(value * 100)::BIGINT)::BIGINT AS s
+            FROM events GROUP BY 1, 2),
+uu AS (SELECT user_id, sum(s)::BIGINT AS su, count(*)::BIGINT AS nu
+       FROM ui GROUP BY 1),
+uf AS (SELECT user_id, (su::DOUBLE / 100.0) / (nu + 1)::DOUBLE AS u
+       FROM uu),
+vi AS (SELECT ui.event_type,
+              sum((ui.s::DOUBLE / 100.0) * uf.u) AS num,
+              sum(uf.u * uf.u) AS den,
+              count(*)::BIGINT AS n_users
+       FROM ui JOIN uf USING (user_id) GROUP BY 1)
+SELECT event_type, n_users,
+       {_R4.format(expr='(num / (den + 1.0))')} AS v
+FROM vi
+"""
