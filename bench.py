@@ -943,6 +943,76 @@ def bench_fuzzy_names(out: dict) -> None:
     assert pairs > 0
 
 
+def bench_novelty(out: dict) -> None:
+    """Cross-split n-gram novelty over the same 200k 30-token corpus
+    as dup_passages_200k: membership of holdout trigrams against the
+    TRAIN HALF of the corpus — the reference side is corpus-sized, so
+    the check rides ONE uint64 hash sort (no broadcast).  Asserts the
+    holdout row count and that the dense vocab makes most (but not
+    necessarily all) holdout grams "seen"."""
+    from mini_search_engine_ray.stages.dedup import cross_split_seen_stats
+
+    n = 200_000
+    ds = _wordy_corpus(n)
+    t0 = time.time()
+    stats = cross_split_seen_stats(ds, n=3).materialize()
+    rows = stats.count()
+    seen = stats.sum("n_seen")
+    total = stats.sum("n_grams")
+    out["queries"]["novelty_200k"] = round(time.time() - t0, 3)
+    assert rows == n // 2 and total == rows * 28 and 0 < seen <= total
+
+
+def bench_bootstrap(out: dict) -> None:
+    """One-pass Poisson bootstrap (B=200) of a mean over 10M rows —
+    2×10⁹ derived (row, b) weights, all integer mix + searchsorted,
+    201-bounded partials.  Asserts the CI brackets the exact mean and
+    is tight (n=10M ⇒ half-width ≪ 1%% of the mean)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mini_search_engine_ray.pipelines.driver_queries import (
+        _POIS1_T, _BOOT_MIX, BOOT_B)
+
+    n = 10_000_000
+
+    def gen(b: pa.Table) -> pa.Table:
+        ids = b["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rng = np.random.default_rng(int(ids[0]) + 1)
+        return pa.table({"event_id": pa.array(ids),
+                         "cents": pa.array(rng.integers(
+                             0, 10_000, len(ids)).astype(np.int64))})
+
+    ds = rd.range(n).map_batches(gen, batch_format="pyarrow")         .materialize()
+    barr = np.arange(BOOT_B, dtype=np.uint64)[None, :] + np.uint64(1)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)             .astype(np.uint64)
+        cents = t["cents"].to_numpy(zero_copy_only=False)
+        u = (ids[:, None] * np.uint64(BOOT_B) + barr) * _BOOT_MIX
+        w = np.searchsorted(_POIS1_T, u, side="right").astype(np.int64)
+        return pa.table({
+            "b": pa.array(np.r_[np.arange(BOOT_B, dtype=np.int64),
+                                BOOT_B]),
+            "n": pa.array(np.r_[w.sum(axis=0), t.num_rows]),
+            "s": pa.array(np.r_[cents @ w, int(cents.sum())]),
+        })
+
+    t0 = time.time()
+    acc_n = np.zeros(BOOT_B + 1, dtype=np.int64)
+    acc_s = np.zeros(BOOT_B + 1, dtype=np.int64)
+    for r in ds.map_batches(partial, batch_size=8192,
+                            batch_format="pyarrow").take_all():
+        acc_n[r["b"]] += r["n"]
+        acc_s[r["b"]] += r["s"]
+    means = np.sort(acc_s[:BOOT_B] / acc_n[:BOOT_B])
+    mean = acc_s[BOOT_B] / acc_n[BOOT_B]
+    out["queries"]["bootstrap_10m_b200"] = round(time.time() - t0, 3)
+    assert means[4] < mean < means[195 - 1]
+    assert (means[194] - means[4]) < 0.01 * mean
+
+
 def bench_doc_sim(out: dict) -> None:
     """Sparse TF-IDF cosine all-pairs similarity over 200k 30-token
     docs (6M tokens, two tokenize passes + a vocabulary-sized df
@@ -1410,7 +1480,8 @@ _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "curation", "kmeans", "scrub", "chunk_decontam", "prefix_scan",
               "bounded_window", "dup_passages", "dedup_rewrite", "setsim", "bpe_train",
               "doc_sim", "fuzzy_names", "graph_triangles", "graph_iterative",
-              "cooccur", "analytics", "spatial", "eval_metrics", "quantiles_cont")
+              "cooccur", "analytics", "spatial", "eval_metrics",
+              "quantiles_cont", "novelty", "bootstrap")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -1522,6 +1593,10 @@ def run_all(only: str | None = None) -> dict:
         bench_quantiles_cont(out)
     if only in (None, "analytics"):
         bench_analytics(out)
+    if only in (None, "novelty"):
+        bench_novelty(out)
+    if only in (None, "bootstrap"):
+        bench_bootstrap(out)
     out["value"] = round(sum(out["queries"].values()), 3)
     ray.shutdown()
     return out
