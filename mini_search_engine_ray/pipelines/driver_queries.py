@@ -15689,3 +15689,100 @@ SELECT event_type, n_users,
        {_R4.format(expr='(num / (den + 1.0))')} AS v
 FROM vi
 """
+
+
+# ---------------------------------------------------------------------
+# Wave 17 — IR evaluation tier: MRR + NDCG@10 of the BM25 ranking
+# against deterministic relevance (graded = #distinct query terms in
+# the doc; binary-relevant = contains ALL query terms).
+# ---------------------------------------------------------------------
+
+NDCG_K = 10
+# "dup" is the one genuinely rare vocabulary term (~25 docs at every
+# sf) — with two common terms it makes the top-10 mix relevance
+# grades instead of saturating at rel=3
+EVAL_TERMS = ["dup", "spark", "merge"]
+
+
+def q_bm25_eval(sf_dir: str):
+    """Ranking-quality evaluation of the engine's own BM25 ordering —
+    the search-tier scorecard: relevance is DETERMINISTIC (graded
+    rel_d = number of distinct EVAL_TERMS the doc contains, checked
+    against the index postings; binary-relevant = all three), the
+    ranking is the full 4dp-rounded BM25 order (score desc, doc_id
+    asc — the exact-tie convention every ranked query here pins).
+    MRR = 1/rank of the first binary-relevant doc; DCG@10 =
+    Σ (2^rel − 1)/log2(rank+1) over the top 10; IDCG@10 = the same
+    sum over relevance grades sorted descending (every graded doc is
+    in the ranking, since any doc matching ≥1 query term is scored);
+    NDCG = DCG/IDCG.  Ranks and grades are exact integers; the ≤10-
+    term float sums are 4dp-gated."""
+    s = _searcher(sf_dir)
+    ids, sc = s.search_bm25(EVAL_TERMS, None, prune=False)
+    if len(ids) == 0:
+        raise ValueError("bm25_eval: empty ranking")
+    r = _r4(sc)
+    order = np.lexsort((np.asarray(ids), -r))
+    ranked = np.asarray(ids, dtype=np.int64)[order]
+
+    grade = np.zeros(len(ranked), dtype=np.int64)
+    for term in EVAL_TERMS:
+        p = s.postings(term)
+        if p is not None:
+            grade += np.isin(ranked, p[0]).astype(np.int64)
+    relevant = grade == len(EVAL_TERMS)
+    if not relevant.any() or not (grade > 0).any():
+        raise ValueError("bm25_eval: no relevant docs")
+    best_rank = int(np.flatnonzero(relevant)[0]) + 1
+    mrr = 1.0 / best_rank
+
+    k = min(NDCG_K, len(ranked))
+    ranks = np.arange(1, k + 1, dtype=np.float64)
+    dcg = float(np.sum((np.exp2(grade[:k].astype(np.float64)) - 1.0)
+                       / np.log2(ranks + 1.0)))
+    ideal = np.sort(grade)[::-1][:k].astype(np.float64)
+    idcg = float(np.sum((np.exp2(ideal) - 1.0)
+                        / np.log2(ranks[:len(ideal)] + 1.0)))
+    return pa.table({
+        "n_ranked": pa.array([len(ranked)], pa.int64()),
+        "n_relevant": pa.array([int(relevant.sum())], pa.int64()),
+        "best_rank": pa.array([best_rank], pa.int64()),
+        "mrr": pa.array(_r4(np.array([mrr]))),
+        "ndcg10": pa.array(_r4(np.array([dcg / idcg]))),
+    })
+
+
+QUERIES["bm25_eval"] = q_bm25_eval
+
+_BM25_EVAL_REL = " + ".join(
+    f"(CASE WHEN list_contains(terms, '{t}') THEN 1 ELSE 0 END)"
+    for t in EVAL_TERMS)
+_BM25_EVAL_ALLREL = " AND ".join(
+    f"list_contains(terms, '{t}')" for t in EVAL_TERMS)
+
+ORACLE_SQL["bm25_eval"] = f"""
+WITH {_BASE_CTE},
+w AS ({_bm25_sql(EVAL_TERMS, None)}),
+r AS (SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+      FROM w),
+g AS (SELECT doc_id, ({_BM25_EVAL_REL})::BIGINT AS rel FROM base),
+rel AS (SELECT doc_id FROM base WHERE {_BM25_EVAL_ALLREL}),
+first AS (SELECT min(rnk)::BIGINT AS best_rank
+          FROM r JOIN rel USING (doc_id)),
+dcg AS (SELECT sum((pow(2.0, g.rel) - 1.0)
+                   / log2(r.rnk::DOUBLE + 1.0)) AS v
+        FROM r JOIN g USING (doc_id) WHERE r.rnk <= {NDCG_K}),
+ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC) AS i
+          FROM g WHERE rel > 0),
+idcg AS (SELECT sum((pow(2.0, rel) - 1.0)
+                    / log2(i::DOUBLE + 1.0)) AS v
+         FROM ideal WHERE i <= {NDCG_K})
+SELECT (SELECT count(*) FROM r)::BIGINT AS n_ranked,
+       (SELECT count(*) FROM rel)::BIGINT AS n_relevant,
+       first.best_rank,
+       {_R4.format(expr='(1.0 / first.best_rank::DOUBLE)')} AS mrr,
+       {_R4.format(expr='((SELECT v FROM dcg) / (SELECT v FROM idcg))')}
+         AS ndcg10
+FROM first
+"""
