@@ -15786,3 +15786,210 @@ SELECT (SELECT count(*) FROM r)::BIGINT AS n_ranked,
          AS ndcg10
 FROM first
 """
+
+
+# ---------------------------------------------------------------------
+# Wave 18 — randomization inference (deterministic Monte-Carlo
+# permutation test) and exact grouped mode with a pinned tiebreak.
+# ---------------------------------------------------------------------
+
+PERM_B = 200
+_COIN_T = np.uint64(1) << np.uint64(63)  # fair coin: u >= 2^63
+
+
+def q_weekend_value_perm_test(sf_dir: str):
+    """Randomization test of the weekend-vs-weekday value difference —
+    the assumption-free companion to `weekend_value_ttest`: the
+    observed statistic is |mean_weekend − mean_weekday|, and the null
+    distribution is PERM_B Monte-Carlo reassignments where each row
+    joins pseudo-group 1 on a fair coin DERIVED from the row id —
+    u = ((event_id·B + b + 1)·MIX64) mod 2⁶⁴, group = [u ≥ 2⁶³] —
+    so both engines hold identical integer group assignments (same
+    derived-randomness contract as `value_mean_bootstrap_ci`).  Per
+    batch: one (rows × B) uint64 mix, exact int64 (n₁, Σcoin·cents)
+    partials plus the observed weekend/weekday moments, a
+    201-bounded driver fold; every permuted mean is one division of
+    identical exact integers, and p = (1 + #{b : stat_b ≥ obs}) /
+    (B + 1) compares identical doubles.  obs/p 4dp-gated, the
+    extreme-count exact."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "ts", "value"])
+
+    part_schema = pa.schema([("b", pa.int64()), ("n", pa.int64()),
+                             ("s", pa.int64())])
+    barr = np.arange(PERM_B, dtype=np.uint64)[None, :] + np.uint64(1)
+
+    # fold lanes: 0..B-1 = coin-group-1 partials; B = batch totals;
+    # B+1 = observed weekend partials
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ids = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        wk = ((us // 86_400_000_000 + 4) % 7 >= 5)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        u = (ids[:, None] * np.uint64(PERM_B) + barr) * _BOOT_MIX
+        coin = (u >= _COIN_T).astype(np.int64)
+        return pa.table({
+            "b": pa.array(np.r_[np.arange(PERM_B, dtype=np.int64),
+                                PERM_B, PERM_B + 1]),
+            "n": pa.array(np.r_[coin.sum(axis=0), t.num_rows,
+                                int(wk.sum())]),
+            "s": pa.array(np.r_[cents @ coin, int(cents.sum()),
+                                int(cents[wk].sum())]),
+        })
+
+    acc_n = np.zeros(PERM_B + 2, dtype=np.int64)
+    acc_s = np.zeros(PERM_B + 2, dtype=np.int64)
+    for r in ds.map_batches(partial, batch_size=8192,
+                            batch_format="pyarrow").take_all():
+        acc_n[r["b"]] += r["n"]
+        acc_s[r["b"]] += r["s"]
+    n_tot, s_tot = acc_n[PERM_B], acc_s[PERM_B]
+    n_wk, s_wk = acc_n[PERM_B + 1], acc_s[PERM_B + 1]
+    if n_wk == 0 or n_wk == n_tot:
+        raise ValueError("weekend_value_perm_test: a group is empty")
+    n1 = acc_n[:PERM_B]
+    if ((n1 == 0) | (n1 == n_tot)).any():
+        raise ValueError("weekend_value_perm_test: a permuted group "
+                         "is empty")
+    s1 = acc_s[:PERM_B]
+
+    def stat(sa, na, sb, nb):
+        return np.abs(sa.astype(np.float64) / na.astype(np.float64)
+                      / 100.0
+                      - sb.astype(np.float64) / nb.astype(np.float64)
+                      / 100.0)
+
+    obs = float(stat(np.array([s_wk]), np.array([n_wk]),
+                     np.array([s_tot - s_wk]),
+                     np.array([n_tot - n_wk]))[0])
+    stats = stat(s1, n1, s_tot - s1, n_tot - n1)
+    n_extreme = int((stats >= obs).sum())
+    p = (1.0 + n_extreme) / (PERM_B + 1.0)
+    return pa.table({
+        "stat_obs": pa.array(_r4(np.array([obs]))),
+        "n_extreme": pa.array([n_extreme], pa.int64()),
+        "p_value": pa.array(_r4(np.array([p]))),
+        "n_perm": pa.array([PERM_B], pa.int64()),
+    })
+
+
+QUERIES["weekend_value_perm_test"] = q_weekend_value_perm_test
+
+ORACLE_SQL["weekend_value_perm_test"] = f"""
+WITH e AS (SELECT event_id,
+                  ((epoch_us(ts) // 86400000000 + 4) % 7 >= 5) AS wk,
+                  floor(value * 100)::BIGINT AS cents
+           FROM events),
+tot AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s,
+               sum(CASE WHEN wk THEN 1 ELSE 0 END)::BIGINT AS n_wk,
+               sum(CASE WHEN wk THEN cents ELSE 0 END)::BIGINT AS s_wk
+        FROM e),
+obs AS (SELECT abs(s_wk::DOUBLE / n_wk::DOUBLE / 100.0
+                   - (s - s_wk)::DOUBLE / (n - n_wk)::DOUBLE / 100.0)
+               AS v
+        FROM tot),
+r AS (SELECT e.event_id, e.cents, g.b
+      FROM e CROSS JOIN
+           (SELECT unnest(generate_series(0, {PERM_B - 1})) AS b) g),
+c AS (SELECT cents, b,
+             (CASE WHEN ((event_id::UHUGEINT * {PERM_B} + b + 1)
+                         * {_MIX64}) % {_M64}
+                        >= 9223372036854775808::UHUGEINT
+                   THEN 1 ELSE 0 END) AS coin
+      FROM r),
+agg AS (SELECT b, sum(coin)::BIGINT AS n1,
+               sum(coin * cents)::BIGINT AS s1
+        FROM c GROUP BY b),
+st AS (SELECT abs(a.s1::DOUBLE / a.n1::DOUBLE / 100.0
+                  - (t.s - a.s1)::DOUBLE / (t.n - a.n1)::DOUBLE
+                    / 100.0) AS v
+       FROM agg a CROSS JOIN tot t),
+ex AS (SELECT count(*)::BIGINT AS k FROM st
+       WHERE v >= (SELECT v FROM obs))
+SELECT {_R4.format(expr='(SELECT v FROM obs)')} AS stat_obs,
+       ex.k AS n_extreme,
+       {_R4.format(expr='((1.0 + ex.k) / (' + str(PERM_B) + ' + 1.0))')}
+         AS p_value,
+       {PERM_B}::BIGINT AS n_perm
+FROM ex
+"""
+
+
+def q_value_mode_per_type(sf_dir: str):
+    """Exact grouped MODE with a pinned tiebreak — SQL's mode() leaves
+    equal-frequency ties unspecified, so both engines rank (count
+    desc, cents asc) explicitly: ONE (event_type × cents)-bounded
+    grouped count, then the existing per-group top-1 rank sweep
+    (`topk_per_group`, cents as the ascending tiebreak)."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg, topk_per_group
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "value"])
+
+    part_schema = pa.schema([("event_type", pa.string()),
+                             ("cents", pa.int64()),
+                             ("one", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pa.array(np.floor(
+                t["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64)),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    counts = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "cents"], [("one", "sum", "cnt")],
+        in_schema=part_schema)
+
+    top = topk_per_group(
+        counts, ["event_type"], "cnt", 1, descending=True,
+        tiebreak="cents",
+        in_schema=pa.schema([("event_type", pa.string()),
+                             ("cents", pa.int64()),
+                             ("cnt", pa.int64())]))
+
+    def fin(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("event_type", pa.string()),
+                         ("mode_value", pa.float64()),
+                         ("n", pa.int64())])
+        if t.num_rows == 0 or "cents" not in t.column_names:
+            return sch.empty_table()
+        c = t["cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"event_type": t["event_type"],
+                         "mode_value": pa.array(_r4(c / 100.0)),
+                         "n": t["cnt"].cast(pa.int64())})
+
+    return top.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["value_mode_per_type"] = q_value_mode_per_type
+
+ORACLE_SQL["value_mode_per_type"] = f"""
+WITH c AS (SELECT event_type, floor(value * 100)::BIGINT AS cents,
+                  count(*)::BIGINT AS cnt
+           FROM events GROUP BY 1, 2),
+r AS (SELECT event_type, cents, cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, cents) AS rn
+      FROM c)
+SELECT event_type,
+       {_R4.format(expr='(cents::DOUBLE / 100.0)')} AS mode_value,
+       cnt AS n
+FROM r WHERE rn = 1
+"""
