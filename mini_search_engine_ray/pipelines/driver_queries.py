@@ -15993,3 +15993,132 @@ SELECT event_type,
        cnt AS n
 FROM r WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------
+# Wave 19 — TPC-H Q5 proper: the 6-table local-supplier-volume join
+# with exact-integer revenue.
+# ---------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+
+
+def q_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 (local supplier volume), the 6-table join benchmark
+    shape: lineitem ⨝ orders ⨝ customer ⨝ supplier with the
+    LOCAL-supplier constraint c_nationkey = s_nationkey, restricted
+    to {Q5_REGION} via the broadcast nation⨝region lookup (30 rows,
+    `ray.put` once), grouped revenue per nation.  Three data-sized
+    sort-merge joins are the exchanges; revenue is carried as EXACT
+    int64 micros — price-cents × (100 − discount-pct), both
+    half-up-rounded integers — so the grouped sum is
+    association-free and the single final division is 4dp-gated."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    supp = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                           columns=["s_suppkey", "s_nationkey"])
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+    rkeys = {r["r_regionkey"] for r in region.to_pylist()
+             if r["r_name"] == Q5_REGION}
+    nmap = {r["n_nationkey"]: r["n_name"] for r in nation.to_pylist()
+            if r["n_regionkey"] in rkeys}
+
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_suppkey", pa.int64()),
+                           ("micros", pa.int64())])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return li_schema.empty_table()
+        pc_ = np.floor(t["l_extendedprice"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        dp = np.floor(t["l_discount"].to_numpy(
+            zero_copy_only=False) * 100 + 0.5).astype(np.int64)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "micros": pa.array(pc_ * (100 - dp))})
+
+    j1 = sort_merge_join(li.map_batches(prep_li, batch_format="pyarrow"),
+                         orders, "l_orderkey", "o_orderkey",
+                         left_schema=li_schema, partitions=8)
+    j1_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_suppkey", pa.int64()),
+                           ("micros", pa.int64()),
+                           ("o_custkey", pa.int64())])
+    j2 = sort_merge_join(j1, cust, "o_custkey", "c_custkey",
+                         left_schema=j1_schema, partitions=8)
+    j2_schema = pa.schema(list(j1_schema)
+                          + [pa.field("c_nationkey", pa.int64())])
+    j3 = sort_merge_join(j2, supp, "l_suppkey", "s_suppkey",
+                         left_schema=j2_schema, partitions=8)
+
+    part_schema = pa.schema([("n_name", pa.string()),
+                             ("micros", pa.int64()),
+                             ("one", pa.int64())])
+
+    def local_asia(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return part_schema.empty_table()
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        keep = (cn == sn) & np.isin(sn, list(nmap))
+        if not keep.any():
+            return part_schema.empty_table()
+        names = [nmap[int(k)] for k in sn[keep]]
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "micros": pa.array(t["micros"].to_numpy(
+                zero_copy_only=False)[keep]),
+            "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+
+    agg = sorted_groupby_agg(
+        j3.map_batches(local_asia, batch_format="pyarrow"),
+        ["n_name"], [("one", "sum", "n_items"),
+                     ("micros", "sum", "micros")],
+        in_schema=part_schema)
+
+    def fin(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("n_name", pa.string()),
+                         ("n_items", pa.int64()),
+                         ("revenue", pa.float64())])
+        if t.num_rows == 0 or "micros" not in t.column_names:
+            return sch.empty_table()
+        m = t["micros"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"n_name": t["n_name"],
+                         "n_items": t["n_items"].cast(pa.int64()),
+                         "revenue": pa.array(_r4(m / 10000.0))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["local_supplier_volume"] = q_local_supplier_volume
+
+ORACLE_SQL["local_supplier_volume"] = f"""
+SELECT n_name, count(*)::BIGINT AS n_items,
+       {_R4.format(expr="(sum(floor(l_extendedprice * 100 + 0.5)::BIGINT"
+                        " * (100 - floor(l_discount * 100 + 0.5)::BIGINT)"
+                        ")::DOUBLE / 10000.0)")} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = '{Q5_REGION}'
+GROUP BY n_name
+"""
