@@ -16122,3 +16122,247 @@ JOIN region   ON n_regionkey = r_regionkey
 WHERE c_nationkey = s_nationkey AND r_name = '{Q5_REGION}'
 GROUP BY n_name
 """
+
+
+# ---------------------------------------------------------------------
+# Wave 20 — lagged cross-correlation between two event types' daily
+# revenue series, and two-regressor OLS via exact integer moments.
+# ---------------------------------------------------------------------
+
+XCORR_X_TYPE = "click"
+XCORR_Y_TYPE = "purchase"
+XCORR_MAX_LAG = 3
+
+
+def q_daily_type_crosscorr(sf_dir: str):
+    """Lagged cross-correlation between the daily revenue series of
+    two event types — the does-X-lead-Y screen: r(lag) =
+    corr(click_t, purchase_{t+lag}) for lag 0..3 over the log's full
+    day range (missing days fill 0 — a day with no events of the type
+    contributed nothing).  ONE (day × type)-bounded grouped cents sum
+    is the only corpus-sized work; every Pearson moment is an exact
+    Python int (days-bounded fold), the oracle carries them as
+    HUGEINT, and r is the identical num/√(dx·dy) expression on both
+    sides, 4dp-gated."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "event_type", "value"])
+
+    part_schema = pa.schema([("day", pa.int64()), ("g", pa.int64()),
+                             ("s", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        rows = {"day": [], "g": [], "s": []}
+        for g, name in ((0, XCORR_X_TYPE), (1, XCORR_Y_TYPE)):
+            m = et == name
+            if m.any():
+                d = day[m]
+                lo = int(d.min())
+                cnt = np.bincount(d - lo, weights=cents[m]) \
+                    .astype(np.int64)
+                nz = np.flatnonzero(cnt)
+                rows["day"] += (nz + lo).tolist()
+                rows["g"] += [g] * len(nz)
+                rows["s"] += cnt[nz].tolist()
+        # always carry the batch's day range so zero-revenue days at
+        # the log edges can't shift the fill-0 day grid
+        dlo, dhi = int(day.min()), int(day.max())
+        rows["day"] += [dlo, dhi]
+        rows["g"] += [2, 2]
+        rows["s"] += [0, 0]
+        return pa.table({k: pa.array(v, pa.int64())
+                         for k, v in rows.items()})
+
+    acc: dict[tuple[int, int], int] = {}
+    lo = hi = None
+    for r in ds.map_batches(partial,
+                            batch_format="pyarrow").take_all():
+        d, g, sv = r["day"], r["g"], r["s"]
+        lo = d if lo is None else min(lo, d)
+        hi = d if hi is None else max(hi, d)
+        if g < 2:
+            acc[(d, g)] = acc.get((d, g), 0) + sv
+    if lo is None:
+        raise ValueError("daily_type_crosscorr: empty log")
+    days = hi - lo + 1
+    x = [0] * days
+    y = [0] * days
+    for (d, g), sv in acc.items():
+        (x if g == 0 else y)[d - lo] += sv
+    out_lag, out_n, out_r = [], [], []
+    for lag in range(XCORR_MAX_LAG + 1):
+        xs = x[:days - lag]
+        ys = y[lag:]
+        n = len(xs)
+        if n < 3:
+            raise ValueError("daily_type_crosscorr: too few days")
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        dy = n * syy - sy * sy
+        if dx == 0 or dy == 0:
+            raise ValueError("daily_type_crosscorr: zero variance")
+        out_lag.append(lag)
+        out_n.append(n)
+        out_r.append(float(num) / np.sqrt(float(dx) * float(dy)))
+    return pa.table({
+        "lag": pa.array(out_lag, pa.int64()),
+        "n_days": pa.array(out_n, pa.int64()),
+        "r": pa.array(_r4(np.array(out_r))),
+    })
+
+
+QUERIES["daily_type_crosscorr"] = q_daily_type_crosscorr
+
+ORACLE_SQL["daily_type_crosscorr"] = f"""
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                  floor(value * 100)::BIGINT AS cents
+           FROM events),
+sp AS (SELECT min(day)::BIGINT AS lo, max(day)::BIGINT AS hi FROM e),
+grid AS (SELECT unnest(generate_series((SELECT lo FROM sp),
+                                       (SELECT hi FROM sp))) AS day),
+xs AS (SELECT g.day, coalesce(s.s, 0)::BIGINT AS x
+       FROM grid g LEFT JOIN
+            (SELECT day, sum(cents)::BIGINT AS s FROM e
+             WHERE event_type = '{XCORR_X_TYPE}' GROUP BY 1) s
+            USING (day)),
+ys AS (SELECT g.day, coalesce(s.s, 0)::BIGINT AS y
+       FROM grid g LEFT JOIN
+            (SELECT day, sum(cents)::BIGINT AS s FROM e
+             WHERE event_type = '{XCORR_Y_TYPE}' GROUP BY 1) s
+            USING (day)),
+lags AS (SELECT unnest(generate_series(0, {XCORR_MAX_LAG})) AS lag),
+p AS (SELECT l.lag, xs.x, ys.y
+      FROM lags l
+      JOIN xs ON TRUE
+      JOIN ys ON ys.day = xs.day + l.lag),
+m AS (SELECT lag, count(*)::BIGINT AS n,
+             sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+             sum(x::HUGEINT * x)::HUGEINT AS sxx,
+             sum(y::HUGEINT * y)::HUGEINT AS syy,
+             sum(x::HUGEINT * y)::HUGEINT AS sxy
+      FROM p GROUP BY lag)
+SELECT lag, n AS n_days,
+       {_R4.format(expr="((n * sxy - sx * sy)::DOUBLE"
+                        " / sqrt((n * sxx - sx * sx)::DOUBLE"
+                        " * (n * syy - sy * sy)::DOUBLE))")} AS r
+FROM m ORDER BY lag
+"""
+
+
+def q_value_ols_2reg(sf_dir: str):
+    """Two-regressor OLS — value ~ hour-of-day + weekend — solved in
+    closed form from EXACT integer moments (n, Σx₁, Σx₂, Σy, Σx₁²,
+    Σx₂², Σx₁x₂, Σx₁y, Σx₂y; x₁ = UTC hour 0–23, x₂ = weekend 0/1,
+    y = cents — nine int64-safe scalar partials, driver-folded into
+    Python ints so the normal-equation determinants never overflow;
+    the oracle carries them as HUGEINT).  Slopes are single divisions
+    of identical exact integers; the intercept mirrors the oracle's
+    float expression order term-for-term; all three 4dp-gated."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+
+    names = ["n", "sx1", "sx2", "sy", "sx11", "sx22", "sx12",
+             "sx1y", "sx2y"]
+    part_schema = pa.schema([("i", pa.int64()), ("v", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x1 = (us // 3_600_000_000) % 24
+        x2 = ((us // 86_400_000_000 + 4) % 7 >= 5).astype(np.int64)
+        y = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                     * 100).astype(np.int64)
+        vals = [t.num_rows, int(x1.sum()), int(x2.sum()),
+                int(y.sum()), int((x1 * x1).sum()), int(x2.sum()),
+                int((x1 * x2).sum()), int((x1 * y).sum()),
+                int((x2 * y).sum())]
+        return pa.table({"i": pa.array(np.arange(9, dtype=np.int64)),
+                         "v": pa.array(vals, pa.int64())})
+
+    acc = [0] * 9
+    for r in ds.map_batches(partial,
+                            batch_format="pyarrow").take_all():
+        acc[r["i"]] += r["v"]
+    mo = dict(zip(names, acc))
+    n = mo["n"]
+    if n < 3:
+        raise ValueError("value_ols_2reg: too few rows")
+    d11 = n * mo["sx11"] - mo["sx1"] * mo["sx1"]
+    d22 = n * mo["sx22"] - mo["sx2"] * mo["sx2"]
+    d12 = n * mo["sx12"] - mo["sx1"] * mo["sx2"]
+    dy1 = n * mo["sx1y"] - mo["sx1"] * mo["sy"]
+    dy2 = n * mo["sx2y"] - mo["sx2"] * mo["sy"]
+    det = d11 * d22 - d12 * d12
+    if det == 0:
+        raise ValueError("value_ols_2reg: singular design")
+    b1 = float(dy1 * d22 - dy2 * d12) / float(det)
+    b2 = float(dy2 * d11 - dy1 * d12) / float(det)
+    a = (float(mo["sy"]) - b1 * float(mo["sx1"])
+         - b2 * float(mo["sx2"])) / float(n)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "intercept": pa.array(_r4(np.array([a / 100.0]))),
+        "slope_hour": pa.array(_r4(np.array([b1 / 100.0]))),
+        "slope_weekend": pa.array(_r4(np.array([b2 / 100.0]))),
+    })
+
+
+QUERIES["value_ols_2reg"] = q_value_ols_2reg
+
+ORACLE_SQL["value_ols_2reg"] = f"""
+WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS x1,
+                  CASE WHEN (epoch_us(ts) // 86400000000 + 4) % 7 >= 5
+                       THEN 1 ELSE 0 END AS x2,
+                  floor(value * 100)::BIGINT AS y
+           FROM events),
+m AS (SELECT count(*)::HUGEINT AS n,
+             sum(x1)::HUGEINT AS sx1, sum(x2)::HUGEINT AS sx2,
+             sum(y)::HUGEINT AS sy,
+             sum(x1::HUGEINT * x1)::HUGEINT AS sx11,
+             sum(x2)::HUGEINT AS sx22,
+             sum(x1::HUGEINT * x2)::HUGEINT AS sx12,
+             sum(x1::HUGEINT * y)::HUGEINT AS sx1y,
+             sum(x2::HUGEINT * y)::HUGEINT AS sx2y
+      FROM e),
+d AS (SELECT n, sy, sx1, sx2,
+             n * sx11 - sx1 * sx1 AS d11,
+             n * sx22 - sx2 * sx2 AS d22,
+             n * sx12 - sx1 * sx2 AS d12,
+             n * sx1y - sx1 * sy AS dy1,
+             n * sx2y - sx2 * sy AS dy2
+      FROM m),
+b AS (SELECT n, sy, sx1, sx2,
+             (dy1 * d22 - dy2 * d12)::DOUBLE
+               / (d11 * d22 - d12 * d12)::DOUBLE AS b1,
+             (dy2 * d11 - dy1 * d12)::DOUBLE
+               / (d11 * d22 - d12 * d12)::DOUBLE AS b2
+      FROM d)
+SELECT n::BIGINT AS n,
+       {_R4.format(expr="(((sy::DOUBLE - b1 * sx1::DOUBLE"
+                        " - b2 * sx2::DOUBLE) / n::DOUBLE) / 100.0)")}
+         AS intercept,
+       {_R4.format(expr='(b1 / 100.0)')} AS slope_hour,
+       {_R4.format(expr='(b2 / 100.0)')} AS slope_weekend
+FROM b
+"""
