@@ -16366,3 +16366,414 @@ SELECT n::BIGINT AS n,
        {_R4.format(expr='(b2 / 100.0)')} AS slope_weekend
 FROM b
 """
+
+
+# ---------------------------------------------------------------------------
+# Wave 21 — data-quality / dominance / time-series / ML-training closers
+# ---------------------------------------------------------------------------
+
+
+def q_benford_value(sf_dir: str):
+    """Benford first-significant-digit screen over positive value
+    cents — the classic fraud / synthetic-data detector: observed
+    count per leading digit 1–9 vs the Benford expectation
+    n·log10(1+1/d), with the per-digit chi-square contribution.
+    Digit extraction is EXACT integer repeated-division (the oracle's
+    substring-of-decimal-cast selects the same digit); counts are a
+    9-bounded bincount fold; expected and contribution are ONE shared
+    float expression per cell (no cross-engine float summation
+    anywhere), 4dp-gated."""
+    import math
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+
+    part_schema = pa.schema([("dig", pa.int64()), ("c", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        d = cents[cents > 0]
+        if len(d) == 0:
+            return part_schema.empty_table()
+        for _ in range(18):
+            m = d >= 10
+            if not m.any():
+                break
+            d[m] //= 10
+        cnt = np.bincount(d, minlength=10).astype(np.int64)
+        return pa.table({"dig": pa.array(np.arange(1, 10)),
+                         "c": pa.array(cnt[1:])})
+
+    obs = [0] * 9
+    for r in ds.map_batches(partial,
+                            batch_format="pyarrow").take_all():
+        obs[r["dig"] - 1] += r["c"]
+    n = sum(obs)
+    if n == 0:
+        raise ValueError("benford_value: no positive values")
+    digs = list(range(1, 10))
+    exp = [float(n) * math.log10(1.0 + 1.0 / d) for d in digs]
+    chi = [(float(o) - e) * (float(o) - e) / e
+           for o, e in zip(obs, exp)]
+    return pa.table({
+        "dig": pa.array(digs, pa.int64()),
+        "obs": pa.array(obs, pa.int64()),
+        "expected": pa.array(_r4(np.array(exp))),
+        "chi2_part": pa.array(_r4(np.array(chi))),
+    })
+
+
+QUERIES["benford_value"] = q_benford_value
+
+ORACLE_SQL["benford_value"] = f"""
+WITH e AS (SELECT floor(value * 100)::BIGINT AS y FROM events
+           WHERE floor(value * 100) >= 1),
+d AS (SELECT CAST(substring(CAST(y AS VARCHAR), 1, 1) AS BIGINT)
+             AS dig FROM e),
+g AS (SELECT unnest(generate_series(1, 9)) AS dig),
+c AS (SELECT g.dig, coalesce(o.c, 0)::BIGINT AS obs
+      FROM g LEFT JOIN (SELECT dig, count(*)::BIGINT AS c FROM d
+                        GROUP BY 1) o USING (dig)),
+t AS (SELECT sum(obs)::BIGINT AS n FROM c),
+x AS (SELECT dig, obs,
+             n::DOUBLE * log10(1.0 + 1.0 / dig) AS exp
+      FROM c, t)
+SELECT dig, obs,
+       {_R4.format(expr="exp")} AS expected,
+       {_R4.format(expr="(obs::DOUBLE - exp) * (obs::DOUBLE - exp)"
+                        " / exp")} AS chi2_part
+FROM x ORDER BY dig
+"""
+
+
+def q_parts_skyline(sf_dir: str):
+    """Skyline (Pareto-dominance) query over part — the cheapest-and-
+    biggest frontier: a part survives iff no other part is at most as
+    expensive AND at least as large with one strict.  Distributed
+    plan: ONE price-cents-bounded grouped max of size (the price
+    domain is bounded — TPC-H retail prices span ~1.2e5 distinct
+    cents regardless of row count), a strict running-max sweep over
+    the ordered price domain on the driver, then one broadcast-filter
+    corpus pass fetching every part attaining a surviving
+    (price, max-size) point — duplicates of a frontier point all
+    survive (no strict dominance between identical points).  The
+    ORACLE is an INDEPENDENT quadratic NOT EXISTS self-join, so the
+    sweep is cross-validated against the naive dominance form.
+    Price cents are half-up (floor(p·100 + 0.5)), replayed exactly
+    both sides."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_size",
+                                  "p_retailprice"])
+
+    prep_schema = pa.schema([("cents", pa.int64()),
+                             ("size", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        cents = np.floor(t["p_retailprice"]
+                         .to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        size = t["p_size"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uk, inv = np.unique(cents, return_inverse=True)
+        ms = np.zeros(len(uk), dtype=np.int64)
+        np.maximum.at(ms, inv, size)
+        return pa.table({"cents": pa.array(uk), "size": pa.array(ms)})
+
+    per_price = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["cents"], [("size", "max", "size")], in_schema=prep_schema)
+
+    # price-domain-bounded by contract (documented above)
+    rows = sorted((r["cents"], r["size"])
+                  for r in per_price.take_all())
+    if not rows:
+        raise ValueError("parts_skyline: empty part table")
+    keep_price, keep_size, best = [], [], None
+    for cents, ms in rows:
+        if best is None or ms > best:
+            keep_price.append(cents)
+            keep_size.append(ms)
+            best = ms
+    kp = np.array(keep_price, dtype=np.int64)
+    ks = np.array(keep_size, dtype=np.int64)
+
+    out_schema = pa.schema([("p_partkey", pa.int64()),
+                            ("cents", pa.int64()),
+                            ("size", pa.int64())])
+
+    def pick(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        cents = np.floor(t["p_retailprice"]
+                         .to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        size = t["p_size"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(kp, cents)
+        pos_c = np.minimum(pos, len(kp) - 1)
+        m = (kp[pos_c] == cents) & (ks[pos_c] == size)
+        return pa.table({
+            "p_partkey": pa.array(
+                t["p_partkey"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)[m]),
+            "cents": pa.array(cents[m]),
+            "size": pa.array(size[m])})
+
+    # frontier-sized by construction
+    sky = sorted(
+        (r["p_partkey"], r["cents"], r["size"])
+        for r in ds.map_batches(pick,
+                                batch_format="pyarrow").take_all())
+    return pa.table({
+        "p_partkey": pa.array([r[0] for r in sky], pa.int64()),
+        "cents": pa.array([r[1] for r in sky], pa.int64()),
+        "size": pa.array([r[2] for r in sky], pa.int64()),
+    })
+
+
+QUERIES["parts_skyline"] = q_parts_skyline
+
+ORACLE_SQL["parts_skyline"] = """
+WITH p AS (SELECT p_partkey,
+                  floor(p_retailprice * 100 + 0.5)::BIGINT AS cents,
+                  p_size::BIGINT AS size
+           FROM part)
+SELECT p_partkey, cents, size FROM p q
+WHERE NOT EXISTS (
+  SELECT 1 FROM p o
+  WHERE o.cents <= q.cents AND o.size >= q.size
+    AND (o.cents < q.cents OR o.size > q.size))
+ORDER BY p_partkey
+"""
+
+
+ACF_MAX_LAG = 7
+
+
+def q_daily_acf(sf_dir: str):
+    """Autocorrelation function of the daily revenue series at lags
+    1..7 — the weekly-seasonality diagnostic: the standard common-mean
+    ACF estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² over the
+    log's full day grid (missing days fill 0).  Multiplying through
+    by n² makes every term exact: num_k = Σ(n·x_t−S)(n·x_{t+k}−S),
+    den = Σ(n·x_t−S)² with S = Σx — Python ints on the engine side,
+    HUGEINT on the oracle side, and r_k is ONE division of identical
+    exact integers, 4dp-gated.  ONE day-bounded grouped cents sum is
+    the only corpus-sized work; every batch carries its day range so
+    zero-revenue edge days cannot shift the fill-0 grid (the
+    daily_type_crosscorr contract)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+
+    part_schema = pa.schema([("day", pa.int64()), ("s", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        lo = int(day.min())
+        cnt = np.bincount(day - lo, weights=cents).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        days = (nz + lo).tolist()
+        sums = cnt[nz].tolist()
+        # carry the batch's day range (fill-0 grid edges)
+        for edge in (lo, int(day.max())):
+            days.append(edge)
+            sums.append(0)
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "s": pa.array(sums, pa.int64())})
+
+    acc: dict[int, int] = {}
+    lo = hi = None
+    for r in ds.map_batches(partial,
+                            batch_format="pyarrow").take_all():
+        d, sv = r["day"], r["s"]
+        lo = d if lo is None else min(lo, d)
+        hi = d if hi is None else max(hi, d)
+        acc[d] = acc.get(d, 0) + sv
+    if lo is None:
+        raise ValueError("daily_acf: empty log")
+    n = hi - lo + 1
+    x = [0] * n
+    for d, sv in acc.items():
+        x[d - lo] += sv
+    if n < ACF_MAX_LAG + 3:
+        raise ValueError("daily_acf: too few days")
+    S = sum(x)
+    dev = [n * v - S for v in x]          # n·x_t − S, exact
+    den = sum(v * v for v in dev)
+    if den == 0:
+        raise ValueError("daily_acf: zero variance")
+    out_lag, out_r = [], []
+    for k in range(1, ACF_MAX_LAG + 1):
+        num = sum(a * b for a, b in zip(dev[:n - k], dev[k:]))
+        out_lag.append(k)
+        out_r.append(float(num) / float(den))
+    return pa.table({
+        "lag": pa.array(out_lag, pa.int64()),
+        "n_days": pa.array([n] * len(out_lag), pa.int64()),
+        "r": pa.array(_r4(np.array(out_r))),
+    })
+
+
+QUERIES["daily_acf"] = q_daily_acf
+
+ORACLE_SQL["daily_acf"] = f"""
+WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                  floor(value * 100)::BIGINT AS cents
+           FROM events),
+sp AS (SELECT min(day)::BIGINT AS lo, max(day)::BIGINT AS hi FROM e),
+grid AS (SELECT unnest(generate_series((SELECT lo FROM sp),
+                                       (SELECT hi FROM sp))) AS day),
+xs AS (SELECT g.day, coalesce(s.s, 0)::BIGINT AS x
+       FROM grid g LEFT JOIN
+            (SELECT day, sum(cents)::BIGINT AS s FROM e
+             GROUP BY 1) s USING (day)),
+m AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS s FROM xs),
+dv AS (SELECT day, (SELECT n FROM m) * x - (SELECT s FROM m) AS d
+       FROM xs),
+den AS (SELECT sum(d * d)::HUGEINT AS den FROM dv),
+lags AS (SELECT unnest(generate_series(1, {ACF_MAX_LAG})) AS lag),
+num AS (SELECT l.lag, sum(a.d * b.d)::HUGEINT AS num
+        FROM lags l
+        JOIN dv a ON TRUE
+        JOIN dv b ON b.day = a.day + l.lag
+        GROUP BY l.lag)
+SELECT lag, (SELECT n FROM m)::BIGINT AS n_days,
+       {_R4.format(expr="(num::DOUBLE / (SELECT den FROM den)"
+                        "::DOUBLE)")} AS r
+FROM num ORDER BY lag
+"""
+
+
+def q_churn_logit_newton(sf_dir: str):
+    """One Newton-Raphson step of logistic regression churned ~ 1 +
+    n_events from β = 0 — the ML-training step in closed form: at
+    β = 0 the gradient is Xᵀ(y − ½) and the Hessian −XᵀX/4, so
+    β = 2·(XᵀX)⁻¹·Xᵀv with v = 2y − 1 ∈ {−1, +1}.  The churn label
+    reuses the user_churn_labels contract (no event after 3/4 of the
+    log span, exact integer cutoff); x = per-user event count from
+    ONE user-keyed grouped agg; the five moments (m_users, Σx, Σx²,
+    Σv, Σxv) fold to Python ints over users-bounded partials (HUGEINT
+    in the oracle); both coefficients are single divisions of
+    identical exact integers, 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    prep_schema = pa.schema([("user_id", pa.int64()),
+                             ("us", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        return pa.table({"user_id": t["user_id"],
+                         "us": ts.cast(pa.int64())})
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+
+    span_schema = pa.schema([("lo", pa.int64()), ("hi", pa.int64())])
+
+    def span(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return span_schema.empty_table()
+        us = t["us"].to_numpy(zero_copy_only=False)
+        return pa.table({"lo": pa.array([us.min()]),
+                         "hi": pa.array([us.max()])})
+
+    parts = base.map_batches(span, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("churn_logit_newton: empty input")
+    lo = min(r["lo"] for r in parts)
+    hi = max(r["hi"] for r in parts)
+    cutoff = lo + (hi - lo) * _CHURN_FRAC_NUM // _CHURN_FRAC_DEN
+
+    per_user = sorted_groupby_agg(
+        base, ["user_id"],
+        [("us", "max", "last_us"), ("us", "count", "n_events")],
+        in_schema=prep_schema)
+
+    mom_schema = pa.schema([("i", pa.int64()), ("v", pa.int64())])
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "last_us" not in t.column_names:
+            return mom_schema.empty_table()
+        last = t["last_us"].to_numpy(zero_copy_only=False)
+        x = t["n_events"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = np.where(last <= cutoff, 1, -1).astype(np.int64)
+        vals = [t.num_rows, int(x.sum()), int((x * x).sum()),
+                int(v.sum()), int((x * v).sum())]
+        return pa.table({"i": pa.array(np.arange(5, dtype=np.int64)),
+                         "v": pa.array(vals, pa.int64())})
+
+    acc = [0] * 5
+    for r in per_user.map_batches(
+            moments, batch_format="pyarrow").take_all():
+        acc[r["i"]] += r["v"]
+    m, sx, sxx, sv, sxv = acc
+    if m < 3:
+        raise ValueError("churn_logit_newton: too few users")
+    det = m * sxx - sx * sx
+    if det == 0:
+        raise ValueError("churn_logit_newton: singular design")
+    b0 = 2.0 * float(sxx * sv - sx * sxv) / float(det)
+    b1 = 2.0 * float(m * sxv - sx * sv) / float(det)
+    return pa.table({
+        "n_users": pa.array([m], pa.int64()),
+        "n_churned": pa.array([(sv + m) // 2], pa.int64()),
+        "beta0": pa.array(_r4(np.array([b0]))),
+        "beta1": pa.array(_r4(np.array([b1]))),
+    })
+
+
+QUERIES["churn_logit_newton"] = q_churn_logit_newton
+
+ORACLE_SQL["churn_logit_newton"] = f"""
+WITH b AS (SELECT user_id, epoch_us(ts)::BIGINT AS us FROM events),
+s AS (SELECT min(us)::BIGINT AS lo, max(us)::BIGINT AS hi FROM b),
+u AS (SELECT user_id, max(us)::BIGINT AS last_us,
+             count(*)::BIGINT AS x
+      FROM b GROUP BY 1),
+lab AS (SELECT x, CASE WHEN u.last_us <= s.lo + (s.hi - s.lo)
+                            * {_CHURN_FRAC_NUM} // {_CHURN_FRAC_DEN}
+                       THEN 1 ELSE -1 END::BIGINT AS v
+        FROM u, s),
+m AS (SELECT count(*)::HUGEINT AS m, sum(x)::HUGEINT AS sx,
+             sum(x::HUGEINT * x)::HUGEINT AS sxx,
+             sum(v)::HUGEINT AS sv,
+             sum(x::HUGEINT * v)::HUGEINT AS sxv
+      FROM lab)
+SELECT m::BIGINT AS n_users,
+       ((sv + m) // 2)::BIGINT AS n_churned,
+       {_R4.format(expr="2.0 * (sxx * sv - sx * sxv)::DOUBLE"
+                        " / (m * sxx - sx * sx)::DOUBLE")} AS beta0,
+       {_R4.format(expr="2.0 * (m * sxv - sx * sv)::DOUBLE"
+                        " / (m * sxx - sx * sx)::DOUBLE")} AS beta1
+FROM m
+"""
