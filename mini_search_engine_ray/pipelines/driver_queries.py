@@ -16777,3 +16777,202 @@ SELECT m::BIGINT AS n_users,
                         " / (m * sxx - sx * sx)::DOUBLE")} AS beta1
 FROM m
 """
+
+
+def q_bigram_llr(sf_dir: str):
+    """Dunning (1993) log-likelihood-ratio collocations over the
+    frequent-bigram candidate set (count * BIGRAM_K > total pairs):
+    G² over the 2×2 pair-stream contingency table with EXACT integer
+    cells (left/right-position totals recounted in pass 2) and the
+    shared 2·(t11+t12+t21+t22) float expression — zero cells
+    contribute exactly 0 on both engines — 4dp-gated.  Same
+    pigeonhole-bounded two-pass scale shape as bigram_pmi."""
+    import ray.data as rd
+
+    from ..stages.frequent import bigram_llr
+
+    return bigram_llr(rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]))
+
+
+QUERIES["bigram_llr"] = q_bigram_llr
+
+
+def _bigram_llr_sql() -> str:
+    from ..stages.frequent import BIGRAM_K
+
+    t = ("CASE WHEN {k} > 0 THEN {k}::DOUBLE * ln({k}::DOUBLE"
+         " * n2::DOUBLE / ({r}::DOUBLE * {c}::DOUBLE))"
+         " ELSE 0.0 END")
+    expr = ("2.0 * (" + t.format(k="k11", r="r1", c="c1") + " + "
+            + t.format(k="k12", r="r1", c="c2") + " + "
+            + t.format(k="k21", r="r2", c="c1") + " + "
+            + t.format(k="k22", r="r2", c="c2") + ")")
+    return f"""
+WITH {_TOK_CTE},
+tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) AS pos FROM tok),
+big AS (SELECT w1, w2 FROM (
+  SELECT tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tokpos) WHERE w2 IS NOT NULL),
+n2t AS (SELECT count(*)::BIGINT AS n2 FROM big),
+pc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM big GROUP BY 1, 2),
+lc AS (SELECT w1, count(*)::BIGINT AS r1 FROM big GROUP BY 1),
+rc AS (SELECT w2, count(*)::BIGINT AS c1 FROM big GROUP BY 1),
+cand AS (SELECT pc.w1, pc.w2, c12, r1, c1, n2t.n2
+         FROM pc, n2t
+         JOIN lc ON lc.w1 = pc.w1
+         JOIN rc ON rc.w2 = pc.w2
+         WHERE c12 * {BIGRAM_K} > n2t.n2),
+cells AS (SELECT w1, w2, c12, n2,
+                 c12 AS k11, r1 - c12 AS k12, c1 - c12 AS k21,
+                 n2 - r1 - c1 + c12 AS k22,
+                 r1, n2 - r1 AS r2, c1, n2 - c1 AS c2
+          FROM cand)
+SELECT w1, w2, c12, {_R4.format(expr=expr)} AS llr
+FROM cells ORDER BY w1, w2
+"""
+
+
+ORACLE_SQL["bigram_llr"] = _bigram_llr_sql()
+
+
+BLOOM_FP_BITS = 8192
+BLOOM_FP_K = 3
+BLOOM_FP_PROBE_OFFSET = 1_000_000_000   # shifts probes out of the key domain
+
+
+def q_bloom_fp_audit(sf_dir: str):
+    """False-positive audit of the Bloom join prefilter
+    (stages/join.py bloom_from_keys/bloom_prefilter) — the sizing
+    feedback loop for the bits/k parameters: build the bitmap over
+    orders.o_custkey (8192 bits, 3 hashes), then (a) probe every
+    DISTINCT member back (all must hit — a Bloom filter has no false
+    negatives; n_member_hits == n_members is checked by BOTH engines)
+    and (b) probe one guaranteed non-member per customer (c_custkey
+    shifted by 10⁹, outside the key domain) to measure the exact
+    false-positive count and rate.  The ORACLE replays the
+    double-hashing scheme bit for bit in SQL (md5-low-64 ==
+    md5_number_lower; pos_i = (h&2³²−1 + i·(h≫32|1)) mod bits) with
+    membership via a position-set join — an INDEPENDENT check of the
+    engine's packed-bitmap test.  Per-block bitmap partials OR-fold
+    on the driver (bits/8 bytes each); probes are a pure map with
+    scalar partials; fp_rate is ONE division of exact integers,
+    4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import _bloom_positions, bloom_from_keys
+
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_custkey"])
+    bm = bloom_from_keys(orders, "o_custkey",
+                         bits=BLOOM_FP_BITS, k=BLOOM_FP_K)
+
+    def hits_of(keys: np.ndarray) -> int:
+        pos = _bloom_positions([str(int(x)) for x in keys],
+                               BLOOM_FP_BITS, BLOOM_FP_K)
+        word = (pos >> np.uint64(6)).astype(np.int64)
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        return int(((bm[word] & bit) != 0).all(axis=1).sum())
+
+    mem_schema = pa.schema([("o_custkey", pa.int64()),
+                            ("one", pa.int64())])
+
+    def mem_prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return mem_schema.empty_table()
+        uk = np.unique(t["o_custkey"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        return pa.table({"o_custkey": pa.array(uk),
+                         "one": pa.array(np.ones(len(uk), np.int64))})
+
+    members = sorted_groupby_agg(
+        orders.map_batches(mem_prep, batch_format="pyarrow"),
+        ["o_custkey"], [("one", "max", "one")],
+        in_schema=mem_schema)
+
+    pair_schema = pa.schema([("n", pa.int64()), ("h", pa.int64())])
+
+    def mem_probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pair_schema.empty_table()
+        keys = t["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"n": pa.array([len(keys)]),
+                         "h": pa.array([hits_of(keys)])})
+
+    n_members = n_member_hits = 0
+    for r in members.map_batches(mem_probe,
+                                 batch_format="pyarrow").take_all():
+        n_members += r["n"]
+        n_member_hits += r["h"]
+
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey"])
+
+    def probe(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pair_schema.empty_table()
+        keys = t["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) + BLOOM_FP_PROBE_OFFSET
+        return pa.table({"n": pa.array([len(keys)]),
+                         "h": pa.array([hits_of(keys)])})
+
+    n_probes = n_fp = 0
+    for r in cust.map_batches(probe,
+                              batch_format="pyarrow").take_all():
+        n_probes += r["n"]
+        n_fp += r["h"]
+    if n_probes == 0:
+        raise ValueError("bloom_fp_audit: no probes")
+    return pa.table({
+        "n_members": pa.array([n_members], pa.int64()),
+        "n_member_hits": pa.array([n_member_hits], pa.int64()),
+        "n_probes": pa.array([n_probes], pa.int64()),
+        "n_false_pos": pa.array([n_fp], pa.int64()),
+        "fp_rate": pa.array(_r4(np.array([float(n_fp)
+                                          / float(n_probes)]))),
+    })
+
+
+QUERIES["bloom_fp_audit"] = q_bloom_fp_audit
+
+ORACLE_SQL["bloom_fp_audit"] = f"""
+WITH ii AS (SELECT unnest(generate_series(0, {BLOOM_FP_K - 1}))
+                   ::UBIGINT AS i),
+mk AS (SELECT DISTINCT o_custkey FROM orders),
+mh AS (SELECT o_custkey,
+              md5_number_lower(CAST(o_custkey AS VARCHAR)) AS h
+       FROM mk),
+mpos AS (SELECT DISTINCT
+           ((h & 4294967295) + i * ((h >> 32) | 1)) % {BLOOM_FP_BITS}
+             AS pos
+         FROM mh, ii),
+mp AS (SELECT o_custkey,
+              ((h & 4294967295) + i * ((h >> 32) | 1))
+                % {BLOOM_FP_BITS} AS pos
+       FROM mh, ii),
+mhits AS (SELECT o_custkey FROM mp
+          LEFT JOIN mpos ON mp.pos = mpos.pos
+          GROUP BY o_custkey HAVING count(mpos.pos) = count(*)),
+ph AS (SELECT c_custkey,
+              md5_number_lower(CAST(c_custkey
+                + {BLOOM_FP_PROBE_OFFSET} AS VARCHAR)) AS h
+       FROM customer),
+pp AS (SELECT c_custkey,
+              ((h & 4294967295) + i * ((h >> 32) | 1))
+                % {BLOOM_FP_BITS} AS pos
+       FROM ph, ii),
+hits AS (SELECT c_custkey FROM pp
+         LEFT JOIN mpos ON pp.pos = mpos.pos
+         GROUP BY c_custkey HAVING count(mpos.pos) = count(*)),
+mem AS (SELECT count(*)::BIGINT AS n_members FROM mk),
+mht AS (SELECT count(*)::BIGINT AS n_member_hits FROM mhits),
+pr AS (SELECT count(*)::BIGINT AS n_probes FROM customer),
+ht AS (SELECT count(*)::BIGINT AS n_false_pos FROM hits)
+SELECT n_members, n_member_hits, n_probes, n_false_pos,
+       {_R4.format(expr="n_false_pos::DOUBLE / n_probes::DOUBLE")}
+         AS fp_rate
+FROM mem, mht, pr, ht
+"""

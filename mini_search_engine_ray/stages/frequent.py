@@ -302,3 +302,153 @@ def bigram_pmi(ds, *, k: int = BIGRAM_K, text_col: str = "text") -> pa.Table:
         "c12": pa.array([r[2] for r in rows], pa.int64()),
         "pmi": pa.array([r[3] for r in rows], pa.float64()),
     })
+
+
+def bigram_llr(ds, *, k: int = BIGRAM_K, text_col: str = "text") -> pa.Table:
+    """Dunning (1993) log-likelihood-ratio collocations over the same
+    frequent-bigram candidate set as :func:`bigram_pmi` (count * k >
+    total_pairs): G2 over the 2x2 pair-stream contingency table
+    (k11 = c12, k12 = left(w1) - c12, k21 = right(w2) - c12,
+    k22 = N2 - left - right + c12), where left/right are EXACT counts
+    of pairs with that word in first/second position.  Returns
+    (w1, w2, c12, llr) sorted by (w1, w2); llr is the shared
+    2*(t11+t12+t21+t22) float expression with zero cells contributing
+    exactly 0, 4dp-gated.
+
+    Same two-pass scale shape as bigram_pmi: pass 1 ships <= k+1 rows
+    per batch (pigeonhole-merged per block), pass 2 recounts ONLY the
+    candidate pairs and their members' left/right-position totals —
+    every driver-side materialization is bounded by k."""
+    from .aggregates import sorted_groupby_agg
+
+    def local_candidates(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        parents, values = _split_tokens(content)
+        n_tok = len(values)
+        sent_w1 = pa.array([_TOTAL, _TOTAL], pa.string())
+        sent_w2 = pa.array(["#tokens", "#pairs"], pa.string())
+        if n_tok == 0:
+            return pa.table({"w1": sent_w1, "w2": sent_w2,
+                             "cnt": pa.array([0, 0], pa.int64())})
+        denc = values.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        adj = parents[:-1] == parents[1:]
+        left, right = codes[:-1][adj], codes[1:][adj]
+        n_pair = len(left)
+        if n_pair == 0:
+            return pa.table({"w1": sent_w1, "w2": sent_w2,
+                             "cnt": pa.array([n_tok, 0], pa.int64())})
+        v = len(denc.dictionary)
+        uk, cnt = np.unique(left * v + right, return_counts=True)
+        keep = cnt.astype(np.int64) * (2 * k) > n_pair
+        uk, cnt = uk[keep], cnt[keep].astype(np.int64)
+        w1 = _string(denc.dictionary.take(pa.array(uk // v)))
+        w2 = _string(denc.dictionary.take(pa.array(uk % v)))
+        return pa.table({
+            "w1": pa.concat_arrays([w1, sent_w1]),
+            "w2": pa.concat_arrays([w2, sent_w2]),
+            "cnt": pa.array(np.r_[cnt, n_tok, n_pair]),
+        })
+
+    combined = sorted_groupby_agg(
+        ds.map_batches(local_candidates, batch_format="pyarrow")
+          .map_batches(lambda t: _pigeonhole_merge_block(t, ["w1", "w2"], k,
+                                                         "w1", total_w2="#pairs"),
+                       batch_size=None, batch_format="pyarrow"),
+        ["w1", "w2"], [("cnt", "sum", "cnt")],
+    ).to_pandas()  # bounded: <= k-1 candidates per BLOCK after MG merge
+    sent = combined["w1"] == _TOTAL
+    totals = dict(zip(combined.loc[sent, "w2"], combined.loc[sent, "cnt"]))
+    n2 = int(totals.get("#pairs", 0))
+    cand = combined.loc[~sent, ["w1", "w2"]]
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "c12": pa.array([], pa.int64()),
+                      "llr": pa.array([], pa.float64())})
+    if n2 == 0 or len(cand) == 0:
+        return empty
+    pair_keys = sorted(str(a) + _PAIR_SEP + str(b)
+                       for a, b in zip(cand["w1"], cand["w2"]))
+    w1_set = pa.array(sorted({str(w) for w in cand["w1"]}), pa.string())
+    w2_set = pa.array(sorted({str(w) for w in cand["w2"]}), pa.string())
+    pair_set = pa.array(pair_keys, pa.string())
+
+    def recount(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        parents, values = _split_tokens(content)
+        kinds: list[str] = []
+        out_k: list[pa.Array] = []
+        out_c: list[np.ndarray] = []
+        if len(values) >= 2:
+            adj = parents[:-1] == parents[1:]
+            li = np.flatnonzero(adj)
+            lvals = values.take(pa.array(li))
+            rvals = values.take(pa.array(li + 1))
+            for kind, vals, vset in (("l", lvals, w1_set),
+                                     ("r", rvals, w2_set)):
+                hit = vals.filter(pc.is_in(vals, value_set=vset))
+                if len(hit):
+                    denc = hit.dictionary_encode()
+                    codes = denc.indices.to_numpy(zero_copy_only=False)
+                    cnt = np.bincount(codes, minlength=len(denc.dictionary)).astype(np.int64)
+                    kinds += [kind] * len(denc.dictionary)
+                    out_k.append(_string(denc.dictionary))
+                    out_c.append(cnt)
+            pairs = pc.binary_join_element_wise(
+                _string(lvals), _string(rvals), _PAIR_SEP)
+            pairs = pairs.filter(pc.is_in(pairs, value_set=pair_set))
+            if len(pairs):
+                denc = pairs.dictionary_encode()
+                codes = denc.indices.to_numpy(zero_copy_only=False)
+                cnt = np.bincount(codes, minlength=len(denc.dictionary)).astype(np.int64)
+                kinds += ["p"] * len(denc.dictionary)
+                out_k.append(_string(denc.dictionary))
+                out_c.append(cnt)
+        if not out_k:
+            return pa.table({"kind": pa.array([], pa.string()),
+                             "key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        return pa.table({"kind": pa.array(kinds, pa.string()),
+                         "key": pa.concat_arrays(out_k),
+                         "cnt": pa.array(np.concatenate(out_c))})
+
+    exact = sorted_groupby_agg(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        ["kind", "key"], [("cnt", "sum", "cnt")],
+    ).to_pandas()  # bounded: <= 3(k-1) rows
+    counts = {(kd, ky): int(c) for kd, ky, c
+              in zip(exact["kind"], exact["key"], exact["cnt"])}
+    rows = []
+    for key in pair_keys:
+        c12 = counts.get(("p", key), 0)
+        if c12 * k <= n2:
+            continue
+        w1, w2 = key.split(_PAIR_SEP)
+        r1 = counts.get(("l", w1), 0)
+        c1 = counts.get(("r", w2), 0)
+        k11, k12 = c12, r1 - c12
+        k21, k22 = c1 - c12, n2 - r1 - c1 + c12
+        r2, c2 = n2 - r1, n2 - c1
+        fn2 = float(n2)
+
+        def term(kij: int, ri: int, cj: int) -> float:
+            if kij <= 0:
+                return 0.0
+            return float(kij) * np.log(
+                float(kij) * fn2 / (float(ri) * float(cj)))
+
+        llr = 2.0 * (term(k11, r1, c1) + term(k12, r1, c2)
+                     + term(k21, r2, c1) + term(k22, r2, c2))
+        rows.append((w1, w2, c12,
+                     float(round4(np.array([llr]))[0])))
+    if not rows:
+        return empty
+    rows.sort()
+    return pa.table({
+        "w1": pa.array([r[0] for r in rows], pa.string()),
+        "w2": pa.array([r[1] for r in rows], pa.string()),
+        "c12": pa.array([r[2] for r in rows], pa.int64()),
+        "llr": pa.array([r[3] for r in rows], pa.float64()),
+    })
