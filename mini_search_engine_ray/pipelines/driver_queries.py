@@ -16976,3 +16976,237 @@ SELECT n_members, n_member_hits, n_probes, n_false_pos,
          AS fp_rate
 FROM mem, mht, pr, ht
 """
+
+
+NB_V = 2048      # NB model vocabulary (top-V tokens, ties token-asc)
+NB_K = 8         # classify on the doc's first K tokens
+
+
+def q_nb_lang_classify(sf_dir: str):
+    """Supervised Naive-Bayes language classifier — the trained
+    counterpart of the heuristic ``langid``: train per-lang unigram
+    counts with add-one smoothing over the top-{NB_V} vocabulary
+    (ties token-asc, the shared binary order), then classify each doc
+    by its FIRST {NB_K} tokens; score_ln = ln(nd_c/nd) +
+    Σ ln((cnt+1)/(n_c+V)) where every ln argument is a ratio of
+    IDENTICAL exact integers on both engines (so the ln terms are
+    bit-identical doubles; only the ≤9-term sum carries the usual
+    4dp-gated grouping risk, the bm25_eval convention), and the
+    prediction is argmax over floor(score·10⁴+0.5) with lang-asc
+    ties — the PQ round-then-argmax contract.  Unseen-in-class and
+    out-of-vocabulary tokens both smooth to 1/(n_c+V), identically on
+    both sides.  Scale shape: pass 1 = corpus_token_counts
+    (vocabulary-sized shuffle) + distributed sort+limit head; pass 2
+    = per-(lang, token) counts pre-aggregated per batch and filtered
+    to the broadcast vocab ((V×C)-bounded shuffle and driver
+    materialization); pass 3 = a pure vectorized classify map with
+    the (V×C) ln-factor matrix broadcast once via ray.put."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.textstats import _split_tokens, corpus_token_counts
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "lang", "text"])
+
+    # ---- pass 1: global vocab head --------------------------------
+    head = corpus_token_counts(ds) \
+        .sort(["cnt", "token"], descending=[True, False]) \
+        .limit(NB_V).take_all()
+    vocab = sorted(str(r["token"]) for r in head)
+    vocab_arr = pa.array(vocab, pa.large_string())
+    vref = ray.put(vocab_arr)
+
+    # ---- priors: per-lang doc counts (C-bounded) -------------------
+    pri_schema = pa.schema([("lang", pa.string()),
+                            ("nd", pa.int64())])
+
+    def pri_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pri_schema.empty_table()
+        lang = t["lang"]
+        lang = lang.combine_chunks() if isinstance(lang, pa.ChunkedArray) \
+            else lang
+        vc = lang.value_counts()
+        return pa.table({"lang": vc.field("values").cast(pa.string()),
+                         "nd": vc.field("counts").cast(pa.int64())})
+
+    pri_rows = sorted_groupby_agg(
+        ds.map_batches(pri_part, batch_format="pyarrow"),
+        ["lang"], [("nd", "sum", "nd")],
+        in_schema=pri_schema).take_all()
+    classes = sorted(str(r["lang"]) for r in pri_rows)
+    nd_by = {str(r["lang"]): int(r["nd"]) for r in pri_rows}
+    nd_total = sum(nd_by.values())
+    if nd_total == 0:
+        raise ValueError("nb_lang_classify: empty corpus")
+
+    # ---- pass 2: per-(lang, vocab-token) counts --------------------
+    cc_schema = pa.schema([("lang", pa.string()),
+                           ("token", pa.large_string()),
+                           ("cnt", pa.int64())])
+
+    def cls_part(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        voc = ray.get(vref)
+        content = t["text"]
+        content = content.combine_chunks() \
+            if isinstance(content, pa.ChunkedArray) else content
+        parents, values = _split_tokens(content)
+        if len(values) == 0:
+            return cc_schema.empty_table()
+        keep = pc.is_in(values, value_set=voc) \
+            .to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return cc_schema.empty_table()
+        values = values.filter(pa.array(keep))
+        parents = parents[keep]
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        tok_lang = langs[parents]
+        lcode, linv = np.unique(tok_lang, return_inverse=True)
+        denc = values.dictionary_encode()
+        vcodes = denc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vb = len(denc.dictionary)
+        key = linv.astype(np.int64) * vb + vcodes
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "lang": pa.array([str(lcode[i]) for i in uk // vb],
+                             pa.string()),
+            "token": denc.dictionary.take(pa.array(uk % vb))
+            .cast(pa.large_string()),
+            "cnt": pa.array(cnt.astype(np.int64))})
+
+    cc_rows = sorted_groupby_agg(
+        ds.map_batches(cls_part, batch_format="pyarrow"),
+        ["lang", "token"], [("cnt", "sum", "cnt")],
+        in_schema=cc_schema).take_all()   # (V × C)-bounded
+
+    C = len(classes)
+    cidx = {c: i for i, c in enumerate(classes)}
+    tidx = {t: i for i, t in enumerate(vocab)}
+    cnt_mat = np.zeros((len(vocab), C), dtype=np.int64)
+    for r in cc_rows:
+        cnt_mat[tidx[str(r["token"])], cidx[str(r["lang"])]] = r["cnt"]
+    n_c = cnt_mat.sum(axis=0)                     # per-class totals
+    # ln factors: identical exact-integer ratios on both engines
+    lf_mat = np.log((cnt_mat + 1).astype(np.float64)
+                    / (n_c + NB_V).astype(np.float64))
+    lf_oov = np.log(1.0 / (n_c + NB_V).astype(np.float64))
+    ln_pri = np.array([math.log(float(nd_by[c]) / float(nd_total))
+                       for c in classes])
+    shared = ray.put((vocab_arr, lf_mat, lf_oov, ln_pri))
+
+    # ---- pass 3: classify ------------------------------------------
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("lang", pa.string()),
+                            ("pred_lang", pa.string()),
+                            ("is_correct", pa.int64()),
+                            ("score", pa.float64())])
+
+    def classify(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        voc, lfm, lfo, lpr = ray.get(shared)
+        content = t["text"]
+        content = content.combine_chunks() \
+            if isinstance(content, pa.ChunkedArray) else content
+        parents, values = _split_tokens(content)
+        n = t.num_rows
+        # per-token position within doc
+        if len(values):
+            starts = np.r_[0, np.flatnonzero(np.diff(parents)) + 1]
+            pos = np.arange(len(parents)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(parents)]))
+            m = pos < NB_K
+            idx = pc.index_in(values, value_set=voc) \
+                .to_numpy(zero_copy_only=False)
+            oov = np.isnan(idx) if idx.dtype.kind == "f" else (idx < 0)
+            idx = np.where(oov, 0, idx).astype(np.int64)
+        else:
+            m = np.zeros(0, dtype=bool)
+            oov = idx = np.zeros(0, dtype=np.int64)
+            pos = np.zeros(0, dtype=np.int64)
+        best_key = None
+        best_c = None
+        best_s = None
+        for ci in range(lfm.shape[1]):
+            lf_tok = np.where(oov, lfo[ci], lfm[idx, ci])
+            grid = np.zeros((n, NB_K), dtype=np.float64)
+            if m.any():
+                grid[parents[m], pos[m]] = lf_tok[m]
+            s = np.full(n, lpr[ci])
+            for j in range(NB_K):
+                s = s + grid[:, j]
+            key = np.floor(s * 10000 + 0.5).astype(np.int64)
+            if best_key is None:
+                best_key, best_c, best_s = key, np.full(n, ci), s
+            else:
+                win = key > best_key      # strict: earlier class wins ties
+                best_key = np.where(win, key, best_key)
+                best_c = np.where(win, ci, best_c)
+                best_s = np.where(win, s, best_s)
+        cls_arr = np.array(classes, dtype=object)
+        pred = cls_arr[best_c] if n else np.array([], dtype=object)
+        actual = np.asarray(t["lang"].to_pylist(), dtype=object)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "lang": pa.array(actual, pa.string()),
+            "pred_lang": pa.array(pred, pa.string()),
+            "is_correct": pa.array((pred == actual).astype(np.int64)),
+            "score": pa.array(best_key / 10000.0
+                              if n else np.zeros(0))})
+
+    return ds.map_batches(classify, batch_format="pyarrow")
+
+
+QUERIES["nb_lang_classify"] = q_nb_lang_classify
+
+ORACLE_SQL["nb_lang_classify"] = f"""
+WITH {_TOK_CTE},
+tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) AS pos FROM tok),
+gc AS (SELECT tok, count(*)::BIGINT AS c FROM tokpos GROUP BY 1),
+vocab AS (SELECT tok FROM gc ORDER BY c DESC, tok ASC LIMIT {NB_V}),
+cls AS (SELECT lang, count(*)::BIGINT AS nd FROM documents
+        GROUP BY 1),
+ndt AS (SELECT count(*)::BIGINT AS nd FROM documents),
+sc AS (SELECT d.lang, t.tok, count(*)::BIGINT AS c
+       FROM tokpos t
+       JOIN documents d USING (doc_id)
+       JOIN vocab v ON v.tok = t.tok
+       GROUP BY 1, 2),
+nc AS (SELECT c2.lang, coalesce(sum(sc.c), 0)::BIGINT AS n
+       FROM cls c2 LEFT JOIN sc ON sc.lang = c2.lang GROUP BY 1),
+f8 AS (SELECT doc_id, tok FROM tokpos WHERE pos <= {NB_K}),
+fac AS (SELECT f.doc_id, c2.lang,
+               ln((coalesce(sc.c, 0) + 1)::DOUBLE
+                  / (nc.n + {NB_V})::DOUBLE) AS lf
+        FROM f8 f
+        CROSS JOIN cls c2
+        JOIN nc ON nc.lang = c2.lang
+        LEFT JOIN sc ON sc.lang = c2.lang AND sc.tok = f.tok),
+ssum AS (SELECT doc_id, lang, sum(lf) AS ts FROM fac GROUP BY 1, 2),
+scr AS (SELECT d.doc_id, d.lang AS actual, c2.lang AS cand,
+               ln(c2.nd::DOUBLE / (SELECT nd FROM ndt)::DOUBLE)
+                 + coalesce(s.ts, 0.0) AS s
+        FROM documents d
+        CROSS JOIN cls c2
+        LEFT JOIN ssum s ON s.doc_id = d.doc_id
+                        AND s.lang = c2.lang),
+rk AS (SELECT doc_id, actual, cand,
+              floor(s * 10000 + 0.5) AS k,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY floor(s * 10000 + 0.5) DESC,
+                                          cand ASC) AS r
+       FROM scr)
+SELECT doc_id, actual AS lang, cand AS pred_lang,
+       CASE WHEN actual = cand THEN 1 ELSE 0 END::BIGINT
+         AS is_correct,
+       (k / 10000.0) AS score
+FROM rk WHERE r = 1 ORDER BY doc_id
+"""
