@@ -17210,3 +17210,202 @@ SELECT doc_id, actual AS lang, cand AS pred_lang,
        (k / 10000.0) AS score
 FROM rk WHERE r = 1 ORDER BY doc_id
 """
+
+
+def q_doc_readability(sf_dir: str):
+    """Flesch reading-ease per document — the classic readability
+    screen a curation pipeline thresholds on: words = the shared
+    tokenizer's token count, sentences = count of [.!?]+ runs,
+    syllables = count of [aeiouy]+ runs in the lowered text (the
+    standard cheap proxy) — ALL exact integers from vectorized RE2
+    kernels (pc.count_substring_regex == len(regexp_extract_all):
+    both engines run RE2), zero-guard via max(·,1) on both sides, and
+    flesch = 206.835 − 1.015·(w/s) − 84.6·(y/w) ONE shared float
+    expression, 4dp-gated.  Pure per-batch map — no shuffle at
+    all."""
+    import ray.data as rd
+
+    from ..stages.textstats import _split_tokens
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    out_schema = pa.schema([("doc_id", pa.int64()),
+                            ("n_words", pa.int64()),
+                            ("n_sentences", pa.int64()),
+                            ("n_syllables", pa.int64()),
+                            ("flesch", pa.float64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        content = t["text"]
+        content = content.combine_chunks() \
+            if isinstance(content, pa.ChunkedArray) else content
+        parents, _ = _split_tokens(content)
+        n = t.num_rows
+        words = np.bincount(parents, minlength=n).astype(np.int64)
+        low = pc.utf8_lower(content)
+        syll = pc.count_substring_regex(low, "[aeiouy]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        sent = pc.count_substring_regex(content, "[.!?]+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.maximum(words, 1).astype(np.float64)
+        s = np.maximum(sent, 1).astype(np.float64)
+        flesch = 206.835 - 1.015 * (w / s) - 84.6 * (syll / w)
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_words": pa.array(words),
+            "n_sentences": pa.array(sent),
+            "n_syllables": pa.array(syll),
+            "flesch": pa.array(_r4(flesch))})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+QUERIES["doc_readability"] = q_doc_readability
+
+ORACLE_SQL["doc_readability"] = f"""
+WITH {_TOK_CTE},
+c AS (SELECT t.doc_id, len(t.toks)::BIGINT AS n_words,
+             len(regexp_extract_all(d.text, '[.!?]+'))::BIGINT
+               AS n_sentences,
+             len(regexp_extract_all(lower(d.text), '[aeiouy]+'))
+               ::BIGINT AS n_syllables
+      FROM tok t JOIN documents d USING (doc_id))
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       {_R4.format(expr="(206.835"
+                        " - 1.015 * (greatest(n_words, 1)::DOUBLE"
+                        "            / greatest(n_sentences, 1)::DOUBLE)"
+                        " - 84.6 * (n_syllables::DOUBLE"
+                        "           / greatest(n_words, 1)::DOUBLE))")}
+         AS flesch
+FROM c ORDER BY doc_id
+"""
+
+
+def q_user_hazard_na(sf_dir: str):
+    """Nelson-Aalen cumulative hazard over user lifetimes — the
+    nonparametric H(t) companion of user_survival_km (identical
+    lifetime/censor contract: whole days first→last event, 1-day
+    right-censor at the log end): H(t) = Σ_{{t_i ≤ t}} d_i / n_risk_i
+    at death times.  Same scale shape as KM — one user-keyed grouped
+    min/max, a days-bounded (t × death) bincount fold — and the
+    ascending-t cumulative SUM of identical exact-integer ratios is
+    the same sequential fold DuckDB's windowed sum() runs, 4dp-gated
+    like the KM product."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts"])
+
+    prep_schema = pa.schema([("user_id", pa.int64()),
+                             ("us", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        return pa.table({"user_id": t["user_id"],
+                         "us": ts.cast(pa.int64())})
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+
+    def mx(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "us" not in t.column_names:
+            return pa.schema([("m", pa.int64())]).empty_table()
+        return pa.table({"m": pa.array(
+            [int(t["us"].to_numpy(zero_copy_only=False).max())],
+            pa.int64())})
+
+    mrows = base.map_batches(mx, batch_format="pyarrow").take_all()
+    if not mrows:
+        raise ValueError("user_hazard_na: empty event log")
+    log_end = max(r["m"] for r in mrows)
+
+    users = sorted_groupby_agg(
+        base, ["user_id"],
+        [("us", "min", "f"), ("us", "max", "l")],
+        in_schema=prep_schema)
+
+    def cells(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("t", pa.int64()), ("death", pa.int64()),
+                         ("n", pa.int64())])
+        if t.num_rows == 0 or "f" not in t.column_names:
+            return sch.empty_table()
+        f = t["f"].to_numpy(zero_copy_only=False).astype(np.int64)
+        l = t["l"].to_numpy(zero_copy_only=False).astype(np.int64)
+        life = (l - f) // _US_PER_DAY
+        death = ((log_end - l)
+                 >= KM_CENSOR_DAYS * _US_PER_DAY).astype(np.int64)
+        comp = life * 2 + death
+        cnt = np.bincount(comp)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"t": pa.array((nz // 2).astype(np.int64)),
+                         "death": pa.array((nz % 2).astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    acc: dict[tuple[int, int], int] = {}
+    for r in users.map_batches(cells,
+                               batch_format="pyarrow").take_all():
+        k = (r["t"], r["death"])
+        acc[k] = acc.get(k, 0) + r["n"]
+
+    ts_sorted = sorted({t for t, _ in acc})
+    n_total = sum(acc.values())
+    rows = []
+    at_risk = n_total
+    for t in ts_sorted:
+        d = acc.get((t, 1), 0)
+        c = acc.get((t, 0), 0)
+        if d > 0:
+            rows.append((t, at_risk, d))
+        at_risk -= d + c
+    n_risk = np.array([r[1] for r in rows], dtype=np.int64)
+    n_event = np.array([r[2] for r in rows], dtype=np.int64)
+    hazard = np.cumsum(n_event.astype(np.float64)
+                       / n_risk.astype(np.float64))
+    return pa.table({
+        "t_days": pa.array(np.array([r[0] for r in rows],
+                                    dtype=np.int64)),
+        "n_risk": pa.array(n_risk),
+        "n_event": pa.array(n_event),
+        "hazard": pa.array(_r4(hazard)),
+    })
+
+
+QUERIES["user_hazard_na"] = q_user_hazard_na
+
+ORACLE_SQL["user_hazard_na"] = f"""
+WITH u AS (SELECT user_id, min(epoch_us(ts))::BIGINT AS f,
+                  max(epoch_us(ts))::BIGINT AS l
+           FROM events GROUP BY 1),
+g AS (SELECT max(epoch_us(ts))::BIGINT AS log_end FROM events),
+d AS (SELECT (l - f) // {_US_PER_DAY} AS t,
+             CASE WHEN ((SELECT log_end FROM g) - l)
+                       >= {KM_CENSOR_DAYS} * {_US_PER_DAY}
+                  THEN 1 ELSE 0 END AS death
+      FROM u),
+ev AS (SELECT t, sum(death)::BIGINT AS n_event,
+              count(*)::BIGINT AS n_at
+       FROM d GROUP BY t),
+o AS (SELECT t, n_event,
+             ((SELECT count(*) FROM d)
+              - coalesce(sum(n_at) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0))::BIGINT AS n_risk
+      FROM ev),
+k AS (SELECT t, n_risk, n_event,
+             sum(n_event::DOUBLE / n_risk::DOUBLE)
+               OVER (ORDER BY t) AS hazard
+      FROM o WHERE n_event > 0)
+SELECT t AS t_days, n_risk, n_event,
+       {_R4.format(expr='hazard')} AS hazard
+FROM k
+"""
