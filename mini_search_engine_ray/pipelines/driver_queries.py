@@ -17409,3 +17409,322 @@ SELECT t AS t_days, n_risk, n_event,
        {_R4.format(expr='hazard')} AS hazard
 FROM k
 """
+
+
+LOG2Q = ((1, 2), (9, 10), (99, 100))     # p50 / p90 / p99 as fractions
+
+
+def q_value_log2_quantiles(sf_dir: str):
+    """Log₂-bucket quantile sketch over positive value cents — the
+    DDSketch-family relative-error quantile (Masson et al. 2019) with
+    γ pinned to 2 so the bucket index is EXACT integer arithmetic on
+    both engines: bucket = floor(log₂ cents) computed by searchsorted
+    against the powers-of-two table (engine) == length(bin(y))−1
+    (oracle) — no float log anywhere.  64-bounded bincount partials
+    fold on the driver; rank = ceil(q·n) as the pure-integer
+    (num·n + den − 1) // den; the answer per quantile is the smallest
+    bucket whose cumulative count reaches the rank, reported with its
+    exact [2^b, 2^(b+1)−1] value bounds.  All-integer output."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["value"])
+
+    pow2 = (np.int64(1) << np.arange(63)).astype(np.int64)
+    part_schema = pa.schema([("b", pa.int64()), ("c", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        cents = cents[cents >= 1]
+        if len(cents) == 0:
+            return part_schema.empty_table()
+        b = np.searchsorted(pow2, cents, side="right") - 1
+        cnt = np.bincount(b, minlength=63).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"b": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(cnt[nz])})
+
+    acc = np.zeros(63, dtype=np.int64)
+    for r in ds.map_batches(partial,
+                            batch_format="pyarrow").take_all():
+        acc[r["b"]] += r["c"]
+    n = int(acc.sum())
+    if n == 0:
+        raise ValueError("value_log2_quantiles: no positive values")
+    cum = np.cumsum(acc)
+    out_q, out_b, out_lo, out_hi = [], [], [], []
+    for num, den in LOG2Q:
+        rank = (num * n + den - 1) // den
+        b = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(float(num) / float(den))
+        out_b.append(b)
+        out_lo.append(1 << b)
+        out_hi.append((1 << (b + 1)) - 1)
+    return pa.table({
+        "q": pa.array(out_q, pa.float64()),
+        "bucket": pa.array(out_b, pa.int64()),
+        "lo_cents": pa.array(out_lo, pa.int64()),
+        "hi_cents": pa.array(out_hi, pa.int64()),
+        "n": pa.array([n] * len(out_q), pa.int64()),
+    })
+
+
+QUERIES["value_log2_quantiles"] = q_value_log2_quantiles
+
+ORACLE_SQL["value_log2_quantiles"] = f"""
+WITH e AS (SELECT floor(value * 100)::BIGINT AS y FROM events
+           WHERE floor(value * 100) >= 1),
+bk AS (SELECT (length(bin(y)) - 1)::BIGINT AS b,
+              count(*)::BIGINT AS c
+       FROM e GROUP BY 1),
+cu AS (SELECT b, sum(c) OVER (ORDER BY b)::BIGINT AS cum FROM bk),
+nt AS (SELECT sum(c)::BIGINT AS n FROM bk),
+qs AS (SELECT * FROM (VALUES {', '.join(f'({num}, {den})'
+                                        for num, den in LOG2Q)})
+       AS t(num, den)),
+rk AS (SELECT num, den,
+              (num * (SELECT n FROM nt) + den - 1) // den AS rank
+       FROM qs),
+pick AS (SELECT r.num, r.den, min(cu.b)::BIGINT AS bucket
+         FROM rk r JOIN cu ON cu.cum >= r.rank
+         GROUP BY 1, 2)
+SELECT (num::DOUBLE / den::DOUBLE) AS q, bucket,
+       (1::BIGINT << bucket) AS lo_cents,
+       ((1::BIGINT << (bucket + 1)) - 1) AS hi_cents,
+       (SELECT n FROM nt) AS n
+FROM pick ORDER BY q
+"""
+
+
+HOLT_A_NUM, HOLT_A_DEN = 1, 2    # level alpha = 0.5 (exact dyadic)
+HOLT_B_NUM, HOLT_B_DEN = 1, 4    # trend beta = 0.25 (exact dyadic)
+
+
+def q_daily_holt_linear(sf_dir: str):
+    """Holt double-exponential smoothing of the daily revenue series
+    (level + trend, the forecasting-101 recursion): l_t = α·x_t +
+    (1−α)(l_{{t−1}} + b_{{t−1}}), b_t = β(l_t − l_{{t−1}}) +
+    (1−β)b_{{t−1}} with α = 0.5, β = 0.25 (exactly-representable
+    dyadics), l₁ = x₁, b₁ = 0.  Both engines run the IDENTICAL
+    sequential float recursion — the engine a days-bounded Python
+    fold, the oracle a WITH RECURSIVE chain (the ewma idiom) whose
+    step expressions mirror the engine's term for term — so the
+    doubles are bit-identical before the 4dp gate.  ONE day-bounded
+    grouped cents sum over the fill-0 day grid is the only
+    corpus-sized work."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["ts", "value"])
+
+    part_schema = pa.schema([("day", pa.int64()), ("s", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        us = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = us // 86_400_000_000
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100).astype(np.int64)
+        lo = int(day.min())
+        cnt = np.bincount(day - lo, weights=cents).astype(np.int64)
+        nz = np.flatnonzero(cnt)
+        days = (nz + lo).tolist()
+        sums = cnt[nz].tolist()
+        for edge in (lo, int(day.max())):
+            days.append(edge)
+            sums.append(0)
+        return pa.table({"day": pa.array(days, pa.int64()),
+                         "s": pa.array(sums, pa.int64())})
+
+    acc: dict[int, int] = {}
+    lo = hi = None
+    for r in ds.map_batches(partial,
+                            batch_format="pyarrow").take_all():
+        d, sv = r["day"], r["s"]
+        lo = d if lo is None else min(lo, d)
+        hi = d if hi is None else max(hi, d)
+        acc[d] = acc.get(d, 0) + sv
+    if lo is None:
+        raise ValueError("daily_holt_linear: empty log")
+    n = hi - lo + 1
+    x = [0] * n
+    for d, sv in acc.items():
+        x[d - lo] += sv
+    a = HOLT_A_NUM / HOLT_A_DEN
+    bb = HOLT_B_NUM / HOLT_B_DEN
+    l = float(x[0])
+    b = 0.0
+    out_rn, out_x, out_l, out_b = [1], [x[0]], [l], [b]
+    for t in range(1, n):
+        lp = l
+        l = a * float(x[t]) + (1.0 - a) * (lp + b)
+        b = bb * (l - lp) + (1.0 - bb) * b
+        out_rn.append(t + 1)
+        out_x.append(x[t])
+        out_l.append(l)
+        out_b.append(b)
+    return pa.table({
+        "rn": pa.array(out_rn, pa.int64()),
+        "x_cents": pa.array(out_x, pa.int64()),
+        "level": pa.array(_r4(np.array(out_l))),
+        "trend": pa.array(_r4(np.array(out_b))),
+    })
+
+
+QUERIES["daily_holt_linear"] = q_daily_holt_linear
+
+ORACLE_SQL["daily_holt_linear"] = f"""
+WITH RECURSIVE e AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                            floor(value * 100)::BIGINT AS cents
+                     FROM events),
+sp AS (SELECT min(day)::BIGINT AS lo, max(day)::BIGINT AS hi FROM e),
+grid AS (SELECT unnest(generate_series((SELECT lo FROM sp),
+                                       (SELECT hi FROM sp))) AS day),
+xs AS (SELECT row_number() OVER (ORDER BY g.day) AS rn,
+              coalesce(s.s, 0)::BIGINT AS x
+       FROM grid g LEFT JOIN
+            (SELECT day, sum(cents)::BIGINT AS s FROM e
+             GROUP BY 1) s USING (day)),
+r AS (
+  SELECT rn, x, x::DOUBLE AS l, 0.0::DOUBLE AS b FROM xs WHERE rn = 1
+  UNION ALL
+  SELECT xs.rn, xs.x,
+         0.5 * xs.x::DOUBLE + 0.5 * (r.l + r.b),
+         0.25 * ((0.5 * xs.x::DOUBLE + 0.5 * (r.l + r.b)) - r.l)
+           + 0.75 * r.b
+  FROM r JOIN xs ON xs.rn = r.rn + 1)
+SELECT rn, x AS x_cents,
+       {_R4.format(expr='l')} AS level,
+       {_R4.format(expr='b')} AS trend
+FROM r ORDER BY rn
+"""
+
+
+def q_user_ltv_curve(sf_dir: str):
+    """Customer lifetime-value curve — cumulative revenue per user by
+    account age: age = whole days since the user's FIRST event (exact
+    integer µs floor-division), rev(age) = Σ cents at that age,
+    ltv(age) = cumulative rev / n_users in value units.  One
+    user-keyed grouped min + ONE user-keyed sort-merge join carrying
+    first_us back onto the stream are the only data-sized exchanges;
+    the (age × rev) table is age-bounded, the cumulative sum is an
+    exact INTEGER windowed sum on both engines, and only the final
+    per-age division is 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id", "ts", "value"])
+
+    prep_schema = pa.schema([("user_id", pa.int64()),
+                             ("us", pa.int64()),
+                             ("cents", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        ts = t["ts"]
+        ts = ts.combine_chunks() if isinstance(ts, pa.ChunkedArray) \
+            else ts
+        return pa.table({
+            "user_id": t["user_id"],
+            "us": ts.cast(pa.int64()),
+            "cents": pa.array(np.floor(
+                t["value"].to_numpy(zero_copy_only=False) * 100)
+                .astype(np.int64))})
+
+    base = ds.map_batches(prep, batch_format="pyarrow")
+
+    firsts = sorted_groupby_agg(
+        base, ["user_id"], [("us", "min", "first_us")],
+        in_schema=prep_schema)
+    n_users = firsts.count()
+
+    joined = sort_merge_join(
+        base, firsts, "user_id",
+        left_schema=prep_schema,
+        right_schema=pa.schema([("user_id", pa.int64()),
+                                ("first_us", pa.int64())]))
+
+    age_schema = pa.schema([("age", pa.int64()), ("rev", pa.int64()),
+                            ("ne", pa.int64())])
+
+    def per_age(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "first_us" not in t.column_names:
+            return age_schema.empty_table()
+        us = t["us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        f = t["first_us"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = t["cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        age = (us - f) // _US_PER_DAY
+        lo = int(age.min())
+        rev = np.bincount(age - lo, weights=cents).astype(np.int64)
+        ne = np.bincount(age - lo).astype(np.int64)
+        nz = np.flatnonzero(ne)
+        return pa.table({"age": pa.array((nz + lo).astype(np.int64)),
+                         "rev": pa.array(rev[nz]),
+                         "ne": pa.array(ne[nz])})
+
+    acc: dict[int, list[int]] = {}
+    for r in joined.map_batches(per_age,
+                                batch_format="pyarrow").take_all():
+        g = acc.setdefault(r["age"], [0, 0])
+        g[0] += r["rev"]
+        g[1] += r["ne"]
+    if not acc or n_users == 0:
+        raise ValueError("user_ltv_curve: empty input")
+    ages = sorted(acc)
+    cum = 0
+    out_age, out_ne, out_rev, out_cum, out_ltv = [], [], [], [], []
+    for a in ages:
+        rev, ne = acc[a]
+        cum += rev
+        out_age.append(a)
+        out_ne.append(ne)
+        out_rev.append(rev)
+        out_cum.append(cum)
+        out_ltv.append(float(cum) / (float(n_users) * 100.0))
+    return pa.table({
+        "age_days": pa.array(out_age, pa.int64()),
+        "n_events": pa.array(out_ne, pa.int64()),
+        "rev_cents": pa.array(out_rev, pa.int64()),
+        "cum_cents": pa.array(out_cum, pa.int64()),
+        "ltv": pa.array(_r4(np.array(out_ltv))),
+    })
+
+
+QUERIES["user_ltv_curve"] = q_user_ltv_curve
+
+ORACLE_SQL["user_ltv_curve"] = f"""
+WITH b AS (SELECT user_id, epoch_us(ts)::BIGINT AS us,
+                  floor(value * 100)::BIGINT AS cents
+           FROM events),
+u AS (SELECT user_id, min(us)::BIGINT AS first_us FROM b
+      GROUP BY 1),
+nu AS (SELECT count(*)::BIGINT AS n_users FROM u),
+ag AS (SELECT (b.us - u.first_us) // {_US_PER_DAY} AS age_days,
+              b.cents
+       FROM b JOIN u USING (user_id)),
+pa2 AS (SELECT age_days, count(*)::BIGINT AS n_events,
+               sum(cents)::BIGINT AS rev_cents
+        FROM ag GROUP BY 1),
+cu AS (SELECT age_days, n_events, rev_cents,
+              sum(rev_cents) OVER (ORDER BY age_days)::BIGINT
+                AS cum_cents
+       FROM pa2)
+SELECT age_days, n_events, rev_cents, cum_cents,
+       {_R4.format(expr="cum_cents::DOUBLE"
+                        " / ((SELECT n_users FROM nu)::DOUBLE"
+                        "    * 100.0)")} AS ltv
+FROM cu ORDER BY age_days
+"""
