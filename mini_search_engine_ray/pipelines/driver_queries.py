@@ -17728,3 +17728,199 @@ SELECT age_days, n_events, rev_cents, cum_cents,
                         "    * 100.0)")} AS ltv
 FROM cu ORDER BY age_days
 """
+
+
+def q_cluster_size_dist(sf_dir: str):
+    """Near-dup cluster-size histogram — the dedup-impact report every
+    curation run reads first (how many pairs/triples/blobs will
+    collapse): compose the oracle-tested near_dup_clusters
+    (LSH → exact-Jaccard → min-label components) with ONE
+    component-keyed grouped count and ONE size-keyed grouped count —
+    both bounded (components ≤ docs-in-pairs; distinct sizes ≤ √rows).
+    Output (cluster_size, n_clusters, n_docs), all-integer."""
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.dedup import near_dup_clusters
+
+    out = near_dup_clusters(_docs_ds(sf_dir),
+                            threshold=DEDUP_CLUSTER_THRESHOLD)
+
+    prep_schema = pa.schema([("component", pa.int64()),
+                             ("one", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "component" not in t.column_names:
+            return prep_schema.empty_table()
+        comp = t["component"]
+        return pa.table({
+            "component": pc.cast(comp, pa.int64())
+            if not isinstance(comp, pa.ChunkedArray)
+            else comp.combine_chunks().cast(pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    import pyarrow.compute as pc  # noqa: F811 — worker fns re-import
+
+    sizes = sorted_groupby_agg(
+        out.map_batches(prep, batch_format="pyarrow"),
+        ["component"], [("one", "sum", "sz")], in_schema=prep_schema)
+
+    hist_schema = pa.schema([("cluster_size", pa.int64()),
+                             ("n_clusters", pa.int64())])
+
+    def hist_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sz" not in t.column_names:
+            return hist_schema.empty_table()
+        sz = t["sz"].to_numpy(zero_copy_only=False).astype(np.int64)
+        uk, cnt = np.unique(sz, return_counts=True)
+        return pa.table({"cluster_size": pa.array(uk),
+                         "n_clusters": pa.array(
+                             cnt.astype(np.int64))})
+
+    acc: dict[int, int] = {}
+    for r in sizes.map_batches(hist_part,
+                               batch_format="pyarrow").take_all():
+        acc[r["cluster_size"]] = acc.get(r["cluster_size"], 0) \
+            + r["n_clusters"]
+    ks = sorted(acc)
+    return pa.table({
+        "cluster_size": pa.array(ks, pa.int64()),
+        "n_clusters": pa.array([acc[k] for k in ks], pa.int64()),
+        "n_docs": pa.array([k * acc[k] for k in ks], pa.int64()),
+    })
+
+
+QUERIES["cluster_size_dist"] = q_cluster_size_dist
+
+ORACLE_SQL["cluster_size_dist"] = f"""
+WITH {_minhash_sig_ctes()},
+{_cluster_cte_chain()},
+cs AS (SELECT comp, count(*)::BIGINT AS sz FROM l8 GROUP BY 1)
+SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+       (sz * count(*))::BIGINT AS n_docs
+FROM cs GROUP BY sz ORDER BY sz
+"""
+
+
+def q_selfjoin_size_probe(sf_dir: str):
+    """Join-cardinality probe — the optimizer statistic you read
+    BEFORE running a key self-join: |events ⨝ events ON user_id| =
+    Σ n_u² computed WITHOUT materializing the join, from ONE
+    user-bounded grouped count (per-batch bincount partials).  Also
+    reports Σ n_u, max n_u and the blowup factor Σn²/Σn (average
+    matches per probe row), 4dp-gated single division.  The ORACLE
+    runs the ACTUAL quadratic self-join count at test scale — an
+    INDEPENDENT cross-validation of the Σn² identity.  All moments
+    fold to Python ints (HUGEINT on the oracle side)."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["user_id"])
+
+    prep_schema = pa.schema([("user_id", pa.int64()),
+                             ("n", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return prep_schema.empty_table()
+        u = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uk, cnt = np.unique(u, return_counts=True)
+        return pa.table({"user_id": pa.array(uk),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    per_user = sorted_groupby_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["user_id"], [("n", "sum", "n")], in_schema=prep_schema)
+
+    mom_schema = pa.schema([("i", pa.int64()), ("v", pa.int64())])
+
+    def moments(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n" not in t.column_names:
+            return mom_schema.empty_table()
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = [len(n), int(n.sum()), int((n * n).sum()),
+                int(n.max())]
+        return pa.table({"i": pa.array(np.arange(4, dtype=np.int64)),
+                         "v": pa.array(vals, pa.int64())})
+
+    n_users = s1 = s2 = 0
+    mx = 0
+    for r in per_user.map_batches(moments,
+                                  batch_format="pyarrow").take_all():
+        if r["i"] == 0:
+            n_users += r["v"]
+        elif r["i"] == 1:
+            s1 += r["v"]
+        elif r["i"] == 2:
+            s2 += r["v"]
+        else:
+            mx = max(mx, r["v"])
+    if s1 == 0:
+        raise ValueError("selfjoin_size_probe: empty input")
+    return pa.table({
+        "n_rows": pa.array([s1], pa.int64()),
+        "n_keys": pa.array([n_users], pa.int64()),
+        "join_rows": pa.array([s2], pa.int64()),
+        "max_key_rows": pa.array([mx], pa.int64()),
+        "blowup": pa.array(_r4(np.array([float(s2) / float(s1)]))),
+    })
+
+
+QUERIES["selfjoin_size_probe"] = q_selfjoin_size_probe
+
+ORACLE_SQL["selfjoin_size_probe"] = f"""
+WITH j AS (SELECT count(*)::HUGEINT AS join_rows
+           FROM events a JOIN events b USING (user_id)),
+u AS (SELECT user_id, count(*)::BIGINT AS n FROM events
+      GROUP BY 1),
+m AS (SELECT count(*)::BIGINT AS n_keys, sum(n)::BIGINT AS n_rows,
+             max(n)::BIGINT AS max_key_rows
+      FROM u)
+SELECT m.n_rows, m.n_keys, j.join_rows::BIGINT AS join_rows,
+       m.max_key_rows,
+       {_R4.format(expr="j.join_rows::DOUBLE / m.n_rows::DOUBLE")}
+         AS blowup
+FROM m, j
+"""
+
+
+def q_skipgram_counts(sf_dir: str):
+    """Frequent skip-gram co-occurrences (ordered pairs at distance
+    1..3 within a doc, count * 600 > pair-stream total) — the
+    GloVe/word2vec co-occurrence-matrix preprocessing step, exact via
+    the same pigeonhole-bounded two-pass shape as bigram_pmi (the
+    w×-bigger pair stream never leaves the batch)."""
+    import ray.data as rd
+
+    from ..stages.frequent import skipgram_counts
+
+    return skipgram_counts(rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]))
+
+
+QUERIES["skipgram_counts"] = q_skipgram_counts
+
+
+def _skipgram_counts_sql() -> str:
+    from ..stages.frequent import SKIPGRAM_K, SKIPGRAM_W
+
+    leads = "\n  UNION ALL ".join(
+        f"SELECT w1, w2 FROM (SELECT tok AS w1, lead(tok, {d}) OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS w2 FROM tokpos) "
+        "WHERE w2 IS NOT NULL"
+        for d in range(1, SKIPGRAM_W + 1))
+    return f"""
+WITH {_TOK_CTE},
+tokpos AS (SELECT doc_id, unnest(toks) AS tok,
+                  generate_subscripts(toks, 1) AS pos FROM tok),
+big AS ({leads}),
+n2t AS (SELECT count(*)::BIGINT AS n2 FROM big),
+g AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM big GROUP BY 1, 2)
+SELECT w1, w2, cnt FROM g, n2t
+WHERE cnt * {SKIPGRAM_K} > n2t.n2
+ORDER BY w1, w2
+"""
+
+
+ORACLE_SQL["skipgram_counts"] = _skipgram_counts_sql()

@@ -452,3 +452,135 @@ def bigram_llr(ds, *, k: int = BIGRAM_K, text_col: str = "text") -> pa.Table:
         "c12": pa.array([r[2] for r in rows], pa.int64()),
         "llr": pa.array([r[3] for r in rows], pa.float64()),
     })
+
+
+SKIPGRAM_W = 3    # co-occurrence window: ordered pairs at distance 1..W
+SKIPGRAM_K = 600  # pairs with > 1/600 of the skip-gram pair stream
+
+
+def skipgram_counts(ds, *, w: int = SKIPGRAM_W, k: int = SKIPGRAM_K,
+                    text_col: str = "text") -> pa.Table:
+    """Frequent skip-gram co-occurrences — the GloVe/word2vec
+    preprocessing statistic: exact counts of ORDERED token pairs at
+    distance 1..``w`` within a document, for pairs with
+    count * k > total_pairs.  Returns (w1, w2, cnt) sorted by
+    (w1, w2).
+
+    Same two-pass pigeonhole shape as :func:`bigram_pmi`: pass 1
+    mines local candidates at a halved threshold per batch (merged
+    per block, <= k-1 survive globally by pigeonhole), pass 2
+    recounts ONLY candidates; every driver-side materialization is
+    k-bounded.  The pair stream is w× the bigram stream but never
+    leaves the batch — only candidate rows and the two total
+    sentinels do."""
+    from .aggregates import sorted_groupby_agg
+
+    def pair_streams(parents, codes):
+        """(left, right) code arrays over all distances 1..w."""
+        ls, rs = [], []
+        for d in range(1, w + 1):
+            if len(codes) <= d:
+                break
+            adj = parents[:-d] == parents[d:]
+            if adj.any():
+                ls.append(codes[:-d][adj])
+                rs.append(codes[d:][adj])
+        if not ls:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        return np.concatenate(ls), np.concatenate(rs)
+
+    def local_candidates(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        parents, values = _split_tokens(content)
+        sent_w1 = pa.array([_TOTAL], pa.string())
+        sent_w2 = pa.array(["#pairs"], pa.string())
+        if len(values) == 0:
+            return pa.table({"w1": sent_w1, "w2": sent_w2,
+                             "cnt": pa.array([0], pa.int64())})
+        denc = values.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        left, right = pair_streams(parents, codes)
+        n_pair = len(left)
+        if n_pair == 0:
+            return pa.table({"w1": sent_w1, "w2": sent_w2,
+                             "cnt": pa.array([0], pa.int64())})
+        v = len(denc.dictionary)
+        uk, cnt = np.unique(left * v + right, return_counts=True)
+        keep = cnt.astype(np.int64) * (2 * k) > n_pair
+        uk, cnt = uk[keep], cnt[keep].astype(np.int64)
+        w1 = _string(denc.dictionary.take(pa.array(uk // v)))
+        w2 = _string(denc.dictionary.take(pa.array(uk % v)))
+        return pa.table({
+            "w1": pa.concat_arrays([w1, sent_w1]),
+            "w2": pa.concat_arrays([w2, sent_w2]),
+            "cnt": pa.array(np.r_[cnt, n_pair]),
+        })
+
+    combined = sorted_groupby_agg(
+        ds.map_batches(local_candidates, batch_format="pyarrow")
+          .map_batches(lambda t: _pigeonhole_merge_block(t, ["w1", "w2"], k,
+                                                         "w1", total_w2="#pairs"),
+                       batch_size=None, batch_format="pyarrow"),
+        ["w1", "w2"], [("cnt", "sum", "cnt")],
+    ).to_pandas()  # bounded: <= k-1 candidates per BLOCK after MG merge
+    sent = combined["w1"] == _TOTAL
+    n2 = int(combined.loc[sent & (combined["w2"] == "#pairs"),
+                          "cnt"].sum())
+    cand = combined.loc[~sent, ["w1", "w2"]]
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "cnt": pa.array([], pa.int64())})
+    if n2 == 0 or len(cand) == 0:
+        return empty
+    pair_keys = sorted(str(a) + _PAIR_SEP + str(b)
+                       for a, b in zip(cand["w1"], cand["w2"]))
+    pair_set = pa.array(pair_keys, pa.string())
+
+    def recount(t: pa.Table) -> pa.Table:
+        content = t[text_col]
+        content = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+        parents, values = _split_tokens(content)
+        if len(values) < 2:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        denc = values.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        left, right = pair_streams(parents, codes)
+        if len(left) == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        lv = denc.dictionary.take(pa.array(left))
+        rv = denc.dictionary.take(pa.array(right))
+        pairs = pc.binary_join_element_wise(_string(lv), _string(rv),
+                                            _PAIR_SEP)
+        pairs = pairs.filter(pc.is_in(pairs, value_set=pair_set))
+        if len(pairs) == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        denc2 = pairs.dictionary_encode()
+        cds = denc2.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(cds, minlength=len(denc2.dictionary)).astype(np.int64)
+        return pa.table({"key": _string(denc2.dictionary),
+                         "cnt": pa.array(cnt)})
+
+    exact = sorted_groupby_agg(
+        ds.map_batches(recount, batch_format="pyarrow"),
+        ["key"], [("cnt", "sum", "cnt")],
+    ).to_pandas()  # bounded: <= k-1 candidate pairs
+    counts = dict(zip(exact["key"], (int(c) for c in exact["cnt"])))
+    rows = []
+    for key in pair_keys:
+        c = counts.get(key, 0)
+        if c * k <= n2:
+            continue
+        w1, w2 = key.split(_PAIR_SEP)
+        rows.append((w1, w2, c))
+    if not rows:
+        return empty
+    rows.sort()
+    return pa.table({
+        "w1": pa.array([r[0] for r in rows], pa.string()),
+        "w2": pa.array([r[1] for r in rows], pa.string()),
+        "cnt": pa.array([r[2] for r in rows], pa.int64()),
+    })
