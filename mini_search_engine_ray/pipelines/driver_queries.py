@@ -17924,3 +17924,218 @@ ORDER BY w1, w2
 
 
 ORACLE_SQL["skipgram_counts"] = _skipgram_counts_sql()
+
+
+# ---------------------------------------------------------------------
+# Wave 27 — TPC-H Q1 (pricing summary report) and Q6 (revenue-change
+# band probe): the two canonical single-table lineitem benchmarks the
+# registry still lacked.  Both are PURE streaming maps — no shuffle at
+# all — whose only driver materialization is a bounded partial fold
+# (≤ 6 cells per batch for Q1, one 5-integer row per batch for Q6),
+# the same exact-integer discipline as lineitem_corr_matrix: every sum
+# is an int64 per batch and an arbitrary-precision Python int across
+# batches, the oracle carries HUGEINT, and only the final divisions
+# are 4dp-gated.
+# ---------------------------------------------------------------------
+
+Q1_CUTOFF_US = 993_945_600_000_000   # 2001-07-01T00:00:00Z
+Q6_LO_US = 946_684_800_000_000       # 2000-01-01T00:00:00Z
+Q6_HI_US = 978_307_200_000_000       # 2001-01-01T00:00:00Z
+
+
+def _li_ints(t: pa.Table):
+    """Shared exact integer encodings for the lineitem money columns:
+    q = floor(quantity + 0.5), pc = price cents, dp = discount pct,
+    tp = tax pct — all half-up, replayed verbatim by the oracles."""
+    q = np.floor(t["l_quantity"].to_numpy(zero_copy_only=False)
+                 + 0.5).astype(np.int64)
+    pc_ = np.floor(t["l_extendedprice"].to_numpy(zero_copy_only=False)
+                   * 100 + 0.5).astype(np.int64)
+    dp = np.floor(t["l_discount"].to_numpy(zero_copy_only=False)
+                  * 100 + 0.5).astype(np.int64)
+    tp = np.floor(t["l_tax"].to_numpy(zero_copy_only=False)
+                  * 100 + 0.5).astype(np.int64)
+    return q, pc_, dp, tp
+
+
+def _ship_us(t: pa.Table) -> np.ndarray:
+    sd = t["l_shipdate"]
+    if isinstance(sd, pa.ChunkedArray):
+        sd = sd.combine_chunks()
+    return sd.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 proper — the pricing summary report per
+    (l_returnflag, l_linestatus) over lineitem shipped on or before
+    the cutoff: sum_qty, sum_base_price, sum_disc_price =
+    Σ price(1−disc), sum_charge = Σ price(1−disc)(1+tax), the three
+    averages, and count_order.  Every sum is EXACT: disc_price is
+    carried as pc·(100−dp) (10⁻⁴ dollars) and charge as
+    pc·(100−dp)·(100+tp) (10⁻⁶ dollars) — per-row ≤ ~1.2e11 so int64
+    per-batch sums are safe at any block size — per-batch partials
+    are ≤ 6 rows (the rf×ls domain), folded on the driver in
+    arbitrary-precision Python ints, and each reported
+    dollar/average value is ONE division of identical exact integers
+    on both engines, 4dp-gated.  No shuffle anywhere."""
+    import ray.data as rd
+
+    part_schema = pa.schema([
+        ("rf", pa.string()), ("ls", pa.string()), ("n", pa.int64()),
+        ("sq", pa.int64()), ("spc", pa.int64()), ("sdpm", pa.int64()),
+        ("schg", pa.int64()), ("sdisc", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        keep = _ship_us(t) <= Q1_CUTOFF_US
+        if not keep.any():
+            return part_schema.empty_table()
+        t = t.filter(pa.array(keep))
+        q, pc_, dp, tp = _li_ints(t)
+        dpm = pc_ * (100 - dp)
+        chg = dpm * (100 + tp)
+        rf = np.asarray(t["l_returnflag"].to_numpy(zero_copy_only=False),
+                        dtype="U8")
+        ls = np.asarray(t["l_linestatus"].to_numpy(zero_copy_only=False),
+                        dtype="U8")
+        comb = np.char.add(np.char.add(rf, "|"), ls)
+        cells, inv = np.unique(comb, return_inverse=True)
+        rows = {nm: [] for nm in part_schema.names}
+        for ci, cell in enumerate(cells):
+            m = inv == ci
+            a, b = cell.split("|")
+            rows["rf"].append(a)
+            rows["ls"].append(b)
+            rows["n"].append(int(m.sum()))
+            rows["sq"].append(int(q[m].sum()))
+            rows["spc"].append(int(pc_[m].sum()))
+            rows["sdpm"].append(int(dpm[m].sum()))
+            rows["schg"].append(int(chg[m].sum()))
+            rows["sdisc"].append(int(dp[m].sum()))
+        return pa.table({nm: pa.array(rows[nm], part_schema.field(nm).type)
+                         for nm in part_schema.names})
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"])
+    parts = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    acc: dict = {}
+    for r in parts:
+        key = (r["rf"], r["ls"])
+        c = acc.setdefault(key, [0, 0, 0, 0, 0, 0])
+        c[0] += r["n"]; c[1] += r["sq"]; c[2] += r["spc"]
+        c[3] += r["sdpm"]; c[4] += r["schg"]; c[5] += r["sdisc"]
+    if not acc:
+        raise ValueError("pricing_summary: no rows pass the cutoff")
+    out = {nm: [] for nm in
+           ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+            "sum_disc_price", "sum_charge", "avg_qty", "avg_price",
+            "avg_disc", "count_order"]}
+    for (a, b) in sorted(acc):
+        n, sq, spc, sdpm, schg, sdisc = acc[(a, b)]
+        out["l_returnflag"].append(a)
+        out["l_linestatus"].append(b)
+        out["sum_qty"].append(sq)
+        out["sum_base_price"].append(float(spc) / 100.0)
+        out["sum_disc_price"].append(float(sdpm) / 10000.0)
+        out["sum_charge"].append(float(schg) / 1000000.0)
+        out["avg_qty"].append(float(sq) / float(n))
+        out["avg_price"].append(float(spc) / float(100 * n))
+        out["avg_disc"].append(float(sdisc) / float(100 * n))
+        out["count_order"].append(n)
+    f4 = ["sum_base_price", "sum_disc_price", "sum_charge",
+          "avg_qty", "avg_price", "avg_disc"]
+    return pa.table({
+        nm: (pa.array(_r4(np.asarray(v, np.float64)))
+             if nm in f4 else
+             pa.array(v, pa.string() if nm.startswith("l_")
+                      else pa.int64()))
+        for nm, v in out.items()})
+
+
+QUERIES["pricing_summary"] = q_pricing_summary
+
+ORACLE_SQL["pricing_summary"] = f"""
+WITH x AS (
+  SELECT l_returnflag, l_linestatus,
+         floor(l_quantity + 0.5)::BIGINT        AS q,
+         floor(l_extendedprice*100 + 0.5)::BIGINT AS pc,
+         floor(l_discount*100 + 0.5)::BIGINT    AS dp,
+         floor(l_tax*100 + 0.5)::BIGINT         AS tp
+  FROM lineitem WHERE epoch_us(l_shipdate) <= {Q1_CUTOFF_US}),
+g AS (
+  SELECT l_returnflag, l_linestatus, count(*)::BIGINT AS n,
+         sum(q)::HUGEINT AS sq, sum(pc)::HUGEINT AS spc,
+         sum(pc*(100-dp))::HUGEINT AS sdpm,
+         sum(pc*(100-dp)*(100+tp))::HUGEINT AS schg,
+         sum(dp)::HUGEINT AS sdisc
+  FROM x GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, sq::BIGINT AS sum_qty,
+       {_R4.format(expr="spc::DOUBLE / 100.0")} AS sum_base_price,
+       {_R4.format(expr="sdpm::DOUBLE / 10000.0")} AS sum_disc_price,
+       {_R4.format(expr="schg::DOUBLE / 1000000.0")} AS sum_charge,
+       {_R4.format(expr="sq::DOUBLE / n::DOUBLE")} AS avg_qty,
+       {_R4.format(expr="spc::DOUBLE / (100*n)::DOUBLE")} AS avg_price,
+       {_R4.format(expr="sdisc::DOUBLE / (100*n)::DOUBLE")} AS avg_disc,
+       n AS count_order
+FROM g ORDER BY 1, 2
+"""
+
+
+def q_revenue_band_q6(sf_dir: str):
+    """TPC-H Q6 — the would-be revenue increase probe: Σ price·disc
+    over lineitem shipped inside the probe year with the discount in
+    the 5–7 pct band and quantity < 24.  Revenue is carried EXACT as
+    pc·dp (10⁻⁴ dollars); each batch reduces to ONE (n, Σ) int64
+    partial row, folded on the driver in Python ints; the single
+    final division is 4dp-gated.  No shuffle, no join — the shape
+    that lets a 100 TB scan answer this with nothing but map tasks
+    and a 2-integer combine."""
+    import ray.data as rd
+
+    part_schema = pa.schema([("n", pa.int64()), ("s", pa.int64())])
+
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        us = _ship_us(t)
+        q, pc_, dp, _tp = _li_ints(t)
+        keep = ((us >= Q6_LO_US) & (us < Q6_HI_US)
+                & (dp >= 5) & (dp <= 7) & (q < 24))
+        if not keep.any():
+            return part_schema.empty_table()
+        return pa.table({"n": pa.array([int(keep.sum())], pa.int64()),
+                         "s": pa.array([int((pc_[keep] * dp[keep]).sum())],
+                                       pa.int64())})
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_shipdate"])
+    parts = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    n = sum(r["n"] for r in parts)
+    s = sum(r["s"] for r in parts)
+    if n == 0:
+        raise ValueError("revenue_band_q6: no rows match the band")
+    return pa.table({
+        "n_items": pa.array([n], pa.int64()),
+        "revenue": pa.array(_r4(np.array([float(s) / 10000.0])))})
+
+
+QUERIES["revenue_band_q6"] = q_revenue_band_q6
+
+ORACLE_SQL["revenue_band_q6"] = f"""
+WITH x AS (
+  SELECT floor(l_extendedprice*100 + 0.5)::BIGINT AS pc,
+         floor(l_discount*100 + 0.5)::BIGINT      AS dp,
+         floor(l_quantity + 0.5)::BIGINT          AS q
+  FROM lineitem
+  WHERE epoch_us(l_shipdate) >= {Q6_LO_US}
+    AND epoch_us(l_shipdate) <  {Q6_HI_US})
+SELECT count(*)::BIGINT AS n_items,
+       {_R4.format(expr="(sum(pc*dp)::HUGEINT)::DOUBLE / 10000.0")}
+         AS revenue
+FROM x WHERE dp BETWEEN 5 AND 7 AND q < 24
+"""
