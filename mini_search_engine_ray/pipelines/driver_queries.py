@@ -18139,3 +18139,430 @@ SELECT count(*)::BIGINT AS n_items,
          AS revenue
 FROM x WHERE dp BETWEEN 5 AND 7 AND q < 24
 """
+
+
+# ---------------------------------------------------------------------
+# Wave 28 — three more TPC-H join benchmarks: Q10 (returned-item
+# revenue, top-20 customers), Q15 (top supplier by window revenue via
+# the max-over-aggregate shape), and the Q22 global-sales-opportunity
+# variant (above-average balance, no recent order).  Same exact-money
+# discipline as Q1/Q5/Q6: half-up integer cents/pct encodings, int64
+# micros through the joins and grouped sums, HUGEINT on the oracle
+# side, final divisions 4dp-gated.
+# ---------------------------------------------------------------------
+
+Q10_LO_US = 946_684_800_000_000   # 2000-01-01T00:00:00Z
+Q10_HI_US = 962_409_600_000_000   # 2000-07-01T00:00:00Z
+Q15_LO_US = 946_684_800_000_000   # 2000-01-01T00:00:00Z
+Q15_HI_US = 954_547_200_000_000   # 2000-04-01T00:00:00Z
+Q22_RECENT_US = 978_307_200_000_000  # 2001-01-01T00:00:00Z
+
+
+def _ts_us_col(t: pa.Table, col: str) -> np.ndarray:
+    c = t[col]
+    if isinstance(c, pa.ChunkedArray):
+        c = c.combine_chunks()
+    return c.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+_REV_MICROS_SQL = ("floor(l_extendedprice*100 + 0.5)::BIGINT"
+                   " * (100 - floor(l_discount*100 + 0.5)::BIGINT)")
+
+
+def q_returned_item_revenue(sf_dir: str):
+    """TPC-H Q10 — returned-item reporting: the top 20 customers by
+    revenue lost to returns (l_returnflag = 'R') on orders placed in
+    the probe half-year.  Plan: lineitem reduces per batch to
+    (l_orderkey, int64 micros) with only R rows surviving; orders
+    reduces to the in-window (o_orderkey, o_custkey); ONE sort-merge
+    join + ONE customer-keyed grouped sum are the data-sized
+    exchanges; the top 20 come from a per-block (micros desc,
+    custkey asc) prefilter so the driver folds ≤ 20 rows per block —
+    the boundary tie is decided by the EXACT integer pair both
+    engines order identically — and the winners' names/balances
+    hydrate through a 20-key broadcast filter over customer.
+    revenue and c_acctbal are single divisions of exact integers,
+    4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("micros", pa.int64())])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return li_schema.empty_table()
+        rf = t["l_returnflag"].to_numpy(zero_copy_only=False)
+        keep = rf == "R"
+        if not keep.any():
+            return li_schema.empty_table()
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        d = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        mic = np.floor(p * 100 + 0.5).astype(np.int64) \
+            * (100 - np.floor(d * 100 + 0.5).astype(np.int64))
+        k = t["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"l_orderkey": pa.array(k.astype(np.int64)),
+                         "micros": pa.array(mic)})
+
+    ord_schema = pa.schema([("o_orderkey", pa.int64()),
+                            ("o_custkey", pa.int64())])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return ord_schema.empty_table()
+        us = _ts_us_col(t, "o_orderdate")
+        keep = (us >= Q10_LO_US) & (us < Q10_HI_US)
+        if not keep.any():
+            return ord_schema.empty_table()
+        return pa.table({
+            "o_orderkey": t["o_orderkey"].filter(pa.array(keep)),
+            "o_custkey": t["o_custkey"].filter(pa.array(keep))})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"]).map_batches(
+        prep_li, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        prep_orders, batch_format="pyarrow")
+
+    j = sort_merge_join(li, orders, "l_orderkey", "o_orderkey",
+                        left_schema=li_schema, right_schema=ord_schema,
+                        partitions=8)
+
+    proj_schema = pa.schema([("c_custkey", pa.int64()),
+                             ("micros", pa.int64())])
+
+    def proj(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return proj_schema.empty_table()
+        return pa.table({"c_custkey": t["o_custkey"].cast(pa.int64()),
+                         "micros": t["micros"].cast(pa.int64())})
+
+    agg = sorted_groupby_agg(
+        j.map_batches(proj, batch_format="pyarrow"),
+        ["c_custkey"], [("micros", "sum", "micros")],
+        in_schema=proj_schema)
+
+    def block_top(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "micros" not in t.column_names:
+            return proj_schema.empty_table()
+        mic = t["micros"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((ck, -mic))[:20]
+        return pa.table({"c_custkey": pa.array(ck[order]),
+                         "micros": pa.array(mic[order])})
+
+    cand = agg.map_batches(block_top, batch_format="pyarrow").take_all()
+    if not cand:
+        raise ValueError("returned_item_revenue: no returned revenue")
+    mic = np.array([r["micros"] for r in cand], np.int64)
+    ck = np.array([r["c_custkey"] for r in cand], np.int64)
+    order = np.lexsort((ck, -mic))[:20]
+    win_k, win_m = ck[order], mic[order]
+    kset = set(int(x) for x in win_k)
+
+    hyd_schema = pa.schema([("c_custkey", pa.int64()),
+                            ("c_name", pa.string()),
+                            ("c_acctbal", pa.float64())])
+
+    def hyd(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return hyd_schema.empty_table()
+        k = t["c_custkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(k, list(kset))
+        if not keep.any():
+            return hyd_schema.empty_table()
+        return pa.table({
+            "c_custkey": t["c_custkey"].filter(pa.array(keep)),
+            "c_name": t["c_name"].filter(pa.array(keep)),
+            "c_acctbal": t["c_acctbal"].filter(pa.array(keep))})
+
+    rows = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal"]).map_batches(
+        hyd, batch_format="pyarrow").take_all()
+    name = {r["c_custkey"]: r["c_name"] for r in rows}
+    bal = {r["c_custkey"]: r["c_acctbal"] for r in rows}
+    bal_c = {k: int(np.floor(v * 100 + 0.5)) for k, v in bal.items()}
+    return pa.table({
+        "c_custkey": pa.array(win_k),
+        "c_name": pa.array([name[int(k)] for k in win_k], pa.string()),
+        "c_acctbal": pa.array(_r4(np.array(
+            [float(bal_c[int(k)]) / 100.0 for k in win_k]))),
+        "revenue": pa.array(_r4(win_m.astype(np.float64) / 10000.0))})
+
+
+QUERIES["returned_item_revenue"] = q_returned_item_revenue
+
+ORACLE_SQL["returned_item_revenue"] = f"""
+WITH l AS (SELECT l_orderkey, {_REV_MICROS_SQL} AS micros
+           FROM lineitem WHERE l_returnflag = 'R'),
+o AS (SELECT o_orderkey, o_custkey FROM orders
+      WHERE epoch_us(o_orderdate) >= {Q10_LO_US}
+        AND epoch_us(o_orderdate) <  {Q10_HI_US}),
+r AS (SELECT o_custkey, sum(micros)::BIGINT AS mic
+      FROM l JOIN o ON l_orderkey = o_orderkey GROUP BY 1),
+t AS (SELECT o_custkey, mic FROM r
+      ORDER BY mic DESC, o_custkey LIMIT 20)
+SELECT c_custkey, c_name,
+       {_R4.format(
+           expr="floor(c_acctbal*100 + 0.5)::BIGINT::DOUBLE / 100.0")}
+         AS c_acctbal,
+       {_R4.format(expr="mic::DOUBLE / 10000.0")} AS revenue
+FROM t JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_top_supplier_revenue(sf_dir: str):
+    """TPC-H Q15 — top supplier: the supplier(s) whose in-window
+    revenue equals the global maximum (the max-over-aggregate shape
+    the reference writes as a view + equality).  ONE supplier-keyed
+    grouped sum of int64 micros is the only data-sized exchange; the
+    global max folds from per-block single-row partials (exact
+    integers, so 'equals the max' is tie-robust where float revenue
+    would not be); winners hydrate s_name through a tiny broadcast
+    filter.  total_revenue is the single 4dp-gated division."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+
+    li_schema = pa.schema([("s_suppkey", pa.int64()),
+                           ("micros", pa.int64())])
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return li_schema.empty_table()
+        us = _ts_us_col(t, "l_shipdate")
+        keep = (us >= Q15_LO_US) & (us < Q15_HI_US)
+        if not keep.any():
+            return li_schema.empty_table()
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        d = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        mic = np.floor(p * 100 + 0.5).astype(np.int64) \
+            * (100 - np.floor(d * 100 + 0.5).astype(np.int64))
+        k = t["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"s_suppkey": pa.array(k.astype(np.int64)),
+                         "micros": pa.array(mic)})
+
+    agg = sorted_groupby_agg(
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_suppkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"]).map_batches(
+            prep, batch_format="pyarrow"),
+        ["s_suppkey"], [("micros", "sum", "micros")],
+        in_schema=li_schema).materialize()
+
+    max_schema = pa.schema([("m", pa.int64())])
+
+    def block_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "micros" not in t.column_names:
+            return max_schema.empty_table()
+        return pa.table({"m": pa.array(
+            [int(t["micros"].to_numpy(zero_copy_only=False).max())],
+            pa.int64())})
+
+    parts = agg.map_batches(block_max, batch_format="pyarrow").take_all()
+    if not parts:
+        raise ValueError("top_supplier_revenue: no revenue in window")
+    m = max(r["m"] for r in parts)
+
+    win_schema = pa.schema([("s_suppkey", pa.int64()),
+                            ("micros", pa.int64())])
+
+    def winners(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "micros" not in t.column_names:
+            return win_schema.empty_table()
+        mic = t["micros"].to_numpy(zero_copy_only=False)
+        keep = mic == m
+        if not keep.any():
+            return win_schema.empty_table()
+        return pa.table({
+            "s_suppkey": t["s_suppkey"].filter(pa.array(keep))
+            .cast(pa.int64()),
+            "micros": t["micros"].filter(pa.array(keep))
+            .cast(pa.int64())})
+
+    rows = agg.map_batches(winners, batch_format="pyarrow").take_all()
+    keys = sorted(r["s_suppkey"] for r in rows)
+    kset = set(keys)
+    mics = {r["s_suppkey"]: r["micros"] for r in rows}
+
+    def hyd(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("s_suppkey", pa.int64()),
+                         ("s_name", pa.string())])
+        if t.num_rows == 0:
+            return sch.empty_table()
+        k = t["s_suppkey"].to_numpy(zero_copy_only=False)
+        keep = np.isin(k, list(kset))
+        if not keep.any():
+            return sch.empty_table()
+        return pa.table({
+            "s_suppkey": t["s_suppkey"].filter(pa.array(keep)),
+            "s_name": t["s_name"].filter(pa.array(keep))})
+
+    import ray.data as rd2
+    nm = {r["s_suppkey"]: r["s_name"] for r in rd2.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"]).map_batches(
+        hyd, batch_format="pyarrow").take_all()}
+    return pa.table({
+        "s_suppkey": pa.array(keys, pa.int64()),
+        "s_name": pa.array([nm[k] for k in keys], pa.string()),
+        "total_revenue": pa.array(_r4(np.array(
+            [float(mics[k]) / 10000.0 for k in keys])))})
+
+
+QUERIES["top_supplier_revenue"] = q_top_supplier_revenue
+
+ORACLE_SQL["top_supplier_revenue"] = f"""
+WITH r AS (SELECT l_suppkey, sum({_REV_MICROS_SQL})::BIGINT AS mic
+           FROM lineitem
+           WHERE epoch_us(l_shipdate) >= {Q15_LO_US}
+             AND epoch_us(l_shipdate) <  {Q15_HI_US}
+           GROUP BY 1)
+SELECT s_suppkey, s_name,
+       {_R4.format(expr="mic::DOUBLE / 10000.0")} AS total_revenue
+FROM r JOIN supplier ON l_suppkey = s_suppkey
+WHERE mic = (SELECT max(mic) FROM r)
+"""
+
+
+def q_cust_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 (variant) — global sales opportunity: per nation,
+    how many customers hold an above-average positive balance yet
+    placed NO order since the recency cutoff, and their total
+    balance.  The above-average test is EXACT: pass 1 folds (N, Σ)
+    over positive balance-cents from per-batch int64 partials, and a
+    customer qualifies iff cents·N > Σ — an all-integer comparison
+    both engines evaluate identically (loud contract: N·max_cents
+    must fit int64; at 10¹² customers switch the filter to object
+    dtype).  Recent orders reduce to keys; ONE anti sort-merge join
+    (SQL NOT EXISTS) is the data-sized exchange; the nation-keyed
+    grouped count/sum is 25-bounded.  totacctbal is the single
+    4dp-gated division."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    cust_cols = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    part_schema = pa.schema([("n", pa.int64()), ("s", pa.int64())])
+
+    def pos_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return part_schema.empty_table()
+        cents = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        pos = cents > 0
+        return pa.table({"n": pa.array([int(pos.sum())], pa.int64()),
+                         "s": pa.array([int(cents[pos].sum())],
+                                       pa.int64())})
+
+    parts = cust_cols.map_batches(
+        pos_partial, batch_format="pyarrow").take_all()
+    n_pos = sum(r["n"] for r in parts)
+    s_pos = sum(r["s"] for r in parts)
+    if n_pos == 0:
+        raise ValueError("cust_sales_opportunity: no positive balances")
+
+    f_schema = pa.schema([("c_custkey", pa.int64()),
+                          ("c_nationkey", pa.int64()),
+                          ("cents", pa.int64())])
+
+    def above_avg(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return f_schema.empty_table()
+        cents = np.floor(t["c_acctbal"].to_numpy(zero_copy_only=False)
+                         * 100 + 0.5).astype(np.int64)
+        keep = cents * n_pos > s_pos
+        if not keep.any():
+            return f_schema.empty_table()
+        return pa.table({
+            "c_custkey": t["c_custkey"].filter(pa.array(keep))
+            .cast(pa.int64()),
+            "c_nationkey": t["c_nationkey"].filter(pa.array(keep))
+            .cast(pa.int64()),
+            "cents": pa.array(cents[keep])})
+
+    rich = cust_cols.map_batches(above_avg, batch_format="pyarrow")
+
+    ro_schema = pa.schema([("o_custkey", pa.int64())])
+
+    def recent(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return ro_schema.empty_table()
+        us = _ts_us_col(t, "o_orderdate")
+        keep = us >= Q22_RECENT_US
+        if not keep.any():
+            return ro_schema.empty_table()
+        return pa.table({"o_custkey":
+                         t["o_custkey"].filter(pa.array(keep))
+                         .cast(pa.int64())})
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate"]).map_batches(
+        recent, batch_format="pyarrow")
+
+    anti = sort_merge_join(rich, orders, "c_custkey", "o_custkey",
+                           how="anti", left_schema=f_schema,
+                           right_schema=ro_schema, partitions=8)
+
+    g_schema = pa.schema([("c_nationkey", pa.int64()),
+                          ("one", pa.int64()), ("cents", pa.int64())])
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cents" not in t.column_names:
+            return g_schema.empty_table()
+        return pa.table({
+            "c_nationkey": t["c_nationkey"].cast(pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "cents": t["cents"].cast(pa.int64())})
+
+    agg = sorted_groupby_agg(
+        anti.map_batches(tag, batch_format="pyarrow"),
+        ["c_nationkey"], [("one", "sum", "numcust"),
+                          ("cents", "sum", "cents")],
+        in_schema=g_schema)
+
+    def fin(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("c_nationkey", pa.int64()),
+                         ("numcust", pa.int64()),
+                         ("totacctbal", pa.float64())])
+        if t.num_rows == 0 or "cents" not in t.column_names:
+            return sch.empty_table()
+        c = t["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"c_nationkey": t["c_nationkey"].cast(pa.int64()),
+                         "numcust": t["numcust"].cast(pa.int64()),
+                         "totacctbal": pa.array(_r4(c / 100.0))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["cust_sales_opportunity"] = q_cust_sales_opportunity
+
+ORACLE_SQL["cust_sales_opportunity"] = f"""
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  floor(c_acctbal*100 + 0.5)::BIGINT AS cents
+           FROM customer),
+pos AS (SELECT count(*)::BIGINT AS n, sum(cents)::BIGINT AS s
+        FROM c WHERE cents > 0),
+f AS (SELECT c.c_custkey, c.c_nationkey, c.cents FROM c, pos
+      WHERE c.cents * pos.n > pos.s
+        AND NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c.c_custkey
+                          AND epoch_us(o_orderdate) >= {Q22_RECENT_US}))
+SELECT c_nationkey, count(*)::BIGINT AS numcust,
+       {_R4.format(expr="(sum(cents)::BIGINT)::DOUBLE / 100.0")}
+         AS totacctbal
+FROM f GROUP BY 1
+"""
