@@ -1481,7 +1481,7 @@ _WORKLOADS = ("synth_index_build", "docs_index_build", "query_p95",
               "bounded_window", "dup_passages", "dedup_rewrite", "setsim", "bpe_train",
               "doc_sim", "fuzzy_names", "graph_triangles", "graph_iterative",
               "cooccur", "analytics", "spatial", "eval_metrics",
-              "quantiles_cont", "novelty", "bootstrap")
+              "quantiles_cont", "novelty", "bootstrap", "tpch")
 
 
 def run_all(only: str | None = None) -> dict:
@@ -1597,9 +1597,38 @@ def run_all(only: str | None = None) -> dict:
         bench_novelty(out)
     if only in (None, "bootstrap"):
         bench_bootstrap(out)
+    if only in (None, "tpch"):
+        bench_tpch(out)
     out["value"] = round(sum(out["queries"].values()), 3)
     ray.shutdown()
     return out
+
+
+def bench_tpch(out: dict) -> None:
+    """The five registered TPC-H benchmarks over the sf tier's real
+    tables — Q1 (pricing summary, pure scan), Q6 (band probe, pure
+    scan), Q10 (returned-item top-20, join + grouped sum + top-k),
+    Q15 (top supplier, max-over-aggregate), Q22 (sales opportunity,
+    two-pass + anti join).  Exercises the exact-integer money path,
+    the sort-merge join family, and the bounded driver folds in one
+    row per query."""
+    from mini_search_engine_ray.pipelines.driver_queries import QUERIES
+
+    for name, nrows in (("pricing_summary", 6), ("revenue_band_q6", 1),
+                        ("returned_item_revenue", 20),
+                        ("top_supplier_revenue", None),
+                        ("cust_sales_opportunity", None)):
+        t0 = time.time()
+        res = QUERIES[name](SF_DIR)
+        import pyarrow as pa
+        if not isinstance(res, pa.Table):
+            res = res.materialize()
+            got = res.count()
+        else:
+            got = res.num_rows
+        out["queries"][f"tpch_{name}"] = round(time.time() - t0, 3)
+        assert got >= 1 and (nrows is None or got == nrows), \
+            (name, got, nrows)
 
 
 def _host_throughput(n: int, trials: int = 3) -> float:
