@@ -18566,3 +18566,239 @@ SELECT c_nationkey, count(*)::BIGINT AS numcust,
          AS totacctbal
 FROM f GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------
+# Wave 29 — TPC-H Q7 (volume shipping between two nations) and Q14
+# (promotion revenue share): the bidirectional-pair join benchmark and
+# the two-sum ratio probe, completing the TPC-H set expressible over
+# these tables (Q2/Q9/Q11/Q16/Q20 need partsupp, Q12 needs
+# commit/receipt dates, Q17/Q19 need container/size predicates with
+# no analogue here; Q3/Q5/Q8/Q13/Q18 were registered in earlier
+# waves).  Same exact-integer money discipline throughout.
+# ---------------------------------------------------------------------
+
+Q7_NATION_A = 18  # NATION_18 — pair chosen for bidirectional
+Q7_NATION_B = 19  # NATION_19   volume at EVERY sf tier incl. 0.001
+Q14_LO_US = 967_766_400_000_000   # 2000-09-01T00:00:00Z
+Q14_HI_US = 970_358_400_000_000   # 2000-10-01T00:00:00Z
+
+
+def q_nation_volume_shipping(sf_dir: str):
+    """TPC-H Q7 — volume shipping: revenue flowing between two
+    nations in BOTH directions (supplier in one, customer in the
+    other), per supp_nation × cust_nation × ship year.  Plan mirrors
+    Q5's chain: lineitem reduces per batch to (orderkey, suppkey,
+    int64 micros, year-from-exact-integer-µs); three sort-merge
+    joins (orders, customer, supplier) are the only data-sized
+    exchanges; the direction filter is a pure vectorized predicate
+    over the two nationkey columns; the grouped sum is bounded by
+    2 × #years cells.  revenue is the single 4dp-gated division."""
+    import ray.data as rd
+
+    from ..stages.aggregates import sorted_groupby_agg
+    from ..stages.join import sort_merge_join
+
+    li_schema = pa.schema([("l_orderkey", pa.int64()),
+                           ("l_suppkey", pa.int64()),
+                           ("micros", pa.int64()),
+                           ("l_year", pa.int64())])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return li_schema.empty_table()
+        us = _ts_us_col(t, "l_shipdate")
+        year = (us.astype("datetime64[us]")
+                .astype("datetime64[Y]").astype(np.int64) + 1970)
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        mic = np.floor(p * 100 + 0.5).astype(np.int64) \
+            * (100 - np.floor(d * 100 + 0.5).astype(np.int64))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"].cast(pa.int64()),
+            "l_suppkey": t["l_suppkey"].cast(pa.int64()),
+            "micros": pa.array(mic), "l_year": pa.array(year)})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"]).map_batches(
+        prep_li, batch_format="pyarrow")
+    orders = rd.read_parquet(os.path.join(sf_dir, "orders.parquet"),
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                           columns=["c_custkey", "c_nationkey"])
+    supp = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"),
+                           columns=["s_suppkey", "s_nationkey"])
+
+    j1 = sort_merge_join(li, orders, "l_orderkey", "o_orderkey",
+                         left_schema=li_schema, partitions=8)
+    j1_schema = pa.schema(list(li_schema)
+                          + [pa.field("o_custkey", pa.int64())])
+    j2 = sort_merge_join(j1, cust, "o_custkey", "c_custkey",
+                         left_schema=j1_schema, partitions=8)
+    j2_schema = pa.schema(list(j1_schema)
+                          + [pa.field("c_nationkey", pa.int64())])
+    j3 = sort_merge_join(j2, supp, "l_suppkey", "s_suppkey",
+                         left_schema=j2_schema, partitions=8)
+
+    part_schema = pa.schema([("supp_nation", pa.string()),
+                             ("cust_nation", pa.string()),
+                             ("l_year", pa.int64()),
+                             ("micros", pa.int64()),
+                             ("one", pa.int64())])
+    a, b = Q7_NATION_A, Q7_NATION_B
+    names = {a: f"NATION_{a}", b: f"NATION_{b}"}
+
+    def direction(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_nationkey" not in t.column_names:
+            return part_schema.empty_table()
+        cn = t["c_nationkey"].to_numpy(zero_copy_only=False)
+        sn = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        keep = ((sn == a) & (cn == b)) | ((sn == b) & (cn == a))
+        if not keep.any():
+            return part_schema.empty_table()
+        sn, cn = sn[keep], cn[keep]
+        return pa.table({
+            "supp_nation": pa.array([names[int(x)] for x in sn],
+                                    pa.string()),
+            "cust_nation": pa.array([names[int(x)] for x in cn],
+                                    pa.string()),
+            "l_year": t["l_year"].filter(pa.array(keep))
+            .cast(pa.int64()),
+            "micros": t["micros"].filter(pa.array(keep))
+            .cast(pa.int64()),
+            "one": pa.array(np.ones(int(keep.sum()), np.int64))})
+
+    agg = sorted_groupby_agg(
+        j3.map_batches(direction, batch_format="pyarrow"),
+        ["supp_nation", "cust_nation", "l_year"],
+        [("one", "sum", "n_items"), ("micros", "sum", "micros")],
+        in_schema=part_schema)
+
+    def fin(t: pa.Table) -> pa.Table:
+        sch = pa.schema([("supp_nation", pa.string()),
+                         ("cust_nation", pa.string()),
+                         ("l_year", pa.int64()),
+                         ("n_items", pa.int64()),
+                         ("revenue", pa.float64())])
+        if t.num_rows == 0 or "micros" not in t.column_names:
+            return sch.empty_table()
+        m = t["micros"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        return pa.table({"supp_nation": t["supp_nation"],
+                         "cust_nation": t["cust_nation"],
+                         "l_year": t["l_year"].cast(pa.int64()),
+                         "n_items": t["n_items"].cast(pa.int64()),
+                         "revenue": pa.array(_r4(m / 10000.0))})
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["nation_volume_shipping"] = q_nation_volume_shipping
+
+ORACLE_SQL["nation_volume_shipping"] = f"""
+WITH v AS (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate)::BIGINT AS l_year,
+         {_REV_MICROS_SQL} AS micros
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_nationkey = {Q7_NATION_A}
+         AND n2.n_nationkey = {Q7_NATION_B})
+     OR (n1.n_nationkey = {Q7_NATION_B}
+         AND n2.n_nationkey = {Q7_NATION_A}))
+SELECT supp_nation, cust_nation, l_year, count(*)::BIGINT AS n_items,
+       {_R4.format(expr="(sum(micros)::BIGINT)::DOUBLE / 10000.0")}
+         AS revenue
+FROM v GROUP BY 1, 2, 3
+"""
+
+
+def q_promo_revenue_share(sf_dir: str):
+    """TPC-H Q14 — promotion effect: the percentage of the probe
+    month's revenue from PROMO-type parts.  lineitem reduces per
+    batch to the in-window (l_partkey, int64 micros); ONE sort-merge
+    join against part's (p_partkey, p_type) is the data-sized
+    exchange; each joined batch folds to a (promo, total) int64
+    partial pair and the driver holds two Python ints.  The share is
+    the oracle's exact expression 100.0 · promo / total evaluated
+    over identical exact integers on both engines, 4dp-gated."""
+    import ray.data as rd
+
+    from ..stages.join import sort_merge_join
+
+    li_schema = pa.schema([("l_partkey", pa.int64()),
+                           ("micros", pa.int64())])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return li_schema.empty_table()
+        us = _ts_us_col(t, "l_shipdate")
+        keep = (us >= Q14_LO_US) & (us < Q14_HI_US)
+        if not keep.any():
+            return li_schema.empty_table()
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+        d = t["l_discount"].to_numpy(zero_copy_only=False)[keep]
+        mic = np.floor(p * 100 + 0.5).astype(np.int64) \
+            * (100 - np.floor(d * 100 + 0.5).astype(np.int64))
+        k = t["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"l_partkey": pa.array(k.astype(np.int64)),
+                         "micros": pa.array(mic)})
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).map_batches(
+        prep_li, batch_format="pyarrow")
+    part = rd.read_parquet(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_type"])
+    j = sort_merge_join(li, part, "l_partkey", "p_partkey",
+                        left_schema=li_schema, partitions=8)
+
+    part_schema = pa.schema([("promo", pa.int64()),
+                             ("total", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_type" not in t.column_names:
+            return part_schema.empty_table()
+        mic = t["micros"].to_numpy(zero_copy_only=False)
+        ty = t["p_type"].to_numpy(zero_copy_only=False)
+        is_promo = ty.astype(object) == "PROMO"
+        return pa.table({
+            "promo": pa.array([int(mic[is_promo].sum())], pa.int64()),
+            "total": pa.array([int(mic.sum())], pa.int64())})
+
+    rows = j.map_batches(partial, batch_format="pyarrow").take_all()
+    promo = sum(r["promo"] for r in rows)
+    total = sum(r["total"] for r in rows)
+    if total == 0:
+        raise ValueError("promo_revenue_share: no revenue in window")
+    return pa.table({
+        "promo_micros": pa.array([promo], pa.int64()),
+        "total_micros": pa.array([total], pa.int64()),
+        "promo_share": pa.array(_r4(np.array(
+            [100.0 * float(promo) / float(total)])))})
+
+
+QUERIES["promo_revenue_share"] = q_promo_revenue_share
+
+ORACLE_SQL["promo_revenue_share"] = f"""
+WITH v AS (
+  SELECT {_REV_MICROS_SQL} AS micros, p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE epoch_us(l_shipdate) >= {Q14_LO_US}
+    AND epoch_us(l_shipdate) <  {Q14_HI_US})
+SELECT sum(CASE WHEN p_type = 'PROMO' THEN micros ELSE 0 END)::BIGINT
+         AS promo_micros,
+       sum(micros)::BIGINT AS total_micros,
+       {_R4.format(
+           expr="100.0 * sum(CASE WHEN p_type = 'PROMO' THEN micros "
+                "ELSE 0 END)::BIGINT::DOUBLE "
+                "/ (sum(micros)::BIGINT)::DOUBLE")} AS promo_share
+FROM v
+"""
