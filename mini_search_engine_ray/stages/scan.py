@@ -84,6 +84,21 @@ def _resolve_descending(descending, order_by, key_col):
     return ([False] if key_col else []) + list(descending)
 
 
+def _typed_empty(schema: pa.Schema, *extra: tuple) -> pa.Table:
+    """Empty OUTPUT block carrying the full typed schema.  Ray's range
+    sort forwards empty boundary blocks with NO columns (ray-project
+    plan_udf_map_op TODO: "some all-to-all operators output empty
+    blocks with no schema"), so ``t.append_column(out_col, ...)`` on
+    such a block yields a 1-column table whose schema intermittently
+    poisons the NEXT sort's ``unify_ref_bundles_schema`` validation —
+    the daily_value_anomaly chained-rolling failure mode.  Build the
+    empty from the sorted dataset's static schema plus the output
+    column(s) instead, exactly like range_rolling_agg always did."""
+    for name, typ in extra:
+        schema = schema.append(pa.field(name, typ))
+    return schema.empty_table()
+
+
 _RUNNING_OPS = ("sum", "count", "min", "max")
 
 
@@ -198,8 +213,8 @@ def running_agg(ds, *, order_by: list[str] | str, op: str = "sum",
     def apply(t: pa.Table, carry):
         n = t.num_rows
         if n == 0:
-            out = pa.array([], pa.int64() if as_int else pa.float64())
-            return t.append_column(out_col, out)
+            return _typed_empty(
+                schema, (out_col, pa.int64() if as_int else pa.float64()))
         keys = _keys_np(t, key_col) if key_col else None
         brk = _key_breaks(keys, n)
         starts = np.flatnonzero(brk) + 1
@@ -432,7 +447,7 @@ def rolling_agg(ds, *, order_by: list[str] | str, window: int,
         carry_keys, carry_vals, c = carry
         n = t.num_rows
         if n == 0:
-            return t.append_column(out_col, pa.array([], out_type))
+            return _typed_empty(schema, (out_col, out_type))
         if key_col:
             keys = _keys_np(t, key_col)
             allk = np.concatenate([carry_keys, keys.astype(object)]) \
@@ -564,7 +579,7 @@ def _shift_column(ds, *, value_col: str, order_by: list[str] | str,
         carry_keys, carry_vals, = carry
         n = t.num_rows
         if n == 0:
-            return t.append_column(out_col, pa.array([], val_type))
+            return _typed_empty(schema, (out_col, val_type))
         c = len(carry_vals)
         col = t[value_col]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
@@ -733,15 +748,17 @@ def add_ranks(ds, *, order_by: list[str] | str,
         total += n
     carry_it = iter(carries)
     denom = float(total - 1) if total > 1 else 1.0
+    base_schema = sorted_ds.schema().base_schema
 
     @ray.remote
     def apply(t: pa.Table, carry):
         off, cont_rank, dense_base = carry
         n = t.num_rows
         if n == 0:
-            return t.append_column(rank_col, pa.array([], pa.int64())) \
-                .append_column(dense_col, pa.array([], pa.int64())) \
-                .append_column(pct_col, pa.array([], pa.float64()))
+            return _typed_empty(base_schema,
+                                (rank_col, pa.int64()),
+                                (dense_col, pa.int64()),
+                                (pct_col, pa.float64()))
         brk = _breaks(t)
         starts = np.flatnonzero(brk) + 1
         seg = np.zeros(n, dtype=np.int64)
@@ -1079,12 +1096,13 @@ def ewma_column(ds, *, value_col: str, order_by: list[str] | str,
         if key_col is not None:
             cur_key = last_key
     carry_it = iter(carries)
+    base_schema = sorted_ds.schema().base_schema
 
     @ray.remote
     def apply(t: pa.Table, carry):
         n = t.num_rows
         if n == 0:
-            return t.append_column(out_col, pa.array([], pa.float64()))
+            return _typed_empty(base_schema, (out_col, pa.float64()))
         keys = _keys_np(t, key_col) if key_col else None
         brk = _key_breaks(keys, n)
         starts = np.flatnonzero(brk) + 1
@@ -1206,13 +1224,14 @@ def locf_fill(ds, *, value_col: str, order_by: list[str] | str,
             cur_key = last_key
     carry_it = iter(carries)
 
-    val_type = sorted_ds.schema().base_schema.field(value_col).type
+    base_schema = sorted_ds.schema().base_schema
+    val_type = base_schema.field(value_col).type
 
     @ray.remote
     def apply(t: pa.Table, carry):
         n = t.num_rows
         if n == 0:
-            return t.append_column(out_col, pa.array([], val_type))
+            return _typed_empty(base_schema, (out_col, val_type))
         keys = _keys_np(t, key_col) if key_col else None
         brk = _key_breaks(keys, n)
         starts = np.flatnonzero(brk) + 1
